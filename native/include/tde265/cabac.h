@@ -1,0 +1,210 @@
+// CABAC binary arithmetic decoder + HEVC context model table.
+//
+// Capability counterpart of /root/reference/libde265/cabac.{h,cc} and
+// contextmodel.{h,cc}.  Independent design: the decoding engine implements
+// the spec 9.3.4.3 register semantics (9-bit range/offset with bit-serial
+// renormalization from a 64-bit cache) rather than the reference's 16-bit
+// sliding-window registers; bypass runs are decoded in batches straight from
+// the cache, which is where HEVC spends most of its bypass bins.
+#pragma once
+
+#include <cstring>
+
+#include "tde265/common.h"
+
+namespace tde265 {
+
+struct ContextModel {
+  u8 state = 0;  // pStateIdx 0..62
+  u8 mps = 0;    // valMps
+  bool operator==(const ContextModel& o) const {
+    return state == o.state && mps == o.mps;
+  }
+};
+
+// Context table layout: one enum of offsets, sized kNumContexts total.
+// Grouping mirrors HEVC Table 9-4 syntax elements.
+enum CtxIdx : int {
+  CTX_SAO_MERGE_FLAG = 0,           // 1
+  CTX_SAO_TYPE_IDX,                 // 1
+  CTX_SPLIT_CU_FLAG,                // 3
+  CTX_CU_TRANSQUANT_BYPASS = CTX_SPLIT_CU_FLAG + 3,  // 1
+  CTX_CU_SKIP_FLAG,                 // 3
+  CTX_PRED_MODE_FLAG = CTX_CU_SKIP_FLAG + 3,  // 1
+  CTX_PART_MODE,                    // 4
+  CTX_PREV_INTRA_LUMA_PRED = CTX_PART_MODE + 4,  // 1
+  CTX_INTRA_CHROMA_PRED_MODE,       // 1
+  CTX_RQT_ROOT_CBF,                 // 1
+  CTX_MERGE_FLAG,                   // 1
+  CTX_MERGE_IDX,                    // 1
+  CTX_INTER_PRED_IDC,               // 5
+  CTX_REF_IDX_LX = CTX_INTER_PRED_IDC + 5,  // 2
+  CTX_MVP_LX_FLAG = CTX_REF_IDX_LX + 2,     // 1
+  CTX_ABS_MVD_GREATER0,             // 1
+  CTX_ABS_MVD_GREATER1,             // 1
+  CTX_SPLIT_TRANSFORM_FLAG,         // 3
+  CTX_CBF_LUMA = CTX_SPLIT_TRANSFORM_FLAG + 3,  // 2
+  CTX_CBF_CHROMA = CTX_CBF_LUMA + 2,            // 4
+  CTX_TRANSFORM_SKIP_LUMA = CTX_CBF_CHROMA + 4, // 1
+  CTX_TRANSFORM_SKIP_CHROMA,        // 1
+  CTX_CU_QP_DELTA_ABS,              // 2
+  CTX_LAST_SIG_X_PREFIX = CTX_CU_QP_DELTA_ABS + 2,  // 18
+  CTX_LAST_SIG_Y_PREFIX = CTX_LAST_SIG_X_PREFIX + 18,  // 18
+  CTX_CODED_SUB_BLOCK_FLAG = CTX_LAST_SIG_Y_PREFIX + 18,  // 4
+  CTX_SIG_COEFF_FLAG = CTX_CODED_SUB_BLOCK_FLAG + 4,      // 42 + 2 (skip mode)
+  CTX_COEFF_ABS_GT1 = CTX_SIG_COEFF_FLAG + 44,  // 24
+  CTX_COEFF_ABS_GT2 = CTX_COEFF_ABS_GT1 + 24,   // 6
+  CTX_RDPCM_FLAG = CTX_COEFF_ABS_GT2 + 6,       // 2
+  CTX_RDPCM_DIR = CTX_RDPCM_FLAG + 2,           // 2
+  CTX_LOG2_RES_SCALE_ABS = CTX_RDPCM_DIR + 2,   // 8
+  CTX_RES_SCALE_SIGN = CTX_LOG2_RES_SCALE_ABS + 8,  // 2
+  CTX_CU_CHROMA_QP_OFFSET_FLAG = CTX_RES_SCALE_SIGN + 2,  // 1
+  CTX_CU_CHROMA_QP_OFFSET_IDX,      // 1
+  kNumContexts,
+};
+
+struct ContextTable {
+  ContextModel m[kNumContexts];
+
+  // initType: 0 for I slices, 1/2 per slice type + cabac_init_flag
+  // (spec Table 9-4 ctxIdx init mapping).
+  void init(int init_type, int slice_qp_y);
+
+  ContextModel& operator[](int i) { return m[i]; }
+  bool operator==(const ContextTable& o) const {
+    return memcmp(m, o.m, sizeof(m)) == 0;
+  }
+};
+
+class CabacDecoder {
+ public:
+  void init(const u8* data, size_t len) {
+    p_ = data;
+    end_ = data + len;
+    cache_ = 0;
+    ncache_ = 0;
+    range_ = 510;
+    offset_ = read_bits(9);
+  }
+
+  // Spec 9.3.4.3.2 DecodeDecision.
+  inline int decode_bin(ContextModel* m) {
+    u32 q = (range_ >> 6) & 3;
+    u32 lps = kRangeTabLps[m->state][q];
+    range_ -= lps;
+    int bin;
+    if (offset_ >= range_) {
+      bin = 1 - m->mps;
+      offset_ -= range_;
+      range_ = lps;
+      if (m->state == 0) m->mps = 1 - m->mps;
+      m->state = kTransIdxLps[m->state];
+    } else {
+      bin = m->mps;
+      m->state = kTransIdxMps[m->state];
+    }
+    // RenormD, all shifts at once: range_ is in [2,255] when renorm is needed.
+    if (range_ < 256) {
+      int n = 8 - ilog2_of(range_);
+      range_ <<= n;
+      offset_ = (offset_ << n) | read_bits(n);
+    }
+    return bin;
+  }
+
+  // Spec 9.3.4.3.4 DecodeBypass.
+  inline int decode_bypass() {
+    offset_ = (offset_ << 1) | read_bits(1);
+    if (offset_ >= range_) {
+      offset_ -= range_;
+      return 1;
+    }
+    return 0;
+  }
+
+  // n bypass bins at once (MSB first).  Valid because bypass decoding is a
+  // pure binary expansion against a fixed range.
+  inline u32 decode_bypass_bits(int n) {
+    u32 v = 0;
+    while (n > 0) {
+      int k = min_i(n, 16);
+      offset_ = (offset_ << k) | read_bits(k);
+      u32 bits = 0;
+      for (int i = k - 1; i >= 0; i--) {
+        u32 threshold = range_ << i;
+        if (offset_ >= threshold) {
+          offset_ -= threshold;
+          bits |= 1u << i;
+        }
+      }
+      v = (v << k) | bits;
+      n -= k;
+    }
+    return v;
+  }
+
+  // Spec 9.3.4.3.5 DecodeTerminate.
+  inline int decode_terminate() {
+    range_ -= 2;
+    if (offset_ >= range_) return 1;
+    while (range_ < 256) {
+      range_ <<= 1;
+      offset_ = (offset_ << 1) | read_bits(1);
+    }
+    return 0;
+  }
+
+  // Truncated-rice / EGk helpers used by residual coding (spec 9.3.3.x).
+  inline u32 decode_TU_bypass(int cmax) {
+    for (int i = 0; i < cmax; i++) {
+      if (decode_bypass() == 0) return i;
+    }
+    return cmax;
+  }
+  inline u32 decode_EGk_bypass(int k) {
+    int zeros = 0;
+    while (decode_bypass()) zeros++;
+    // value = (2^zeros - 1) << k + bits(zeros + k)
+    u32 v = ((1u << zeros) - 1) << k;
+    if (zeros + k > 0) v += decode_bypass_bits(zeros + k);
+    return v;
+  }
+
+  const u8* current_byte() const { return p_; }
+  // Bytes consumed from the start of the buffer, counting cached bits as
+  // consumed only up to the current decode position.
+  size_t bytes_read(const u8* start) const {
+    return (size_t)(p_ - start) - (size_t)(ncache_ / 8);
+  }
+
+ private:
+  static inline int ilog2_of(u32 v) {
+    return 31 - __builtin_clz(v);
+  }
+  inline u32 read_bits(int n) {
+    if (ncache_ < n) {
+      while (ncache_ <= 56) {
+        u64 b = (p_ < end_) ? *p_++ : 0;  // feed zeros past the end
+        cache_ |= b << (56 - ncache_);
+        ncache_ += 8;
+      }
+    }
+    u32 v = (u32)(cache_ >> (64 - n));
+    cache_ <<= n;
+    ncache_ -= n;
+    return v;
+  }
+
+  static const u8 kRangeTabLps[64][4];
+  static const u8 kTransIdxMps[64];
+  static const u8 kTransIdxLps[64];
+
+  const u8* p_ = nullptr;
+  const u8* end_ = nullptr;
+  u64 cache_ = 0;
+  int ncache_ = 0;
+  u32 range_ = 510;
+  u32 offset_ = 0;
+};
+
+}  // namespace tde265
