@@ -171,11 +171,10 @@ class CabacDecoder {
   }
 
   const u8* current_byte() const { return p_; }
-  // Bytes consumed from the start of the buffer, counting cached bits as
-  // consumed only up to the current decode position.
-  size_t bytes_read(const u8* start) const {
-    return (size_t)(p_ - start) - (size_t)(ncache_ / 8);
-  }
+  // First byte not consumed by the arithmetic engine (= ceil of the consumed
+  // bit position).  This is where PCM sample data begins (spec 9.3.1
+  // re-initialization point after pcm_flag).
+  const u8* pcm_ptr() const { return p_ - (ncache_ >> 3); }
 
  private:
   static inline int ilog2_of(u32 v) {

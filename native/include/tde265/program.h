@@ -1,0 +1,112 @@
+// FrameProgram: the flat, tensorizable per-picture reconstruction program.
+//
+// This is the central TPU seam of the framework (SURVEY.md section 7): the
+// serial CABAC/syntax front-end *records* everything the pixel pipeline needs
+// as flat arrays (SoA), and a backend — scalar C++ oracle or the JAX/Pallas
+// pipeline — executes it.  Replaces the reference's immediate per-TU/PU calls
+// through the acceleration_functions table
+// (/root/reference/libde265/acceleration.h:29-231).
+#pragma once
+
+#include <memory>
+#include <vector>
+
+#include "tde265/common.h"
+#include "tde265/frame.h"
+
+namespace tde265 {
+
+struct SliceHeader;  // sliceheader.h
+
+// Transform-unit record (one channel).  Coefficients are stored sparsely in
+// the shared coeff_val/coeff_pos arrays (sub-block scatter done by backend).
+struct TuRec {
+  u16 x = 0, y = 0;     // channel coordinates
+  u8 log2_size = 2;
+  u8 cidx = 0;          // 0=Y 1=Cb 2=Cr
+  i8 qp = 0;            // channel QP (offsets and tables already applied)
+  u8 flags = 0;
+  u32 coeff_start = 0;  // into coeff_val/coeff_pos
+  u16 ncoeff = 0;
+  i8 cross_comp_scale = 0;  // RExt cross-component prediction alpha (0 = off)
+
+  enum Flags : u8 {
+    kTransformSkip = 1,
+    kTransquantBypass = 2,
+    kUseDst = 4,          // 4x4 intra luma
+    kRdpcm = 8,
+    kRdpcmVertical = 16,  // else horizontal (valid when kRdpcm)
+    kIntra = 32,
+  };
+};
+
+// Prediction-unit record for motion compensation.
+struct PuRec {
+  u16 x = 0, y = 0, w = 0, h = 0;  // luma coords
+  MotionVector mv[2];
+  i8 ref_idx[2] = {-1, -1};
+  u8 pred_flags = 0;   // bit0 L0, bit1 L1
+  u16 slice = 0;       // index into FrameProgram::slices (weighted pred)
+  // DPB slot of each reference (resolved at parse time), -1 if unused.
+  i8 ref_dpb[2] = {-1, -1};
+};
+
+// Intra-prediction record.
+struct IntraRec {
+  u16 x = 0, y = 0;   // channel coordinates
+  u8 log2_size = 2;
+  u8 cidx = 0;
+  u8 mode = 0;        // 0=planar 1=DC 2..34 angular
+};
+
+// PCM block record (raw samples kept in pcm_data).
+struct PcmRec {
+  u16 x = 0, y = 0;
+  u8 log2_size = 3;
+  u32 data_start = 0;  // into pcm_data (samples in Y,Cb,Cr plane order)
+};
+
+// One step of the ordered reconstruction program.  The scalar oracle executes
+// ops strictly in order; the TPU backend reorders using the dependence rules
+// (inter ops are whole-picture parallel; intra/residual follow z-order
+// wavefronts).
+struct Op {
+  enum Kind : u8 { kIntraPred, kAddResidual, kInterPred, kPcm } kind;
+  u32 idx;  // into the per-kind array
+};
+
+struct FrameProgram {
+  Frame* frame = nullptr;              // target picture
+  std::vector<std::shared_ptr<SliceHeader>> slices;
+
+  std::vector<Op> ops;
+  std::vector<TuRec> tus;
+  std::vector<PuRec> pus;
+  std::vector<IntraRec> intras;
+  std::vector<PcmRec> pcms;
+
+  // Sparse coefficients: value + raster position (pos = xC + (yC << 6),
+  // 6 bits each direction covers TU sizes up to 32 with headroom).
+  std::vector<i16> coeff_val;
+  std::vector<u16> coeff_pos;
+
+  std::vector<u16> pcm_data;
+
+  // References (DPB slots) used by this picture, for backend prefetch.
+  std::vector<Frame*> ref_frames;  // indexed by PuRec::ref_dpb
+
+  void clear() {
+    slices.clear();
+    ops.clear();
+    tus.clear();
+    pus.clear();
+    intras.clear();
+    pcms.clear();
+    coeff_val.clear();
+    coeff_pos.clear();
+    pcm_data.clear();
+    ref_frames.clear();
+  }
+};
+
+}  // namespace tde265

@@ -1,0 +1,731 @@
+// Decoder orchestration: NAL dispatch, POC (spec 8.3.1), RPS marking (8.3.2),
+// reference list construction (8.3.4), DPB/reorder/output management.
+// Behavior counterpart of /root/reference/libde265/decctx.cc + dpb.cc.
+#include "tde265/decoder.h"
+
+#include <algorithm>
+#include <cstring>
+
+#include "tde265/sei.h"
+
+namespace tde265 {
+
+constexpr int kDpbPoolSize = 32;
+
+Decoder::Decoder() {
+  for (int i = 0; i < kDpbPoolSize; i++)
+    dpb_.push_back(std::make_unique<Frame>());
+}
+
+Decoder::~Decoder() = default;
+
+void Decoder::reset() {
+  nal_parser_.reset();
+  for (auto& f : dpb_) f->release();
+  output_queue_.clear();
+  reorder_queue_.clear();
+  cur_frame_ = nullptr;
+  cur_program_.clear();
+  prev_slice_header_.reset();
+  slice_counter_ = 0;
+  first_picture_ = true;
+  end_of_stream_flushed_ = false;
+  dependent_slice_state.valid = false;
+  warnings.clear();
+  finished_programs.clear();
+  cur_hash_ = SeiDecodedPictureHash();
+}
+
+Err Decoder::push_data(const u8* data, size_t size, i64 pts, void* user_data) {
+  nal_parser_.max_nal_size = limits.max_nal_size;
+  nal_parser_.push_data(data, size, pts, user_data);
+  if (nal_parser_.limit_exceeded) return Err::LimitExceeded;
+  return Err::OK;
+}
+
+Err Decoder::push_nal(const u8* data, size_t size, i64 pts, void* user_data) {
+  nal_parser_.max_nal_size = limits.max_nal_size;
+  nal_parser_.push_nal(data, size, pts, user_data);
+  if (nal_parser_.limit_exceeded) return Err::LimitExceeded;
+  return Err::OK;
+}
+
+Err Decoder::flush_data() {
+  nal_parser_.mark_end_of_stream();
+  return Err::OK;
+}
+
+Warning Decoder::get_warning() {
+  if (warnings.empty()) return Warning::None;
+  Warning w = warnings.front();
+  warnings.erase(warnings.begin());
+  return w;
+}
+
+int Decoder::highest_tid() const {
+  for (int i = 0; i < 16; i++)
+    if (sps_[i]) return sps_[i]->max_sub_layers - 1;
+  return 6;
+}
+
+// ---------------------------------------------------------------------------
+// decode pump
+// ---------------------------------------------------------------------------
+Err Decoder::decode(int* more) {
+  if (more) *more = 0;
+
+  if (nal_parser_.queue_empty()) {
+    if (nal_parser_.end_of_stream()) {
+      if (cur_frame_) {
+        Err e = finish_picture();
+        if (e != Err::OK) return e;
+        if (more) *more = 1;
+        return Err::OK;
+      }
+      if (!end_of_stream_flushed_) {
+        flush_reorder_buffer();
+        end_of_stream_flushed_ = true;
+      }
+      if (!output_queue_.empty()) {
+        if (more) *more = 1;
+        return Err::OK;
+      }
+      return Err::OK;  // fully drained
+    }
+    if (more) *more = 0;
+    return Err::WaitingForInput;
+  }
+
+  auto nal = nal_parser_.pop();
+  if (!nal) return Err::WaitingForInput;
+  Err e = decode_nal(std::move(nal));
+  if (more) *more = 1;
+  return e;
+}
+
+Err Decoder::decode_nal(std::unique_ptr<NalUnit> nal) {
+  if (nal->layer_id > 0) return Err::OK;  // discard enhancement layers
+  if (nal->temporal_id > limit_tid) return Err::OK;
+
+  BitReader br(nal->payload(), nal->payload_size());
+  switch (nal->type) {
+    case NAL_VPS:
+      return read_vps(br);
+    case NAL_SPS:
+      return read_sps(br);
+    case NAL_PPS:
+      return read_pps(br);
+    case NAL_SEI_PREFIX:
+      return read_sei(br, false);
+    case NAL_SEI_SUFFIX:
+      return read_sei(br, true);
+    case NAL_EOS:
+    case NAL_EOB: {
+      if (cur_frame_) {
+        Err e = finish_picture();
+        if (e != Err::OK) return e;
+      }
+      first_picture_ = true;  // next CRA gets NoRaslOutputFlag = 1
+      return Err::OK;
+    }
+    case NAL_AUD:
+    case NAL_FD:
+      return Err::OK;
+    default:
+      if (nal_is_vcl(nal->type)) return read_slice(std::move(nal));
+      return Err::OK;  // reserved/unknown: ignore
+  }
+}
+
+Err Decoder::read_vps(BitReader& br) {
+  auto v = std::make_unique<Vps>();
+  if (!v->parse(br)) {
+    add_warning(Warning::SpsHeaderInvalid);
+    return Err::InvalidSyntax;
+  }
+  vps_[v->vps_id] = std::move(v);
+  return Err::OK;
+}
+
+Err Decoder::read_sps(BitReader& br) {
+  auto s = std::make_shared<Sps>();
+  if (!s->parse(br)) {
+    add_warning(Warning::SpsHeaderInvalid);
+    return Err::InvalidSyntax;
+  }
+  if ((u32)s->pic_width_in_luma_samples > limits.max_image_width ||
+      (u32)s->pic_height_in_luma_samples > limits.max_image_height)
+    return Err::LimitExceeded;
+  if (limits.max_image_area &&
+      (u64)s->pic_width_in_luma_samples * s->pic_height_in_luma_samples >
+          limits.max_image_area)
+    return Err::LimitExceeded;
+  sps_[s->sps_id] = std::move(s);
+  return Err::OK;
+}
+
+Err Decoder::read_pps(BitReader& br) {
+  auto p = std::make_shared<Pps>();
+  // peek sps id: parse() resolves it via the table
+  // (Pps::parse takes the sps explicitly; parse ids first)
+  BitReader probe = br;
+  probe.ue();  // pps_id
+  int sid = (int)probe.ue();
+  if (sid >= 16 || !sps_[sid]) {
+    add_warning(Warning::NonexistingSpsReferenced);
+    return Err::MissingSPS;
+  }
+  if (!p->parse(br, sps_[sid])) {
+    add_warning(Warning::PpsHeaderInvalid);
+    return Err::InvalidSyntax;
+  }
+  pps_[p->pps_id] = std::move(p);
+  return Err::OK;
+}
+
+Err Decoder::read_sei(BitReader& br, bool suffix) {
+  SeiMessages msgs;
+  int planes = 3;
+  if (!parse_sei(br, &msgs, planes)) return Err::InvalidSyntax;
+  if (msgs.picture_hash.present) {
+    // decoded-picture-hash is a suffix SEI: applies to the current picture
+    cur_hash_ = msgs.picture_hash;
+  }
+  return Err::OK;
+}
+
+// ---------------------------------------------------------------------------
+// slices
+// ---------------------------------------------------------------------------
+Err Decoder::read_slice(std::unique_ptr<NalUnit> nal) {
+  BitReader br(nal->payload(), nal->payload_size());
+
+  auto sh = std::make_shared<SliceHeader>();
+  if (prev_slice_header_) {
+    // start from a copy so dependent slices inherit all fields
+    *sh = *prev_slice_header_;
+    sh->lt = prev_slice_header_->lt;
+  }
+  std::shared_ptr<const Pps> pps_tab[64];
+  for (int i = 0; i < 64; i++) pps_tab[i] = pps_[i];
+
+  if (!sh->parse(br, nal->type, nal->temporal_id, pps_tab, nullptr)) {
+    add_warning(Warning::SliceHeaderInvalid);
+    return Err::InvalidSyntax;
+  }
+
+  if (sh->dependent_slice) {
+    if (!prev_slice_header_) {
+      add_warning(Warning::SliceHeaderInvalid);
+      return Err::InvalidSyntax;
+    }
+    sh->slice_addr_rs = prev_slice_header_->slice_addr_rs;
+  } else {
+    sh->slice_addr_rs = sh->slice_segment_address;
+  }
+
+  // --- picture boundary ---
+  if (sh->first_slice_in_pic) {
+    if (cur_frame_) {
+      Err e = finish_picture();
+      if (e != Err::OK) return e;
+    }
+    Err e = start_new_picture(sh, nal->type, nal->temporal_id, nal->pts,
+                              nal->user_data);
+    if (e != Err::OK) return e;
+  }
+  if (!cur_frame_) {
+    add_warning(Warning::SkippedUndecodableNAL);
+    return Err::OK;  // no picture in progress (e.g. missed first slice)
+  }
+
+  if (!sh->dependent_slice) {
+    sh->slice_index = slice_counter_++;
+    // construct reference picture lists for this slice
+    if (sh->slice_type != SLICE_I) {
+      Err e = build_ref_lists(*sh);
+      if (e != Err::OK) return e;
+    }
+    dependent_slice_state.valid = false;
+  } else {
+    sh->slice_index = prev_slice_header_ ? prev_slice_header_->slice_index : 0;
+  }
+
+  cur_program_.slices.push_back(sh);
+  prev_slice_header_ = sh;
+
+  // --- fix up entry points from raw to de-stuffed offsets ---
+  // Slice data begins at the current (aligned) byte of the de-stuffed payload.
+  size_t header_bytes = (size_t)(br.bits_consumed() / 8);
+  const u8* slice_data = nal->payload() + header_bytes;
+  size_t slice_size = nal->payload_size() - header_bytes;
+  {
+    // nal->skipped holds de-stuffed offsets relative to NAL start (incl. the
+    // 2-byte header); slice data starts at header_bytes + 2.
+    u32 base = (u32)(header_bytes + 2);
+    u32 removed_before = 0;
+    for (u32 s : nal->skipped)
+      if (s <= base) removed_before++;
+    for (auto& ep : sh->entry_points) {
+      u32 removed_in_window = 0;
+      for (u32 s : nal->skipped) {
+        if (s <= base) continue;
+        if (s - base <= ep - removed_in_window) removed_in_window++;
+      }
+      if (removed_in_window > ep) {
+        add_warning(Warning::IncorrectEntryPointOffset);
+        return Err::InvalidSyntax;
+      }
+      ep -= removed_in_window;
+      if (ep > slice_size) {
+        add_warning(Warning::IncorrectEntryPointOffset);
+        return Err::InvalidSyntax;
+      }
+    }
+  }
+
+  // --- decode slice data into the frame program ---
+  SliceParser parser(this, &cur_program_, cur_frame_, sh);
+  Err e = parser.decode(slice_data, slice_size);
+  if (e != Err::OK) {
+    add_warning(Warning::InvalidCabacData);
+    cur_frame_->integrity_ok = false;
+  }
+  return Err::OK;
+}
+
+// ---------------------------------------------------------------------------
+// picture lifecycle
+// ---------------------------------------------------------------------------
+Frame* Decoder::alloc_frame() {
+  for (auto& f : dpb_) {
+    if (f->state == PicState::Unused && !f->needed_for_output) return f.get();
+  }
+  return nullptr;
+}
+
+bool Decoder::has_free_dpb_slot() const {
+  for (auto& f : dpb_)
+    if (f->state == PicState::Unused && !f->needed_for_output) return true;
+  return false;
+}
+
+Err Decoder::start_new_picture(std::shared_ptr<SliceHeader> sh, int nal_type,
+                               int temporal_id, i64 pts, void* user_data) {
+  auto pps = sh->pps;
+  auto sps = pps->sps;
+
+  Frame* f = alloc_frame();
+  if (!f) {
+    // evict oldest non-needed picture as a last resort
+    add_warning(Warning::MaxNumRefPicsExceeded);
+    for (auto& c : dpb_) {
+      if (!c->needed_for_output && c->state != PicState::InProgress) {
+        c->release();
+        f = c.get();
+        break;
+      }
+    }
+    if (!f) return Err::ImageBufferFull;
+  }
+
+  f->alloc(sps, pps);
+  f->pts = pts;
+  f->user_data = user_data;
+  f->temporal_id = temporal_id;
+  f->nal_type = nal_type;
+  f->is_irap = nal_is_irap(nal_type);
+  f->decode_order = decode_counter_++;
+  cur_frame_ = f;
+  cur_program_.clear();
+  cur_program_.frame = f;
+  slice_counter_ = 0;
+  cur_hash_ = SeiDecodedPictureHash();
+  dependent_slice_state.valid = false;
+
+  // --- POC derivation (spec 8.3.1) ---
+  compute_poc(*sh, nal_type, temporal_id);
+
+  // --- RPS processing (spec 8.3.2) ---
+  Err e = process_rps(*sh, nal_type);
+  if (e != Err::OK) return e;
+
+  f->needed_for_output = sh->pic_output_flag;
+  f->state = PicState::InProgress;
+  return Err::OK;
+}
+
+void Decoder::compute_poc(SliceHeader& sh, int nal_type, int temporal_id) {
+  const Sps& sps = *sh.pps->sps;
+  i32 max_lsb = (i32)sps.max_pic_order_cnt_lsb;
+
+  bool no_rasl_output = false;
+  if (nal_is_idr(nal_type) || nal_is_bla(nal_type)) {
+    no_rasl_output = true;
+  } else if (nal_is_cra(nal_type)) {
+    no_rasl_output = first_picture_;
+  }
+  cur_frame_->no_rasl_output = no_rasl_output;
+
+  i32 poc;
+  if (nal_is_idr(nal_type)) {
+    poc = 0;
+    cur_frame_->poc_lsb = 0;
+  } else {
+    i32 lsb = sh.pic_order_cnt_lsb;
+    i32 prev_lsb = prev_tid0_poc_lsb_;
+    i32 prev_msb = prev_tid0_poc_msb_;
+    i32 msb;
+    if (nal_is_irap(nal_type) && no_rasl_output) {
+      msb = 0;
+    } else if (lsb < prev_lsb && prev_lsb - lsb >= max_lsb / 2) {
+      msb = prev_msb + max_lsb;
+    } else if (lsb > prev_lsb && lsb - prev_lsb > max_lsb / 2) {
+      msb = prev_msb - max_lsb;
+    } else {
+      msb = prev_msb;
+    }
+    poc = msb + lsb;
+    cur_frame_->poc_lsb = lsb;
+  }
+  cur_frame_->poc = poc;
+
+  if (temporal_id == 0 && !nal_is_rasl(nal_type) && !nal_is_radl(nal_type) &&
+      !nal_is_sublayer_non_ref(nal_type)) {
+    prev_tid0_poc_lsb_ = cur_frame_->poc_lsb;
+    prev_tid0_poc_msb_ = cur_frame_->poc - cur_frame_->poc_lsb;
+  }
+  first_picture_ = false;
+}
+
+Frame* Decoder::find_poc(i32 poc, bool short_term_only) {
+  for (auto& f : dpb_) {
+    if (f.get() == cur_frame_) continue;
+    if (f->state == PicState::ShortTermRef && f->poc == poc) return f.get();
+    if (!short_term_only && f->state == PicState::LongTermRef && f->poc == poc)
+      return f.get();
+  }
+  return nullptr;
+}
+
+Frame* Decoder::find_poc_lsb(i32 poc_lsb, bool /*longterm_candidate*/) {
+  for (auto& f : dpb_) {
+    if (f.get() == cur_frame_) continue;
+    if ((f->state == PicState::ShortTermRef || f->state == PicState::LongTermRef) &&
+        (f->poc & ((i32)cur_frame_->sps->max_pic_order_cnt_lsb - 1)) == poc_lsb)
+      return f.get();
+  }
+  return nullptr;
+}
+
+Frame* Decoder::generate_concealment_frame(i32 poc) {
+  add_warning(Warning::NonexistingReferencePicture);
+  Frame* f = alloc_frame();
+  if (!f) return nullptr;
+  f->alloc(cur_frame_->sps, cur_frame_->pps);
+  // mid-gray
+  int n_planes = (f->chroma_format == 0) ? 1 : 3;
+  for (int c = 0; c < n_planes; c++) {
+    int fill = 1 << (f->bit_depth[c] - 1);
+    if (f->bytes_pp == 1) {
+      memset(f->plane[c].data(), fill, f->plane[c].size());
+    } else {
+      u16* p = reinterpret_cast<u16*>(f->plane[c].data());
+      for (size_t i = 0; i < f->plane[c].size() / 2; i++) p[i] = (u16)fill;
+    }
+  }
+  // neutral metadata: all-inter zero MVs would be wrong; leave intra defaults
+  f->poc = poc;
+  f->poc_lsb = poc & ((i32)cur_frame_->sps->max_pic_order_cnt_lsb - 1);
+  f->state = PicState::ShortTermRef;
+  f->needed_for_output = false;
+  f->integrity_ok = false;
+  // fill the slice-address grid so z_available sees decoded CTBs
+  for (auto& s : f->slice_addr_rs) s = 0;
+  return f;
+}
+
+Err Decoder::process_rps(SliceHeader& sh, int nal_type) {
+  const Sps& sps = *sh.pps->sps;
+  i32 max_lsb = (i32)sps.max_pic_order_cnt_lsb;
+  i32 poc = cur_frame_->poc;
+
+  poc_st_curr_before_.clear();
+  poc_st_curr_after_.clear();
+  poc_st_foll_.clear();
+  poc_lt_curr_.clear();
+  poc_lt_foll_.clear();
+  curr_delta_poc_msb_present_.clear();
+  foll_delta_poc_msb_present_.clear();
+
+  if (nal_is_idr(nal_type)) {
+    // no reference pictures: unmark everything
+    for (auto& f : dpb_) {
+      if (f.get() == cur_frame_) continue;
+      if (f->state == PicState::ShortTermRef || f->state == PicState::LongTermRef)
+        f->state = f->needed_for_output ? PicState::NonRef : PicState::Unused;
+    }
+    ref_st_curr_before_.clear();
+    ref_st_curr_after_.clear();
+    ref_lt_curr_.clear();
+    return Err::OK;
+  }
+
+  for (int i = 0; i < sh.strps.num_negative; i++) {
+    if (sh.strps.used_s0[i])
+      poc_st_curr_before_.push_back(poc + sh.strps.delta_poc_s0[i]);
+    else
+      poc_st_foll_.push_back(poc + sh.strps.delta_poc_s0[i]);
+  }
+  for (int i = 0; i < sh.strps.num_positive; i++) {
+    if (sh.strps.used_s1[i])
+      poc_st_curr_after_.push_back(poc + sh.strps.delta_poc_s1[i]);
+    else
+      poc_st_foll_.push_back(poc + sh.strps.delta_poc_s1[i]);
+  }
+  for (auto& e : sh.lt) {
+    i32 poc_lt = e.poc_lsb;
+    if (e.has_msb) {
+      poc_lt += poc - e.delta_poc_msb_cycle * max_lsb - (poc & (max_lsb - 1));
+    }
+    if (e.used_by_curr) {
+      poc_lt_curr_.push_back(poc_lt);
+      curr_delta_poc_msb_present_.push_back(e.has_msb);
+    } else {
+      poc_lt_foll_.push_back(poc_lt);
+      foll_delta_poc_msb_present_.push_back(e.has_msb);
+    }
+  }
+
+  // --- mark long-term refs first (8.3.2 step ordering) ---
+  ref_lt_curr_.assign(poc_lt_curr_.size(), nullptr);
+  std::vector<Frame*> lt_foll(poc_lt_foll_.size(), nullptr);
+  for (size_t i = 0; i < poc_lt_curr_.size(); i++) {
+    Frame* f = curr_delta_poc_msb_present_[i]
+                   ? find_poc(poc_lt_curr_[i], false)
+                   : find_poc_lsb(poc_lt_curr_[i] & (max_lsb - 1), true);
+    ref_lt_curr_[i] = f;
+  }
+  for (size_t i = 0; i < poc_lt_foll_.size(); i++) {
+    lt_foll[i] = foll_delta_poc_msb_present_[i]
+                     ? find_poc(poc_lt_foll_[i], false)
+                     : find_poc_lsb(poc_lt_foll_[i] & (max_lsb - 1), true);
+  }
+
+  // --- short-term ---
+  ref_st_curr_before_.assign(poc_st_curr_before_.size(), nullptr);
+  ref_st_curr_after_.assign(poc_st_curr_after_.size(), nullptr);
+  std::vector<Frame*> st_foll(poc_st_foll_.size(), nullptr);
+  for (size_t i = 0; i < poc_st_curr_before_.size(); i++)
+    ref_st_curr_before_[i] = find_poc(poc_st_curr_before_[i], true);
+  for (size_t i = 0; i < poc_st_curr_after_.size(); i++)
+    ref_st_curr_after_[i] = find_poc(poc_st_curr_after_[i], true);
+  for (size_t i = 0; i < poc_st_foll_.size(); i++)
+    st_foll[i] = find_poc(poc_st_foll_[i], true);
+
+  // --- generate concealment frames for missing current refs ---
+  for (size_t i = 0; i < ref_st_curr_before_.size(); i++)
+    if (!ref_st_curr_before_[i])
+      ref_st_curr_before_[i] = generate_concealment_frame(poc_st_curr_before_[i]);
+  for (size_t i = 0; i < ref_st_curr_after_.size(); i++)
+    if (!ref_st_curr_after_[i])
+      ref_st_curr_after_[i] = generate_concealment_frame(poc_st_curr_after_[i]);
+  for (size_t i = 0; i < ref_lt_curr_.size(); i++)
+    if (!ref_lt_curr_[i])
+      ref_lt_curr_[i] = generate_concealment_frame(poc_lt_curr_[i]);
+
+  // --- update marking: anything not referenced becomes unused ---
+  auto in_any = [&](Frame* f) {
+    for (auto* g : ref_st_curr_before_)
+      if (g == f) return 1;
+    for (auto* g : ref_st_curr_after_)
+      if (g == f) return 1;
+    for (auto* g : st_foll)
+      if (g == f) return 1;
+    for (auto* g : ref_lt_curr_)
+      if (g == f) return 2;
+    for (auto* g : lt_foll)
+      if (g == f) return 2;
+    return 0;
+  };
+  for (auto& f : dpb_) {
+    if (f.get() == cur_frame_) continue;
+    if (f->state != PicState::ShortTermRef && f->state != PicState::LongTermRef)
+      continue;
+    int r = in_any(f.get());
+    if (r == 0) {
+      f->state = f->needed_for_output ? PicState::NonRef : PicState::Unused;
+    } else if (r == 1) {
+      f->state = PicState::ShortTermRef;
+      f->is_long_term = false;
+    } else {
+      f->state = PicState::LongTermRef;
+      f->is_long_term = true;
+    }
+  }
+  return Err::OK;
+}
+
+Err Decoder::build_ref_lists(SliceHeader& sh) {
+  // spec 8.3.4
+  std::vector<Frame*> tmp0, tmp1;
+  std::vector<bool> lt0, lt1;
+
+  for (auto* f : ref_st_curr_before_) {
+    tmp0.push_back(f);
+    lt0.push_back(false);
+  }
+  for (auto* f : ref_st_curr_after_) {
+    tmp0.push_back(f);
+    lt0.push_back(false);
+  }
+  for (auto* f : ref_lt_curr_) {
+    tmp0.push_back(f);
+    lt0.push_back(true);
+  }
+  if (sh.slice_type == SLICE_B) {
+    for (auto* f : ref_st_curr_after_) {
+      tmp1.push_back(f);
+      lt1.push_back(false);
+    }
+    for (auto* f : ref_st_curr_before_) {
+      tmp1.push_back(f);
+      lt1.push_back(false);
+    }
+    for (auto* f : ref_lt_curr_) {
+      tmp1.push_back(f);
+      lt1.push_back(true);
+    }
+  }
+
+  if (tmp0.empty() && sh.slice_type != SLICE_I) {
+    add_warning(Warning::NonexistingReferencePicture);
+    // build a concealment ref so decoding can continue
+    Frame* c = generate_concealment_frame(cur_frame_->poc > 0 ? cur_frame_->poc - 1 : 0);
+    if (!c) return Err::MissingRefPic;
+    tmp0.push_back(c);
+    lt0.push_back(false);
+    if (sh.slice_type == SLICE_B) {
+      tmp1.push_back(c);
+      lt1.push_back(false);
+    }
+  }
+
+  for (int i = 0; i < sh.num_ref_idx[0]; i++) {
+    int src = sh.ref_pic_list_modification[0] ? sh.list_entry[0][i]
+                                              : (i % (int)tmp0.size());
+    if (src >= (int)tmp0.size()) src = 0;
+    sh.ref_list[0][i] = tmp0[src];
+    sh.ref_poc[0][i] = tmp0[src]->poc;
+    sh.ref_longterm[0][i] = lt0[src];
+  }
+  if (sh.slice_type == SLICE_B) {
+    for (int i = 0; i < sh.num_ref_idx[1]; i++) {
+      int src = sh.ref_pic_list_modification[1] ? sh.list_entry[1][i]
+                                                : (i % (int)tmp1.size());
+      if (src >= (int)tmp1.size()) src = 0;
+      sh.ref_list[1][i] = tmp1[src];
+      sh.ref_poc[1][i] = tmp1[src]->poc;
+      sh.ref_longterm[1][i] = lt1[src];
+    }
+  }
+  return Err::OK;
+}
+
+// ---------------------------------------------------------------------------
+// picture completion & output
+// ---------------------------------------------------------------------------
+Err Decoder::finish_picture() {
+  Frame* f = cur_frame_;
+  if (!f) return Err::OK;
+
+  // execute the pixel pipeline
+  Err e = Err::OK;
+  if (pixel_backend) {
+    e = pixel_backend(cur_program_);
+  } else {
+    e = execute_program_scalar(cur_program_, !disable_deblocking, !disable_sao);
+  }
+  if (e != Err::OK) f->integrity_ok = false;
+
+  // SEI decoded-picture-hash check
+  if (check_sei_hash && cur_hash_.present) {
+    if (!check_picture_hash(cur_hash_, *f)) {
+      add_warning(Warning::ChecksumMismatch);
+      f->integrity_ok = false;
+      e = Err::ChecksumMismatch;
+    }
+  }
+
+  if (keep_programs) {
+    auto prog = std::make_unique<FrameProgram>();
+    *prog = cur_program_;
+    finished_programs.push_back(std::move(prog));
+  }
+
+  // reference marking for the current picture
+  bool is_ref = !nal_is_sublayer_non_ref(f->nal_type);
+  f->state = is_ref ? PicState::ShortTermRef : PicState::NonRef;
+
+  // no_output_of_prior_pics handling
+  if (nal_is_irap(f->nal_type) && f->no_rasl_output && f->decode_order > 0) {
+    auto sh0 = cur_program_.slices.empty() ? nullptr : cur_program_.slices[0];
+    bool no_output = sh0 && sh0->no_output_of_prior_pics;
+    if (nal_is_cra(f->nal_type)) no_output = true;  // CRA with NoRaslOutput: infer
+    if (no_output) {
+      for (Frame* q : reorder_queue_) q->needed_for_output = false;
+      reorder_queue_.clear();
+    } else {
+      flush_reorder_buffer();
+    }
+  }
+
+  // RASL pictures associated with a NoRaslOutput IRAP are not output
+  if (nal_is_rasl(f->nal_type) && assoc_irap_no_rasl_output_) {
+    f->needed_for_output = false;
+  }
+  if (nal_is_irap(f->nal_type)) assoc_irap_no_rasl_output_ = f->no_rasl_output;
+
+  if (f->needed_for_output) reorder_queue_.push_back(f);
+
+  cur_frame_ = nullptr;
+  prev_slice_header_.reset();
+
+  // bump pictures out of the reorder buffer
+  const Sps& sps = *f->sps;
+  int max_reorder = sps.max_num_reorder_pics[sps.max_sub_layers - 1];
+  while ((int)reorder_queue_.size() > max_reorder) {
+    auto it = std::min_element(
+        reorder_queue_.begin(), reorder_queue_.end(),
+        [](Frame* a, Frame* b) { return a->poc < b->poc; });
+    push_to_output_queue(*it);
+    reorder_queue_.erase(it);
+  }
+  return e;
+}
+
+void Decoder::push_to_output_queue(Frame* f) { output_queue_.push_back(f); }
+
+void Decoder::flush_reorder_buffer() {
+  std::sort(reorder_queue_.begin(), reorder_queue_.end(),
+            [](Frame* a, Frame* b) { return a->poc < b->poc; });
+  for (Frame* f : reorder_queue_) push_to_output_queue(f);
+  reorder_queue_.clear();
+}
+
+Frame* Decoder::peek_next_picture() {
+  if (output_queue_.empty()) return nullptr;
+  return output_queue_.front();
+}
+
+Frame* Decoder::get_next_picture() { return peek_next_picture(); }
+
+void Decoder::release_next_picture() {
+  if (output_queue_.empty()) return;
+  Frame* f = output_queue_.front();
+  output_queue_.erase(output_queue_.begin());
+  f->needed_for_output = false;
+  if (f->state == PicState::NonRef) f->state = PicState::Unused;
+}
+
+}  // namespace tde265

@@ -1,0 +1,351 @@
+// Scalar reconstruction backend: executes a FrameProgram op-by-op.
+// Motion compensation follows spec 8.5.4.2.2 (8-tap qpel luma / 4-tap epel
+// chroma) and 8.5.4.2.3 (default + explicit weighted sample prediction).
+// Behavior counterpart of /root/reference/libde265/motion.cc:49-282 +
+// fallback-motion.cc.
+#include <cstring>
+
+#include "tde265/decoder.h"
+#include "tde265/syntax.h"
+
+namespace tde265 {
+
+void execute_tu_scalar(const FrameProgram& prog, const TuRec& tu);       // transform.cc
+void execute_intra_scalar(const FrameProgram& prog, const IntraRec& r);  // intra.cc
+
+// ---------------------------------------------------------------------------
+// interpolation filters (spec Tables 8-11 / 8-12)
+// ---------------------------------------------------------------------------
+static const int kQpelFilter[4][8] = {
+    {0, 0, 0, 64, 0, 0, 0, 0},
+    {-1, 4, -10, 58, 17, -5, 1, 0},
+    {-1, 4, -11, 40, 40, -11, 4, -1},
+    {0, 1, -5, 17, 58, -10, 4, -1}};
+static const int kEpelFilter[8][4] = {
+    {0, 64, 0, 0},   {-2, 58, 10, -2}, {-4, 54, 16, -2}, {-6, 46, 28, -4},
+    {-4, 36, 36, -4}, {-4, 28, 46, -6}, {-2, 16, 54, -4}, {-2, 10, 58, -2}};
+
+// Clamped picture fetch (edge replication).
+template <typename pixel_t>
+static inline int pic_at(const pixel_t* img, int stride, int w, int h, int x,
+                         int y) {
+  x = clip3(0, w - 1, x);
+  y = clip3(0, h - 1, y);
+  return img[(size_t)y * stride + x];
+}
+
+// Luma qpel interpolation into an int16 buffer with the spec's intermediate
+// scaling (shift1 = BitDepth-8; values scaled by 2^(14-BitDepth) overall).
+template <typename pixel_t>
+static void mc_luma(const Frame& ref, int x_int, int y_int, int frac_x,
+                    int frac_y, i16* out, int out_stride, int w, int h,
+                    int bd) {
+  const pixel_t* img = reinterpret_cast<const pixel_t*>(ref.plane[0].data());
+  int stride = ref.stride[0];
+  int pw = ref.width, ph = ref.height;
+  int shift1 = bd - 8;
+  int shift3 = 14 - bd;
+
+  if (frac_x == 0 && frac_y == 0) {
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++)
+        out[y * out_stride + x] =
+            (i16)(pic_at(img, stride, pw, ph, x_int + x, y_int + y) << shift3);
+    return;
+  }
+  if (frac_y == 0) {
+    const int* f = kQpelFilter[frac_x];
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++) {
+        int sum = 0;
+        for (int k = 0; k < 8; k++)
+          sum += f[k] * pic_at(img, stride, pw, ph, x_int + x + k - 3, y_int + y);
+        out[y * out_stride + x] = (i16)(sum >> shift1);
+      }
+    return;
+  }
+  if (frac_x == 0) {
+    const int* f = kQpelFilter[frac_y];
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++) {
+        int sum = 0;
+        for (int k = 0; k < 8; k++)
+          sum += f[k] * pic_at(img, stride, pw, ph, x_int + x, y_int + y + k - 3);
+        out[y * out_stride + x] = (i16)(sum >> shift1);
+      }
+    return;
+  }
+  // separable: horizontal first (rows -3..h+3), then vertical
+  i16 tmp[(64 + 7) * 64];
+  const int* fx = kQpelFilter[frac_x];
+  const int* fy = kQpelFilter[frac_y];
+  for (int y = -3; y < h + 4; y++) {
+    for (int x = 0; x < w; x++) {
+      int sum = 0;
+      for (int k = 0; k < 8; k++)
+        sum += fx[k] * pic_at(img, stride, pw, ph, x_int + x + k - 3, y_int + y);
+      tmp[(y + 3) * 64 + x] = (i16)(sum >> shift1);
+    }
+  }
+  for (int y = 0; y < h; y++) {
+    for (int x = 0; x < w; x++) {
+      int sum = 0;
+      for (int k = 0; k < 8; k++) sum += fy[k] * tmp[(y + k) * 64 + x];
+      out[y * out_stride + x] = (i16)(sum >> 6);
+    }
+  }
+}
+
+template <typename pixel_t>
+static void mc_chroma(const Frame& ref, int c, int x_int, int y_int, int frac_x,
+                      int frac_y, i16* out, int out_stride, int w, int h,
+                      int bd) {
+  const pixel_t* img = reinterpret_cast<const pixel_t*>(ref.plane[c].data());
+  int stride = ref.stride[c];
+  int pw = ref.chroma_width, ph = ref.chroma_height;
+  int shift1 = bd - 8;
+  int shift3 = 14 - bd;
+
+  if (frac_x == 0 && frac_y == 0) {
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++)
+        out[y * out_stride + x] =
+            (i16)(pic_at(img, stride, pw, ph, x_int + x, y_int + y) << shift3);
+    return;
+  }
+  if (frac_y == 0) {
+    const int* f = kEpelFilter[frac_x];
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++) {
+        int sum = 0;
+        for (int k = 0; k < 4; k++)
+          sum += f[k] * pic_at(img, stride, pw, ph, x_int + x + k - 1, y_int + y);
+        out[y * out_stride + x] = (i16)(sum >> shift1);
+      }
+    return;
+  }
+  if (frac_x == 0) {
+    const int* f = kEpelFilter[frac_y];
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++) {
+        int sum = 0;
+        for (int k = 0; k < 4; k++)
+          sum += f[k] * pic_at(img, stride, pw, ph, x_int + x, y_int + y + k - 1);
+        out[y * out_stride + x] = (i16)(sum >> shift1);
+      }
+    return;
+  }
+  i16 tmp[(32 + 3) * 32];
+  const int* fx = kEpelFilter[frac_x];
+  const int* fy = kEpelFilter[frac_y];
+  for (int y = -1; y < h + 2; y++) {
+    for (int x = 0; x < w; x++) {
+      int sum = 0;
+      for (int k = 0; k < 4; k++)
+        sum += fx[k] * pic_at(img, stride, pw, ph, x_int + x + k - 1, y_int + y);
+      tmp[(y + 1) * 32 + x] = (i16)(sum >> shift1);
+    }
+  }
+  for (int y = 0; y < h; y++) {
+    for (int x = 0; x < w; x++) {
+      int sum = 0;
+      for (int k = 0; k < 4; k++) sum += fy[k] * tmp[(y + k) * 32 + x];
+      out[y * out_stride + x] = (i16)(sum >> 6);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// weighted / default sample prediction merge (spec 8.5.4.2.3)
+// ---------------------------------------------------------------------------
+template <typename pixel_t>
+static void pred_merge(pixel_t* dst, int stride, const i16* p0, const i16* p1,
+                       int buf_stride, int w, int h, int bd, bool bi,
+                       bool weighted, int w0, int o0, int w1, int o1,
+                       int log2_denom) {
+  if (!weighted) {
+    if (!bi) {
+      int shift = 14 - bd;
+      int offset = (shift > 0) ? (1 << (shift - 1)) : 0;
+      for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++)
+          dst[y * stride + x] =
+              (pixel_t)clip_bd((p0[y * buf_stride + x] + offset) >> shift, bd);
+    } else {
+      int shift = 15 - bd;
+      int offset = 1 << (shift - 1);
+      for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++)
+          dst[y * stride + x] = (pixel_t)clip_bd(
+              (p0[y * buf_stride + x] + p1[y * buf_stride + x] + offset) >> shift,
+              bd);
+    }
+  } else {
+    int log2_wd = log2_denom + 14 - bd;
+    if (!bi) {
+      if (log2_wd >= 1) {
+        int rnd = 1 << (log2_wd - 1);
+        for (int y = 0; y < h; y++)
+          for (int x = 0; x < w; x++)
+            dst[y * stride + x] = (pixel_t)clip_bd(
+                ((p0[y * buf_stride + x] * w0 + rnd) >> log2_wd) + o0, bd);
+      } else {
+        for (int y = 0; y < h; y++)
+          for (int x = 0; x < w; x++)
+            dst[y * stride + x] =
+                (pixel_t)clip_bd(p0[y * buf_stride + x] * w0 + o0, bd);
+      }
+    } else {
+      int rnd = (o0 + o1 + 1) << log2_wd;
+      for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++)
+          dst[y * stride + x] = (pixel_t)clip_bd(
+              (p0[y * buf_stride + x] * w0 + p1[y * buf_stride + x] * w1 + rnd) >>
+                  (log2_wd + 1),
+              bd);
+    }
+  }
+}
+
+template <typename pixel_t>
+static void execute_pu_t(const FrameProgram& prog, const PuRec& pu) {
+  Frame& frame = *prog.frame;
+  const SliceHeader& sh = *prog.slices[pu.slice];
+  const Sps& sps = *frame.sps;
+
+  i16 buf[2][3][64 * 64];  // [list][channel]
+  bool bi = (pu.pred_flags == 3);
+  int bd_y = frame.bit_depth[0];
+  int bd_c = frame.bit_depth[1];
+
+  for (int l = 0; l < 2; l++) {
+    if (!((pu.pred_flags >> l) & 1)) continue;
+    const Frame* ref = prog.ref_frames[pu.ref_dpb[l]];
+    int mvx = pu.mv[l].x, mvy = pu.mv[l].y;
+
+    // luma
+    if (frame.bytes_pp == 1)
+      mc_luma<u8>(*ref, pu.x + (mvx >> 2), pu.y + (mvy >> 2), mvx & 3, mvy & 3,
+                  buf[l][0], 64, pu.w, pu.h, bd_y);
+    else
+      mc_luma<u16>(*ref, pu.x + (mvx >> 2), pu.y + (mvy >> 2), mvx & 3, mvy & 3,
+                   buf[l][0], 64, pu.w, pu.h, bd_y);
+
+    // chroma (4:2:0 / 4:2:2 / 4:4:4)
+    if (sps.chroma_array_type != 0) {
+      int sw = sps.sub_width_c, shc = sps.sub_height_c;
+      // chroma MV precision: 1/8 for 4:2:0 dimensions, 1/4 for non-subsampled
+      int mvx_c = mvx, mvy_c = mvy;
+      int cx = (pu.x / sw) + (mvx_c >> (sw == 2 ? 3 : 2));
+      int cy = (pu.y / shc) + (mvy_c >> (shc == 2 ? 3 : 2));
+      int fx = (sw == 2) ? (mvx_c & 7) : ((mvx_c & 3) << 1);
+      int fy = (shc == 2) ? (mvy_c & 7) : ((mvy_c & 3) << 1);
+      int cw = pu.w / sw, ch = pu.h / shc;
+      for (int c = 1; c <= 2; c++) {
+        if (frame.bytes_pp == 1)
+          mc_chroma<u8>(*ref, c, cx, cy, fx, fy, buf[l][c], 64, cw, ch, bd_c);
+        else
+          mc_chroma<u16>(*ref, c, cx, cy, fx, fy, buf[l][c], 64, cw, ch, bd_c);
+      }
+    }
+  }
+
+  int first_list = (pu.pred_flags & 1) ? 0 : 1;
+  bool weighted = (sh.slice_type == SLICE_P) ? sh.pps->weighted_pred
+                                             : sh.pps->weighted_bipred;
+
+  const WeightedPredParams& wp = sh.wp;
+  int l0 = first_list;
+  int r0 = pu.ref_idx[l0];
+  int l1 = 1;
+  int r1 = (pu.pred_flags & 2) ? pu.ref_idx[1] : 0;
+
+  // luma merge
+  {
+    pixel_t* dst = reinterpret_cast<pixel_t*>(frame.plane[0].data()) +
+                   (size_t)pu.y * frame.stride[0] + pu.x;
+    pred_merge(dst, frame.stride[0], buf[l0][0], buf[l1][0], 64, pu.w, pu.h,
+               bd_y, bi, weighted, wp.luma_weight[l0][r0], wp.luma_offset[l0][r0],
+               wp.luma_weight[l1][r1], wp.luma_offset[l1][r1],
+               wp.luma_log2_weight_denom);
+  }
+  if (sps.chroma_array_type != 0) {
+    int sw = sps.sub_width_c, shc = sps.sub_height_c;
+    int cw = pu.w / sw, ch = pu.h / shc;
+    for (int c = 1; c <= 2; c++) {
+      pixel_t* dst = reinterpret_cast<pixel_t*>(frame.plane[c].data()) +
+                     (size_t)(pu.y / shc) * frame.stride[c] + pu.x / sw;
+      pred_merge(dst, frame.stride[c], buf[l0][c], buf[l1][c], 64, cw, ch, bd_c,
+                 bi, weighted, wp.chroma_weight[l0][r0][c - 1],
+                 wp.chroma_offset[l0][r0][c - 1], wp.chroma_weight[l1][r1][c - 1],
+                 wp.chroma_offset[l1][r1][c - 1], wp.chroma_log2_weight_denom);
+    }
+  }
+}
+
+static void execute_pcm(const FrameProgram& prog, const PcmRec& rec) {
+  Frame& frame = *prog.frame;
+  const Sps& sps = *frame.sps;
+  int size = 1 << rec.log2_size;
+  u32 p = rec.data_start;
+  int shift_y = frame.bit_depth[0] - sps.pcm_bit_depth_luma;
+  if (frame.bytes_pp == 1) {
+    for (int y = 0; y < size; y++)
+      for (int x = 0; x < size; x++)
+        *frame.px8(0, rec.x + x, rec.y + y) =
+            (u8)(prog.pcm_data[p++] << max_i(shift_y, 0));
+  } else {
+    for (int y = 0; y < size; y++)
+      for (int x = 0; x < size; x++)
+        *frame.px16(0, rec.x + x, rec.y + y) =
+            (u16)(prog.pcm_data[p++] << max_i(shift_y, 0));
+  }
+  if (sps.chroma_array_type != 0) {
+    int cw = size / sps.sub_width_c, chh = size / sps.sub_height_c;
+    int shift_c = frame.bit_depth[1] - sps.pcm_bit_depth_chroma;
+    int cx = rec.x / sps.sub_width_c, cy = rec.y / sps.sub_height_c;
+    for (int c = 1; c <= 2; c++) {
+      if (frame.bytes_pp == 1) {
+        for (int y = 0; y < chh; y++)
+          for (int x = 0; x < cw; x++)
+            *frame.px8(c, cx + x, cy + y) =
+                (u8)(prog.pcm_data[p++] << max_i(shift_c, 0));
+      } else {
+        for (int y = 0; y < chh; y++)
+          for (int x = 0; x < cw; x++)
+            *frame.px16(c, cx + x, cy + y) =
+                (u16)(prog.pcm_data[p++] << max_i(shift_c, 0));
+      }
+    }
+  }
+}
+
+Err execute_program_scalar(FrameProgram& prog, bool run_deblock, bool run_sao) {
+  if (!prog.frame) return Err::InternalError;
+
+  for (const Op& op : prog.ops) {
+    switch (op.kind) {
+      case Op::kIntraPred:
+        execute_intra_scalar(prog, prog.intras[op.idx]);
+        break;
+      case Op::kAddResidual:
+        execute_tu_scalar(prog, prog.tus[op.idx]);
+        break;
+      case Op::kInterPred:
+        if (prog.frame->bytes_pp == 1)
+          execute_pu_t<u8>(prog, prog.pus[op.idx]);
+        else
+          execute_pu_t<u16>(prog, prog.pus[op.idx]);
+        break;
+      case Op::kPcm:
+        execute_pcm(prog, prog.pcms[op.idx]);
+        break;
+    }
+  }
+
+  if (run_deblock) apply_deblocking(prog);
+  if (run_sao) apply_sao(prog);
+  return Err::OK;
+}
+
+}  // namespace tde265

@@ -1,0 +1,325 @@
+// Scalar transform backend: sparse-coefficient dequant (spec 8.6.3), inverse
+// DCT/DST (8.6.4), transform-skip/bypass/RDPCM paths, residual add.
+// Behavior counterpart of /root/reference/libde265/transform.cc:362-642 and
+// fallback-dct.cc.  The transMatrix constants are ITU-T H.265 section 8.6.4.1
+// spec tables.
+#include <cstring>
+
+#include "tde265/decoder.h"
+#include "tde265/syntax.h"
+
+namespace tde265 {
+
+// spec 8.6.4.1 transMatrix (32x32); N-point rows are sampled at stride 32/N.
+static const i8 kDctMatrix[32][32] = {
+    {64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64,
+     64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64},
+    {90, 90, 88, 85, 82, 78, 73, 67, 61, 54, 46, 38, 31, 22, 13, 4,
+     -4, -13, -22, -31, -38, -46, -54, -61, -67, -73, -78, -82, -85, -88, -90, -90},
+    {90, 87, 80, 70, 57, 43, 25, 9, -9, -25, -43, -57, -70, -80, -87, -90,
+     -90, -87, -80, -70, -57, -43, -25, -9, 9, 25, 43, 57, 70, 80, 87, 90},
+    {90, 82, 67, 46, 22, -4, -31, -54, -73, -85, -90, -88, -78, -61, -38, -13,
+     13, 38, 61, 78, 88, 90, 85, 73, 54, 31, 4, -22, -46, -67, -82, -90},
+    {89, 75, 50, 18, -18, -50, -75, -89, -89, -75, -50, -18, 18, 50, 75, 89,
+     89, 75, 50, 18, -18, -50, -75, -89, -89, -75, -50, -18, 18, 50, 75, 89},
+    {88, 67, 31, -13, -54, -82, -90, -78, -46, -4, 38, 73, 90, 85, 61, 22,
+     -22, -61, -85, -90, -73, -38, 4, 46, 78, 90, 82, 54, 13, -31, -67, -88},
+    {87, 57, 9, -43, -80, -90, -70, -25, 25, 70, 90, 80, 43, -9, -57, -87,
+     -87, -57, -9, 43, 80, 90, 70, 25, -25, -70, -90, -80, -43, 9, 57, 87},
+    {85, 46, -13, -67, -90, -73, -22, 38, 82, 88, 54, -4, -61, -90, -78, -31,
+     31, 78, 90, 61, 4, -54, -88, -82, -38, 22, 73, 90, 67, 13, -46, -85},
+    {83, 36, -36, -83, -83, -36, 36, 83, 83, 36, -36, -83, -83, -36, 36, 83,
+     83, 36, -36, -83, -83, -36, 36, 83, 83, 36, -36, -83, -83, -36, 36, 83},
+    {82, 22, -54, -90, -61, 13, 78, 85, 31, -46, -90, -67, 4, 73, 88, 38,
+     -38, -88, -73, -4, 67, 90, 46, -31, -85, -78, -13, 61, 90, 54, -22, -82},
+    {80, 9, -70, -87, -25, 57, 90, 43, -43, -90, -57, 25, 87, 70, -9, -80,
+     -80, -9, 70, 87, 25, -57, -90, -43, 43, 90, 57, -25, -87, -70, 9, 80},
+    {78, -4, -82, -73, 13, 85, 67, -22, -88, -61, 31, 90, 54, -38, -90, -46,
+     46, 90, 38, -54, -90, -31, 61, 88, 22, -67, -85, -13, 73, 82, 4, -78},
+    {75, -18, -89, -50, 50, 89, 18, -75, -75, 18, 89, 50, -50, -89, -18, 75,
+     75, -18, -89, -50, 50, 89, 18, -75, -75, 18, 89, 50, -50, -89, -18, 75},
+    {73, -31, -90, -22, 78, 67, -38, -90, -13, 82, 61, -46, -88, -4, 85, 54,
+     -54, -85, 4, 88, 46, -61, -82, 13, 90, 38, -67, -78, 22, 90, 31, -73},
+    {70, -43, -87, 9, 90, 25, -80, -57, 57, 80, -25, -90, -9, 87, 43, -70,
+     -70, 43, 87, -9, -90, -25, 80, 57, -57, -80, 25, 90, 9, -87, -43, 70},
+    {67, -54, -78, 38, 85, -22, -90, 4, 90, 13, -88, -31, 82, 46, -73, -61,
+     61, 73, -46, -82, 31, 88, -13, -90, -4, 90, 22, -85, -38, 78, 54, -67},
+    {64, -64, -64, 64, 64, -64, -64, 64, 64, -64, -64, 64, 64, -64, -64, 64,
+     64, -64, -64, 64, 64, -64, -64, 64, 64, -64, -64, 64, 64, -64, -64, 64},
+    {61, -73, -46, 82, 31, -88, -13, 90, -4, -90, 22, 85, -38, -78, 54, 67,
+     -67, -54, 78, 38, -85, -22, 90, 4, -90, 13, 88, -31, -82, 46, 73, -61},
+    {57, -80, -25, 90, -9, -87, 43, 70, -70, -43, 87, 9, -90, 25, 80, -57,
+     -57, 80, 25, -90, 9, 87, -43, -70, 70, 43, -87, -9, 90, -25, -80, 57},
+    {54, -85, -4, 88, -46, -61, 82, 13, -90, 38, 67, -78, -22, 90, -31, -73,
+     73, 31, -90, 22, 78, -67, -38, 90, -13, -82, 61, 46, -88, 4, 85, -54},
+    {50, -89, 18, 75, -75, -18, 89, -50, -50, 89, -18, -75, 75, 18, -89, 50,
+     50, -89, 18, 75, -75, -18, 89, -50, -50, 89, -18, -75, 75, 18, -89, 50},
+    {46, -90, 38, 54, -90, 31, 61, -88, 22, 67, -85, 13, 73, -82, 4, 78,
+     -78, -4, 82, -73, -13, 85, -67, -22, 88, -61, -31, 90, -54, -38, 90, -46},
+    {43, -90, 57, 25, -87, 70, 9, -80, 80, -9, -70, 87, -25, -57, 90, -43,
+     -43, 90, -57, -25, 87, -70, -9, 80, -80, 9, 70, -87, 25, 57, -90, 43},
+    {38, -88, 73, -4, -67, 90, -46, -31, 85, -78, 13, 61, -90, 54, 22, -82,
+     82, -22, -54, 90, -61, -13, 78, -85, 31, 46, -90, 67, 4, -73, 88, -38},
+    {36, -83, 83, -36, -36, 83, -83, 36, 36, -83, 83, -36, -36, 83, -83, 36,
+     36, -83, 83, -36, -36, 83, -83, 36, 36, -83, 83, -36, -36, 83, -83, 36},
+    {31, -78, 90, -61, 4, 54, -88, 82, -38, -22, 73, -90, 67, -13, -46, 85,
+     -85, 46, 13, -67, 90, -73, 22, 38, -82, 88, -54, -4, 61, -90, 78, -31},
+    {25, -70, 90, -80, 43, 9, -57, 87, -87, 57, -9, -43, 80, -90, 70, -25,
+     -25, 70, -90, 80, -43, -9, 57, -87, 87, -57, 9, 43, -80, 90, -70, 25},
+    {22, -61, 85, -90, 73, -38, -4, 46, -78, 90, -82, 54, -13, -31, 67, -88,
+     88, -67, 31, 13, -54, 82, -90, 78, -46, 4, 38, -73, 90, -85, 61, -22},
+    {18, -50, 75, -89, 89, -75, 50, -18, -18, 50, -75, 89, -89, 75, -50, 18,
+     18, -50, 75, -89, 89, -75, 50, -18, -18, 50, -75, 89, -89, 75, -50, 18},
+    {13, -38, 61, -78, 88, -90, 85, -73, 54, -31, 4, 22, -46, 67, -82, 90,
+     -90, 82, -67, 46, -22, -4, 31, -54, 73, -85, 90, -88, 78, -61, 38, -13},
+    {9, -25, 43, -57, 70, -80, 87, -90, 90, -87, 80, -70, 57, -43, 25, -9,
+     -9, 25, -43, 57, -70, 80, -87, 90, -90, 87, -80, 70, -57, 43, -25, 9},
+    {4, -13, 22, -31, 38, -46, 54, -61, 67, -73, 78, -82, 85, -88, 90, -90,
+     90, -90, 88, -85, 82, -78, 73, -67, 61, -54, 46, -38, 31, -22, 13, -4}};
+
+// spec 8.6.4.1 4x4 DST-VII matrix.
+static const i8 kDstMatrix[4][4] = {{29, 55, 74, 84},
+                                    {74, 74, 0, -74},
+                                    {84, -29, -74, 55},
+                                    {55, -84, 74, -29}};
+
+static const int kLevelScale[6] = {40, 45, 51, 57, 64, 72};
+
+void idct_2d(i32* dst, const i16* coeffs, int nT, int bd_shift) {
+  int rnd1 = 1 << 6;
+  int fact = 32 / nT;
+  int rnd2 = 1 << (bd_shift - 1);
+  i32 g[32 * 32];
+
+  for (int c = 0; c < nT; c++) {
+    int last = nT - 1;
+    while (last >= 0 && coeffs[c + last * nT] == 0) last--;
+    for (int i = 0; i < nT; i++) {
+      int sum = 0;
+      for (int j = 0; j <= last; j++)
+        sum += kDctMatrix[fact * j][i] * coeffs[c + j * nT];
+      g[c + i * nT] = clip3(-32768, 32767, (sum + rnd1) >> 7);
+    }
+  }
+  for (int y = 0; y < nT; y++) {
+    int last = nT - 1;
+    while (last >= 0 && g[y * nT + last] == 0) last--;
+    for (int i = 0; i < nT; i++) {
+      int sum = 0;
+      for (int j = 0; j <= last; j++) sum += kDctMatrix[fact * j][i] * g[y * nT + j];
+      dst[y * nT + i] = (sum + rnd2) >> bd_shift;
+    }
+  }
+}
+
+void idst_4x4(i32* dst, const i16* coeffs, int bd_shift) {
+  int rnd1 = 1 << 6;
+  int rnd2 = 1 << (bd_shift - 1);
+  i32 g[16];
+  for (int c = 0; c < 4; c++) {
+    for (int i = 0; i < 4; i++) {
+      int sum = 0;
+      for (int j = 0; j < 4; j++) sum += kDstMatrix[j][i] * coeffs[c + j * 4];
+      g[c + i * 4] = clip3(-32768, 32767, (sum + rnd1) >> 7);
+    }
+  }
+  for (int y = 0; y < 4; y++) {
+    for (int i = 0; i < 4; i++) {
+      int sum = 0;
+      for (int j = 0; j < 4; j++) sum += kDstMatrix[j][i] * g[y * 4 + j];
+      dst[y * 4 + i] = (sum + rnd2) >> bd_shift;
+    }
+  }
+}
+
+// Expand a coded (diagonal-scan) scaling list into a full-resolution matrix.
+// size_id: 0->4x4, 1->8x8, 2->16x16, 3->32x32 (subsampled 8x8 + DC).
+static void expand_scaling_list(const u8* coded, int size_id, u8 dc, u8* out) {
+  if (size_id == 0) {
+    const ScanPos* scan = scan_order(2, 0);
+    for (int i = 0; i < 16; i++) out[scan[i].x + 4 * scan[i].y] = coded[i];
+  } else {
+    const ScanPos* scan = scan_order(3, 0);
+    int sub = (size_id == 1) ? 1 : (size_id == 2) ? 2 : 4;
+    int w = 8 * sub;
+    for (int i = 0; i < 64; i++)
+      for (int dy = 0; dy < sub; dy++)
+        for (int dx = 0; dx < sub; dx++)
+          out[(scan[i].x * sub + dx) + w * (scan[i].y * sub + dy)] = coded[i];
+    if (size_id >= 2) out[0] = dc;
+  }
+}
+
+// Full-resolution scaling factors for (size_id, matrix_id); cached per call
+// site via ScalingFactorCache.
+struct ScalingFactorCache {
+  const ScalingLists* src = nullptr;
+  u8 m4[6][16], m8[6][64], m16[6][256], m32[6][1024];
+
+  void build(const ScalingLists& lists) {
+    if (src == &lists) return;
+    src = &lists;
+    for (int m = 0; m < 6; m++) {
+      expand_scaling_list(lists.list4x4[m], 0, 16, m4[m]);
+      expand_scaling_list(lists.list8x8[m], 1, 16, m8[m]);
+      expand_scaling_list(lists.list16x16[m], 2, lists.dc16x16[m], m16[m]);
+      expand_scaling_list(lists.list32x32[m], 3, lists.dc32x32[m], m32[m]);
+    }
+  }
+  const u8* get(int nT, int matrix_id) const {
+    switch (nT) {
+      case 4: return m4[matrix_id];
+      case 8: return m8[matrix_id];
+      case 16: return m16[matrix_id];
+      default: return m32[matrix_id];
+    }
+  }
+};
+
+static ScalingFactorCache g_sf_cache;  // single-decoder scalar path cache
+
+template <typename pixel_t>
+static void add_residual_t(pixel_t* dst, int stride, const i32* residual,
+                           int nT, int bd) {
+  for (int y = 0; y < nT; y++)
+    for (int x = 0; x < nT; x++)
+      dst[y * stride + x] =
+          (pixel_t)clip_bd(dst[y * stride + x] + residual[y * nT + x], bd);
+}
+
+void execute_tu_scalar(const FrameProgram& prog, const TuRec& tu) {
+  Frame& frame = *prog.frame;
+  const Sps& sps = *frame.sps;
+  const Pps& pps = *frame.pps;
+  int nT = 1 << tu.log2_size;
+  int cidx = tu.cidx;
+  int bd = frame.bit_depth[cidx];
+
+  // scatter sparse coefficients
+  i16 coeff[32 * 32];
+  memset(coeff, 0, sizeof(i16) * nT * nT);
+  for (int i = 0; i < tu.ncoeff; i++) {
+    u16 pos = prog.coeff_pos[tu.coeff_start + i];
+    int xc = pos & 63, yc = pos >> 6;
+    coeff[yc * nT + xc] = prog.coeff_val[tu.coeff_start + i];
+  }
+
+  bool intra = (tu.flags & TuRec::kIntra) != 0;
+  bool rotate = sps.transform_skip_rotation_enabled && nT == 4 && intra;
+  auto rotate_coeffs = [&]() {
+    for (int i = 0; i < nT * nT / 2; i++)
+      std::swap(coeff[i], coeff[nT * nT - 1 - i]);
+  };
+
+  i32 residual[32 * 32];
+
+  if (tu.flags & TuRec::kTransquantBypass) {
+    if (rotate) rotate_coeffs();
+    if (tu.flags & TuRec::kRdpcm) {
+      bool vertical = (tu.flags & TuRec::kRdpcmVertical) != 0;
+      if (vertical) {
+        for (int x = 0; x < nT; x++) {
+          i32 sum = 0;
+          for (int y = 0; y < nT; y++) {
+            sum += coeff[y * nT + x];
+            residual[y * nT + x] = sum;
+          }
+        }
+      } else {
+        for (int y = 0; y < nT; y++) {
+          i32 sum = 0;
+          for (int x = 0; x < nT; x++) {
+            sum += coeff[y * nT + x];
+            residual[y * nT + x] = sum;
+          }
+        }
+      }
+    } else {
+      for (int i = 0; i < nT * nT; i++) residual[i] = coeff[i];
+    }
+  } else {
+    // --- dequant (spec 8.6.3) ---
+    int qp = tu.qp;
+    int bd_shift = bd + tu.log2_size - 5;
+    if (!sps.scaling_list_enabled) {
+      bd_shift -= 4;  // flat scaling factor 16 folded into the shift
+      int offset = 1 << (bd_shift - 1);
+      i64 fact = (i64)kLevelScale[qp % 6] << (qp / 6);
+      for (int i = 0; i < tu.ncoeff; i++) {
+        u16 pos = prog.coeff_pos[tu.coeff_start + i];
+        int xc = pos & 63, yc = pos >> 6;
+        i64 v = prog.coeff_val[tu.coeff_start + i];
+        coeff[yc * nT + xc] = (i16)clip3(-32768, 32767,
+                                         (int)((v * fact + offset) >> bd_shift));
+      }
+    } else {
+      const ScalingLists& lists =
+          pps.pps_scaling_list_data_present ? pps.scaling_lists : sps.scaling_lists;
+      g_sf_cache.build(lists);
+      int matrix_id = cidx;
+      if (nT == 32) matrix_id = 0;
+      if (!intra) matrix_id += (nT < 32) ? 3 : 1;
+      const u8* sf = g_sf_cache.get(nT, matrix_id);
+      int offset = 1 << (bd_shift - 1);
+      for (int i = 0; i < tu.ncoeff; i++) {
+        u16 pos = prog.coeff_pos[tu.coeff_start + i];
+        int xc = pos & 63, yc = pos >> 6;
+        i64 fact = (i64)sf[yc * nT + xc] * kLevelScale[qp % 6] << (qp / 6);
+        i64 v = prog.coeff_val[tu.coeff_start + i];
+        coeff[yc * nT + xc] = (i16)clip3(-32768, 32767,
+                                         (int)((v * fact + offset) >> bd_shift));
+      }
+    }
+
+    // --- inverse transform / skip ---
+    if (tu.flags & TuRec::kTransformSkip) {
+      int bd_shift2 = max_i(20 - bd, 0);
+      int ts_shift = 5 + tu.log2_size;
+      if (rotate) rotate_coeffs();
+      int rnd = 1 << (bd_shift2 - 1);
+      if (tu.flags & TuRec::kRdpcm) {
+        bool vertical = (tu.flags & TuRec::kRdpcmVertical) != 0;
+        if (vertical) {
+          for (int x = 0; x < nT; x++) {
+            i32 sum = 0;
+            for (int y = 0; y < nT; y++) {
+              i32 c = (i32)((u32)coeff[y * nT + x] << ts_shift);
+              sum += (c + rnd) >> bd_shift2;
+              residual[y * nT + x] = sum;
+            }
+          }
+        } else {
+          for (int y = 0; y < nT; y++) {
+            i32 sum = 0;
+            for (int x = 0; x < nT; x++) {
+              i32 c = (i32)((u32)coeff[y * nT + x] << ts_shift);
+              sum += (c + rnd) >> bd_shift2;
+              residual[y * nT + x] = sum;
+            }
+          }
+        }
+      } else {
+        for (int i = 0; i < nT * nT; i++) {
+          i32 c = (i32)((u32)coeff[i] << ts_shift);
+          residual[i] = (c + rnd) >> bd_shift2;
+        }
+      }
+    } else if (tu.flags & TuRec::kUseDst) {
+      idst_4x4(residual, coeff, 20 - bd);
+    } else {
+      idct_2d(residual, coeff, nT, 20 - bd);
+    }
+  }
+
+  // TODO(rext): cross-component prediction hooks into the residual here.
+
+  if (frame.bytes_pp == 1) {
+    add_residual_t(frame.px8(cidx, tu.x, tu.y), frame.stride[cidx], residual,
+                   nT, bd);
+  } else {
+    add_residual_t(frame.px16(cidx, tu.x, tu.y), frame.stride[cidx], residual,
+                   nT, bd);
+  }
+}
+
+}  // namespace tde265

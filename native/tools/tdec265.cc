@@ -1,0 +1,140 @@
+// tdec265 — reference CLI decoder (counterpart of /root/reference/dec265).
+// Usage: tdec265 [-o out.yuv] [-c] [-q] [-f frames] input.h265
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#include "tde265/decoder.h"
+
+using namespace tde265;
+
+int main(int argc, char** argv) {
+  const char* out_path = nullptr;
+  const char* in_path = nullptr;
+  bool check_hash = false;
+  bool quiet = false;
+  int max_frames = -1;
+  bool no_deblock = false, no_sao = false;
+  bool dump_motion = false;
+
+  for (int i = 1; i < argc; i++) {
+    if (!strcmp(argv[i], "-o") && i + 1 < argc) {
+      out_path = argv[++i];
+    } else if (!strcmp(argv[i], "-c")) {
+      check_hash = true;
+    } else if (!strcmp(argv[i], "-q")) {
+      quiet = true;
+    } else if (!strcmp(argv[i], "-f") && i + 1 < argc) {
+      max_frames = atoi(argv[++i]);
+    } else if (!strcmp(argv[i], "--no-deblock")) {
+      no_deblock = true;
+    } else if (!strcmp(argv[i], "--no-sao")) {
+      no_sao = true;
+    } else if (!strcmp(argv[i], "--dump-motion")) {
+      dump_motion = true;
+    } else {
+      in_path = argv[i];
+    }
+  }
+  if (!in_path) {
+    fprintf(stderr, "usage: tdec265 [-o out.yuv] [-c] [-q] [-f N] input.h265\n");
+    return 1;
+  }
+
+  FILE* fin = fopen(in_path, "rb");
+  if (!fin) {
+    fprintf(stderr, "cannot open %s\n", in_path);
+    return 1;
+  }
+  FILE* fout = out_path ? fopen(out_path, "wb") : nullptr;
+
+  Decoder dec;
+  dec.check_sei_hash = check_hash;
+  dec.disable_deblocking = no_deblock;
+  dec.disable_sao = no_sao;
+
+  auto t0 = std::chrono::steady_clock::now();
+
+  u8 buf[65536];
+  size_t n;
+  while ((n = fread(buf, 1, sizeof(buf), fin)) > 0) {
+    dec.push_data(buf, n);
+  }
+  fclose(fin);
+  dec.flush_data();
+
+  int n_frames = 0;
+  int more = 1;
+  bool hash_fail = false;
+  while (more) {
+    more = 0;
+    Err e = dec.decode(&more);
+    if (e == Err::ChecksumMismatch) hash_fail = true;
+    if (e != Err::OK && e != Err::WaitingForInput && e != Err::ChecksumMismatch) {
+      if (!quiet) fprintf(stderr, "decode error %d\n", (int)e);
+    }
+    while (Frame* f = dec.peek_next_picture()) {
+      if (dump_motion) {
+        printf("PIC poc=%d\n", f->poc);
+        for (int y = 0; y < f->height; y += 4)
+          for (int x = 0; x < f->width; x += 4) {
+            const PbMotion& m = f->pb_at(x, y);
+            if (m.intra) {
+              printf("%d,%d I\n", x, y);
+              continue;
+            }
+            printf("%d,%d f%d", x, y, m.pred_flags);
+            for (int l = 0; l < 2; l++)
+              if ((m.pred_flags >> l) & 1)
+                printf(" L%d r%d (%d,%d)", l, m.ref_idx[l], m.mv[l].x, m.mv[l].y);
+            printf("\n");
+          }
+      }
+      // conformance-window cropped output
+      const Sps& sps = *f->sps;
+      int sx = sps.sub_width_c, sy = sps.sub_height_c;
+      int cl = sps.conf_win_left * sx, cr = sps.conf_win_right * sx;
+      int ct = sps.conf_win_top * sy, cb = sps.conf_win_bottom * sy;
+      int ow = f->width - cl - cr;
+      int oh = f->height - ct - cb;
+      if (fout) {
+        for (int y = 0; y < oh; y++)
+          fwrite(f->plane_ptr(0) + ((size_t)(y + ct) * f->stride[0] + cl) * f->bytes_pp,
+                 f->bytes_pp, ow, fout);
+        if (f->chroma_format != 0) {
+          int cow = ow / sx, coh = oh / sy;
+          int ccl = sps.conf_win_left, cct = sps.conf_win_top;
+          for (int c = 1; c <= 2; c++)
+            for (int y = 0; y < coh; y++)
+              fwrite(f->plane_ptr(c) +
+                         ((size_t)(y + cct) * f->stride[c] + ccl) * f->bytes_pp,
+                     f->bytes_pp, cow, fout);
+        }
+      }
+      n_frames++;
+      dec.release_next_picture();
+      if (max_frames > 0 && n_frames >= max_frames) { more = 0; break; }
+    }
+    if (max_frames > 0 && n_frames >= max_frames) break;
+  }
+
+  auto t1 = std::chrono::steady_clock::now();
+  double secs = std::chrono::duration<double>(t1 - t0).count();
+
+  Warning w;
+  while ((w = dec.get_warning()) != Warning::None) {
+    if (!quiet) fprintf(stderr, "warning: %d\n", (int)w);
+  }
+
+  if (fout) fclose(fout);
+  if (!quiet)
+    fprintf(stderr, "nFrames decoded: %d (%.2f fps)\n", n_frames,
+            n_frames / secs);
+  if (hash_fail) {
+    fprintf(stderr, "SEI picture hash MISMATCH\n");
+    return 2;
+  }
+  return 0;
+}
