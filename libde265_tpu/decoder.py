@@ -1,0 +1,227 @@
+"""High-level decoder wrapper: push-data / decode / pull-pictures, plus
+FrameProgram export as numpy record arrays (the device-feed tensors).
+
+Counterpart of the reference's dec265 usage of the C API
+(/root/reference/dec265/dec265.cc:608-895), with the added tensor surface the
+TPU pipeline consumes.
+"""
+from __future__ import annotations
+
+import ctypes as ct
+from dataclasses import dataclass, field
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ._native import ProgramView, lib
+
+# numpy record dtypes mirroring the native SoA layouts (program.h)
+OP_DTYPE = np.dtype({"names": ["kind", "idx"],
+                     "formats": [np.uint8, np.uint32],
+                     "offsets": [0, 4], "itemsize": 8})
+TU_DTYPE = np.dtype({
+    "names": ["x", "y", "log2_size", "cidx", "qp", "flags", "coeff_start",
+              "ncoeff", "cross_comp_scale"],
+    "formats": [np.uint16, np.uint16, np.uint8, np.uint8, np.int8, np.uint8,
+                np.uint32, np.uint16, np.int8],
+    "offsets": [0, 2, 4, 5, 6, 7, 8, 12, 14], "itemsize": 16})
+PU_DTYPE = np.dtype({
+    "names": ["x", "y", "w", "h", "mv0x", "mv0y", "mv1x", "mv1y", "ref_idx0",
+              "ref_idx1", "pred_flags", "slice", "ref_dpb0", "ref_dpb1"],
+    "formats": [np.uint16, np.uint16, np.uint16, np.uint16, np.int16, np.int16,
+                np.int16, np.int16, np.int8, np.int8, np.uint8, np.uint16,
+                np.int8, np.int8],
+    "offsets": [0, 2, 4, 6, 8, 10, 12, 14, 16, 17, 18, 20, 22, 23],
+    "itemsize": 24})
+INTRA_DTYPE = np.dtype({
+    "names": ["x", "y", "log2_size", "cidx", "mode"],
+    "formats": [np.uint16, np.uint16, np.uint8, np.uint8, np.uint8],
+    "offsets": [0, 2, 4, 5, 6], "itemsize": 8})
+
+OP_INTRA, OP_RESIDUAL, OP_INTER, OP_PCM = 0, 1, 2, 3
+
+# TuRec flags
+TU_TRANSFORM_SKIP = 1
+TU_TQ_BYPASS = 2
+TU_USE_DST = 4
+TU_RDPCM = 8
+TU_RDPCM_VERTICAL = 16
+TU_INTRA = 32
+
+
+def _np_from(ptr, n, dtype, stride=None):
+    if n == 0 or not ptr:
+        return np.zeros(0, dtype=dtype)
+    size = (stride or dtype.itemsize) * n
+    buf = (ct.c_uint8 * size).from_address(ptr)
+    return np.frombuffer(buf, dtype=dtype, count=n).copy()
+
+
+@dataclass
+class Picture:
+    """A decoded picture (conformance-cropped views)."""
+    poc: int
+    planes: list  # numpy arrays [h, w]
+    pts: int = 0
+
+    @property
+    def y(self):
+        return self.planes[0]
+
+
+@dataclass
+class FrameProgramData:
+    """Per-picture reconstruction program as host tensors."""
+    poc: int
+    width: int
+    height: int
+    chroma_width: int
+    chroma_height: int
+    bit_depth: tuple
+    ops: np.ndarray
+    tus: np.ndarray
+    pus: np.ndarray
+    intras: np.ndarray
+    coeff_val: np.ndarray
+    coeff_pos: np.ndarray
+    ref_pocs: list
+    ref_planes: list  # list of [Y, Cb, Cr] numpy copies
+    # final (scalar-oracle) planes for validation
+    planes: list = field(default_factory=list)
+    # per-4x4 metadata
+    qp_y: np.ndarray = None
+    nonzero_coeff: np.ndarray = None
+    deblock_flags: np.ndarray = None
+    cu_info: np.ndarray = None
+    sao: np.ndarray = None
+    ctb_size: int = 64
+
+
+class Decoder:
+    """Push-data / decode / pull-picture HEVC decoder."""
+
+    def __init__(self, check_hash: bool = False, keep_programs: bool = False,
+                 disable_deblocking: bool = False, disable_sao: bool = False):
+        self._lib = lib()
+        self._ctx = self._lib.de265_new_decoder()
+        if check_hash:
+            self._lib.de265_set_parameter_bool(self._ctx, 0, 1)
+        if disable_deblocking:
+            self._lib.de265_set_parameter_bool(self._ctx, 7, 1)
+        if disable_sao:
+            self._lib.de265_set_parameter_bool(self._ctx, 8, 1)
+        if keep_programs:
+            self._lib.tde265_set_keep_programs(self._ctx, 1)
+
+    def __del__(self):
+        if getattr(self, "_ctx", None):
+            self._lib.de265_free_decoder(self._ctx)
+            self._ctx = None
+
+    def push(self, data: bytes, pts: int = 0):
+        buf = ct.create_string_buffer(data, len(data))
+        self._lib.de265_push_data(self._ctx, buf, len(data), pts, None)
+
+    def flush(self):
+        self._lib.de265_flush_data(self._ctx)
+
+    def _read_picture(self, img) -> Picture:
+        L = self._lib
+        planes = []
+        n_chan = 1 if L.de265_get_chroma_format(img) == 0 else 3
+        for c in range(n_chan):
+            stride = ct.c_int()
+            ptr = L.de265_get_image_plane(img, c, ct.byref(stride))
+            w = L.de265_get_image_width(img, c)
+            h = L.de265_get_image_height(img, c)
+            bpp = 2 if L.de265_get_bits_per_pixel(img, c) > 8 else 1
+            dt = np.uint16 if bpp == 2 else np.uint8
+            buf = (ct.c_uint8 * (stride.value * h)).from_address(ptr)
+            arr = np.frombuffer(buf, dtype=dt).reshape(h, stride.value // bpp)
+            planes.append(arr[:, :w].copy())
+        # POC isn't in public API; use PTS slot 0 default
+        return Picture(poc=0, planes=planes,
+                       pts=L.de265_get_image_PTS(img))
+
+    def decode_all(self, data: bytes) -> Iterator[Picture]:
+        """Decode a whole Annex-B stream, yielding pictures in output order."""
+        self.push(data)
+        self.flush()
+        more = ct.c_int(1)
+        while more.value:
+            more.value = 0
+            self._lib.de265_decode(self._ctx, ct.byref(more))
+            while True:
+                img = self._lib.de265_peek_next_picture(self._ctx)
+                if not img:
+                    break
+                yield self._read_picture(img)
+                self._lib.de265_release_next_picture(self._ctx)
+
+    # ---- FrameProgram export ----
+
+    def num_programs(self) -> int:
+        return self._lib.tde265_num_programs(self._ctx)
+
+    def get_program(self, idx: int) -> FrameProgramData:
+        view = ProgramView()
+        rc = self._lib.tde265_get_program(self._ctx, idx, ct.byref(view))
+        if rc != 0:
+            raise IndexError(idx)
+
+        def plane_copy(ptr_arr, c, w, h, stride, bpp):
+            if not ptr_arr[c]:
+                return None
+            dt = np.uint16 if bpp == 2 else np.uint8
+            buf = (ct.c_uint8 * (stride * h * bpp)).from_address(ptr_arr[c])
+            return np.frombuffer(buf, dtype=dt).reshape(h, stride)[:, :w].copy()
+
+        ref_planes = []
+        for r in range(view.n_refs):
+            refs = [
+                plane_copy(view.ref_plane[r], 0, view.width, view.height,
+                           view.stride[0], view.bytes_pp),
+                plane_copy(view.ref_plane[r], 1, view.chroma_width,
+                           view.chroma_height, view.stride[1], view.bytes_pp),
+                plane_copy(view.ref_plane[r], 2, view.chroma_width,
+                           view.chroma_height, view.stride[2], view.bytes_pp),
+            ]
+            ref_planes.append(refs)
+
+        planes = [
+            plane_copy(view.plane, 0, view.width, view.height, view.stride[0],
+                       view.bytes_pp),
+            plane_copy(view.plane, 1, view.chroma_width, view.chroma_height,
+                       view.stride[1], view.bytes_pp),
+            plane_copy(view.plane, 2, view.chroma_width, view.chroma_height,
+                       view.stride[2], view.bytes_pp),
+        ]
+
+        pbn = view.pb_w * view.pb_h
+        return FrameProgramData(
+            poc=view.poc,
+            width=view.width,
+            height=view.height,
+            chroma_width=view.chroma_width,
+            chroma_height=view.chroma_height,
+            bit_depth=tuple(view.bit_depth),
+            ops=_np_from(view.op_raw, view.n_ops, OP_DTYPE, view.op_stride),
+            tus=_np_from(view.tu_raw, view.n_tus, TU_DTYPE, view.tu_stride),
+            pus=_np_from(view.pu_raw, view.n_pus, PU_DTYPE, view.pu_stride),
+            intras=_np_from(view.intra_raw, view.n_intras, INTRA_DTYPE,
+                            view.intra_stride),
+            coeff_val=_np_from(view.coeff_val, view.n_coeffs, np.dtype(np.int16)),
+            coeff_pos=_np_from(view.coeff_pos, view.n_coeffs, np.dtype(np.uint16)),
+            ref_pocs=[view.ref_poc[r] for r in range(view.n_refs)],
+            ref_planes=ref_planes,
+            planes=planes,
+            qp_y=_np_from(view.qp_y, pbn, np.dtype(np.int8)).reshape(view.pb_h, view.pb_w),
+            nonzero_coeff=_np_from(view.nonzero_coeff, pbn, np.dtype(np.uint8)).reshape(view.pb_h, view.pb_w),
+            deblock_flags=_np_from(view.deblock_flags, pbn, np.dtype(np.uint8)).reshape(view.pb_h, view.pb_w),
+            cu_info=_np_from(view.cu_info, pbn, np.dtype(np.uint8)).reshape(view.pb_h, view.pb_w),
+            sao=_np_from(view.sao_raw, view.ctb_w * view.ctb_h,
+                         np.dtype(np.uint8), view.sao_stride),
+        )
+
+    def programs(self):
+        return [self.get_program(i) for i in range(self.num_programs())]

@@ -95,7 +95,27 @@ struct FrameProgram {
   // References (DPB slots) used by this picture, for backend prefetch.
   std::vector<Frame*> ref_frames;  // indexed by PuRec::ref_dpb
 
+  // Deep snapshot of the frame + reference state, filled at picture
+  // completion when Decoder::keep_programs is set (DPB slots are recycled,
+  // so retained programs cannot rely on the live Frame pointers).
+  struct Snapshot {
+    i32 poc = 0;
+    int width = 0, height = 0, chroma_width = 0, chroma_height = 0;
+    int bytes_pp = 1;
+    int bit_depth[3] = {8, 8, 8};
+    std::vector<u8> plane[3];
+    int stride[3] = {0, 0, 0};
+    int pb_w = 0, pb_h = 0, ctb_w = 0, ctb_h = 0;
+    std::vector<i8> qp_y;
+    std::vector<u8> nonzero_coeff, deblock_flags, cu_info;
+    std::vector<SaoParams> sao;
+    std::vector<i32> ref_pocs;
+    std::vector<std::vector<u8>> ref_planes;  // 3 per ref, flattened
+  };
+  std::shared_ptr<Snapshot> snapshot;
+
   void clear() {
+    snapshot.reset();
     slices.clear();
     ops.clear();
     tus.clear();

@@ -660,6 +660,32 @@ Err Decoder::finish_picture() {
   if (keep_programs) {
     auto prog = std::make_unique<FrameProgram>();
     *prog = cur_program_;
+    auto snap = std::make_shared<FrameProgram::Snapshot>();
+    snap->poc = f->poc;
+    snap->width = f->width;
+    snap->height = f->height;
+    snap->chroma_width = f->chroma_width;
+    snap->chroma_height = f->chroma_height;
+    snap->bytes_pp = f->bytes_pp;
+    for (int c = 0; c < 3; c++) {
+      snap->bit_depth[c] = f->bit_depth[c];
+      snap->plane[c] = f->plane[c];
+      snap->stride[c] = f->stride[c];
+    }
+    snap->pb_w = f->pb_w;
+    snap->pb_h = f->pb_h;
+    snap->ctb_w = f->ctb_w;
+    snap->ctb_h = f->ctb_h;
+    snap->qp_y = f->qp_y;
+    snap->nonzero_coeff = f->nonzero_coeff;
+    snap->deblock_flags = f->deblock_flags;
+    snap->cu_info = f->cu_info;
+    snap->sao = f->sao;
+    for (Frame* r : cur_program_.ref_frames) {
+      snap->ref_pocs.push_back(r->poc);
+      for (int c = 0; c < 3; c++) snap->ref_planes.push_back(r->plane[c]);
+    }
+    prog->snapshot = std::move(snap);
     finished_programs.push_back(std::move(prog));
   }
 
