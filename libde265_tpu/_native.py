@@ -66,6 +66,9 @@ class ProgramView(ct.Structure):
         ("sao_stride", ct.c_int32),
         ("ctb_w", ct.c_int32),
         ("ctb_h", ct.c_int32),
+        ("slice_idx", ct.c_void_p),
+        ("n_slices", ct.c_int32),
+        ("slice_records", ct.c_void_p),
     ]
 
 

@@ -37,6 +37,11 @@ INTRA_DTYPE = np.dtype({
     "names": ["x", "y", "log2_size", "cidx", "mode"],
     "formats": [np.uint16, np.uint16, np.uint8, np.uint8, np.uint8],
     "offsets": [0, 2, 4, 5, 6], "itemsize": 8})
+SAO_DTYPE = np.dtype({
+    "names": ["type_idx", "eo_class", "band_pos", "offset"],
+    "formats": [(np.uint8, (3,)), (np.uint8, (3,)), (np.uint8, (3,)),
+                (np.int16, (3, 4))],
+    "offsets": [0, 3, 6, 10], "itemsize": 34})
 
 OP_INTRA, OP_RESIDUAL, OP_INTER, OP_PCM = 0, 1, 2, 3
 
@@ -95,6 +100,10 @@ class FrameProgramData:
     cu_info: np.ndarray = None
     sao: np.ndarray = None
     ctb_size: int = 64
+    ctb_w: int = 0
+    ctb_h: int = 0
+    slice_idx: np.ndarray = None      # per CTB
+    slice_records: np.ndarray = None  # [n_slices, 208] int32 (program.h)
 
 
 class Decoder:
@@ -220,7 +229,15 @@ class Decoder:
             deblock_flags=_np_from(view.deblock_flags, pbn, np.dtype(np.uint8)).reshape(view.pb_h, view.pb_w),
             cu_info=_np_from(view.cu_info, pbn, np.dtype(np.uint8)).reshape(view.pb_h, view.pb_w),
             sao=_np_from(view.sao_raw, view.ctb_w * view.ctb_h,
-                         np.dtype(np.uint8), view.sao_stride),
+                         SAO_DTYPE, view.sao_stride),
+            ctb_w=view.ctb_w,
+            ctb_h=view.ctb_h,
+            slice_idx=_np_from(view.slice_idx, view.ctb_w * view.ctb_h,
+                               np.dtype(np.uint16)).reshape(view.ctb_h,
+                                                            view.ctb_w),
+            slice_records=_np_from(view.slice_records, view.n_slices * 208,
+                                   np.dtype(np.int32)).reshape(view.n_slices,
+                                                               208),
         )
 
     def programs(self):

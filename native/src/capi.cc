@@ -429,6 +429,9 @@ struct tde265_program_view {
   const uint8_t* sao_raw;   // raw SaoParams per CTB
   int32_t sao_stride;
   int32_t ctb_w, ctb_h;
+  const uint16_t* slice_idx;      // per CTB
+  int32_t n_slices;
+  const int32_t* slice_records;   // n_slices x 208 i32 (see program.h)
 };
 
 LIBDE265_API void tde265_set_keep_programs(de265_decoder_context* ctx, int keep) {
@@ -491,6 +494,10 @@ LIBDE265_API int tde265_get_program(de265_decoder_context* ctx, int idx,
   out->sao_stride = sizeof(SaoParams);
   out->ctb_w = s.ctb_w;
   out->ctb_h = s.ctb_h;
+  out->slice_idx = s.slice_idx.data();
+  out->n_slices = (int32_t)(s.slice_records.size() /
+                            FrameProgram::Snapshot::kSliceRecordLen);
+  out->slice_records = s.slice_records.data();
   return 0;
 }
 

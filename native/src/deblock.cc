@@ -286,6 +286,8 @@ void deblock_pass(DeblockCtx& ctx, bool vertical) {
       if (!ctx.edge_allowed(x, y, vertical)) continue;
 
       int bs = boundary_strength(ctx, x, y, vertical, flags);
+      if (getenv("TDE_BS_DUMP"))
+        printf("BS %d %s %d %d %d\n", f.poc, vertical ? "V" : "H", x, y, bs);
       if (bs == 0) continue;
 
       filter_luma_edge<pixel_t>(ctx, x, y, vertical, bs);

@@ -685,6 +685,33 @@ Err Decoder::finish_picture() {
       snap->ref_pocs.push_back(r->poc);
       for (int c = 0; c < 3; c++) snap->ref_planes.push_back(r->plane[c]);
     }
+    snap->slice_idx = f->slice_idx;
+    constexpr int L = FrameProgram::Snapshot::kSliceRecordLen;
+    snap->slice_records.assign(cur_program_.slices.size() * L, 0);
+    for (size_t s = 0; s < cur_program_.slices.size(); s++) {
+      const SliceHeader& sh = *cur_program_.slices[s];
+      i32* r = &snap->slice_records[s * L];
+      r[0] = sh.slice_type;
+      r[1] = sh.deblocking_filter_disabled;
+      r[2] = sh.beta_offset;
+      r[3] = sh.tc_offset;
+      r[4] = sh.sao_luma;
+      r[5] = sh.sao_chroma;
+      r[6] = (sh.slice_type == SLICE_P) ? sh.pps->weighted_pred
+                                        : sh.pps->weighted_bipred;
+      r[7] = sh.wp.luma_log2_weight_denom;
+      r[8] = sh.wp.chroma_log2_weight_denom;
+      r[9] = sh.loop_filter_across_slices;
+      for (int l = 0; l < 2; l++)
+        for (int i = 0; i < 16; i++) {
+          r[16 + l * 16 + i] = sh.wp.luma_weight[l][i];
+          r[48 + l * 16 + i] = sh.wp.luma_offset[l][i];
+          for (int c = 0; c < 2; c++) {
+            r[80 + (l * 16 + i) * 2 + c] = sh.wp.chroma_weight[l][i][c];
+            r[144 + (l * 16 + i) * 2 + c] = sh.wp.chroma_offset[l][i][c];
+          }
+        }
+    }
     prog->snapshot = std::move(snap);
     finished_programs.push_back(std::move(prog));
   }

@@ -1,0 +1,47 @@
+"""JAX pipeline validation: reconstruct pictures from their FramePrograms
+with the batched device kernels and compare bit-exactly against the scalar
+C++ oracle (the snapshot planes)."""
+import numpy as np
+import pytest
+
+from libde265_tpu import Decoder
+from libde265_tpu import pipeline
+
+STREAM = "/root/reference/testdata/girlshy.h265"
+
+
+@pytest.fixture(scope="module")
+def programs():
+    dec = Decoder(keep_programs=True)
+    data = open(STREAM, "rb").read()
+    list(dec.decode_all(data))
+    progs = [dec.get_program(i) for i in range(dec.num_programs())]
+    return progs
+
+
+def _check(prog):
+    planes = pipeline.reconstruct(prog)
+    for c in range(3):
+        ref = prog.planes[c].astype(np.int32)
+        got = planes[c]
+        if not np.array_equal(ref, got):
+            diff = np.argwhere(ref != got)
+            raise AssertionError(
+                f"poc={prog.poc} plane {c}: {len(diff)} mismatches, "
+                f"first at {diff[0]} ref={ref[tuple(diff[0])]} "
+                f"got={got[tuple(diff[0])]}")
+
+
+def test_intra_frame(native_build, programs):
+    _check(programs[0])
+
+
+def test_first_inter_frames(native_build, programs):
+    for p in programs[1:4]:
+        _check(p)
+
+
+@pytest.mark.slow
+def test_all_frames(native_build, programs):
+    for p in programs:
+        _check(p)
