@@ -34,6 +34,28 @@ static inline int pic_at(const pixel_t* img, int stride, int w, int h, int x,
   return img[(size_t)y * stride + x];
 }
 
+// Gather a (w+taps-1)x(h+taps-1) edge-clamped reference window; interior
+// rows are straight memcpy, so the filter loops below run clamp-free.
+template <typename pixel_t, int kTaps>
+static inline void gather_window(const pixel_t* img, int stride, int pw,
+                                 int ph, int x_int, int y_int, int w, int h,
+                                 pixel_t* win, int win_stride) {
+  const int center = kTaps / 2 - 1;
+  const int ww = w + kTaps - 1, wh = h + kTaps - 1;
+  const int x0 = x_int - center;
+  bool x_interior = (x0 >= 0 && x0 + ww <= pw);
+  for (int y = 0; y < wh; y++) {
+    int sy = clip3(0, ph - 1, y_int - center + y);
+    const pixel_t* row = img + (size_t)sy * stride;
+    if (x_interior) {
+      memcpy(win + (size_t)y * win_stride, row + x0, ww * sizeof(pixel_t));
+    } else {
+      for (int x = 0; x < ww; x++)
+        win[(size_t)y * win_stride + x] = row[clip3(0, pw - 1, x0 + x)];
+    }
+  }
+}
+
 // Luma qpel interpolation into an int16 buffer with the spec's intermediate
 // scaling (shift1 = BitDepth-8; values scaled by 2^(14-BitDepth) overall).
 template <typename pixel_t>
@@ -46,33 +68,39 @@ static void mc_luma(const Frame& ref, int x_int, int y_int, int frac_x,
   int shift1 = bd - 8;
   int shift3 = 14 - bd;
 
+  constexpr int kWS = 64 + 7;
+  pixel_t win[kWS * kWS];
+  gather_window<pixel_t, 8>(img, stride, pw, ph, x_int, y_int, w, h, win, kWS);
+  const pixel_t* c = win + 3 * kWS + 3;  // full-pel origin
+
   if (frac_x == 0 && frac_y == 0) {
     for (int y = 0; y < h; y++)
       for (int x = 0; x < w; x++)
-        out[y * out_stride + x] =
-            (i16)(pic_at(img, stride, pw, ph, x_int + x, y_int + y) << shift3);
+        out[y * out_stride + x] = (i16)(c[y * kWS + x] << shift3);
     return;
   }
   if (frac_y == 0) {
     const int* f = kQpelFilter[frac_x];
-    for (int y = 0; y < h; y++)
+    for (int y = 0; y < h; y++) {
+      const pixel_t* row = c + y * kWS - 3;
       for (int x = 0; x < w; x++) {
         int sum = 0;
-        for (int k = 0; k < 8; k++)
-          sum += f[k] * pic_at(img, stride, pw, ph, x_int + x + k - 3, y_int + y);
+        for (int k = 0; k < 8; k++) sum += f[k] * row[x + k];
         out[y * out_stride + x] = (i16)(sum >> shift1);
       }
+    }
     return;
   }
   if (frac_x == 0) {
     const int* f = kQpelFilter[frac_y];
-    for (int y = 0; y < h; y++)
+    for (int y = 0; y < h; y++) {
+      const pixel_t* col = c + (y - 3) * kWS;
       for (int x = 0; x < w; x++) {
         int sum = 0;
-        for (int k = 0; k < 8; k++)
-          sum += f[k] * pic_at(img, stride, pw, ph, x_int + x, y_int + y + k - 3);
+        for (int k = 0; k < 8; k++) sum += f[k] * col[k * kWS + x];
         out[y * out_stride + x] = (i16)(sum >> shift1);
       }
+    }
     return;
   }
   // separable: horizontal first (rows -3..h+3), then vertical
@@ -80,11 +108,12 @@ static void mc_luma(const Frame& ref, int x_int, int y_int, int frac_x,
   const int* fx = kQpelFilter[frac_x];
   const int* fy = kQpelFilter[frac_y];
   for (int y = -3; y < h + 4; y++) {
+    const pixel_t* row = c + y * kWS - 3;
+    i16* trow = tmp + (y + 3) * 64;
     for (int x = 0; x < w; x++) {
       int sum = 0;
-      for (int k = 0; k < 8; k++)
-        sum += fx[k] * pic_at(img, stride, pw, ph, x_int + x + k - 3, y_int + y);
-      tmp[(y + 3) * 64 + x] = (i16)(sum >> shift1);
+      for (int k = 0; k < 8; k++) sum += fx[k] * row[x + k];
+      trow[x] = (i16)(sum >> shift1);
     }
   }
   for (int y = 0; y < h; y++) {
@@ -106,44 +135,51 @@ static void mc_chroma(const Frame& ref, int c, int x_int, int y_int, int frac_x,
   int shift1 = bd - 8;
   int shift3 = 14 - bd;
 
+  constexpr int kWS = 32 + 3;
+  pixel_t win[kWS * kWS];
+  gather_window<pixel_t, 4>(img, stride, pw, ph, x_int, y_int, w, h, win, kWS);
+  const pixel_t* cc = win + 1 * kWS + 1;  // full-pel origin
+
   if (frac_x == 0 && frac_y == 0) {
     for (int y = 0; y < h; y++)
       for (int x = 0; x < w; x++)
-        out[y * out_stride + x] =
-            (i16)(pic_at(img, stride, pw, ph, x_int + x, y_int + y) << shift3);
+        out[y * out_stride + x] = (i16)(cc[y * kWS + x] << shift3);
     return;
   }
   if (frac_y == 0) {
     const int* f = kEpelFilter[frac_x];
-    for (int y = 0; y < h; y++)
+    for (int y = 0; y < h; y++) {
+      const pixel_t* row = cc + y * kWS - 1;
       for (int x = 0; x < w; x++) {
         int sum = 0;
-        for (int k = 0; k < 4; k++)
-          sum += f[k] * pic_at(img, stride, pw, ph, x_int + x + k - 1, y_int + y);
+        for (int k = 0; k < 4; k++) sum += f[k] * row[x + k];
         out[y * out_stride + x] = (i16)(sum >> shift1);
       }
+    }
     return;
   }
   if (frac_x == 0) {
     const int* f = kEpelFilter[frac_y];
-    for (int y = 0; y < h; y++)
+    for (int y = 0; y < h; y++) {
+      const pixel_t* col = cc + (y - 1) * kWS;
       for (int x = 0; x < w; x++) {
         int sum = 0;
-        for (int k = 0; k < 4; k++)
-          sum += f[k] * pic_at(img, stride, pw, ph, x_int + x, y_int + y + k - 1);
+        for (int k = 0; k < 4; k++) sum += f[k] * col[k * kWS + x];
         out[y * out_stride + x] = (i16)(sum >> shift1);
       }
+    }
     return;
   }
   i16 tmp[(32 + 3) * 32];
   const int* fx = kEpelFilter[frac_x];
   const int* fy = kEpelFilter[frac_y];
   for (int y = -1; y < h + 2; y++) {
+    const pixel_t* row = cc + y * kWS - 1;
+    i16* trow = tmp + (y + 1) * 32;
     for (int x = 0; x < w; x++) {
       int sum = 0;
-      for (int k = 0; k < 4; k++)
-        sum += fx[k] * pic_at(img, stride, pw, ph, x_int + x + k - 1, y_int + y);
-      tmp[(y + 1) * 32 + x] = (i16)(sum >> shift1);
+      for (int k = 0; k < 4; k++) sum += fx[k] * row[x + k];
+      trow[x] = (i16)(sum >> shift1);
     }
   }
   for (int y = 0; y < h; y++) {
