@@ -1,0 +1,194 @@
+// Bitstream writer + CABAC binary arithmetic encoder (spec 9.3.4.3 encoding
+// process).  Capability counterpart of the write-side of
+// /root/reference/libde265/bitstream.{h,cc} and cabac.h:105-212
+// (CABAC_encoder_bitstream); independent implementation following the spec's
+// PutBit/RenormE/EncodeFlush procedures, with RBSP emulation prevention
+// applied at NAL assembly.
+#pragma once
+
+#include <vector>
+
+#include "tde265/cabac.h"
+#include "tde265/common.h"
+
+namespace tde265 {
+
+class BitWriter {
+ public:
+  void write_bits(u32 value, int n) {
+    assert(n >= 0 && n <= 32);
+    for (int i = n - 1; i >= 0; i--) put_bit((value >> i) & 1);
+  }
+  void put_bit(int b) {
+    cur_ = (u8)((cur_ << 1) | b);
+    nbits_++;
+    if (nbits_ == 8) {
+      data_.push_back(cur_);
+      cur_ = 0;
+      nbits_ = 0;
+    }
+  }
+  void write_uvlc(u32 value) {
+    u64 v = (u64)value + 1;
+    int bits = 0;
+    while ((v >> bits) > 1) bits++;
+    write_bits(0, bits);
+    write_bits((u32)v, bits + 1);
+  }
+  void write_svlc(i32 value) {
+    u32 k = (value <= 0) ? (u32)(-2 * value) : (u32)(2 * value - 1);
+    write_uvlc(k);
+  }
+  void write_flag(bool b) { put_bit(b ? 1 : 0); }
+
+  // rbsp_trailing_bits / byte_alignment(): stop bit + zero padding
+  void trailing_bits() {
+    put_bit(1);
+    while (nbits_ != 0) put_bit(0);
+  }
+  void byte_align_zero() {
+    while (nbits_ != 0) put_bit(0);
+  }
+  bool byte_aligned() const { return nbits_ == 0; }
+  size_t bit_position() const { return data_.size() * 8 + nbits_; }
+
+  void append_bytes(const u8* p, size_t n) {
+    assert(byte_aligned());
+    data_.insert(data_.end(), p, p + n);
+  }
+
+  const std::vector<u8>& rbsp() const { return data_; }
+  void clear() {
+    data_.clear();
+    cur_ = 0;
+    nbits_ = 0;
+  }
+
+ private:
+  std::vector<u8> data_;
+  u8 cur_ = 0;
+  int nbits_ = 0;
+};
+
+// Assemble an Annex-B NAL unit: start code + 2-byte header + RBSP with
+// emulation prevention (00 00 {00..03} -> 00 00 03 xx).
+void append_nal(std::vector<u8>* out, int nal_type, int temporal_id,
+                const std::vector<u8>& rbsp);
+
+// ---------------------------------------------------------------------------
+// CABAC encoder (spec 9.3.4.3: EncodeDecision / EncodeBypass /
+// EncodeTerminate with PutBit / RenormE / EncodeFlush)
+// ---------------------------------------------------------------------------
+class CabacEncoder {
+ public:
+  explicit CabacEncoder(BitWriter* out) : out_(out) { reset(); }
+
+  void reset() {
+    low_ = 0;
+    range_ = 510;
+    bits_outstanding_ = 0;
+    first_bit_ = true;
+  }
+
+  void encode_bin(ContextModel* m, int bin) {
+    u32 lps = kCabacRangeTabLps[m->state][(range_ >> 6) & 3];
+    range_ -= lps;
+    if (bin != m->mps) {
+      low_ += range_;
+      range_ = lps;
+      if (m->state == 0) m->mps = (u8)(1 - m->mps);
+      m->state = kCabacTransIdxLps[m->state];
+    } else {
+      m->state = kCabacTransIdxMps[m->state];
+    }
+    renorm();
+  }
+
+  void encode_bypass(int bin) {
+    low_ <<= 1;
+    if (bin) low_ += range_;
+    if (low_ >= 1024) {
+      put_bit(1);
+      low_ -= 1024;
+    } else if (low_ < 512) {
+      put_bit(0);
+    } else {
+      low_ -= 512;
+      bits_outstanding_++;
+    }
+  }
+
+  void encode_bypass_bits(u32 value, int n) {
+    for (int i = n - 1; i >= 0; i--) encode_bypass((value >> i) & 1);
+  }
+
+  // bin==1 flushes the arithmetic state (used for the final
+  // end_of_slice_segment_flag; the flush pattern embeds the stop bit).
+  void encode_terminate(int bin) {
+    range_ -= 2;
+    if (bin) {
+      low_ += range_;
+      // EncodeFlush (spec 9.3.4.3.6)
+      range_ = 2;
+      renorm();
+      put_bit((low_ >> 9) & 1);
+      write_raw(((low_ >> 7) & 3) | 1, 2);
+      out_->byte_align_zero();
+    } else {
+      renorm();
+    }
+  }
+
+  void encode_egk(u32 value, int k) {
+    u32 v = value;
+    int zeros = 0;
+    while (v >= (1u << (zeros + k))) {
+      v -= (1u << (zeros + k));
+      zeros++;
+    }
+    for (int i = 0; i < zeros; i++) encode_bypass(1);
+    encode_bypass(0);
+    if (zeros + k > 0) encode_bypass_bits(v, zeros + k);
+  }
+
+ private:
+  void renorm() {
+    while (range_ < 256) {
+      if (low_ >= 512) {
+        put_bit(1);
+        low_ -= 512;
+      } else if (low_ < 256) {
+        put_bit(0);
+      } else {
+        bits_outstanding_++;
+        low_ -= 256;
+      }
+      range_ <<= 1;
+      low_ <<= 1;
+    }
+  }
+
+  void put_bit(int bit) {
+    if (first_bit_) {
+      first_bit_ = false;  // spec PutBit: the first output bit is suppressed
+    } else {
+      out_->put_bit(bit);
+    }
+    while (bits_outstanding_ > 0) {
+      out_->put_bit(bit ^ 1);
+      bits_outstanding_--;
+    }
+  }
+
+  void write_raw(u32 v, int n) {
+    for (int i = n - 1; i >= 0; i--) put_bit((v >> i) & 1);
+  }
+
+  BitWriter* out_;
+  u32 low_ = 0;
+  u32 range_ = 510;
+  int bits_outstanding_ = 0;
+  bool first_bit_ = true;
+};
+
+}  // namespace tde265

@@ -22,6 +22,11 @@ struct ContextModel {
   }
 };
 
+// Spec Tables 9-46/9-47, shared by the decoder and encoder engines.
+extern const u8 kCabacRangeTabLps[64][4];
+extern const u8 kCabacTransIdxMps[64];
+extern const u8 kCabacTransIdxLps[64];
+
 // Context table layout: one enum of offsets, sized kNumContexts total.
 // Grouping mirrors HEVC Table 9-4 syntax elements.
 enum CtxIdx : int {
@@ -90,7 +95,7 @@ class CabacDecoder {
   // Spec 9.3.4.3.2 DecodeDecision.
   inline int decode_bin(ContextModel* m) {
     u32 q = (range_ >> 6) & 3;
-    u32 lps = kRangeTabLps[m->state][q];
+    u32 lps = kCabacRangeTabLps[m->state][q];
     range_ -= lps;
     int bin;
     if (offset_ >= range_) {
@@ -98,10 +103,10 @@ class CabacDecoder {
       offset_ -= range_;
       range_ = lps;
       if (m->state == 0) m->mps = 1 - m->mps;
-      m->state = kTransIdxLps[m->state];
+      m->state = kCabacTransIdxLps[m->state];
     } else {
       bin = m->mps;
-      m->state = kTransIdxMps[m->state];
+      m->state = kCabacTransIdxMps[m->state];
     }
     // RenormD, all shifts at once: range_ is in [2,255] when renorm is needed.
     if (range_ < 256) {
@@ -193,10 +198,6 @@ class CabacDecoder {
     ncache_ -= n;
     return v;
   }
-
-  static const u8 kRangeTabLps[64][4];
-  static const u8 kTransIdxMps[64];
-  static const u8 kTransIdxLps[64];
 
   const u8* p_ = nullptr;
   const u8* end_ = nullptr;

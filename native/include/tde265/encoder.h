@@ -1,0 +1,81 @@
+// HEVC encoder: intra encoder producing conformant Main-profile bitstreams.
+//
+// Capability counterpart of /root/reference/libde265/encoder/ (encoder-core,
+// encoder-syntax, encoder-context) and the en265 API surface.  Independent
+// design: the encoder reuses the decoder's reconstruction machinery — each
+// coded TU is appended to a FrameProgram and executed through the same scalar
+// kernels the decoder uses, so encoder reconstruction is bit-identical to
+// any conformant decoder's by construction.
+#pragma once
+
+#include <memory>
+#include <vector>
+
+#include "tde265/bitwriter.h"
+#include "tde265/frame.h"
+#include "tde265/program.h"
+
+namespace tde265 {
+
+struct EncoderConfig {
+  int width = 0;
+  int height = 0;
+  int qp = 27;
+  int ctb_log2 = 5;       // 32x32 CTBs
+  int min_cb_log2 = 3;    // 8x8 minimum CUs
+  int fps_num = 25, fps_den = 1;
+  // intra mode candidate set searched per CU
+  std::vector<int> intra_candidates = {0, 1, 10, 26, 2, 18, 34};
+};
+
+class Encoder {
+ public:
+  explicit Encoder(const EncoderConfig& cfg);
+
+  // Encode one frame (I-frame; 4:2:0 planes).  Returns the Annex-B bytes
+  // (headers are emitted before the first frame).
+  std::vector<u8> encode_frame(const u8* y, int stride_y, const u8* cb,
+                               const u8* cr, int stride_c);
+
+  // Reconstruction of the last encoded frame (what a decoder will output).
+  const Frame& recon() const { return *recon_; }
+  // The reconstruction program built while encoding (tests/debugging).
+  const FrameProgram& program() const { return prog_; }
+
+ private:
+  void write_headers(std::vector<u8>* out);
+  void write_slice_header(BitWriter* bw, bool first_pic);
+  void encode_ctb(int ctb_x, int ctb_y);
+  void encode_cq(int x0, int y0, int log2_size, int depth);
+  void encode_cu(int x0, int y0, int log2_size);
+  int choose_luma_mode(int x0, int y0, int log2_size);
+  void write_intra_luma_mode(int x0, int y0, int mode);
+  void write_residual(int x0c, int y0c, int log2_size, int cidx,
+                      const i32* levels, int scan_idx);
+  static int map_dm_chroma(int luma_mode);
+  static int chroma_qp(int qp_y);
+
+  EncoderConfig cfg_;
+  std::shared_ptr<Sps> sps_;
+  std::shared_ptr<Pps> pps_;
+  std::unique_ptr<Frame> recon_;
+  FrameProgram prog_;  // ops executed incrementally for reconstruction
+
+  // source planes for the frame being encoded
+  const u8* src_[3] = {};
+  int src_stride_[3] = {};
+
+  BitWriter slice_bw_;
+  std::unique_ptr<CabacEncoder> cabac_;
+  ContextTable ctx_;
+  bool headers_written_ = false;
+  u32 frame_count_ = 0;
+};
+
+// Forward transform (spec-matched integer DCT, HM-convention shifts) and
+// quantization helpers, exposed for tests and the TPU encode path.
+void fwd_dct_2d(i32* coeffs, const i32* residual, int log2_size, int bit_depth);
+void quantize(i32* levels, const i32* coeffs, int n, int qp, int log2_size,
+              int bit_depth, bool intra);
+
+}  // namespace tde265

@@ -27,6 +27,11 @@ struct ScanPos {
 // scan_idx: 0 diag(up-right), 1 horizontal, 2 vertical; log2_size 0..5.
 const ScanPos* scan_order(int log2_size, int scan_idx);
 
+// sig_coeff_flag context increment (spec 9.3.4.2.5); shared by the residual
+// reader (residual.cc) and writer (encoder.cc).
+int sig_ctx_inc(int log2_size, int cidx, int xc, int yc, int prev_csbf,
+                int scan_idx);
+
 // Per-slice-segment parser.  One instance decodes one slice segment
 // (sequential across its substreams; WPP context hand-off included).
 class SliceParser {

@@ -7,7 +7,7 @@
 namespace tde265 {
 
 // Table 9-46: rangeTabLps[pStateIdx][qRangeIdx]
-const u8 CabacDecoder::kRangeTabLps[64][4] = {
+const u8 kCabacRangeTabLps[64][4] = {
     {128, 176, 208, 240}, {128, 167, 197, 227}, {128, 158, 187, 216},
     {123, 150, 178, 205}, {116, 142, 169, 195}, {111, 135, 160, 185},
     {105, 128, 152, 175}, {100, 122, 144, 166}, {95, 116, 137, 158},
@@ -32,12 +32,12 @@ const u8 CabacDecoder::kRangeTabLps[64][4] = {
     {2, 2, 2, 2}};
 
 // Table 9-47: transIdxMps / transIdxLps
-const u8 CabacDecoder::kTransIdxMps[64] = {
+const u8 kCabacTransIdxMps[64] = {
     1,  2,  3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14, 15, 16,
     17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
     33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48,
     49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61, 62, 62, 63};
-const u8 CabacDecoder::kTransIdxLps[64] = {
+const u8 kCabacTransIdxLps[64] = {
     0,  0,  1,  2,  2,  4,  4,  5,  6,  7,  8,  9,  9,  11, 11, 12,
     13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 22, 22, 23, 24,
     24, 25, 26, 26, 27, 27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33,

@@ -1,0 +1,816 @@
+// Intra HEVC encoder (spec-conformant Main profile bitstreams).
+// Capability counterpart of /root/reference/libde265/encoder/*; see
+// encoder.h for the design notes.
+#include "tde265/encoder.h"
+
+#include <algorithm>
+#include <climits>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+#include "tde265/decoder.h"
+#include "tde265/syntax.h"
+
+namespace tde265 {
+
+// defined in intra.cc / transform.cc (scalar backend)
+void execute_intra_scalar(const FrameProgram& prog, const IntraRec& rec);
+void execute_tu_scalar(const FrameProgram& prog, const TuRec& tu);
+void idct_2d(i32* dst, const i16* coeffs, int nT, int bd_shift);
+void idst_4x4(i32* dst, const i16* coeffs, int bd_shift);
+
+// ---------------------------------------------------------------------------
+// forward transform + quantization
+// ---------------------------------------------------------------------------
+// The same spec transMatrix as the inverse path; accessor defined in
+// transform.cc.  Forward transform is y = M x (rows are basis functions).
+namespace detail {
+const i8 (*dct_matrix_32())[32];
+}
+
+void fwd_dct_2d(i32* coeffs, const i32* residual, int log2_size, int bit_depth) {
+  const int n = 1 << log2_size;
+  const auto* M = detail::dct_matrix_32();
+  const int step = 32 / n;
+  // HM-convention shifts: stage1 = log2 + bd - 9, stage2 = log2 + 6.
+  int shift1 = log2_size + bit_depth - 9;
+  int shift2 = log2_size + 6;
+  i32 tmp[32 * 32];
+  int rnd1 = 1 << (shift1 - 1);
+  int rnd2 = 1 << (shift2 - 1);
+
+  // vertical: tmp[k][x] = (sum_y M[k][y] * res[y][x] + rnd) >> shift1
+  for (int k = 0; k < n; k++) {
+    const i8* row = M[k * step];
+    for (int x = 0; x < n; x++) {
+      i64 sum = 0;
+      for (int y = 0; y < n; y++) sum += (i64)row[y] * residual[y * n + x];
+      tmp[k * n + x] = (i32)((sum + rnd1) >> shift1);
+    }
+  }
+  // horizontal: coeff[k][l] = (sum_x M[l][x] * tmp[k][x] + rnd) >> shift2
+  for (int k = 0; k < n; k++) {
+    for (int l = 0; l < n; l++) {
+      const i8* row = M[l * step];
+      i64 sum = 0;
+      for (int x = 0; x < n; x++) sum += (i64)row[x] * tmp[k * n + x];
+      coeffs[k * n + l] = (i32)((sum + rnd2) >> shift2);
+    }
+  }
+}
+
+static const int kQuantScale[6] = {26214, 23302, 20560, 18396, 16384, 14564};
+
+void quantize(i32* levels, const i32* coeffs, int n, int qp, int log2_size,
+              int bit_depth, bool intra) {
+  // qbits such that quantize inverts the decoder's dequant scale:
+  // quantScale[i] * levelScale[i] ~= 2^20, fwd-transform DC gain is 2^7, and
+  // the dequant+IDCT gain works out so qbits = 29 - bitDepth - log2 + qp/6
+  // (equal to HM's QUANT_SHIFT + qp/6 + (MAX_TR_DYNAMIC_RANGE - bd - log2)).
+  int qbits = 29 - bit_depth - log2_size + qp / 6;
+  i64 offset = intra ? ((i64)171 << (qbits - 9)) : ((i64)85 << (qbits - 9));
+  int q = kQuantScale[qp % 6];
+  for (int i = 0; i < n; i++) {
+    i64 a = (i64)abs_i(coeffs[i]);
+    i32 lv = (i32)((a * q + offset) >> qbits);
+    levels[i] = (coeffs[i] < 0) ? -lv : lv;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Encoder
+// ---------------------------------------------------------------------------
+Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
+  sps_ = std::make_shared<Sps>();
+  Sps& s = *sps_;
+  s.sps_id = 0;
+  s.chroma_format_idc = 1;
+  s.pic_width_in_luma_samples = (cfg.width + 7) & ~7;
+  s.pic_height_in_luma_samples = (cfg.height + 7) & ~7;
+  s.conformance_window_flag = (s.pic_width_in_luma_samples != cfg.width) ||
+                              (s.pic_height_in_luma_samples != cfg.height);
+  s.conf_win_right = (s.pic_width_in_luma_samples - cfg.width) / 2;
+  s.conf_win_bottom = (s.pic_height_in_luma_samples - cfg.height) / 2;
+  s.bit_depth_luma = s.bit_depth_chroma = 8;
+  s.log2_max_pic_order_cnt_lsb = 8;
+  for (int i = 0; i < kMaxSubLayers; i++) {
+    s.max_dec_pic_buffering[i] = 2;
+    s.max_num_reorder_pics[i] = 0;
+    s.max_latency_increase[i] = 0;
+  }
+  s.log2_min_cb_size = cfg.min_cb_log2;
+  s.log2_diff_max_min_cb_size = cfg.ctb_log2 - cfg.min_cb_log2;
+  s.log2_min_tb_size = 2;
+  s.log2_diff_max_min_tb_size = 2;  // max TB 16
+  s.max_transform_hierarchy_depth_inter = 0;
+  s.max_transform_hierarchy_depth_intra = 0;
+  s.scaling_list_enabled = false;
+  s.amp_enabled = false;
+  s.sao_enabled = false;
+  s.pcm_enabled = false;
+  s.temporal_mvp_enabled = false;
+  s.strong_intra_smoothing_enabled = true;
+  s.compute_derived();
+
+  pps_ = std::make_shared<Pps>();
+  Pps& p = *pps_;
+  p.pps_id = 0;
+  p.sps_id = 0;
+  p.sps = sps_;
+  p.init_qp = 26;
+  p.cu_qp_delta_enabled = false;
+  p.loop_filter_across_slices = true;
+  p.log2_parallel_merge_level = 2;
+  p.compute_derived();
+
+  recon_ = std::make_unique<Frame>();
+}
+
+void Encoder::write_headers(std::vector<u8>* out) {
+  const Sps& s = *sps_;
+
+  // --- VPS ---
+  BitWriter vps;
+  vps.write_bits(0, 4);   // vps_id
+  vps.write_bits(3, 2);   // reserved_three_2bits
+  vps.write_bits(0, 6);   // max_layers_minus1
+  vps.write_bits(0, 3);   // max_sub_layers_minus1
+  vps.write_flag(true);   // temporal_id_nesting
+  vps.write_bits(0xFFFF, 16);
+  // profile_tier_level
+  auto write_ptl = [](BitWriter& bw) {
+    bw.write_bits(0, 2);       // profile_space
+    bw.write_flag(false);      // tier
+    bw.write_bits(1, 5);       // profile_idc = Main
+    bw.write_bits(1 << (31 - 1), 32);  // compat flag bit for Main (flag[1])
+    bw.write_flag(true);       // progressive_source
+    bw.write_flag(false);      // interlaced
+    bw.write_flag(true);       // non_packed
+    bw.write_flag(true);       // frame_only
+    bw.write_bits(0, 32);      // reserved 44 bits
+    bw.write_bits(0, 12);
+    bw.write_bits(120, 8);     // level 4.0
+  };
+  write_ptl(vps);
+  vps.write_flag(false);  // sub_layer_ordering_info_present (== max layer only)
+  vps.write_uvlc(1);      // max_dec_pic_buffering_minus1
+  vps.write_uvlc(0);      // max_num_reorder
+  vps.write_uvlc(0);      // max_latency_increase_plus1
+  vps.write_bits(0, 6);   // max_layer_id
+  vps.write_uvlc(0);      // num_layer_sets_minus1
+  vps.write_flag(false);  // timing_info_present
+  vps.write_flag(false);  // extension
+  vps.trailing_bits();
+  append_nal(out, NAL_VPS, 0, vps.rbsp());
+
+  // --- SPS ---
+  BitWriter sp;
+  sp.write_bits(0, 4);  // vps_id
+  sp.write_bits(0, 3);  // max_sub_layers_minus1
+  sp.write_flag(true);  // temporal_id_nesting
+  write_ptl(sp);
+  sp.write_uvlc(0);  // sps_id
+  sp.write_uvlc(1);  // chroma_format_idc 4:2:0
+  sp.write_uvlc((u32)s.pic_width_in_luma_samples);
+  sp.write_uvlc((u32)s.pic_height_in_luma_samples);
+  sp.write_flag(s.conformance_window_flag);
+  if (s.conformance_window_flag) {
+    sp.write_uvlc(0);
+    sp.write_uvlc((u32)s.conf_win_right);
+    sp.write_uvlc(0);
+    sp.write_uvlc((u32)s.conf_win_bottom);
+  }
+  sp.write_uvlc(0);  // bit_depth_luma_minus8
+  sp.write_uvlc(0);  // bit_depth_chroma_minus8
+  sp.write_uvlc((u32)(s.log2_max_pic_order_cnt_lsb - 4));
+  sp.write_flag(false);  // sub_layer_ordering_info_present
+  sp.write_uvlc((u32)(s.max_dec_pic_buffering[0] - 1));
+  sp.write_uvlc(0);  // num_reorder
+  sp.write_uvlc(0);  // max_latency
+  sp.write_uvlc((u32)(s.log2_min_cb_size - 3));
+  sp.write_uvlc((u32)s.log2_diff_max_min_cb_size);
+  sp.write_uvlc((u32)(s.log2_min_tb_size - 2));
+  sp.write_uvlc((u32)s.log2_diff_max_min_tb_size);
+  sp.write_uvlc(0);  // max_transform_hierarchy_depth_inter
+  sp.write_uvlc(0);  // ..._intra
+  sp.write_flag(false);  // scaling_list_enabled
+  sp.write_flag(false);  // amp
+  sp.write_flag(false);  // sao
+  sp.write_flag(false);  // pcm
+  sp.write_uvlc(0);      // num_short_term_ref_pic_sets
+  sp.write_flag(false);  // long_term_ref_pics_present
+  sp.write_flag(false);  // temporal_mvp
+  sp.write_flag(true);   // strong_intra_smoothing
+  sp.write_flag(false);  // vui_present
+  sp.write_flag(false);  // extension
+  sp.trailing_bits();
+  append_nal(out, NAL_SPS, 0, sp.rbsp());
+
+  // --- PPS ---
+  BitWriter pp;
+  pp.write_uvlc(0);      // pps_id
+  pp.write_uvlc(0);      // sps_id
+  pp.write_flag(false);  // dependent_slice_segments
+  pp.write_flag(false);  // output_flag_present
+  pp.write_bits(0, 3);   // num_extra_slice_header_bits
+  pp.write_flag(false);  // sign_data_hiding
+  pp.write_flag(false);  // cabac_init_present
+  pp.write_uvlc(0);      // num_ref_idx_l0_default_minus1
+  pp.write_uvlc(0);      // num_ref_idx_l1_default_minus1
+  pp.write_svlc(0);      // init_qp_minus26
+  pp.write_flag(false);  // constrained_intra_pred
+  pp.write_flag(false);  // transform_skip
+  pp.write_flag(false);  // cu_qp_delta_enabled
+  pp.write_svlc(0);      // cb_qp_offset
+  pp.write_svlc(0);      // cr_qp_offset
+  pp.write_flag(false);  // slice_chroma_qp_offsets_present
+  pp.write_flag(false);  // weighted_pred
+  pp.write_flag(false);  // weighted_bipred
+  pp.write_flag(false);  // transquant_bypass
+  pp.write_flag(false);  // tiles_enabled
+  pp.write_flag(false);  // entropy_coding_sync
+  pp.write_flag(true);   // loop_filter_across_slices
+  pp.write_flag(false);  // deblocking_filter_control_present
+  pp.write_flag(false);  // pps_scaling_list_data_present
+  pp.write_flag(false);  // lists_modification_present
+  pp.write_uvlc(0);      // log2_parallel_merge_level_minus2
+  pp.write_flag(false);  // slice_segment_header_extension
+  pp.write_flag(false);  // pps_extension
+  pp.trailing_bits();
+  append_nal(out, NAL_PPS, 0, pp.rbsp());
+}
+
+void Encoder::write_slice_header(BitWriter* bw, bool /*first_pic*/) {
+  bw->write_flag(true);   // first_slice_segment_in_pic_flag
+  bw->write_flag(false);  // no_output_of_prior_pics (IRAP)
+  bw->write_uvlc(0);      // pps_id
+  bw->write_uvlc(SLICE_I);
+  // IDR: no POC, no RPS
+  // (sao disabled in SPS -> no sao flags)
+  bw->write_svlc(cfg_.qp - 26);  // slice_qp_delta (init_qp = 26)
+  // deblocking control not present; loop filter flag not present
+  // no tiles/WPP -> no entry points
+  // byte_alignment
+  bw->trailing_bits();
+}
+
+std::vector<u8> Encoder::encode_frame(const u8* y, int stride_y, const u8* cb,
+                                      const u8* cr, int stride_c) {
+  std::vector<u8> out;
+  if (!headers_written_) {
+    write_headers(&out);
+    headers_written_ = true;
+  }
+
+  recon_->alloc(sps_, pps_);
+  recon_->poc = 0;
+  prog_.clear();
+  prog_.frame = recon_.get();
+  // the recon program needs slice-addr grids for availability checks
+  for (auto& s : recon_->slice_addr_rs) s = -1;
+
+  src_[0] = y;
+  src_[1] = cb;
+  src_[2] = cr;
+  src_stride_[0] = stride_y;
+  src_stride_[1] = src_stride_[2] = stride_c;
+
+  slice_bw_.clear();
+  write_slice_header(&slice_bw_, frame_count_ == 0);
+  cabac_ = std::make_unique<CabacEncoder>(&slice_bw_);
+  ctx_.init(0 /* I slice */, cfg_.qp);
+
+  int n_ctbs = sps_->pic_size_in_ctbs;
+  for (int rs = 0; rs < n_ctbs; rs++) {
+    int cx = rs % sps_->pic_width_in_ctbs;
+    int cy = rs / sps_->pic_width_in_ctbs;
+    recon_->slice_addr_rs[rs] = 0;
+    recon_->slice_idx[rs] = 0;
+    encode_ctb(cx, cy);
+    cabac_->encode_terminate(rs == n_ctbs - 1 ? 1 : 0);
+  }
+
+  append_nal(&out, NAL_IDR_W_RADL, 0, slice_bw_.rbsp());
+  frame_count_++;
+  return out;
+}
+
+void Encoder::encode_ctb(int ctb_x, int ctb_y) {
+  encode_cq(ctb_x << sps_->log2_ctb_size, ctb_y << sps_->log2_ctb_size,
+            sps_->log2_ctb_size, 0);
+}
+
+void Encoder::encode_cq(int x0, int y0, int log2_size, int depth) {
+  const Sps& s = *sps_;
+  if (x0 >= s.pic_width_in_luma_samples || y0 >= s.pic_height_in_luma_samples)
+    return;
+
+  bool inside = (x0 + (1 << log2_size) <= s.pic_width_in_luma_samples) &&
+                (y0 + (1 << log2_size) <= s.pic_height_in_luma_samples);
+  // policy: CUs are 16x16 (log2 4); larger blocks split, 8x8 only at forced
+  // boundary splits.
+  bool split = (log2_size > 4) || !inside;
+  if (log2_size <= s.log2_min_cb_size) split = false;
+
+  if (inside && log2_size > s.log2_min_cb_size) {
+    // write split_cu_flag with the decoder's context derivation
+    int inc = 0;
+    if (z_available(*recon_, x0, y0, x0 - 1, y0) &&
+        recon_->ct_depth[(y0 >> 2) * recon_->pb_w + ((x0 - 1) >> 2)] > depth)
+      inc++;
+    if (z_available(*recon_, x0, y0, x0, y0 - 1) &&
+        recon_->ct_depth[((y0 - 1) >> 2) * recon_->pb_w + (x0 >> 2)] > depth)
+      inc++;
+    cabac_->encode_bin(&ctx_[CTX_SPLIT_CU_FLAG + inc], split ? 1 : 0);
+  }
+
+  if (split) {
+    int half = 1 << (log2_size - 1);
+    encode_cq(x0, y0, log2_size - 1, depth + 1);
+    encode_cq(x0 + half, y0, log2_size - 1, depth + 1);
+    encode_cq(x0, y0 + half, log2_size - 1, depth + 1);
+    encode_cq(x0 + half, y0 + half, log2_size - 1, depth + 1);
+    return;
+  }
+
+  // record depth over CU area (context for later CUs)
+  int n4 = 1 << (log2_size - 2);
+  for (int dy = 0; dy < n4; dy++)
+    for (int dx = 0; dx < n4; dx++) {
+      int px = (x0 >> 2) + dx, py = (y0 >> 2) + dy;
+      if (px < recon_->pb_w && py < recon_->pb_h)
+        recon_->ct_depth[py * recon_->pb_w + px] = (u8)depth;
+    }
+  encode_cu(x0, y0, log2_size);
+}
+
+int Encoder::choose_luma_mode(int x0, int y0, int log2_size) {
+  int n = 1 << log2_size;
+  int best_mode = 1, best_cost = INT32_MAX;
+  IntraRec rec;
+  rec.x = (u16)x0;
+  rec.y = (u16)y0;
+  rec.log2_size = (u8)log2_size;
+  rec.cidx = 0;
+  for (int mode : cfg_.intra_candidates) {
+    rec.mode = (u8)mode;
+    execute_intra_scalar(prog_, rec);
+    int sad = 0;
+    for (int yy = 0; yy < n; yy++) {
+      const u8* sr = src_[0] + (size_t)(y0 + yy) * src_stride_[0] + x0;
+      const u8* pr = recon_->px8(0, x0, y0 + yy);
+      for (int xx = 0; xx < n; xx++) sad += abs_i(sr[xx] - pr[xx]);
+    }
+    if (sad < best_cost) {
+      best_cost = sad;
+      best_mode = mode;
+    }
+  }
+  return best_mode;
+}
+
+void Encoder::write_intra_luma_mode(int x0, int y0, int mode) {
+  // candidate derivation identical to the decoder (spec 8.4.2)
+  Frame& f = *recon_;
+  int cand_a = 1, cand_b = 1;
+  if (z_available(f, x0, y0, x0 - 1, y0)) {
+    int i4 = (y0 >> 2) * f.pb_w + ((x0 - 1) >> 2);
+    if ((f.cu_info[i4] & 1) && !(f.cu_info[i4] & 2))
+      cand_a = f.intra_pred_mode[i4];
+  }
+  if (z_available(f, x0, y0, x0, y0 - 1) &&
+      ((y0 - 1) >> sps_->log2_ctb_size) == (y0 >> sps_->log2_ctb_size)) {
+    int i4 = ((y0 - 1) >> 2) * f.pb_w + (x0 >> 2);
+    if ((f.cu_info[i4] & 1) && !(f.cu_info[i4] & 2))
+      cand_b = f.intra_pred_mode[i4];
+  }
+  int cand[3];
+  if (cand_a == cand_b) {
+    if (cand_a < 2) {
+      cand[0] = 0; cand[1] = 1; cand[2] = 26;
+    } else {
+      cand[0] = cand_a;
+      cand[1] = 2 + ((cand_a + 29) % 32);
+      cand[2] = 2 + ((cand_a - 2 + 1) % 32);
+    }
+  } else {
+    cand[0] = cand_a;
+    cand[1] = cand_b;
+    if (cand_a != 0 && cand_b != 0) cand[2] = 0;
+    else if (cand_a != 1 && cand_b != 1) cand[2] = 1;
+    else cand[2] = 26;
+  }
+
+  int mpm = -1;
+  for (int k = 0; k < 3; k++)
+    if (cand[k] == mode) mpm = k;
+
+  cabac_->encode_bin(&ctx_[CTX_PREV_INTRA_LUMA_PRED], mpm >= 0 ? 1 : 0);
+  if (mpm >= 0) {
+    // TR cMax=2 bypass
+    if (mpm == 0) {
+      cabac_->encode_bypass(0);
+    } else {
+      cabac_->encode_bypass(1);
+      cabac_->encode_bypass(mpm == 2 ? 1 : 0);
+    }
+  } else {
+    // rem_intra_luma_pred_mode: subtract the (sorted) candidates above it
+    int c0 = cand[0], c1 = cand[1], c2 = cand[2];
+    if (c0 > c1) std::swap(c0, c1);
+    if (c0 > c2) std::swap(c0, c2);
+    if (c1 > c2) std::swap(c1, c2);
+    int rem = mode;
+    if (mode > c2) rem--;
+    if (mode > c1) rem--;
+    if (mode > c0) rem--;
+    cabac_->encode_bypass_bits((u32)rem, 5);
+  }
+}
+
+void Encoder::encode_cu(int x0, int y0, int log2_size) {
+  Frame& f = *recon_;
+  int n4 = 1 << (log2_size - 2);
+
+  // part_mode (intra, coded only at minimum CB size): always 2Nx2N
+  if (log2_size == sps_->log2_min_cb_size)
+    cabac_->encode_bin(&ctx_[CTX_PART_MODE], 1);
+
+  int mode = choose_luma_mode(x0, y0, log2_size);
+  write_intra_luma_mode(x0, y0, mode);
+  // chroma: derived mode (DM) -> single context bin 0
+  cabac_->encode_bin(&ctx_[CTX_INTRA_CHROMA_PRED_MODE], 0);
+
+  // update metadata grids (intra flags + modes) over the CU
+  for (int dy = 0; dy < n4; dy++)
+    for (int dx = 0; dx < n4; dx++) {
+      int px = (x0 >> 2) + dx, py = (y0 >> 2) + dy;
+      if (px >= f.pb_w || py >= f.pb_h) continue;
+      f.cu_info[py * f.pb_w + px] = 1;  // intra
+      f.intra_pred_mode[py * f.pb_w + px] = (u8)mode;
+      f.intra_mode_c[py * f.pb_w + px] = (u8)mode;  // DM
+      f.qp_y[py * f.pb_w + px] = (i8)cfg_.qp;
+    }
+
+  // --- transform tree: single TU = CU (max depth 0) ---
+  // The chroma cbf flags precede cbf_luma in the bitstream, so transform the
+  // channels first to learn the cbfs, then write flags, then residuals.
+  // Order of reconstruction must follow the decoder: luma pred+res, cb, cr.
+
+  // 1. luma predict + transform (prediction uses final recon borders)
+  struct Pending {
+    bool cbf;
+    std::vector<i32> levels;
+    int scan;
+    int x0c, y0c, log2, cidx, mode;
+  } ch[3];
+
+  auto prepare_channel = [&](int cidx, int log2c, int x0c, int y0c, int m) {
+    Pending& pc = ch[cidx];
+    pc.x0c = x0c;
+    pc.y0c = y0c;
+    pc.log2 = log2c;
+    pc.cidx = cidx;
+    pc.mode = m;
+    int n = 1 << log2c;
+    // predict into recon
+    IntraRec rec;
+    rec.x = (u16)x0c;
+    rec.y = (u16)y0c;
+    rec.log2_size = (u8)log2c;
+    rec.cidx = (u8)cidx;
+    rec.mode = (u8)m;
+    execute_intra_scalar(prog_, rec);
+    prog_.intras.push_back(rec);
+    prog_.ops.push_back({Op::kIntraPred, (u32)(prog_.intras.size() - 1)});
+
+    // residual = src - pred
+    i32 res[32 * 32];
+    for (int yy = 0; yy < n; yy++) {
+      const u8* sr = src_[cidx] + (size_t)(y0c + yy) * src_stride_[cidx] + x0c;
+      const u8* pr = f.px8(cidx, x0c, y0c + yy);
+      for (int xx = 0; xx < n; xx++) res[yy * n + xx] = sr[xx] - pr[xx];
+    }
+    i32 coeffs[32 * 32];
+    fwd_dct_2d(coeffs, res, log2c, 8);
+    pc.levels.resize(n * n);
+    quantize(pc.levels.data(), coeffs, n * n, cfg_.qp, log2c, 8, true);
+    pc.cbf = false;
+    for (int i = 0; i < n * n; i++)
+      if (pc.levels[i]) pc.cbf = true;
+
+    // scan from intra mode
+    int scan = 0;
+    if (log2c == 2 || (log2c == 3 && cidx == 0)) {
+      if (m >= 6 && m <= 14) scan = 2;
+      else if (m >= 22 && m <= 30) scan = 1;
+    }
+    pc.scan = scan;
+  };
+
+  // NB: chroma prediction borders depend on the *luma* reconstruction only
+  // through the chroma plane; channel order below matches the decoder.
+  prepare_channel(0, log2_size, x0, y0, mode);
+
+  // emit luma TU now (residual add before chroma prediction — chroma planes
+  // are independent, so ordering here only needs to match within-plane)
+  auto emit_tu = [&](Pending& pc) {
+    if (!pc.cbf) return;
+    int n = 1 << pc.log2;
+    // write + program-append sparse coeffs
+    u32 start = (u32)prog_.coeff_val.size();
+    const ScanPos* scan_sub = scan_order(pc.log2 - 2, pc.scan);
+    const ScanPos* scan_pos = scan_order(2, pc.scan);
+    int sbw = 1 << (pc.log2 - 2);
+    // program wants decode order; order does not matter for correctness of
+    // the scatter, use raster
+    for (int i = 0; i < n * n; i++) {
+      if (pc.levels[i]) {
+        prog_.coeff_val.push_back((i16)clip3(-32768, 32767, pc.levels[i]));
+        int xc = i % n, yc = i / n;
+        prog_.coeff_pos.push_back((u16)((yc << 6) | xc));
+      }
+    }
+    (void)scan_sub;
+    (void)scan_pos;
+    (void)sbw;
+    TuRec tu;
+    tu.x = (u16)pc.x0c;
+    tu.y = (u16)pc.y0c;
+    tu.log2_size = (u8)pc.log2;
+    tu.cidx = (u8)pc.cidx;
+    tu.qp = (i8)(pc.cidx == 0 ? cfg_.qp : chroma_qp(cfg_.qp));
+    tu.flags = TuRec::kIntra |
+               ((pc.log2 == 2 && pc.cidx == 0) ? TuRec::kUseDst : 0);
+    tu.coeff_start = start;
+    tu.ncoeff = (u16)(prog_.coeff_val.size() - start);
+    prog_.tus.push_back(tu);
+    prog_.ops.push_back({Op::kAddResidual, (u32)(prog_.tus.size() - 1)});
+    execute_tu_scalar(prog_, tu);
+  };
+
+  int log2c = log2_size - 1;
+  prepare_channel(1, log2c, x0 >> 1, y0 >> 1, map_dm_chroma(mode));
+  prepare_channel(2, log2c, x0 >> 1, y0 >> 1, map_dm_chroma(mode));
+
+  // --- write transform_unit syntax ---
+  // cbf_cb, cbf_cr at depth 0, then cbf_luma (ctx depth==0 -> 1)
+  cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[1].cbf ? 1 : 0);
+  cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[2].cbf ? 1 : 0);
+  cabac_->encode_bin(&ctx_[CTX_CBF_LUMA + 1], ch[0].cbf ? 1 : 0);
+
+  if (ch[0].cbf)
+    write_residual(x0, y0, log2_size, 0, ch[0].levels.data(), ch[0].scan);
+  emit_tu(ch[0]);
+  if (ch[1].cbf)
+    write_residual(x0, y0, log2c, 1, ch[1].levels.data(), ch[1].scan);
+  emit_tu(ch[1]);
+  if (ch[2].cbf)
+    write_residual(x0, y0, log2c, 2, ch[2].levels.data(), ch[2].scan);
+  emit_tu(ch[2]);
+}
+
+// ---------------------------------------------------------------------------
+// residual_coding writer (inverse of residual.cc; spec 7.3.8.11)
+// ---------------------------------------------------------------------------
+void Encoder::write_residual(int x0c, int y0c, int log2, int cidx,
+                             const i32* levels, int scan_idx) {
+  CabacEncoder& c = *cabac_;
+  const bool trace = getenv("TDE_RES_TRACE") != nullptr;
+  int n = 1 << log2;
+  const ScanPos* scan_sub = scan_order(log2 - 2, scan_idx);
+  const ScanPos* scan_pos = scan_order(2, scan_idx);
+  int sbw = 1 << (log2 - 2);
+
+  // (transform_skip disabled in PPS; no flag)
+
+  // --- locate last significant coefficient in scan order ---
+  int last_sb = -1, last_pos = -1;
+  for (int i = sbw * sbw - 1; i >= 0 && last_sb < 0; i--) {
+    for (int p = 15; p >= 0; p--) {
+      int xc = (scan_sub[i].x << 2) + scan_pos[p].x;
+      int yc = (scan_sub[i].y << 2) + scan_pos[p].y;
+      if (levels[yc * n + xc]) {
+        last_sb = i;
+        last_pos = p;
+        break;
+      }
+    }
+  }
+  assert(last_sb >= 0);
+
+  int lx = (scan_sub[last_sb].x << 2) + scan_pos[last_pos].x;
+  int ly = (scan_sub[last_sb].y << 2) + scan_pos[last_pos].y;
+  if (scan_idx == 2) std::swap(lx, ly);
+
+  // --- last_sig_coeff prefixes/suffixes ---
+  auto write_last = [&](int v, int ctx_base) {
+    int cmax = (log2 << 1) - 1;
+    int ctx_offset, ctx_shift;
+    if (cidx == 0) {
+      ctx_offset = 3 * (log2 - 2) + ((log2 - 1) >> 2);
+      ctx_shift = (log2 + 1) >> 2;
+    } else {
+      ctx_offset = 15;
+      ctx_shift = log2 - 2;
+    }
+    int prefix;
+    if (v <= 3) {
+      prefix = v;
+    } else {
+      int g = ilog2((u32)v);
+      prefix = 2 * g + (v >= (3 << (g - 1)) ? 1 : 0);
+    }
+    for (int b = 0; b < prefix; b++)
+      c.encode_bin(&ctx_[ctx_base + ctx_offset + (b >> ctx_shift)], 1);
+    if (prefix < cmax)
+      c.encode_bin(&ctx_[ctx_base + ctx_offset + (prefix >> ctx_shift)], 0);
+    return prefix;
+  };
+  auto write_last_suffix = [&](int v, int prefix) {
+    if (prefix > 3) {
+      int nbits = (prefix >> 1) - 1;
+      int suffix = v - ((2 + (prefix & 1)) << nbits);
+      c.encode_bypass_bits((u32)suffix, nbits);
+    }
+  };
+  if (trace) printf("RES (%d,%d) s%d c%d scan%d last=%d,%d\n", x0c, y0c, n, cidx, scan_idx, lx, ly);
+  // spec bin order: x-prefix, y-prefix, then x-suffix, y-suffix
+  int prefix_x = write_last(lx, CTX_LAST_SIG_X_PREFIX);
+  int prefix_y = write_last(ly, CTX_LAST_SIG_Y_PREFIX);
+  write_last_suffix(lx, prefix_x);
+  write_last_suffix(ly, prefix_y);
+
+  // --- sub-block loop ---
+  u8 csbf[8 * 8];
+  memset(csbf, 0, sizeof(csbf));
+  // mark which sub-blocks have coefficients
+  bool sb_has[8 * 8];
+  for (int i = 0; i < sbw * sbw; i++) {
+    int xs = scan_sub[i].x, ys = scan_sub[i].y;
+    bool has = false;
+    for (int p = 0; p < 16; p++) {
+      int xc = (xs << 2) + scan_pos[p].x, yc = (ys << 2) + scan_pos[p].y;
+      if (levels[yc * n + xc]) has = true;
+    }
+    sb_has[i] = has;
+  }
+
+  int c1 = 1;
+  for (int i = last_sb; i >= 0; i--) {
+    int xs = scan_sub[i].x, ys = scan_sub[i].y;
+    int coded;
+    int infer_sb_dc = 0;
+    if (i < last_sb && i > 0) {
+      coded = sb_has[i] ? 1 : 0;
+      int csbf_ctx = (csbf[xs + ys * sbw] & 1) | (csbf[xs + ys * sbw] >> 1);
+      c.encode_bin(&ctx_[CTX_CODED_SUB_BLOCK_FLAG + (cidx ? 2 : 0) + csbf_ctx],
+                   coded);
+      infer_sb_dc = 1;
+    } else {
+      coded = 1;
+    }
+    if (coded) {
+      if (xs > 0) csbf[xs - 1 + ys * sbw] |= 1;
+      if (ys > 0) csbf[xs + (ys - 1) * sbw] |= 2;
+    }
+    if (!coded) continue;
+
+    int prev_csbf = csbf[xs + ys * sbw];
+
+    // significance flags + coefficient collection (descending scan order)
+    i32 coeff_abs[16];
+    i8 coeff_sign[16], pos_list[16];
+    int n_coeffs = 0;
+    int first_coded = (i == last_sb) ? last_pos - 1 : 15;
+    if (i == last_sb) {
+      int xc = (xs << 2) + scan_pos[last_pos].x;
+      int yc = (ys << 2) + scan_pos[last_pos].y;
+      i32 v = levels[yc * n + xc];
+      coeff_abs[0] = abs_i(v);
+      coeff_sign[0] = v < 0;
+      pos_list[0] = (i8)last_pos;
+      n_coeffs = 1;
+    }
+    for (int p = first_coded; p > 0; p--) {
+      int xc = (xs << 2) + scan_pos[p].x, yc = (ys << 2) + scan_pos[p].y;
+      i32 v = levels[yc * n + xc];
+      int sig = v != 0;
+      int ctx_inc = sig_ctx_inc(log2, cidx, xc, yc, prev_csbf, scan_idx);
+      c.encode_bin(&ctx_[CTX_SIG_COEFF_FLAG + ctx_inc], sig);
+      if (sig) {
+        coeff_abs[n_coeffs] = abs_i(v);
+        coeff_sign[n_coeffs] = v < 0;
+        pos_list[n_coeffs] = (i8)p;
+        n_coeffs++;
+        infer_sb_dc = 0;
+      }
+    }
+    // DC
+    if (first_coded >= 0) {
+      int xc = xs << 2, yc = ys << 2;
+      i32 v = levels[yc * n + xc];
+      if (infer_sb_dc) {
+        // inference requires a nonzero DC (enforced by sb_has + no AC case)
+        assert(v != 0);
+        coeff_abs[n_coeffs] = abs_i(v);
+        coeff_sign[n_coeffs] = v < 0;
+        pos_list[n_coeffs] = 0;
+        n_coeffs++;
+      } else {
+        int sig = v != 0;
+        int ctx_inc = sig_ctx_inc(log2, cidx, xc, yc, prev_csbf, scan_idx);
+        c.encode_bin(&ctx_[CTX_SIG_COEFF_FLAG + ctx_inc], sig);
+        if (sig) {
+          coeff_abs[n_coeffs] = abs_i(v);
+          coeff_sign[n_coeffs] = v < 0;
+          pos_list[n_coeffs] = 0;
+          n_coeffs++;
+        }
+      }
+    }
+    if (!n_coeffs) continue;
+    if (trace) {
+      printf("  sb %d n%d pos:", i, n_coeffs);
+      for (int k = 0; k < n_coeffs; k++) printf(" %d", pos_list[k]);
+      printf("\n");
+      for (int k = 0; k < n_coeffs; k++)
+        printf("    coeff p%d = %d\n", pos_list[k], coeff_sign[k] ? -(int)coeff_abs[k] : (int)coeff_abs[k]);
+    }
+
+    // greater1 flags (max 8) with the caller-side c1 tracking
+    int ctx_set = (i == 0 || cidx > 0) ? 0 : 2;
+    if (c1 == 0) ctx_set++;
+    c1 = 1;
+    i8 has_max_base[16];
+    int first_gt1 = -1;
+    int n_gt1 = min_i(8, n_coeffs);
+    for (int k = 0; k < n_coeffs; k++) has_max_base[k] = 1;
+    for (int k = 0; k < n_gt1; k++) {
+      int gt1 = coeff_abs[k] > 1;
+      int ctx_inc = ctx_set * 4 + min_i(c1, 3) + (cidx ? 16 : 0);
+      c.encode_bin(&ctx_[CTX_COEFF_ABS_GT1 + ctx_inc], gt1);
+      if (gt1) {
+        c1 = 0;
+        if (first_gt1 < 0) first_gt1 = k;
+      } else {
+        has_max_base[k] = 0;
+        if (c1 < 3 && c1 > 0) c1++;
+      }
+    }
+    int base_level_gt2 = -1;
+    if (first_gt1 >= 0) {
+      int gt2 = coeff_abs[first_gt1] > 2;
+      c.encode_bin(&ctx_[CTX_COEFF_ABS_GT2 + ctx_set + (cidx ? 4 : 0)], gt2);
+      has_max_base[first_gt1] = (i8)gt2;
+      base_level_gt2 = first_gt1;
+    }
+
+    // signs (sign hiding disabled in PPS)
+    for (int k = 0; k < n_coeffs; k++) c.encode_bypass(coeff_sign[k]);
+
+    // remaining levels (mirrors the decoder: coded only where the base level
+    // reached its maximum; decoder base = 1 + gt1 + gt2-as-coded)
+    int rice = 0;
+    for (int k = 0; k < n_coeffs; k++) {
+      int coded_base = 1;
+      if (k < n_gt1) {
+        coded_base += (coeff_abs[k] > 1) ? 1 : 0;
+        if (k == base_level_gt2) coded_base += (coeff_abs[k] > 2) ? 1 : 0;
+      }
+      if (!has_max_base[k]) continue;
+      int remaining = (int)coeff_abs[k] - coded_base;
+      assert(remaining >= 0);
+      // TR/EGk hybrid (spec 9.3.3.9), inverse of the decoder's parse
+      if ((remaining >> rice) < 4) {
+        int prefix = remaining >> rice;
+        for (int b = 0; b < prefix; b++) c.encode_bypass(1);
+        c.encode_bypass(0);
+        if (rice)
+          c.encode_bypass_bits((u32)(remaining & ((1 << rice) - 1)), rice);
+      } else {
+        // prefix p>3 covers [((1<<(p-3))+2) << rice, ((1<<(p-2))+2) << rice)
+        int pfx = 4;
+        while (remaining >= (((1 << (pfx - 2)) + 2) << rice)) pfx++;
+        int suffix = remaining - (((1 << (pfx - 3)) + 2) << rice);
+        for (int b = 0; b < pfx; b++) c.encode_bypass(1);
+        c.encode_bypass(0);
+        c.encode_bypass_bits((u32)suffix, pfx - 3 + rice);
+      }
+      if (coded_base + remaining > 3 * (1 << rice)) rice = min_i(rice + 1, 4);
+    }
+  }
+}
+
+int Encoder::map_dm_chroma(int luma_mode) { return luma_mode; }
+
+int Encoder::chroma_qp(int qp_y) {
+  int qpi = clip3(0, 57, qp_y);
+  if (qpi < 30) return qpi;
+  if (qpi > 43) return qpi - 6;
+  static const int tab[14] = {29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37};
+  return tab[qpi - 30];
+}
+
+}  // namespace tde265

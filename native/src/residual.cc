@@ -1,3 +1,5 @@
+#include <cstdio>
+#include <cstdlib>
 // residual_coding (spec 7.3.8.11) — parses one channel's coefficients and
 // emits a TuRec + sparse coefficient list into the FrameProgram.
 // Behavior counterpart of /root/reference/libde265/slice.cc:2943-3457.
@@ -13,6 +15,9 @@ namespace {
 // sig_coeff_flag context map for 4x4 TUs (spec 9.3.4.2.5), indexed 4*y+x.
 const u8 kSigCtx4x4[16] = {0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8};
 
+}  // namespace
+
+// shared with the encoder's residual writer (syntax.h)
 int sig_ctx_inc(int log2_size, int cidx, int xc, int yc, int prev_csbf,
                 int scan_idx) {
   int sig;
@@ -41,6 +46,8 @@ int sig_ctx_inc(int log2_size, int cidx, int xc, int yc, int prev_csbf,
   return (cidx == 0) ? sig : 27 + sig;
 }
 
+namespace {
+
 int intra_scan_idx(int log2_size, int mode, int cidx, const Sps& sps) {
   if (log2_size == 2 ||
       (log2_size == 3 && (cidx == 0 || sps.chroma_array_type == 3))) {
@@ -54,6 +61,7 @@ int intra_scan_idx(int log2_size, int mode, int cidx, const Sps& sps) {
 
 bool SliceParser::residual_coding(int x0, int y0, int log2_size, int cidx) {
   const int size = 1 << log2_size;
+  const bool trace = getenv("TDE_RES_TRACE") != nullptr;
 
   if (cidx == 0) {
     // mark nonzero-coefficient flag over the TU area (deblock bS input)
@@ -128,6 +136,7 @@ bool SliceParser::residual_coding(int x0, int y0, int log2_size, int cidx) {
     scan_idx = intra_scan_idx(log2_size, mode, cidx, *sps_);
   }
   if (scan_idx == 2) std::swap(last_x, last_y);
+  if (trace) printf("RES (%d,%d) s%d c%d scan%d last=%d,%d\n", x0, y0, size, cidx, scan_idx, last_x, last_y);
 
   const ScanPos* scan_sub = scan_order(log2_size - 2, scan_idx);
   const ScanPos* scan_pos = scan_order(2, scan_idx);
@@ -247,6 +256,11 @@ bool SliceParser::residual_coding(int x0, int y0, int log2_size, int cidx) {
     }
 
     if (!n_coeffs) continue;
+    if (trace) {
+      printf("  sb %d n%d pos:", i, n_coeffs);
+      for (int k = 0; k < n_coeffs; k++) printf(" %d", coeff_pos_[k]);
+      printf("\n");
+    }
 
     // --- greater-1 flags (max 8) ---
     int ctx_set = (i == 0 || cidx > 0) ? 0 : 2;
@@ -335,6 +349,7 @@ bool SliceParser::residual_coding(int x0, int y0, int log2_size, int cidx) {
       int p = coeff_pos_[n];
       int xc = (sx << 2) + scan_pos[p].x;
       int yc = (sy << 2) + scan_pos[p].y;
+      if (trace) printf("    coeff p%d = %d\n", p, level);
       prog_->coeff_val.push_back((i16)clip3(-32768, 32767, level));
       prog_->coeff_pos.push_back((u16)((yc << 6) | xc));
     }

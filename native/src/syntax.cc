@@ -1039,6 +1039,8 @@ Err SliceParser::decode(const u8* data, size_t size) {
 
   qp_y_pred_ = sh_->slice_qp_y;
   qp_y_ = sh_->slice_qp_y;
+  // without cu_qp_delta there is no QG derivation: QpY == SliceQpY
+  qp_pred_cached_ = sh_->slice_qp_y;
   first_qg_ = true;
 
   size_t substream = 0;
@@ -1081,6 +1083,7 @@ Err SliceParser::decode(const u8* data, size_t size) {
       }
       qp_y_pred_ = sh_->slice_qp_y;
       qp_y_ = sh_->slice_qp_y;
+      qp_pred_cached_ = sh_->slice_qp_y;
       first_qg_ = true;
     } else {
       // tile start
@@ -1088,6 +1091,7 @@ Err SliceParser::decode(const u8* data, size_t size) {
       memset(stat_coeff_, 0, 4);
       qp_y_pred_ = sh_->slice_qp_y;
       qp_y_ = sh_->slice_qp_y;
+      qp_pred_cached_ = sh_->slice_qp_y;
       first_qg_ = true;
     }
 

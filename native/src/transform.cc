@@ -85,6 +85,11 @@ static const i8 kDstMatrix[4][4] = {{29, 55, 74, 84},
 
 static const int kLevelScale[6] = {40, 45, 51, 57, 64, 72};
 
+namespace detail {
+// matrix accessor for the forward-transform path (encoder.cc)
+const i8 (*dct_matrix_32())[32] { return kDctMatrix; }
+}  // namespace detail
+
 void idct_2d(i32* dst, const i16* coeffs, int nT, int bd_shift) {
   int rnd1 = 1 << 6;
   int fact = 32 / nT;

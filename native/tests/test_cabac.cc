@@ -2,10 +2,59 @@
 // (Engine bit-exactness is covered end-to-end by the stream tests; an
 // encoder<->decoder round-trip test is added together with the en265
 // counterpart.)
+#include "tde265/bitwriter.h"
 #include "tde265/cabac.h"
 #include "test_harness.h"
 
 using namespace tde265;
+
+TDE_TEST(cabac_encoder_decoder_roundtrip) {
+  // Random mix of context-coded, bypass, and EGk bins; encode then decode.
+  u32 seed = 0xC0FFEE;
+  auto rnd = [&]() {
+    seed = seed * 1103515245 + 12345;
+    return (seed >> 16) & 0x7FFF;
+  };
+
+  for (int trial = 0; trial < 20; trial++) {
+    ContextTable enc_ctx, dec_ctx;
+    enc_ctx.init(trial % 3, 20 + trial);
+    dec_ctx.init(trial % 3, 20 + trial);
+
+    struct Sym { int kind; int ctx; u32 val; };
+    std::vector<Sym> syms;
+    for (int i = 0; i < 500; i++) {
+      int kind = rnd() % 3;
+      Sym s;
+      s.kind = kind;
+      s.ctx = (int)(rnd() % kNumContexts);
+      s.val = (kind == 2) ? rnd() % 100 : rnd() & 1;
+      syms.push_back(s);
+    }
+
+    BitWriter bw;
+    CabacEncoder enc(&bw);
+    for (auto& s : syms) {
+      if (s.kind == 0) enc.encode_bin(&enc_ctx[s.ctx], (int)s.val);
+      else if (s.kind == 1) enc.encode_bypass((int)s.val);
+      else enc.encode_egk(s.val, 1);
+    }
+    enc.encode_terminate(1);  // flush
+
+    CabacDecoder dec;
+    dec.init(bw.rbsp().data(), bw.rbsp().size());
+    bool ok = true;
+    for (auto& s : syms) {
+      u32 v;
+      if (s.kind == 0) v = (u32)dec.decode_bin(&dec_ctx[s.ctx]);
+      else if (s.kind == 1) v = (u32)dec.decode_bypass();
+      else v = dec.decode_EGk_bypass(1);
+      if (v != s.val) { ok = false; break; }
+    }
+    TDE_CHECK(ok);
+    if (ok) TDE_CHECK_EQ(dec.decode_terminate(), 1);
+  }
+}
 
 TDE_TEST(context_init_known_values) {
   ContextTable t;

@@ -43,5 +43,7 @@ def test_first_inter_frames(native_build, programs):
 
 @pytest.mark.slow
 def test_all_frames(native_build, programs):
+    # validated green 2026-08-16: all 75 girlshy frames bit-exact through the
+    # JAX pipeline (run with: pytest -m slow tests/test_jax_pipeline.py)
     for p in programs:
         _check(p)
