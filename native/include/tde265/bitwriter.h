@@ -91,6 +91,7 @@ class CabacEncoder {
   }
 
   void encode_bin(ContextModel* m, int bin) {
+    if (g_bin_trace) bin_trace("ctx", bin, m);
     u32 lps = kCabacRangeTabLps[m->state][(range_ >> 6) & 3];
     range_ -= lps;
     if (bin != m->mps) {
@@ -105,6 +106,7 @@ class CabacEncoder {
   }
 
   void encode_bypass(int bin) {
+    if (g_bin_trace) bin_trace("byp", bin, nullptr);
     low_ <<= 1;
     if (bin) low_ += range_;
     if (low_ >= 1024) {
@@ -125,6 +127,7 @@ class CabacEncoder {
   // bin==1 flushes the arithmetic state (used for the final
   // end_of_slice_segment_flag; the flush pattern embeds the stop bit).
   void encode_terminate(int bin) {
+    if (g_bin_trace) bin_trace("trm", bin, nullptr);
     range_ -= 2;
     if (bin) {
       low_ += range_;

@@ -81,6 +81,10 @@ struct ContextTable {
   }
 };
 
+// bin-level debug tracing (TDE_BIN_TRACE); implemented in cabac.cc
+extern bool g_bin_trace;
+void bin_trace(const char* kind, int bin, const void* ctx);
+
 class CabacDecoder {
  public:
   void init(const u8* data, size_t len) {
@@ -114,17 +118,20 @@ class CabacDecoder {
       range_ <<= n;
       offset_ = (offset_ << n) | read_bits(n);
     }
+    if (g_bin_trace) bin_trace("ctx", bin, m);
     return bin;
   }
 
   // Spec 9.3.4.3.4 DecodeBypass.
   inline int decode_bypass() {
     offset_ = (offset_ << 1) | read_bits(1);
+    int b = 0;
     if (offset_ >= range_) {
       offset_ -= range_;
-      return 1;
+      b = 1;
     }
-    return 0;
+    if (g_bin_trace) bin_trace("byp", b, nullptr);
+    return b;
   }
 
   // n bypass bins at once (MSB first).  Valid because bypass decoding is a
@@ -142,6 +149,8 @@ class CabacDecoder {
           bits |= 1u << i;
         }
       }
+      if (g_bin_trace)
+        for (int i = k - 1; i >= 0; i--) bin_trace("byp", (bits >> i) & 1, nullptr);
       v = (v << k) | bits;
       n -= k;
     }
@@ -151,6 +160,7 @@ class CabacDecoder {
   // Spec 9.3.4.3.5 DecodeTerminate.
   inline int decode_terminate() {
     range_ -= 2;
+    if (g_bin_trace) bin_trace("trm", offset_ >= range_, nullptr);
     if (offset_ >= range_) return 1;
     while (range_ < 256) {
       range_ <<= 1;

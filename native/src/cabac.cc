@@ -4,7 +4,24 @@
 // constants common to every HEVC codec).
 #include "tde265/cabac.h"
 
+#include <cstdio>
+#include <cstdlib>
+
 namespace tde265 {
+
+bool g_bin_trace = false;
+static struct BinTraceInit {
+  BinTraceInit() { g_bin_trace = getenv("TDE_BIN_TRACE") != nullptr; }
+} g_bin_trace_init;
+void bin_trace(const char* kind, int bin, const void* ctx) {
+  if (ctx) {
+    const ContextModel* m = (const ContextModel*)ctx;
+    printf("BIN %s %d s%d m%d\n", kind, bin, m->state, m->mps);
+  } else {
+    printf("BIN %s %d -\n", kind, bin);
+  }
+}
+
 
 // Table 9-46: rangeTabLps[pStateIdx][qRangeIdx]
 const u8 kCabacRangeTabLps[64][4] = {

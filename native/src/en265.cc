@@ -1,0 +1,191 @@
+// en265 C API implementation (counterpart of /root/reference/libde265/
+// en265.cc) with a named-parameter registry in the spirit of the reference's
+// encoder/configparam system.
+#include <cstring>
+#include <deque>
+#include <memory>
+#include <string>
+#include <vector>
+
+#include "tde265/en265.h"
+#include "tde265/encoder.h"
+
+using namespace tde265;
+
+struct en265_image_intern {
+  int width = 0, height = 0;
+  std::vector<u8> planes[3];
+  int stride[3] = {};
+  de265_PTS pts = 0;
+  void* userdata = nullptr;
+};
+
+namespace {
+
+struct Packet {
+  en265_packet pub;
+  std::vector<u8> data;
+};
+
+struct EncCtx {
+  EncoderConfig cfg;
+  std::unique_ptr<Encoder> enc;
+  std::deque<std::unique_ptr<en265_image_intern>> input_queue;
+  std::deque<std::unique_ptr<Packet>> packets;
+  bool eof = false;
+  int frame_number = 0;
+  bool started = false;
+};
+
+EncCtx* C(en265_encoder_context* ctx) { return reinterpret_cast<EncCtx*>(ctx); }
+
+}  // namespace
+
+extern "C" {
+
+en265_encoder_context* en265_new_encoder(void) {
+  return reinterpret_cast<en265_encoder_context*>(new EncCtx());
+}
+
+de265_error en265_free_encoder(en265_encoder_context* ctx) {
+  delete C(ctx);
+  return DE265_OK;
+}
+
+de265_error en265_start_encoder(en265_encoder_context* ctx, int) {
+  C(ctx)->started = true;
+  return DE265_OK;
+}
+
+de265_error en265_set_parameter_int(en265_encoder_context* ctx,
+                                    const char* param, int value) {
+  EncCtx* c = C(ctx);
+  std::string p = param ? param : "";
+  if (p == "qp" || p == "CB-intra-qp") {
+    c->cfg.qp = clip3(1, 51, value);
+  } else if (p == "width") {
+    c->cfg.width = value;
+  } else if (p == "height") {
+    c->cfg.height = value;
+  } else if (p == "fps") {
+    c->cfg.fps_num = value;
+  } else {
+    return DE265_ERROR_PARAMETER_PARSING;
+  }
+  return DE265_OK;
+}
+
+de265_error en265_set_parameter_bool(en265_encoder_context*, const char*, int) {
+  return DE265_OK;  // accepted (no boolean knobs in the intra encoder yet)
+}
+
+de265_error en265_set_parameter_string(en265_encoder_context*, const char*,
+                                       const char*) {
+  return DE265_OK;
+}
+
+de265_error en265_set_parameter_choice(en265_encoder_context* ctx,
+                                       const char* param, const char* value) {
+  // accepted for compatibility (e.g. "sop-structure" = "intra")
+  (void)ctx;
+  (void)param;
+  (void)value;
+  return DE265_OK;
+}
+
+const char** en265_list_parameters(en265_encoder_context*) {
+  static const char* params[] = {"qp", "width", "height", "fps",
+                                 "sop-structure", nullptr};
+  return params;
+}
+
+en265_image* en265_allocate_image(en265_encoder_context*, int width, int height,
+                                  enum de265_chroma chroma, de265_PTS pts,
+                                  void* userdata) {
+  if (chroma != de265_chroma_420) return nullptr;
+  auto* img = new en265_image_intern();
+  img->width = width;
+  img->height = height;
+  img->stride[0] = width;
+  img->stride[1] = img->stride[2] = width / 2;
+  img->planes[0].assign((size_t)width * height, 0);
+  img->planes[1].assign((size_t)(width / 2) * (height / 2), 128);
+  img->planes[2].assign((size_t)(width / 2) * (height / 2), 128);
+  img->pts = pts;
+  img->userdata = userdata;
+  return img;
+}
+
+uint8_t* en265_get_image_plane(en265_image* img, int cidx, int* out_stride) {
+  if (!img || cidx < 0 || cidx > 2) return nullptr;
+  if (out_stride) *out_stride = img->stride[cidx];
+  return img->planes[cidx].data();
+}
+
+de265_error en265_push_image(en265_encoder_context* ctx, en265_image* img) {
+  C(ctx)->input_queue.emplace_back(img);
+  return DE265_OK;
+}
+
+de265_error en265_push_eof(en265_encoder_context* ctx) {
+  C(ctx)->eof = true;
+  return DE265_OK;
+}
+
+de265_error en265_encode(en265_encoder_context* ctx) {
+  EncCtx* c = C(ctx);
+  while (!c->input_queue.empty()) {
+    auto img = std::move(c->input_queue.front());
+    c->input_queue.pop_front();
+
+    if (!c->enc) {
+      c->cfg.width = img->width;
+      c->cfg.height = img->height;
+      c->enc = std::make_unique<Encoder>(c->cfg);
+    }
+    auto bits = c->enc->encode_frame(img->planes[0].data(), img->stride[0],
+                                     img->planes[1].data(),
+                                     img->planes[2].data(), img->stride[1]);
+    auto pkt = std::make_unique<Packet>();
+    pkt->data = std::move(bits);
+    memset(&pkt->pub, 0, sizeof(pkt->pub));
+    pkt->pub.version = 1;
+    pkt->pub.data = pkt->data.data();
+    pkt->pub.length = (int)pkt->data.size();
+    pkt->pub.frame_number = c->frame_number++;
+    pkt->pub.content_type = EN265_PACKET_SLICE;
+    pkt->pub.complete_picture = 1;
+    pkt->pub.final_slice = 1;
+    pkt->pub.pts = img->pts;
+    pkt->pub.user_data = img->userdata;
+    c->packets.push_back(std::move(pkt));
+  }
+  return DE265_OK;
+}
+
+enum en265_encoder_state en265_get_encoder_state(en265_encoder_context* ctx) {
+  EncCtx* c = C(ctx);
+  if (!c->packets.empty()) return EN265_STATE_WORKING;
+  if (c->eof && c->input_queue.empty()) return EN265_STATE_EOS;
+  return EN265_STATE_WAITING_FOR_INPUT;
+}
+
+const en265_packet* en265_get_packet(en265_encoder_context* ctx, int) {
+  EncCtx* c = C(ctx);
+  if (c->packets.empty()) return nullptr;
+  return &c->packets.front()->pub;
+}
+
+de265_error en265_free_packet(en265_encoder_context* ctx,
+                              const en265_packet* pkt) {
+  EncCtx* c = C(ctx);
+  if (!c->packets.empty() && &c->packets.front()->pub == pkt)
+    c->packets.pop_front();
+  return DE265_OK;
+}
+
+int en265_number_of_queued_packets(en265_encoder_context* ctx) {
+  return (int)C(ctx)->packets.size();
+}
+
+}  // extern "C"

@@ -249,7 +249,9 @@ void Encoder::write_slice_header(BitWriter* bw, bool /*first_pic*/) {
   // IDR: no POC, no RPS
   // (sao disabled in SPS -> no sao flags)
   bw->write_svlc(cfg_.qp - 26);  // slice_qp_delta (init_qp = 26)
-  // deblocking control not present; loop filter flag not present
+  // deblocking control not present in PPS -> no override flags here
+  // pps_loop_filter_across_slices == 1 and deblocking active -> flag present
+  bw->write_flag(true);  // slice_loop_filter_across_slices_enabled_flag
   // no tiles/WPP -> no entry points
   // byte_alignment
   bw->trailing_bits();
