@@ -889,6 +889,10 @@ bool SliceParser::transform_unit(int x0, int y0, int x_base, int y_base,
     if (pps_->cu_qp_delta_enabled && !cu_qp_delta_coded_) {
       cu_qp_delta_val_ = decode_cu_qp_delta();
       cu_qp_delta_coded_ = true;
+      // spec 7.4.9.10: CuQpDeltaVal in [-(26+QpBdOffsetY/2), 25+QpBdOffsetY/2]
+      int lim = 26 + sps_->qp_bd_offset_luma / 2;
+      if (cu_qp_delta_val_ < -lim || cu_qp_delta_val_ > lim)
+        return false;
     }
     if (sh_->cu_chroma_qp_offset_enabled && cbf_chroma &&
         !cu_transquant_bypass_ && !chroma_qp_offset_coded_) {

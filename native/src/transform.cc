@@ -181,7 +181,9 @@ struct ScalingFactorCache {
   }
 };
 
-static ScalingFactorCache g_sf_cache;  // single-decoder scalar path cache
+// One cache per thread: decoder contexts may run on concurrent threads
+// (the de265.h thread-safety contract is one context per thread).
+static thread_local ScalingFactorCache g_sf_cache;
 
 template <typename pixel_t>
 static void add_residual_t(pixel_t* dst, int stride, const i32* residual,
@@ -244,7 +246,7 @@ void execute_tu_scalar(const FrameProgram& prog, const TuRec& tu) {
     }
   } else {
     // --- dequant (spec 8.6.3) ---
-    int qp = tu.qp;
+    int qp = clip3(0, 63 + 12, tu.qp);  // defensive: corrupt streams
     int bd_shift = bd + tu.log2_size - 5;
     if (!sps.scaling_list_enabled) {
       bd_shift -= 4;  // flat scaling factor 16 folded into the shift
