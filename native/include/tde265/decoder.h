@@ -21,6 +21,9 @@
 #include "tde265/sei.h"
 #include "tde265/sliceheader.h"
 #include "tde265/syntax.h"
+#include "tde265/threads.h"
+
+#include <atomic>
 
 namespace tde265 {
 
@@ -70,10 +73,20 @@ class Decoder {
   // --- decode pump: returns OK and sets *more when more work is pending ---
   Err decode(int* more);
 
+  // Enable the parse||execute pipeline: picture pixel programs run on a
+  // worker thread while the host parses the next picture's slices.
+  void start_worker_threads(int n) {
+    if (n > 0 && !keep_programs) {
+      pipelined_ = true;
+      pipeline_.start();
+    }
+  }
+
   // --- output ---
   Frame* peek_next_picture();
   Frame* get_next_picture();      // like peek; caller must release
   void release_next_picture();
+  size_t output_queue_length() const { return output_queue_.size(); }
 
   size_t pending_input_bytes() const { return nal_parser_.pending_input_bytes(); }
   size_t pending_nal_units() const { return nal_parser_.queue_size(); }
@@ -139,6 +152,10 @@ class Decoder {
   void push_to_output_queue(Frame* f);
   void flush_reorder_buffer();
   bool has_free_dpb_slot() const;
+
+  OrderedExecutor pipeline_;
+  bool pipelined_ = false;
+  std::atomic<bool> async_hash_fail_{false};
 
   NalParser nal_parser_;
   std::unique_ptr<Vps> vps_[16];

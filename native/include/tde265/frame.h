@@ -13,6 +13,8 @@
 #include "tde265/common.h"
 #include "tde265/params.h"
 
+namespace tde265 { class TaskHandle; }
+
 namespace tde265 {
 
 struct MotionVector {
@@ -95,6 +97,11 @@ struct Frame {
   int nal_type = 0;
   bool integrity_ok = true;  // false if error-concealed or faulty reference
   u32 decode_order = 0;
+  // pixel-program execution pending on the pipeline worker (threads.h):
+  // `pending` = the task writing this frame's pixels; `last_use` = the most
+  // recent task reading this frame as a reference (guards slot recycling).
+  std::shared_ptr<TaskHandle> pending;
+  std::shared_ptr<TaskHandle> last_use;
 
   void alloc(std::shared_ptr<const Sps> sps, std::shared_ptr<const Pps> pps);
   void release();  // back to Unused, keep allocations for reuse

@@ -91,9 +91,12 @@ de265_error de265_free_decoder(de265_decoder_context* ctx) {
   return DE265_OK;
 }
 
-de265_error de265_start_worker_threads(de265_decoder_context*, int) {
-  // Parallelism is provided by the batched TPU pipeline; the host front-end
-  // is single-threaded per context (like one WPP wave per picture).
+de265_error de265_start_worker_threads(de265_decoder_context* ctx, int n) {
+  // Frame-granular pipeline: the host parses picture N+1 while picture N's
+  // pixel program executes on a worker (the TPU-design analogue of the
+  // reference's WPP/tile thread pool; intra-picture parallelism comes from
+  // the batched kernels).
+  C(ctx)->dec.start_worker_threads(n);
   return DE265_OK;
 }
 

@@ -17,9 +17,13 @@ Decoder::Decoder() {
     dpb_.push_back(std::make_unique<Frame>());
 }
 
-Decoder::~Decoder() = default;
+Decoder::~Decoder() {
+  if (pipelined_) pipeline_.drain();
+  pipeline_.stop();
+}
 
 void Decoder::reset() {
+  if (pipelined_) pipeline_.drain();
   nal_parser_.reset();
   for (auto& f : dpb_) f->release();
   output_queue_.clear();
@@ -299,7 +303,17 @@ Err Decoder::read_slice(std::unique_ptr<NalUnit> nal) {
 // ---------------------------------------------------------------------------
 Frame* Decoder::alloc_frame() {
   for (auto& f : dpb_) {
-    if (f->state == PicState::Unused && !f->needed_for_output) return f.get();
+    if (f->state == PicState::Unused && !f->needed_for_output) {
+      if (f->pending) {  // worker may still be writing this slot's pixels
+        f->pending->wait();
+        f->pending.reset();
+      }
+      if (f->last_use) {  // ...or reading them as a reference
+        f->last_use->wait();
+        f->last_use.reset();
+      }
+      return f.get();
+    }
   }
   return nullptr;
 }
@@ -639,21 +653,43 @@ Err Decoder::finish_picture() {
   Frame* f = cur_frame_;
   if (!f) return Err::OK;
 
-  // execute the pixel pipeline
+  // execute the pixel pipeline (async on the worker in pipelined mode)
   Err e = Err::OK;
-  if (pixel_backend) {
-    e = pixel_backend(cur_program_);
+  if (pipelined_) {
+    auto prog = std::make_shared<FrameProgram>(std::move(cur_program_));
+    cur_program_.clear();
+    auto hash = cur_hash_;
+    bool check = check_sei_hash;
+    bool deblk = !disable_deblocking, sao = !disable_sao;
+    PixelBackend backend = pixel_backend;
+    auto* self = this;
+    f->pending = pipeline_.submit([prog, f, hash, check, deblk, sao, backend,
+                                   self]() {
+      Err err = backend ? backend(*prog)
+                        : execute_program_scalar(*prog, deblk, sao);
+      if (err != Err::OK) f->integrity_ok = false;
+      if (check && hash.present && !check_picture_hash(hash, *f)) {
+        f->integrity_ok = false;
+        self->async_hash_fail_.store(true);
+      }
+    });
+    // guard the reference frames against DPB-slot recycling while in flight
+    for (Frame* r : prog->ref_frames) r->last_use = f->pending;
   } else {
-    e = execute_program_scalar(cur_program_, !disable_deblocking, !disable_sao);
-  }
-  if (e != Err::OK) f->integrity_ok = false;
+    if (pixel_backend) {
+      e = pixel_backend(cur_program_);
+    } else {
+      e = execute_program_scalar(cur_program_, !disable_deblocking, !disable_sao);
+    }
+    if (e != Err::OK) f->integrity_ok = false;
 
-  // SEI decoded-picture-hash check
-  if (check_sei_hash && cur_hash_.present) {
-    if (!check_picture_hash(cur_hash_, *f)) {
-      add_warning(Warning::ChecksumMismatch);
-      f->integrity_ok = false;
-      e = Err::ChecksumMismatch;
+    // SEI decoded-picture-hash check
+    if (check_sei_hash && cur_hash_.present) {
+      if (!check_picture_hash(cur_hash_, *f)) {
+        add_warning(Warning::ChecksumMismatch);
+        f->integrity_ok = false;
+        e = Err::ChecksumMismatch;
+      }
     }
   }
 
@@ -768,7 +804,13 @@ void Decoder::flush_reorder_buffer() {
 
 Frame* Decoder::peek_next_picture() {
   if (output_queue_.empty()) return nullptr;
-  return output_queue_.front();
+  Frame* f = output_queue_.front();
+  if (f->pending) {  // pixels must be final before the caller sees them
+    f->pending->wait();
+    f->pending.reset();
+  }
+  if (async_hash_fail_.exchange(false)) add_warning(Warning::ChecksumMismatch);
+  return f;
 }
 
 Frame* Decoder::get_next_picture() { return peek_next_picture(); }

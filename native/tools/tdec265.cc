@@ -18,6 +18,7 @@ int main(int argc, char** argv) {
   int max_frames = -1;
   bool no_deblock = false, no_sao = false;
   bool dump_motion = false;
+  int n_threads = 0;
 
   for (int i = 1; i < argc; i++) {
     if (!strcmp(argv[i], "-o") && i + 1 < argc) {
@@ -28,6 +29,8 @@ int main(int argc, char** argv) {
       quiet = true;
     } else if (!strcmp(argv[i], "-f") && i + 1 < argc) {
       max_frames = atoi(argv[++i]);
+    } else if (!strcmp(argv[i], "-t") && i + 1 < argc) {
+      n_threads = atoi(argv[++i]);
     } else if (!strcmp(argv[i], "--no-deblock")) {
       no_deblock = true;
     } else if (!strcmp(argv[i], "--no-sao")) {
@@ -54,6 +57,7 @@ int main(int argc, char** argv) {
   dec.check_sei_hash = check_hash;
   dec.disable_deblocking = no_deblock;
   dec.disable_sao = no_sao;
+  if (n_threads > 0 && !dump_motion) dec.start_worker_threads(n_threads);
 
   auto t0 = std::chrono::steady_clock::now();
 
@@ -75,6 +79,11 @@ int main(int argc, char** argv) {
     if (e != Err::OK && e != Err::WaitingForInput && e != Err::ChecksumMismatch) {
       if (!quiet) fprintf(stderr, "decode error %d\n", (int)e);
     }
+    // keep a few pictures queued in pipelined mode so parsing runs ahead of
+    // the pixel worker instead of blocking on each picture's completion
+    if (n_threads > 0 && dec.pending_nal_units() > 0 &&
+        dec.output_queue_length() < 4)
+      continue;
     while (Frame* f = dec.peek_next_picture()) {
       if (dump_motion) {
         printf("PIC poc=%d\n", f->poc);
