@@ -1,5 +1,5 @@
 // tdec265 — reference CLI decoder (counterpart of /root/reference/dec265).
-// Usage: tdec265 [-o out.yuv] [-c] [-q] [-f frames] input.h265
+// Usage: tdec265 [-o out.yuv] [-c] [-q] [-t N] [-m ref.yuv] [-f N] input.h265
 #include <chrono>
 #include <cstdio>
 #include <cstdlib>
@@ -7,6 +7,14 @@
 #include <vector>
 
 #include "tde265/decoder.h"
+#include "tde265/image_io.h"
+
+namespace tde265 {
+double compute_psnr(const u8* a, int stride_a, const u8* b, int stride_b,
+                    int w, int h);
+double compute_ssim(const u8* a, int stride_a, const u8* b, int stride_b,
+                    int w, int h);
+}
 
 using namespace tde265;
 
@@ -19,6 +27,7 @@ int main(int argc, char** argv) {
   bool no_deblock = false, no_sao = false;
   bool dump_motion = false;
   int n_threads = 0;
+  const char* measure_path = nullptr;  // -m: PSNR/SSIM vs reference YUV
 
   for (int i = 1; i < argc; i++) {
     if (!strcmp(argv[i], "-o") && i + 1 < argc) {
@@ -37,6 +46,8 @@ int main(int argc, char** argv) {
       no_sao = true;
     } else if (!strcmp(argv[i], "--dump-motion")) {
       dump_motion = true;
+    } else if (!strcmp(argv[i], "-m") && i + 1 < argc) {
+      measure_path = argv[++i];
     } else {
       in_path = argv[i];
     }
@@ -52,6 +63,10 @@ int main(int argc, char** argv) {
     return 1;
   }
   FILE* fout = out_path ? fopen(out_path, "wb") : nullptr;
+  ImageSourceYuv measure_src;
+  bool measuring = false;
+  double psnr_sum = 0, ssim_sum = 0;
+  int measured = 0;
 
   Decoder dec;
   dec.check_sei_hash = check_hash;
@@ -122,6 +137,23 @@ int main(int argc, char** argv) {
                      f->bytes_pp, cow, fout);
         }
       }
+      if (measure_path) {
+        if (!measuring) {
+          measuring = measure_src.open(measure_path, ow, oh);
+        }
+        RawImage ref_img;
+        if (measuring && measure_src.read(&ref_img)) {
+          const u8* dy = f->plane_ptr(0) +
+                         ((size_t)ct * f->stride[0] + cl) * f->bytes_pp;
+          double p = compute_psnr(ref_img.y.data(), ow, dy, f->stride[0], ow, oh);
+          double s = compute_ssim(ref_img.y.data(), ow, dy, f->stride[0], ow, oh);
+          psnr_sum += p;
+          ssim_sum += s;
+          measured++;
+          if (!quiet) fprintf(stderr, "frame %d: PSNR %.2f dB SSIM %.4f\n",
+                              n_frames, p, s);
+        }
+      }
       n_frames++;
       dec.release_next_picture();
       if (max_frames > 0 && n_frames >= max_frames) { more = 0; break; }
@@ -138,6 +170,9 @@ int main(int argc, char** argv) {
   }
 
   if (fout) fclose(fout);
+  if (measured > 0)
+    fprintf(stderr, "average: PSNR %.2f dB SSIM %.4f (%d frames)\n",
+            psnr_sum / measured, ssim_sum / measured, measured);
   if (!quiet)
     fprintf(stderr, "nFrames decoded: %d (%.2f fps)\n", n_frames,
             n_frames / secs);
