@@ -58,34 +58,25 @@ static inline void gather_window(const pixel_t* img, int stride, int pw,
 
 // Luma qpel interpolation into an int16 buffer with the spec's intermediate
 // scaling (shift1 = BitDepth-8; values scaled by 2^(14-BitDepth) overall).
+// Core qpel filtering from a full-pel origin `c` with row stride `cs`.
 template <typename pixel_t>
-static void mc_luma(const Frame& ref, int x_int, int y_int, int frac_x,
-                    int frac_y, i16* out, int out_stride, int w, int h,
-                    int bd) {
-  const pixel_t* img = reinterpret_cast<const pixel_t*>(ref.plane[0].data());
-  int stride = ref.stride[0];
-  int pw = ref.width, ph = ref.height;
-  int shift1 = bd - 8;
-  int shift3 = 14 - bd;
-
-  constexpr int kWS = 64 + 7;
-  pixel_t win[kWS * kWS];
-  gather_window<pixel_t, 8>(img, stride, pw, ph, x_int, y_int, w, h, win, kWS);
-  const pixel_t* c = win + 3 * kWS + 3;  // full-pel origin
-
+static inline void mc_luma_core(const pixel_t* c, int cs, int frac_x,
+                                int frac_y, i16* out, int out_stride, int w,
+                                int h, int shift1, int shift3) {
   if (frac_x == 0 && frac_y == 0) {
     for (int y = 0; y < h; y++)
       for (int x = 0; x < w; x++)
-        out[y * out_stride + x] = (i16)(c[y * kWS + x] << shift3);
+        out[y * out_stride + x] = (i16)(c[y * cs + x] << shift3);
     return;
   }
   if (frac_y == 0) {
     const int* f = kQpelFilter[frac_x];
     for (int y = 0; y < h; y++) {
-      const pixel_t* row = c + y * kWS - 3;
+      const pixel_t* row = c + y * cs - 3;
       for (int x = 0; x < w; x++) {
-        int sum = 0;
-        for (int k = 0; k < 8; k++) sum += f[k] * row[x + k];
+        int sum = f[0] * row[x] + f[1] * row[x + 1] + f[2] * row[x + 2] +
+                  f[3] * row[x + 3] + f[4] * row[x + 4] + f[5] * row[x + 5] +
+                  f[6] * row[x + 6] + f[7] * row[x + 7];
         out[y * out_stride + x] = (i16)(sum >> shift1);
       }
     }
@@ -94,10 +85,12 @@ static void mc_luma(const Frame& ref, int x_int, int y_int, int frac_x,
   if (frac_x == 0) {
     const int* f = kQpelFilter[frac_y];
     for (int y = 0; y < h; y++) {
-      const pixel_t* col = c + (y - 3) * kWS;
+      const pixel_t* col = c + (y - 3) * cs;
       for (int x = 0; x < w; x++) {
-        int sum = 0;
-        for (int k = 0; k < 8; k++) sum += f[k] * col[k * kWS + x];
+        int sum = f[0] * col[x] + f[1] * col[cs + x] + f[2] * col[2 * cs + x] +
+                  f[3] * col[3 * cs + x] + f[4] * col[4 * cs + x] +
+                  f[5] * col[5 * cs + x] + f[6] * col[6 * cs + x] +
+                  f[7] * col[7 * cs + x];
         out[y * out_stride + x] = (i16)(sum >> shift1);
       }
     }
@@ -108,18 +101,101 @@ static void mc_luma(const Frame& ref, int x_int, int y_int, int frac_x,
   const int* fx = kQpelFilter[frac_x];
   const int* fy = kQpelFilter[frac_y];
   for (int y = -3; y < h + 4; y++) {
-    const pixel_t* row = c + y * kWS - 3;
+    const pixel_t* row = c + y * cs - 3;
     i16* trow = tmp + (y + 3) * 64;
     for (int x = 0; x < w; x++) {
-      int sum = 0;
-      for (int k = 0; k < 8; k++) sum += fx[k] * row[x + k];
+      int sum = fx[0] * row[x] + fx[1] * row[x + 1] + fx[2] * row[x + 2] +
+                fx[3] * row[x + 3] + fx[4] * row[x + 4] + fx[5] * row[x + 5] +
+                fx[6] * row[x + 6] + fx[7] * row[x + 7];
       trow[x] = (i16)(sum >> shift1);
     }
   }
   for (int y = 0; y < h; y++) {
+    const i16* t = tmp + y * 64;
     for (int x = 0; x < w; x++) {
-      int sum = 0;
-      for (int k = 0; k < 8; k++) sum += fy[k] * tmp[(y + k) * 64 + x];
+      int sum = fy[0] * t[x] + fy[1] * t[64 + x] + fy[2] * t[128 + x] +
+                fy[3] * t[192 + x] + fy[4] * t[256 + x] + fy[5] * t[320 + x] +
+                fy[6] * t[384 + x] + fy[7] * t[448 + x];
+      out[y * out_stride + x] = (i16)(sum >> 6);
+    }
+  }
+}
+
+template <typename pixel_t>
+static void mc_luma(const Frame& ref, int x_int, int y_int, int frac_x,
+                    int frac_y, i16* out, int out_stride, int w, int h,
+                    int bd) {
+  const pixel_t* img = reinterpret_cast<const pixel_t*>(ref.plane[0].data());
+  int stride = ref.stride[0];
+  int pw = ref.width, ph = ref.height;
+  int shift1 = bd - 8;
+  int shift3 = 14 - bd;
+
+  // interior fast path: filter straight from the reference plane
+  if (x_int >= 3 && y_int >= 3 && x_int + w + 4 <= pw && y_int + h + 4 <= ph) {
+    mc_luma_core(img + (size_t)y_int * stride + x_int, stride, frac_x, frac_y,
+                 out, out_stride, w, h, shift1, shift3);
+    return;
+  }
+
+  constexpr int kWS = 64 + 7;
+  pixel_t win[kWS * kWS];
+  gather_window<pixel_t, 8>(img, stride, pw, ph, x_int, y_int, w, h, win, kWS);
+  mc_luma_core(win + 3 * kWS + 3, kWS, frac_x, frac_y, out, out_stride, w, h,
+               shift1, shift3);
+}
+
+template <typename pixel_t>
+static inline void mc_chroma_core(const pixel_t* cc, int cs, int frac_x,
+                                  int frac_y, i16* out, int out_stride, int w,
+                                  int h, int shift1, int shift3) {
+  if (frac_x == 0 && frac_y == 0) {
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++)
+        out[y * out_stride + x] = (i16)(cc[y * cs + x] << shift3);
+    return;
+  }
+  if (frac_y == 0) {
+    const int* f = kEpelFilter[frac_x];
+    for (int y = 0; y < h; y++) {
+      const pixel_t* row = cc + y * cs - 1;
+      for (int x = 0; x < w; x++) {
+        int sum = f[0] * row[x] + f[1] * row[x + 1] + f[2] * row[x + 2] +
+                  f[3] * row[x + 3];
+        out[y * out_stride + x] = (i16)(sum >> shift1);
+      }
+    }
+    return;
+  }
+  if (frac_x == 0) {
+    const int* f = kEpelFilter[frac_y];
+    for (int y = 0; y < h; y++) {
+      const pixel_t* col = cc + (y - 1) * cs;
+      for (int x = 0; x < w; x++) {
+        int sum = f[0] * col[x] + f[1] * col[cs + x] + f[2] * col[2 * cs + x] +
+                  f[3] * col[3 * cs + x];
+        out[y * out_stride + x] = (i16)(sum >> shift1);
+      }
+    }
+    return;
+  }
+  i16 tmp[(32 + 3) * 32];
+  const int* fx = kEpelFilter[frac_x];
+  const int* fy = kEpelFilter[frac_y];
+  for (int y = -1; y < h + 2; y++) {
+    const pixel_t* row = cc + y * cs - 1;
+    i16* trow = tmp + (y + 1) * 32;
+    for (int x = 0; x < w; x++) {
+      int sum = fx[0] * row[x] + fx[1] * row[x + 1] + fx[2] * row[x + 2] +
+                fx[3] * row[x + 3];
+      trow[x] = (i16)(sum >> shift1);
+    }
+  }
+  for (int y = 0; y < h; y++) {
+    const i16* t = tmp + y * 32;
+    for (int x = 0; x < w; x++) {
+      int sum = fy[0] * t[x] + fy[1] * t[32 + x] + fy[2] * t[64 + x] +
+                fy[3] * t[96 + x];
       out[y * out_stride + x] = (i16)(sum >> 6);
     }
   }
@@ -135,60 +211,17 @@ static void mc_chroma(const Frame& ref, int c, int x_int, int y_int, int frac_x,
   int shift1 = bd - 8;
   int shift3 = 14 - bd;
 
+  if (x_int >= 1 && y_int >= 1 && x_int + w + 2 <= pw && y_int + h + 2 <= ph) {
+    mc_chroma_core(img + (size_t)y_int * stride + x_int, stride, frac_x,
+                   frac_y, out, out_stride, w, h, shift1, shift3);
+    return;
+  }
+
   constexpr int kWS = 32 + 3;
   pixel_t win[kWS * kWS];
   gather_window<pixel_t, 4>(img, stride, pw, ph, x_int, y_int, w, h, win, kWS);
-  const pixel_t* cc = win + 1 * kWS + 1;  // full-pel origin
-
-  if (frac_x == 0 && frac_y == 0) {
-    for (int y = 0; y < h; y++)
-      for (int x = 0; x < w; x++)
-        out[y * out_stride + x] = (i16)(cc[y * kWS + x] << shift3);
-    return;
-  }
-  if (frac_y == 0) {
-    const int* f = kEpelFilter[frac_x];
-    for (int y = 0; y < h; y++) {
-      const pixel_t* row = cc + y * kWS - 1;
-      for (int x = 0; x < w; x++) {
-        int sum = 0;
-        for (int k = 0; k < 4; k++) sum += f[k] * row[x + k];
-        out[y * out_stride + x] = (i16)(sum >> shift1);
-      }
-    }
-    return;
-  }
-  if (frac_x == 0) {
-    const int* f = kEpelFilter[frac_y];
-    for (int y = 0; y < h; y++) {
-      const pixel_t* col = cc + (y - 1) * kWS;
-      for (int x = 0; x < w; x++) {
-        int sum = 0;
-        for (int k = 0; k < 4; k++) sum += f[k] * col[k * kWS + x];
-        out[y * out_stride + x] = (i16)(sum >> shift1);
-      }
-    }
-    return;
-  }
-  i16 tmp[(32 + 3) * 32];
-  const int* fx = kEpelFilter[frac_x];
-  const int* fy = kEpelFilter[frac_y];
-  for (int y = -1; y < h + 2; y++) {
-    const pixel_t* row = cc + y * kWS - 1;
-    i16* trow = tmp + (y + 1) * 32;
-    for (int x = 0; x < w; x++) {
-      int sum = 0;
-      for (int k = 0; k < 4; k++) sum += fx[k] * row[x + k];
-      trow[x] = (i16)(sum >> shift1);
-    }
-  }
-  for (int y = 0; y < h; y++) {
-    for (int x = 0; x < w; x++) {
-      int sum = 0;
-      for (int k = 0; k < 4; k++) sum += fy[k] * tmp[(y + k) * 32 + x];
-      out[y * out_stride + x] = (i16)(sum >> 6);
-    }
-  }
+  mc_chroma_core(win + 1 * kWS + 1, kWS, frac_x, frac_y, out, out_stride, w, h,
+                 shift1, shift3);
 }
 
 // ---------------------------------------------------------------------------

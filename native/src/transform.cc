@@ -94,6 +94,23 @@ void idct_2d(i32* dst, const i16* coeffs, int nT, int bd_shift) {
   int rnd1 = 1 << 6;
   int fact = 32 / nT;
   int rnd2 = 1 << (bd_shift - 1);
+
+  // DC-only fast path (very common at moderate/high QP): both stages reduce
+  // to a flat value.
+  {
+    int last = nT * nT - 1;
+    while (last > 0 && coeffs[last] == 0) last--;
+    if (last == 0) {
+      i32 v = 0;
+      if (coeffs[0]) {
+        i32 gdc = clip3(-32768, 32767, (64 * coeffs[0] + rnd1) >> 7);
+        v = (64 * gdc + rnd2) >> bd_shift;
+      }
+      for (int i = 0; i < nT * nT; i++) dst[i] = v;
+      return;
+    }
+  }
+
   i32 g[32 * 32];
 
   for (int c = 0; c < nT; c++) {
