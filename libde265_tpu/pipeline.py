@@ -286,6 +286,27 @@ def _apply_sao(prog: FrameProgramData, planes):
             prog.bit_depth[c]))
 
 
+def reconstruct_stream(programs, run_deblock=True, run_sao=True):
+    """Decode a whole stream through the JAX pipeline as an independent
+    chain: reconstructed pictures feed back as references for later
+    pictures (keyed by POC), so no scalar-oracle pixels are consumed.
+
+    `programs` must be in decode order (as exported).  Yields
+    (poc, [Y, Cb, Cr]) per picture.
+    """
+    ref_store = {}
+    for prog in programs:
+        subst = [ref_store.get(poc, planes)
+                 for poc, planes in zip(prog.ref_pocs, prog.ref_planes)]
+        saved = prog.ref_planes
+        prog.ref_planes = subst
+        planes = reconstruct(prog, run_deblock, run_sao)
+        prog.ref_planes = saved
+        out = [p.astype(np.uint8) for p in planes]
+        ref_store[prog.poc] = out
+        yield prog.poc, out
+
+
 def reconstruct(prog: FrameProgramData, run_deblock=True, run_sao=True):
     """Reconstruct a full picture from its FrameProgram.  Returns 3 planes."""
     planes = [np.zeros((prog.height, prog.width), dtype=np.int32),

@@ -63,6 +63,14 @@ de265_error en265_set_parameter_int(en265_encoder_context* ctx,
   std::string p = param ? param : "";
   if (p == "qp" || p == "CB-intra-qp") {
     c->cfg.qp = clip3(1, 51, value);
+  } else if (p == "ctb-size" || p == "max-cb-size") {
+    if (value != 16 && value != 32 && value != 64)
+      return DE265_ERROR_PARAMETER_PARSING;
+    c->cfg.ctb_log2 = ilog2((u32)value);
+  } else if (p == "min-cb-size") {
+    if (value != 8 && value != 16 && value != 32)
+      return DE265_ERROR_PARAMETER_PARSING;
+    c->cfg.min_cb_log2 = ilog2((u32)value);
   } else if (p == "width") {
     c->cfg.width = value;
   } else if (p == "height") {

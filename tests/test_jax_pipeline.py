@@ -41,6 +41,17 @@ def test_first_inter_frames(native_build, programs):
         _check(p)
 
 
+def test_independent_decode_chain(native_build, programs):
+    """First 6 pictures decoded as an independent chain (reconstructed
+    pictures feed back as references) must match the scalar oracle."""
+    from libde265_tpu.pipeline import reconstruct_stream
+
+    for i, (poc, planes) in enumerate(reconstruct_stream(programs[:6])):
+        ref = programs[i]
+        for c in range(3):
+            assert np.array_equal(ref.planes[c], planes[c]), (i, poc, c)
+
+
 @pytest.mark.slow
 def test_all_frames(native_build, programs):
     # validated green 2026-08-16: all 75 girlshy frames bit-exact through the
