@@ -51,6 +51,14 @@ const Frame* F(const de265_image* img) {
   return reinterpret_cast<const Frame*>(img);
 }
 
+// visible (conformance-cropped) luma dimensions — the overlay buffer the
+// caller provides is sized to the output picture
+void vis_dims(const Frame* f, int* w, int* h) {
+  const Sps& s = *f->sps;
+  *w = f->width - (s.conf_win_left + s.conf_win_right) * s.sub_width_c;
+  *h = f->height - (s.conf_win_top + s.conf_win_bottom) * s.sub_height_c;
+}
+
 // Walk the per-4x4 metadata and emit one rectangle per CU (detected as
 // maximal runs of equal ct_depth anchored at their top-left).
 template <typename Fn>
@@ -72,8 +80,10 @@ extern "C" {
 LIBDE265_API void tde265_draw_CB_grid(const de265_image* img, uint8_t* rgb,
                                       int stride, uint32_t color) {
   const Frame* f = F(img);
+  int vw, vh;
+  vis_dims(f, &vw, &vh);
   for_each_cu(f, [&](int x, int y, int size) {
-    draw_rect(rgb, stride, f->width, f->height, x, y, x + size - 1,
+    draw_rect(rgb, stride, vw, vh, x, y, x + size - 1,
               y + size - 1, color);
   });
 }
@@ -82,14 +92,16 @@ LIBDE265_API void tde265_draw_TB_grid(const de265_image* img, uint8_t* rgb,
                                       int stride, uint32_t color) {
   // TU edges were recorded per 4x4 during parsing (deblock_flags bits 0/1).
   const Frame* f = F(img);
+  int vw, vh;
+  vis_dims(f, &vw, &vh);
   for (int y4 = 0; y4 < f->pb_h; y4++)
     for (int x4 = 0; x4 < f->pb_w; x4++) {
       u8 fl = f->deblock_flags[y4 * f->pb_w + x4];
       if (fl & 1)
-        for (int k = 0; k < 4 && y4 * 4 + k < f->height; k++)
+        for (int k = 0; k < 4 && y4 * 4 + k < vh; k++)
           set_pixel(rgb, stride, x4 * 4, y4 * 4 + k, color);
       if (fl & 2)
-        for (int k = 0; k < 4 && x4 * 4 + k < f->width; k++)
+        for (int k = 0; k < 4 && x4 * 4 + k < vw; k++)
           set_pixel(rgb, stride, x4 * 4 + k, y4 * 4, color);
     }
 }
@@ -97,14 +109,16 @@ LIBDE265_API void tde265_draw_TB_grid(const de265_image* img, uint8_t* rgb,
 LIBDE265_API void tde265_draw_PB_grid(const de265_image* img, uint8_t* rgb,
                                       int stride, uint32_t color) {
   const Frame* f = F(img);
+  int vw, vh;
+  vis_dims(f, &vw, &vh);
   for (int y4 = 0; y4 < f->pb_h; y4++)
     for (int x4 = 0; x4 < f->pb_w; x4++) {
       u8 fl = f->deblock_flags[y4 * f->pb_w + x4];
       if (fl & 4)
-        for (int k = 0; k < 4 && y4 * 4 + k < f->height; k++)
+        for (int k = 0; k < 4 && y4 * 4 + k < vh; k++)
           set_pixel(rgb, stride, x4 * 4, y4 * 4 + k, color);
       if (fl & 8)
-        for (int k = 0; k < 4 && x4 * 4 + k < f->width; k++)
+        for (int k = 0; k < 4 && x4 * 4 + k < vw; k++)
           set_pixel(rgb, stride, x4 * 4 + k, y4 * 4, color);
     }
 }
@@ -114,21 +128,23 @@ LIBDE265_API void tde265_draw_intra_pred_modes(const de265_image* img,
                                                uint32_t color) {
   // short direction strokes per intra 8x8 block following the angular mode
   const Frame* f = F(img);
+  int vw, vh;
+  vis_dims(f, &vw, &vh);
   for (int y4 = 0; y4 < f->pb_h; y4 += 2)
     for (int x4 = 0; x4 < f->pb_w; x4 += 2) {
       if (!(f->cu_info[y4 * f->pb_w + x4] & 1)) continue;
       int mode = f->intra_pred_mode[y4 * f->pb_w + x4];
       int cx = x4 * 4 + 4, cy = y4 * 4 + 4;
       if (mode <= 1) {
-        set_pixel(rgb, stride, min_i(cx, f->width - 1),
-                  min_i(cy, f->height - 1), color);
+        set_pixel(rgb, stride, min_i(cx, vw - 1),
+                  min_i(cy, vh - 1), color);
         continue;
       }
       // map mode to a direction (approximate angular direction)
       int a = mode - 18;  // -16..16
       int dx = (a >= 0) ? 4 : -(a + 16) / 4;
       int dy = (a >= 0) ? -(16 - a) / 4 : 4;
-      draw_line(rgb, stride, f->width, f->height, cx, cy, cx + dx, cy + dy,
+      draw_line(rgb, stride, vw, vh, cx, cy, cx + dx, cy + dy,
                 color);
     }
 }
@@ -136,8 +152,10 @@ LIBDE265_API void tde265_draw_intra_pred_modes(const de265_image* img,
 LIBDE265_API void tde265_draw_QuantPY(const de265_image* img, uint8_t* rgb,
                                       int stride) {
   const Frame* f = F(img);
-  for (int y = 0; y < f->height; y++)
-    for (int x = 0; x < f->width; x++) {
+  int vw, vh;
+  vis_dims(f, &vw, &vh);
+  for (int y = 0; y < vh; y++)
+    for (int x = 0; x < vw; x++) {
       int qp = f->qp_y[(y >> 2) * f->pb_w + (x >> 2)];
       u8 v = (u8)clip3(0, 255, qp * 5);
       set_pixel(rgb, stride, x, y, (u32)(v << 16 | v << 8 | v));
@@ -147,6 +165,8 @@ LIBDE265_API void tde265_draw_QuantPY(const de265_image* img, uint8_t* rgb,
 LIBDE265_API void tde265_draw_Motion(const de265_image* img, uint8_t* rgb,
                                      int stride) {
   const Frame* f = F(img);
+  int vw, vh;
+  vis_dims(f, &vw, &vh);
   for (int y4 = 0; y4 < f->pb_h; y4 += 2)
     for (int x4 = 0; x4 < f->pb_w; x4 += 2) {
       const PbMotion& m = f->motion[y4 * f->pb_w + x4];
@@ -155,7 +175,7 @@ LIBDE265_API void tde265_draw_Motion(const de265_image* img, uint8_t* rgb,
       for (int l = 0; l < 2; l++) {
         if (!((m.pred_flags >> l) & 1)) continue;
         u32 color = l == 0 ? 0xFF4040 : 0x4040FF;
-        draw_line(rgb, stride, f->width, f->height, cx, cy,
+        draw_line(rgb, stride, vw, vh, cx, cy,
                   cx + m.mv[l].x / 4, cy + m.mv[l].y / 4, color);
       }
     }
@@ -164,15 +184,17 @@ LIBDE265_API void tde265_draw_Motion(const de265_image* img, uint8_t* rgb,
 LIBDE265_API void tde265_draw_Slices(const de265_image* img, uint8_t* rgb,
                                      int stride, uint32_t color) {
   const Frame* f = F(img);
+  int vw, vh;
+  vis_dims(f, &vw, &vh);
   int cs = f->sps->ctb_size;
   for (int cy = 0; cy < f->ctb_h; cy++)
     for (int cx = 0; cx < f->ctb_w; cx++) {
       i32 addr = f->slice_addr_rs[cy * f->ctb_w + cx];
       if (cx > 0 && f->slice_addr_rs[cy * f->ctb_w + cx - 1] != addr)
-        for (int k = 0; k < cs && cy * cs + k < f->height; k++)
+        for (int k = 0; k < cs && cy * cs + k < vh; k++)
           set_pixel(rgb, stride, cx * cs, cy * cs + k, color);
       if (cy > 0 && f->slice_addr_rs[(cy - 1) * f->ctb_w + cx] != addr)
-        for (int k = 0; k < cs && cx * cs + k < f->width; k++)
+        for (int k = 0; k < cs && cx * cs + k < vw; k++)
           set_pixel(rgb, stride, cx * cs + k, cy * cs, color);
     }
 }
@@ -180,13 +202,15 @@ LIBDE265_API void tde265_draw_Slices(const de265_image* img, uint8_t* rgb,
 LIBDE265_API void tde265_draw_Tiles(const de265_image* img, uint8_t* rgb,
                                     int stride, uint32_t color) {
   const Frame* f = F(img);
+  int vw, vh;
+  vis_dims(f, &vw, &vh);
   const Pps& pps = *f->pps;
   int cs = f->sps->ctb_size;
   for (size_t i = 1; i + 1 < pps.col_bd.size(); i++)
-    for (int y = 0; y < f->height; y++)
+    for (int y = 0; y < vh; y++)
       set_pixel(rgb, stride, pps.col_bd[i] * cs, y, color);
   for (size_t i = 1; i + 1 < pps.row_bd.size(); i++)
-    for (int x = 0; x < f->width; x++)
+    for (int x = 0; x < vw; x++)
       set_pixel(rgb, stride, x, pps.row_bd[i] * cs, color);
 }
 
