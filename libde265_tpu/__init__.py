@@ -12,5 +12,6 @@ A from-scratch re-design of the capabilities of strukturag/libde265:
 """
 
 from .decoder import Decoder, FrameProgramData, Picture  # noqa: F401
+from .encoder import Encoder  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,158 @@
+"""Python encoder bindings over the en265 C API.
+
+Capability counterpart of the reference's en265.h workflow
+(/root/reference/libde265/en265.h: allocate image -> push -> encode ->
+drain packets), exposed as a simple `Encoder` class producing Annex-B
+bytes per pushed frame.
+"""
+from __future__ import annotations
+
+import ctypes as ct
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from ._native import lib
+
+
+class _En265Packet(ct.Structure):
+    _fields_ = [
+        ("version", ct.c_int),
+        ("data", ct.POINTER(ct.c_uint8)),
+        ("length", ct.c_int),
+        ("frame_number", ct.c_int),
+        ("content_type", ct.c_int),
+        ("complete_picture", ct.c_char),
+        ("final_slice", ct.c_char),
+        ("dependent_slice", ct.c_char),
+        ("pts", ct.c_int64),
+        ("user_data", ct.c_void_p),
+        ("input_image", ct.c_void_p),
+        ("reconstruction", ct.c_void_p),
+    ]
+
+
+def _bind(L: ct.CDLL) -> ct.CDLL:
+    if getattr(L, "_en265_bound", False):
+        return L
+    L.en265_new_encoder.restype = ct.c_void_p
+    L.en265_free_encoder.argtypes = [ct.c_void_p]
+    L.en265_start_encoder.argtypes = [ct.c_void_p, ct.c_int]
+    L.en265_set_parameter_int.argtypes = [ct.c_void_p, ct.c_char_p, ct.c_int]
+    L.en265_set_parameter_bool.argtypes = [ct.c_void_p, ct.c_char_p, ct.c_int]
+    L.en265_set_parameter_string.argtypes = [ct.c_void_p, ct.c_char_p,
+                                             ct.c_char_p]
+    L.en265_allocate_image.restype = ct.c_void_p
+    L.en265_allocate_image.argtypes = [ct.c_void_p, ct.c_int, ct.c_int,
+                                       ct.c_int, ct.c_int64, ct.c_void_p]
+    L.en265_get_image_plane.restype = ct.c_void_p
+    L.en265_get_image_plane.argtypes = [ct.c_void_p, ct.c_int,
+                                        ct.POINTER(ct.c_int)]
+    L.en265_push_image.argtypes = [ct.c_void_p, ct.c_void_p]
+    L.en265_push_eof.argtypes = [ct.c_void_p]
+    L.en265_encode.argtypes = [ct.c_void_p]
+    L.en265_get_packet.restype = ct.POINTER(_En265Packet)
+    L.en265_get_packet.argtypes = [ct.c_void_p, ct.c_int]
+    L.en265_free_packet.argtypes = [ct.c_void_p, ct.c_void_p]
+    L.en265_number_of_queued_packets.argtypes = [ct.c_void_p]
+    L._en265_bound = True
+    return L
+
+
+_DE265_CHROMA_420 = 1
+
+
+class Encoder:
+    """Intra HEVC encoder producing Annex-B NAL streams.
+
+    >>> enc = Encoder(qp=30)
+    >>> bits = enc.encode(y, cb, cr)       # one I-frame as bytes
+    >>> stream = enc.finish()              # drain remaining packets
+    """
+
+    def __init__(self, qp: int = 30, ctb_size: int = 64,
+                 min_cb_size: int = 8, fps: int = 25):
+        self._L = _bind(lib())
+        self._ctx = self._L.en265_new_encoder()
+        if not self._ctx:
+            raise RuntimeError("en265_new_encoder failed")
+        self.set_parameter("qp", qp)
+        self.set_parameter("ctb-size", ctb_size)
+        self.set_parameter("min-cb-size", min_cb_size)
+        self.set_parameter("fps", fps)
+        self._L.en265_start_encoder(self._ctx, 0)
+        self._frames = 0
+
+    def set_parameter(self, name: str, value) -> None:
+        if isinstance(value, bool):
+            err = self._L.en265_set_parameter_bool(
+                self._ctx, name.encode(), int(value))
+        elif isinstance(value, int):
+            err = self._L.en265_set_parameter_int(
+                self._ctx, name.encode(), value)
+        else:
+            err = self._L.en265_set_parameter_string(
+                self._ctx, name.encode(), str(value).encode())
+        if err != 0:
+            raise ValueError(f"parameter {name!r}={value!r} rejected ({err})")
+
+    def encode(self, y: np.ndarray, cb: Optional[np.ndarray] = None,
+               cr: Optional[np.ndarray] = None, pts: int = 0) -> bytes:
+        """Encode one 8-bit 4:2:0 frame; returns its Annex-B bytes."""
+        y = np.ascontiguousarray(y, dtype=np.uint8)
+        h, w = y.shape
+        if cb is None:
+            cb = np.full((h // 2, w // 2), 128, np.uint8)
+        if cr is None:
+            cr = np.full((h // 2, w // 2), 128, np.uint8)
+        img = self._L.en265_allocate_image(self._ctx, w, h, _DE265_CHROMA_420,
+                                           pts, None)
+        if not img:
+            raise RuntimeError("en265_allocate_image failed (4:2:0 8-bit only)")
+        for cidx, plane in ((0, y), (1, np.ascontiguousarray(cb, np.uint8)),
+                            (2, np.ascontiguousarray(cr, np.uint8))):
+            stride = ct.c_int()
+            ptr = self._L.en265_get_image_plane(img, cidx, ct.byref(stride))
+            ph, pw = plane.shape
+            dst = np.ctypeslib.as_array(
+                ct.cast(ptr, ct.POINTER(ct.c_uint8)),
+                shape=(ph * stride.value,)).reshape(ph, stride.value)
+            dst[:, :pw] = plane
+        self._L.en265_push_image(self._ctx, img)
+        self._L.en265_encode(self._ctx)
+        self._frames += 1
+        return b"".join(data for _, data in self._drain())
+
+    def _drain(self) -> Iterator[Tuple[int, bytes]]:
+        while self._L.en265_number_of_queued_packets(self._ctx) > 0:
+            pkt = self._L.en265_get_packet(self._ctx, 0)
+            if not pkt:
+                break
+            p = pkt.contents
+            yield p.frame_number, bytes(
+                bytearray(ct.cast(p.data,
+                                  ct.POINTER(ct.c_uint8 * p.length)).contents))
+            self._L.en265_free_packet(self._ctx, pkt)
+
+    def finish(self) -> bytes:
+        """Signal EOF and drain any remaining packets."""
+        self._L.en265_push_eof(self._ctx)
+        self._L.en265_encode(self._ctx)
+        return b"".join(data for _, data in self._drain())
+
+    def close(self) -> None:
+        if self._ctx:
+            self._L.en265_free_encoder(self._ctx)
+            self._ctx = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,89 @@
+"""Python Encoder (en265 bindings) round-trip tests."""
+import numpy as np
+import pytest
+
+from libde265_tpu import Decoder, Encoder
+
+
+def _test_frame(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = (128 + 60 * np.sin(xx * 0.11) * np.cos(yy * 0.07)
+         + rng.integers(-4, 5, (h, w))).clip(0, 255).astype(np.uint8)
+    cb = (100 + (xx[::2, ::2] // 8) % 32).astype(np.uint8)
+    cr = (150 - (yy[::2, ::2] // 8) % 32).astype(np.uint8)
+    return y, cb, cr
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_encode_decode_roundtrip(native_build):
+    w, h = 96, 64
+    y, cb, cr = _test_frame(w, h)
+    with Encoder(qp=24) as enc:
+        stream = enc.encode(y, cb, cr) + enc.finish()
+    assert len(stream) > 100
+    assert stream.startswith(b"\x00\x00\x01") or stream.startswith(
+        b"\x00\x00\x00\x01")
+
+    dec = Decoder()
+    pics = list(dec.decode_all(stream))
+    assert len(pics) == 1
+    pic = pics[0]
+    assert pic.planes[0].shape == (h, w)
+    assert _psnr(y, pic.planes[0]) > 38.0
+    assert _psnr(cb, pic.planes[1]) > 38.0
+    assert _psnr(cr, pic.planes[2]) > 38.0
+
+
+def test_multi_frame_and_params(native_build):
+    w, h = 64, 64
+    with Encoder(qp=35, ctb_size=32) as enc:
+        stream = b""
+        for i in range(3):
+            y, cb, cr = _test_frame(w, h, seed=i)
+            stream += enc.encode(y, cb, cr, pts=i * 40)
+        stream += enc.finish()
+    dec = Decoder()
+    pics = list(dec.decode_all(stream))
+    assert len(pics) == 3
+
+
+def test_bad_parameter_rejected(native_build):
+    with Encoder() as enc:
+        with pytest.raises(ValueError):
+            enc.set_parameter("ctb-size", 13)
+        with pytest.raises(ValueError):
+            enc.set_parameter("no-such-knob", 1)
+
+
+def test_reference_decoder_accepts(native_build, tmp_path):
+    """The reference libde265 must decode our Python-encoded stream to the
+    same pixels as our own decoder (strongest conformance check)."""
+    import subprocess
+    ref = "/tmp/refbuild/dec265/dec265"
+    import os
+    if not os.path.exists(ref):
+        pytest.skip("reference build unavailable")
+    w, h = 96, 64
+    y, cb, cr = _test_frame(w, h, seed=7)
+    with Encoder(qp=28) as enc:
+        stream = enc.encode(y, cb, cr) + enc.finish()
+    sp = tmp_path / "s.h265"
+    sp.write_bytes(stream)
+    out = tmp_path / "ref.yuv"
+    subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                   capture_output=True)
+    ref_yuv = np.fromfile(out, dtype=np.uint8)
+    assert ref_yuv.size == w * h * 3 // 2
+    ry = ref_yuv[:w * h].reshape(h, w)
+    dec = Decoder()
+    (pic,) = list(dec.decode_all(stream))
+    assert np.array_equal(ry, pic.planes[0])
+    rcb = ref_yuv[w * h:w * h * 5 // 4].reshape(h // 2, w // 2)
+    rcr = ref_yuv[w * h * 5 // 4:].reshape(h // 2, w // 2)
+    assert np.array_equal(rcb, pic.planes[1])
+    assert np.array_equal(rcr, pic.planes[2])
