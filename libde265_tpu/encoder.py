@@ -71,15 +71,17 @@ class Encoder:
     """
 
     def __init__(self, qp: int = 30, ctb_size: int = 64,
-                 min_cb_size: int = 8, fps: int = 25):
+                 min_cb_size: int = 8, fps: int = 25, bit_depth: int = 8):
         self._L = _bind(lib())
         self._ctx = self._L.en265_new_encoder()
         if not self._ctx:
             raise RuntimeError("en265_new_encoder failed")
+        self.bit_depth = bit_depth
         self.set_parameter("qp", qp)
         self.set_parameter("ctb-size", ctb_size)
         self.set_parameter("min-cb-size", min_cb_size)
         self.set_parameter("fps", fps)
+        self.set_parameter("bit-depth", bit_depth)
         self._L.en265_start_encoder(self._ctx, 0)
         self._frames = 0
 
@@ -98,24 +100,28 @@ class Encoder:
 
     def encode(self, y: np.ndarray, cb: Optional[np.ndarray] = None,
                cr: Optional[np.ndarray] = None, pts: int = 0) -> bytes:
-        """Encode one 8-bit 4:2:0 frame; returns its Annex-B bytes."""
-        y = np.ascontiguousarray(y, dtype=np.uint8)
+        """Encode one 4:2:0 frame (uint8, or uint16 for bit_depth > 8);
+        returns its Annex-B bytes."""
+        dtype = np.uint16 if self.bit_depth > 8 else np.uint8
+        ctype = ct.c_uint16 if self.bit_depth > 8 else ct.c_uint8
+        mid = 1 << (self.bit_depth - 1)
+        y = np.ascontiguousarray(y, dtype=dtype)
         h, w = y.shape
         if cb is None:
-            cb = np.full((h // 2, w // 2), 128, np.uint8)
+            cb = np.full((h // 2, w // 2), mid, dtype)
         if cr is None:
-            cr = np.full((h // 2, w // 2), 128, np.uint8)
+            cr = np.full((h // 2, w // 2), mid, dtype)
         img = self._L.en265_allocate_image(self._ctx, w, h, _DE265_CHROMA_420,
                                            pts, None)
         if not img:
-            raise RuntimeError("en265_allocate_image failed (4:2:0 8-bit only)")
-        for cidx, plane in ((0, y), (1, np.ascontiguousarray(cb, np.uint8)),
-                            (2, np.ascontiguousarray(cr, np.uint8))):
+            raise RuntimeError("en265_allocate_image failed (4:2:0 only)")
+        for cidx, plane in ((0, y), (1, np.ascontiguousarray(cb, dtype)),
+                            (2, np.ascontiguousarray(cr, dtype))):
             stride = ct.c_int()
             ptr = self._L.en265_get_image_plane(img, cidx, ct.byref(stride))
             ph, pw = plane.shape
             dst = np.ctypeslib.as_array(
-                ct.cast(ptr, ct.POINTER(ct.c_uint8)),
+                ct.cast(ptr, ct.POINTER(ctype)),
                 shape=(ph * stride.value,)).reshape(ph, stride.value)
             dst[:, :pw] = plane
         self._L.en265_push_image(self._ctx, img)

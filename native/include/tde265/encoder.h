@@ -24,6 +24,7 @@ struct EncoderConfig {
   int ctb_log2 = 5;       // 32x32 CTBs
   int min_cb_log2 = 3;    // 8x8 minimum CUs
   int fps_num = 25, fps_den = 1;
+  int bit_depth = 8;  // 8 = Main profile, 9/10 = Main10
   // intra mode candidate set searched per CU
   std::vector<int> intra_candidates = {0, 1, 10, 26, 2, 18, 34};
 };
@@ -37,12 +38,19 @@ class Encoder {
   std::vector<u8> encode_frame(const u8* y, int stride_y, const u8* cb,
                                const u8* cr, int stride_c);
 
+  // 16-bit sample variant for bit_depth > 8 (strides in samples).
+  std::vector<u8> encode_frame16(const u16* y, int stride_y, const u16* cb,
+                                 const u16* cr, int stride_c);
+
   // Reconstruction of the last encoded frame (what a decoder will output).
   const Frame& recon() const { return *recon_; }
   // The reconstruction program built while encoding (tests/debugging).
   const FrameProgram& program() const { return prog_; }
 
  private:
+  std::vector<u8> encode_frame_common(const void* y, int stride_y,
+                                      const void* cb, const void* cr,
+                                      int stride_c);
   void write_headers(std::vector<u8>* out);
   void write_slice_header(BitWriter* bw, bool first_pic);
   void encode_ctb(int ctb_x, int ctb_y);
@@ -61,9 +69,19 @@ class Encoder {
   std::unique_ptr<Frame> recon_;
   FrameProgram prog_;  // ops executed incrementally for reconstruction
 
-  // source planes for the frame being encoded
-  const u8* src_[3] = {};
+  // source planes for the frame being encoded (u8 or u16 samples)
+  const void* src_[3] = {};
   int src_stride_[3] = {};
+  bool src16_ = false;
+
+  int src_px(int cidx, int x, int y) const {
+    return src16_ ? ((const u16*)src_[cidx])[(size_t)y * src_stride_[cidx] + x]
+                  : ((const u8*)src_[cidx])[(size_t)y * src_stride_[cidx] + x];
+  }
+  int rec_px(int cidx, int x, int y) const {
+    return recon_->bytes_pp == 1 ? *recon_->px8(cidx, x, y)
+                                 : *recon_->px16(cidx, x, y);
+  }
 
   BitWriter slice_bw_;
   std::unique_ptr<CabacEncoder> cabac_;

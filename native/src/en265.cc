@@ -14,8 +14,9 @@ using namespace tde265;
 
 struct en265_image_intern {
   int width = 0, height = 0;
+  int bytes_pp = 1;  // 1 for 8-bit, 2 for 10-bit (little-endian u16 samples)
   std::vector<u8> planes[3];
-  int stride[3] = {};
+  int stride[3] = {};  // in samples
   de265_PTS pts = 0;
   void* userdata = nullptr;
 };
@@ -77,6 +78,9 @@ de265_error en265_set_parameter_int(en265_encoder_context* ctx,
     c->cfg.height = value;
   } else if (p == "fps") {
     c->cfg.fps_num = value;
+  } else if (p == "bit-depth") {
+    if (value < 8 || value > 10) return DE265_ERROR_PARAMETER_PARSING;
+    c->cfg.bit_depth = value;
   } else {
     return DE265_ERROR_PARAMETER_PARSING;
   }
@@ -102,23 +106,30 @@ de265_error en265_set_parameter_choice(en265_encoder_context* ctx,
 }
 
 const char** en265_list_parameters(en265_encoder_context*) {
-  static const char* params[] = {"qp", "width", "height", "fps",
-                                 "sop-structure", nullptr};
+  static const char* params[] = {"qp",        "width",         "height",
+                                 "fps",       "sop-structure", "ctb-size",
+                                 "min-cb-size", "bit-depth",   nullptr};
   return params;
 }
 
-en265_image* en265_allocate_image(en265_encoder_context*, int width, int height,
-                                  enum de265_chroma chroma, de265_PTS pts,
-                                  void* userdata) {
+en265_image* en265_allocate_image(en265_encoder_context* ctx, int width,
+                                  int height, enum de265_chroma chroma,
+                                  de265_PTS pts, void* userdata) {
   if (chroma != de265_chroma_420) return nullptr;
   auto* img = new en265_image_intern();
   img->width = width;
   img->height = height;
+  img->bytes_pp = C(ctx)->cfg.bit_depth > 8 ? 2 : 1;
   img->stride[0] = width;
   img->stride[1] = img->stride[2] = width / 2;
-  img->planes[0].assign((size_t)width * height, 0);
-  img->planes[1].assign((size_t)(width / 2) * (height / 2), 128);
-  img->planes[2].assign((size_t)(width / 2) * (height / 2), 128);
+  size_t bp = img->bytes_pp;
+  img->planes[0].assign((size_t)width * height * bp, 0);
+  img->planes[1].assign((size_t)(width / 2) * (height / 2) * bp, 0);
+  img->planes[2].assign((size_t)(width / 2) * (height / 2) * bp, 0);
+  if (bp == 1) {
+    memset(img->planes[1].data(), 128, img->planes[1].size());
+    memset(img->planes[2].data(), 128, img->planes[2].size());
+  }
   img->pts = pts;
   img->userdata = userdata;
   return img;
@@ -151,9 +162,17 @@ de265_error en265_encode(en265_encoder_context* ctx) {
       c->cfg.height = img->height;
       c->enc = std::make_unique<Encoder>(c->cfg);
     }
-    auto bits = c->enc->encode_frame(img->planes[0].data(), img->stride[0],
-                                     img->planes[1].data(),
-                                     img->planes[2].data(), img->stride[1]);
+    std::vector<u8> bits;
+    if (img->bytes_pp == 2) {
+      bits = c->enc->encode_frame16(
+          reinterpret_cast<const u16*>(img->planes[0].data()), img->stride[0],
+          reinterpret_cast<const u16*>(img->planes[1].data()),
+          reinterpret_cast<const u16*>(img->planes[2].data()), img->stride[1]);
+    } else {
+      bits = c->enc->encode_frame(img->planes[0].data(), img->stride[0],
+                                  img->planes[1].data(),
+                                  img->planes[2].data(), img->stride[1]);
+    }
     auto pkt = std::make_unique<Packet>();
     pkt->data = std::move(bits);
     memset(&pkt->pub, 0, sizeof(pkt->pub));

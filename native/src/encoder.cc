@@ -92,7 +92,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
                               (s.pic_height_in_luma_samples != cfg.height);
   s.conf_win_right = (s.pic_width_in_luma_samples - cfg.width) / 2;
   s.conf_win_bottom = (s.pic_height_in_luma_samples - cfg.height) / 2;
-  s.bit_depth_luma = s.bit_depth_chroma = 8;
+  s.bit_depth_luma = s.bit_depth_chroma = clip3(8, 14, cfg.bit_depth);
   s.log2_max_pic_order_cnt_lsb = 8;
   for (int i = 0; i < kMaxSubLayers; i++) {
     s.max_dec_pic_buffering[i] = 2;
@@ -138,12 +138,15 @@ void Encoder::write_headers(std::vector<u8>* out) {
   vps.write_bits(0, 3);   // max_sub_layers_minus1
   vps.write_flag(true);   // temporal_id_nesting
   vps.write_bits(0xFFFF, 16);
-  // profile_tier_level
-  auto write_ptl = [](BitWriter& bw) {
+  // profile_tier_level; Main10 (profile 2) for bit depths above 8
+  const int profile = (s.bit_depth_luma > 8) ? 2 : 1;
+  auto write_ptl = [profile](BitWriter& bw) {
     bw.write_bits(0, 2);       // profile_space
     bw.write_flag(false);      // tier
-    bw.write_bits(1, 5);       // profile_idc = Main
-    bw.write_bits(1 << (31 - 1), 32);  // compat flag bit for Main (flag[1])
+    bw.write_bits((u32)profile, 5);
+    u32 compat = 1u << (31 - 2);  // everything conforms to Main10
+    if (profile == 1) compat |= 1u << (31 - 1);
+    bw.write_bits(compat, 32);
     bw.write_flag(true);       // progressive_source
     bw.write_flag(false);      // interlaced
     bw.write_flag(true);       // non_packed
@@ -181,8 +184,8 @@ void Encoder::write_headers(std::vector<u8>* out) {
     sp.write_uvlc(0);
     sp.write_uvlc((u32)s.conf_win_bottom);
   }
-  sp.write_uvlc(0);  // bit_depth_luma_minus8
-  sp.write_uvlc(0);  // bit_depth_chroma_minus8
+  sp.write_uvlc((u32)(s.bit_depth_luma - 8));
+  sp.write_uvlc((u32)(s.bit_depth_chroma - 8));
   sp.write_uvlc((u32)(s.log2_max_pic_order_cnt_lsb - 4));
   sp.write_flag(false);  // sub_layer_ordering_info_present
   sp.write_uvlc((u32)(s.max_dec_pic_buffering[0] - 1));
@@ -259,6 +262,20 @@ void Encoder::write_slice_header(BitWriter* bw, bool /*first_pic*/) {
 
 std::vector<u8> Encoder::encode_frame(const u8* y, int stride_y, const u8* cb,
                                       const u8* cr, int stride_c) {
+  src16_ = false;
+  return encode_frame_common(y, stride_y, cb, cr, stride_c);
+}
+
+std::vector<u8> Encoder::encode_frame16(const u16* y, int stride_y,
+                                        const u16* cb, const u16* cr,
+                                        int stride_c) {
+  src16_ = true;
+  return encode_frame_common(y, stride_y, cb, cr, stride_c);
+}
+
+std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
+                                             const void* cb, const void* cr,
+                                             int stride_c) {
   std::vector<u8> out;
   if (!headers_written_) {
     write_headers(&out);
@@ -359,11 +376,9 @@ int Encoder::choose_luma_mode(int x0, int y0, int log2_size) {
     rec.mode = (u8)mode;
     execute_intra_scalar(prog_, rec);
     int sad = 0;
-    for (int yy = 0; yy < n; yy++) {
-      const u8* sr = src_[0] + (size_t)(y0 + yy) * src_stride_[0] + x0;
-      const u8* pr = recon_->px8(0, x0, y0 + yy);
-      for (int xx = 0; xx < n; xx++) sad += abs_i(sr[xx] - pr[xx]);
-    }
+    for (int yy = 0; yy < n; yy++)
+      for (int xx = 0; xx < n; xx++)
+        sad += abs_i(src_px(0, x0 + xx, y0 + yy) - rec_px(0, x0 + xx, y0 + yy));
     if (sad < best_cost) {
       best_cost = sad;
       best_mode = mode;
@@ -489,15 +504,19 @@ void Encoder::encode_cu(int x0, int y0, int log2_size) {
 
     // residual = src - pred
     i32 res[32 * 32];
-    for (int yy = 0; yy < n; yy++) {
-      const u8* sr = src_[cidx] + (size_t)(y0c + yy) * src_stride_[cidx] + x0c;
-      const u8* pr = f.px8(cidx, x0c, y0c + yy);
-      for (int xx = 0; xx < n; xx++) res[yy * n + xx] = sr[xx] - pr[xx];
-    }
+    for (int yy = 0; yy < n; yy++)
+      for (int xx = 0; xx < n; xx++)
+        res[yy * n + xx] =
+            src_px(cidx, x0c + xx, y0c + yy) - rec_px(cidx, x0c + xx, y0c + yy);
     i32 coeffs[32 * 32];
-    fwd_dct_2d(coeffs, res, log2c, 8);
+    const int bd = cidx == 0 ? sps_->bit_depth_luma : sps_->bit_depth_chroma;
+    // quantize against Qp' (with the bit-depth offset), matching the
+    // decoder's dequant (residual.cc tu.qp convention)
+    const int qpp = cfg_.qp + (cidx == 0 ? sps_->qp_bd_offset_luma
+                                         : sps_->qp_bd_offset_chroma);
+    fwd_dct_2d(coeffs, res, log2c, bd);
     pc.levels.resize(n * n);
-    quantize(pc.levels.data(), coeffs, n * n, cfg_.qp, log2c, 8, true);
+    quantize(pc.levels.data(), coeffs, n * n, qpp, log2c, bd, true);
     pc.cbf = false;
     for (int i = 0; i < n * n; i++)
       if (pc.levels[i]) pc.cbf = true;
@@ -542,7 +561,9 @@ void Encoder::encode_cu(int x0, int y0, int log2_size) {
     tu.y = (u16)pc.y0c;
     tu.log2_size = (u8)pc.log2;
     tu.cidx = (u8)pc.cidx;
-    tu.qp = (i8)(pc.cidx == 0 ? cfg_.qp : chroma_qp(cfg_.qp));
+    tu.qp = (i8)(pc.cidx == 0
+                     ? cfg_.qp + sps_->qp_bd_offset_luma
+                     : chroma_qp(cfg_.qp) + sps_->qp_bd_offset_chroma);
     tu.flags = TuRec::kIntra |
                ((pc.log2 == 2 && pc.cidx == 0) ? TuRec::kUseDst : 0);
     tu.coeff_start = start;

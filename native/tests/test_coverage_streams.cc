@@ -65,6 +65,55 @@ TDE_TEST(ctb_size_coverage) {
   }
 }
 
+TDE_TEST(main10_roundtrip) {
+  // 10-bit encode -> our decoder's 16-bit path must match the encoder recon
+  int W = 64, H = 48;
+  std::vector<u16> y(W * H), cb(W * H / 4, 400), cr(W * H / 4, 600);
+  for (int yy = 0; yy < H; yy++)
+    for (int xx = 0; xx < W; xx++)
+      y[yy * W + xx] =
+          (u16)clip3(0, 1023,
+                     512 + (int)(250 * std::sin(xx * 0.13) * std::cos(yy * 0.09)));
+  EncoderConfig cfg;
+  cfg.width = W;
+  cfg.height = H;
+  cfg.qp = 27;
+  cfg.bit_depth = 10;
+  Encoder enc(cfg);
+  auto bits = enc.encode_frame16(y.data(), W, cb.data(), cr.data(), W / 2);
+  TDE_CHECK(bits.size() > 50);
+
+  Decoder dec;
+  dec.disable_deblocking = true;  // recon() is the pre-deblock picture
+  dec.push_data(bits.data(), bits.size());
+  dec.flush_data();
+  int more = 1;
+  Frame* df = nullptr;
+  while (more) {
+    more = 0;
+    dec.decode(&more);
+    if ((df = dec.peek_next_picture()) != nullptr) break;
+  }
+  TDE_CHECK(df != nullptr);
+  TDE_CHECK_EQ(df->bytes_pp, 2);
+  TDE_CHECK_EQ(df->bit_depth[0], 10);
+  const Frame& expect = enc.recon();
+  int diffs = 0;
+  for (int c = 0; c < 3; c++)
+    for (int yy = 0; yy < df->plane_height(c); yy++)
+      for (int xx = 0; xx < df->plane_width(c); xx++)
+        if (*df->px16(c, xx, yy) != *expect.px16(c, xx, yy)) diffs++;
+  TDE_CHECK_EQ(diffs, 0);
+  // psnr sanity: recon should actually track the 10-bit source
+  double ssd = 0;
+  for (int i = 0; i < W * H; i++) {
+    double d = (double)y[i] - *expect.px16(0, i % W, i / W);
+    ssd += d * d;
+  }
+  double mse = ssd / (W * H);
+  TDE_CHECK(mse < 100.0);  // ~38 dB at 10-bit scale
+}
+
 TDE_TEST(decoder_reset_seek) {
   int W = 64, H = 64;
   std::vector<u8> cb, cr;

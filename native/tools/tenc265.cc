@@ -10,7 +10,7 @@
 int main(int argc, char** argv) {
   const char* in_path = nullptr;
   const char* out_path = "out.h265";
-  int width = 0, height = 0, qp = 27, max_frames = -1;
+  int width = 0, height = 0, qp = 27, max_frames = -1, bit_depth = 8;
 
   for (int i = 1; i < argc; i++) {
     if (!strcmp(argv[i], "-o") && i + 1 < argc) out_path = argv[++i];
@@ -18,11 +18,12 @@ int main(int argc, char** argv) {
     else if (!strcmp(argv[i], "-h") && i + 1 < argc) height = atoi(argv[++i]);
     else if (!strcmp(argv[i], "-q") && i + 1 < argc) qp = atoi(argv[++i]);
     else if (!strcmp(argv[i], "-f") && i + 1 < argc) max_frames = atoi(argv[++i]);
+    else if (!strcmp(argv[i], "-b") && i + 1 < argc) bit_depth = atoi(argv[++i]);
     else in_path = argv[i];
   }
   if (!in_path || !width || !height) {
     fprintf(stderr,
-            "usage: tenc265 -w W -h H [-q qp] [-f frames] [-o out.h265] in.yuv\n");
+            "usage: tenc265 -w W -h H [-q qp] [-b 8|10] [-f frames] [-o out.h265] in.yuv\n");
     return 1;
   }
 
@@ -32,9 +33,12 @@ int main(int argc, char** argv) {
 
   en265_encoder_context* ctx = en265_new_encoder();
   en265_set_parameter_int(ctx, "qp", qp);
+  en265_set_parameter_int(ctx, "bit-depth", bit_depth);
   en265_start_encoder(ctx, 0);
 
-  size_t frame_size = (size_t)width * height * 3 / 2;
+  // 10-bit input is little-endian 16-bit samples (2 bytes per sample)
+  size_t bpp = bit_depth > 8 ? 2 : 1;
+  size_t frame_size = (size_t)width * height * 3 / 2 * bpp;
   std::vector<uint8_t> buf(frame_size);
   int n = 0;
   while (fread(buf.data(), 1, frame_size, fin) == frame_size) {
@@ -42,12 +46,13 @@ int main(int argc, char** argv) {
                                             de265_chroma_420, n, nullptr);
     int stride;
     uint8_t* y = en265_get_image_plane(img, 0, &stride);
-    memcpy(y, buf.data(), (size_t)width * height);
+    memcpy(y, buf.data(), (size_t)width * height * bpp);
     uint8_t* cb = en265_get_image_plane(img, 1, &stride);
-    memcpy(cb, buf.data() + (size_t)width * height, (size_t)width * height / 4);
+    memcpy(cb, buf.data() + (size_t)width * height * bpp,
+           (size_t)width * height / 4 * bpp);
     uint8_t* cr = en265_get_image_plane(img, 2, &stride);
-    memcpy(cr, buf.data() + (size_t)width * height * 5 / 4,
-           (size_t)width * height / 4);
+    memcpy(cr, buf.data() + (size_t)width * height * 5 / 4 * bpp,
+           (size_t)width * height / 4 * bpp);
     en265_push_image(ctx, img);
     en265_encode(ctx);
     const en265_packet* pkt;

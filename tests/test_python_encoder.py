@@ -60,6 +60,53 @@ def test_bad_parameter_rejected(native_build):
             enc.set_parameter("no-such-knob", 1)
 
 
+def test_main10_roundtrip(native_build):
+    """10-bit encode -> decode through our own 16-bit pixel path."""
+    w, h = 64, 64
+    rng = np.random.default_rng(3)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = (512 + 240 * np.sin(xx * 0.13) * np.cos(yy * 0.09)
+         + rng.integers(-8, 9, (h, w))).clip(0, 1023).astype(np.uint16)
+    cb = np.full((h // 2, w // 2), 400, np.uint16)
+    cr = np.full((h // 2, w // 2), 620, np.uint16)
+    with Encoder(qp=24, bit_depth=10) as enc:
+        stream = enc.encode(y, cb, cr) + enc.finish()
+    dec = Decoder()
+    (pic,) = list(dec.decode_all(stream))
+    assert pic.planes[0].dtype == np.uint16
+    assert pic.planes[0].max() > 255  # genuinely 10-bit content
+    assert _psnr(y / 4.0, pic.planes[0] / 4.0) > 40.0
+
+
+def test_main10_reference_decoder(native_build, tmp_path):
+    """Reference libde265 must decode our Main10 stream identically."""
+    import os
+    import subprocess
+    ref = "/tmp/refbuild/dec265/dec265"
+    if not os.path.exists(ref):
+        pytest.skip("reference build unavailable")
+    w, h = 64, 48
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = (512 + 250 * np.sin(xx * 0.13) * np.cos(yy * 0.09)).clip(
+        0, 1023).astype(np.uint16)
+    with Encoder(qp=27, bit_depth=10) as enc:
+        stream = enc.encode(y) + enc.finish()
+    sp = tmp_path / "s10.h265"
+    sp.write_bytes(stream)
+    out = tmp_path / "ref10.yuv"
+    subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                   capture_output=True)
+    ref_yuv = np.fromfile(out, dtype="<u2")
+    assert ref_yuv.size == w * h * 3 // 2
+    dec = Decoder()
+    (pic,) = list(dec.decode_all(stream))
+    assert np.array_equal(ref_yuv[:w * h].reshape(h, w), pic.planes[0])
+    assert np.array_equal(
+        ref_yuv[w * h:w * h * 5 // 4].reshape(h // 2, w // 2), pic.planes[1])
+    assert np.array_equal(
+        ref_yuv[w * h * 5 // 4:].reshape(h // 2, w // 2), pic.planes[2])
+
+
 def test_reference_decoder_accepts(native_build, tmp_path):
     """The reference libde265 must decode our Python-encoded stream to the
     same pixels as our own decoder (strongest conformance check)."""
