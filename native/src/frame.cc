@@ -18,14 +18,19 @@ void Frame::alloc(std::shared_ptr<const Sps> s, std::shared_ptr<const Pps> p) {
 
   stride[0] = width;
   stride[1] = stride[2] = chroma_width;
-  plane[0].assign((size_t)stride[0] * height * bytes_pp, 0);
+  // resize (not assign): every decoded pixel/PU is written during
+  // reconstruction, so re-zeroing recycled DPB buffers is pure memset cost.
+  // On a genuinely fresh/grown buffer resize() still zero-initializes.
+  plane[0].resize((size_t)stride[0] * height * bytes_pp);
   if (chroma_format != 0) {
-    plane[1].assign((size_t)stride[1] * chroma_height * bytes_pp, 0);
-    plane[2].assign((size_t)stride[2] * chroma_height * bytes_pp, 0);
+    plane[1].resize((size_t)stride[1] * chroma_height * bytes_pp);
+    plane[2].resize((size_t)stride[2] * chroma_height * bytes_pp);
   }
 
   pb_w = ceil_div(width, 4);
   pb_h = ceil_div(height, 4);
+  // motion keeps its default-constructed intra=true for CUs that never call
+  // set_motion (intra CUs), so it must be re-initialized every picture
   motion.assign((size_t)pb_w * pb_h, PbMotion());
   qp_y.assign((size_t)pb_w * pb_h, 0);
   nonzero_coeff.assign((size_t)pb_w * pb_h, 0);

@@ -16,12 +16,12 @@ void execute_intra_scalar(const FrameProgram& prog, const IntraRec& r);  // intr
 // ---------------------------------------------------------------------------
 // interpolation filters (spec Tables 8-11 / 8-12)
 // ---------------------------------------------------------------------------
-static const int kQpelFilter[4][8] = {
+static constexpr int kQpelFilter[4][8] = {
     {0, 0, 0, 64, 0, 0, 0, 0},
     {-1, 4, -10, 58, 17, -5, 1, 0},
     {-1, 4, -11, 40, 40, -11, 4, -1},
     {0, 1, -5, 17, 58, -10, 4, -1}};
-static const int kEpelFilter[8][4] = {
+static constexpr int kEpelFilter[8][4] = {
     {0, 64, 0, 0},   {-2, 58, 10, -2}, {-4, 54, 16, -2}, {-6, 46, 28, -4},
     {-4, 36, 36, -4}, {-4, 28, 46, -6}, {-2, 16, 54, -4}, {-2, 10, 58, -2}};
 
@@ -59,18 +59,18 @@ static inline void gather_window(const pixel_t* img, int stride, int pw,
 // Luma qpel interpolation into an int16 buffer with the spec's intermediate
 // scaling (shift1 = BitDepth-8; values scaled by 2^(14-BitDepth) overall).
 // Core qpel filtering from a full-pel origin `c` with row stride `cs`.
-template <typename pixel_t>
-static inline void mc_luma_core(const pixel_t* c, int cs, int frac_x,
-                                int frac_y, i16* out, int out_stride, int w,
-                                int h, int shift1, int shift3) {
-  if (frac_x == 0 && frac_y == 0) {
+// The fractional offsets are template parameters so the 8 filter taps are
+// compile-time constants — the inner loops then autovectorize into
+// constant-multiplier multiply-accumulate chains.
+template <typename pixel_t, int FX, int FY>
+static void mc_luma_core_t(const pixel_t* c, int cs, i16* out, int out_stride,
+                           int w, int h, int shift1, int shift3) {
+  if constexpr (FX == 0 && FY == 0) {
     for (int y = 0; y < h; y++)
       for (int x = 0; x < w; x++)
         out[y * out_stride + x] = (i16)(c[y * cs + x] << shift3);
-    return;
-  }
-  if (frac_y == 0) {
-    const int* f = kQpelFilter[frac_x];
+  } else if constexpr (FY == 0) {
+    constexpr const int* f = kQpelFilter[FX];
     for (int y = 0; y < h; y++) {
       const pixel_t* row = c + y * cs - 3;
       for (int x = 0; x < w; x++) {
@@ -80,10 +80,8 @@ static inline void mc_luma_core(const pixel_t* c, int cs, int frac_x,
         out[y * out_stride + x] = (i16)(sum >> shift1);
       }
     }
-    return;
-  }
-  if (frac_x == 0) {
-    const int* f = kQpelFilter[frac_y];
+  } else if constexpr (FX == 0) {
+    constexpr const int* f = kQpelFilter[FY];
     for (int y = 0; y < h; y++) {
       const pixel_t* col = c + (y - 3) * cs;
       for (int x = 0; x < w; x++) {
@@ -94,31 +92,49 @@ static inline void mc_luma_core(const pixel_t* c, int cs, int frac_x,
         out[y * out_stride + x] = (i16)(sum >> shift1);
       }
     }
-    return;
-  }
-  // separable: horizontal first (rows -3..h+3), then vertical
-  i16 tmp[(64 + 7) * 64];
-  const int* fx = kQpelFilter[frac_x];
-  const int* fy = kQpelFilter[frac_y];
-  for (int y = -3; y < h + 4; y++) {
-    const pixel_t* row = c + y * cs - 3;
-    i16* trow = tmp + (y + 3) * 64;
-    for (int x = 0; x < w; x++) {
-      int sum = fx[0] * row[x] + fx[1] * row[x + 1] + fx[2] * row[x + 2] +
-                fx[3] * row[x + 3] + fx[4] * row[x + 4] + fx[5] * row[x + 5] +
-                fx[6] * row[x + 6] + fx[7] * row[x + 7];
-      trow[x] = (i16)(sum >> shift1);
+  } else {
+    // separable: horizontal first (rows -3..h+3), then vertical
+    i16 tmp[(64 + 7) * 64];
+    constexpr const int* fx = kQpelFilter[FX];
+    constexpr const int* fy = kQpelFilter[FY];
+    for (int y = -3; y < h + 4; y++) {
+      const pixel_t* row = c + y * cs - 3;
+      i16* trow = tmp + (y + 3) * 64;
+      for (int x = 0; x < w; x++) {
+        int sum = fx[0] * row[x] + fx[1] * row[x + 1] + fx[2] * row[x + 2] +
+                  fx[3] * row[x + 3] + fx[4] * row[x + 4] + fx[5] * row[x + 5] +
+                  fx[6] * row[x + 6] + fx[7] * row[x + 7];
+        trow[x] = (i16)(sum >> shift1);
+      }
+    }
+    for (int y = 0; y < h; y++) {
+      const i16* t = tmp + y * 64;
+      for (int x = 0; x < w; x++) {
+        int sum = fy[0] * t[x] + fy[1] * t[64 + x] + fy[2] * t[128 + x] +
+                  fy[3] * t[192 + x] + fy[4] * t[256 + x] + fy[5] * t[320 + x] +
+                  fy[6] * t[384 + x] + fy[7] * t[448 + x];
+        out[y * out_stride + x] = (i16)(sum >> 6);
+      }
     }
   }
-  for (int y = 0; y < h; y++) {
-    const i16* t = tmp + y * 64;
-    for (int x = 0; x < w; x++) {
-      int sum = fy[0] * t[x] + fy[1] * t[64 + x] + fy[2] * t[128 + x] +
-                fy[3] * t[192 + x] + fy[4] * t[256 + x] + fy[5] * t[320 + x] +
-                fy[6] * t[384 + x] + fy[7] * t[448 + x];
-      out[y * out_stride + x] = (i16)(sum >> 6);
-    }
-  }
+}
+
+template <typename pixel_t>
+static inline void mc_luma_core(const pixel_t* c, int cs, int frac_x,
+                                int frac_y, i16* out, int out_stride, int w,
+                                int h, int shift1, int shift3) {
+  using Fn = void (*)(const pixel_t*, int, i16*, int, int, int, int, int);
+  static constexpr Fn kDispatch[16] = {
+      &mc_luma_core_t<pixel_t, 0, 0>, &mc_luma_core_t<pixel_t, 0, 1>,
+      &mc_luma_core_t<pixel_t, 0, 2>, &mc_luma_core_t<pixel_t, 0, 3>,
+      &mc_luma_core_t<pixel_t, 1, 0>, &mc_luma_core_t<pixel_t, 1, 1>,
+      &mc_luma_core_t<pixel_t, 1, 2>, &mc_luma_core_t<pixel_t, 1, 3>,
+      &mc_luma_core_t<pixel_t, 2, 0>, &mc_luma_core_t<pixel_t, 2, 1>,
+      &mc_luma_core_t<pixel_t, 2, 2>, &mc_luma_core_t<pixel_t, 2, 3>,
+      &mc_luma_core_t<pixel_t, 3, 0>, &mc_luma_core_t<pixel_t, 3, 1>,
+      &mc_luma_core_t<pixel_t, 3, 2>, &mc_luma_core_t<pixel_t, 3, 3>};
+  kDispatch[(frac_x << 2) | frac_y](c, cs, out, out_stride, w, h, shift1,
+                                    shift3);
 }
 
 template <typename pixel_t>
@@ -145,18 +161,18 @@ static void mc_luma(const Frame& ref, int x_int, int y_int, int frac_x,
                shift1, shift3);
 }
 
-template <typename pixel_t>
-static inline void mc_chroma_core(const pixel_t* cc, int cs, int frac_x,
-                                  int frac_y, i16* out, int out_stride, int w,
-                                  int h, int shift1, int shift3) {
-  if (frac_x == 0 && frac_y == 0) {
+// Chroma epel core, fractional offsets as template parameters (constant
+// taps -> autovectorized constant-multiplier MACs), like mc_luma_core_t.
+template <typename pixel_t, int FX, int FY>
+static void mc_chroma_core_t(const pixel_t* cc, int cs, i16* out,
+                             int out_stride, int w, int h, int shift1,
+                             int shift3) {
+  if constexpr (FX == 0 && FY == 0) {
     for (int y = 0; y < h; y++)
       for (int x = 0; x < w; x++)
         out[y * out_stride + x] = (i16)(cc[y * cs + x] << shift3);
-    return;
-  }
-  if (frac_y == 0) {
-    const int* f = kEpelFilter[frac_x];
+  } else if constexpr (FY == 0) {
+    constexpr const int* f = kEpelFilter[FX];
     for (int y = 0; y < h; y++) {
       const pixel_t* row = cc + y * cs - 1;
       for (int x = 0; x < w; x++) {
@@ -165,10 +181,8 @@ static inline void mc_chroma_core(const pixel_t* cc, int cs, int frac_x,
         out[y * out_stride + x] = (i16)(sum >> shift1);
       }
     }
-    return;
-  }
-  if (frac_x == 0) {
-    const int* f = kEpelFilter[frac_y];
+  } else if constexpr (FX == 0) {
+    constexpr const int* f = kEpelFilter[FY];
     for (int y = 0; y < h; y++) {
       const pixel_t* col = cc + (y - 1) * cs;
       for (int x = 0; x < w; x++) {
@@ -177,28 +191,51 @@ static inline void mc_chroma_core(const pixel_t* cc, int cs, int frac_x,
         out[y * out_stride + x] = (i16)(sum >> shift1);
       }
     }
-    return;
-  }
-  i16 tmp[(32 + 3) * 32];
-  const int* fx = kEpelFilter[frac_x];
-  const int* fy = kEpelFilter[frac_y];
-  for (int y = -1; y < h + 2; y++) {
-    const pixel_t* row = cc + y * cs - 1;
-    i16* trow = tmp + (y + 1) * 32;
-    for (int x = 0; x < w; x++) {
-      int sum = fx[0] * row[x] + fx[1] * row[x + 1] + fx[2] * row[x + 2] +
-                fx[3] * row[x + 3];
-      trow[x] = (i16)(sum >> shift1);
+  } else {
+    i16 tmp[(32 + 3) * 32];
+    constexpr const int* fx = kEpelFilter[FX];
+    constexpr const int* fy = kEpelFilter[FY];
+    for (int y = -1; y < h + 2; y++) {
+      const pixel_t* row = cc + y * cs - 1;
+      i16* trow = tmp + (y + 1) * 32;
+      for (int x = 0; x < w; x++) {
+        int sum = fx[0] * row[x] + fx[1] * row[x + 1] + fx[2] * row[x + 2] +
+                  fx[3] * row[x + 3];
+        trow[x] = (i16)(sum >> shift1);
+      }
+    }
+    for (int y = 0; y < h; y++) {
+      const i16* t = tmp + y * 32;
+      for (int x = 0; x < w; x++) {
+        int sum = fy[0] * t[x] + fy[1] * t[32 + x] + fy[2] * t[64 + x] +
+                  fy[3] * t[96 + x];
+        out[y * out_stride + x] = (i16)(sum >> 6);
+      }
     }
   }
-  for (int y = 0; y < h; y++) {
-    const i16* t = tmp + y * 32;
-    for (int x = 0; x < w; x++) {
-      int sum = fy[0] * t[x] + fy[1] * t[32 + x] + fy[2] * t[64 + x] +
-                fy[3] * t[96 + x];
-      out[y * out_stride + x] = (i16)(sum >> 6);
-    }
-  }
+}
+
+template <typename pixel_t, int FX>
+struct EpelRow {
+  using Fn = void (*)(const pixel_t*, int, i16*, int, int, int, int, int);
+  static constexpr Fn fns[8] = {
+      &mc_chroma_core_t<pixel_t, FX, 0>, &mc_chroma_core_t<pixel_t, FX, 1>,
+      &mc_chroma_core_t<pixel_t, FX, 2>, &mc_chroma_core_t<pixel_t, FX, 3>,
+      &mc_chroma_core_t<pixel_t, FX, 4>, &mc_chroma_core_t<pixel_t, FX, 5>,
+      &mc_chroma_core_t<pixel_t, FX, 6>, &mc_chroma_core_t<pixel_t, FX, 7>};
+};
+
+template <typename pixel_t>
+static inline void mc_chroma_core(const pixel_t* cc, int cs, int frac_x,
+                                  int frac_y, i16* out, int out_stride, int w,
+                                  int h, int shift1, int shift3) {
+  using Fn = void (*)(const pixel_t*, int, i16*, int, int, int, int, int);
+  static constexpr const Fn* kRows[8] = {
+      EpelRow<pixel_t, 0>::fns, EpelRow<pixel_t, 1>::fns,
+      EpelRow<pixel_t, 2>::fns, EpelRow<pixel_t, 3>::fns,
+      EpelRow<pixel_t, 4>::fns, EpelRow<pixel_t, 5>::fns,
+      EpelRow<pixel_t, 6>::fns, EpelRow<pixel_t, 7>::fns};
+  kRows[frac_x][frac_y](cc, cs, out, out_stride, w, h, shift1, shift3);
 }
 
 template <typename pixel_t>

@@ -90,11 +90,79 @@ namespace detail {
 const i8 (*dct_matrix_32())[32] { return kDctMatrix; }
 }  // namespace detail
 
-void idct_2d(i32* dst, const i16* coeffs, int nT, int bd_shift) {
-  int rnd1 = 1 << 6;
-  int fact = 32 / nT;
-  int rnd2 = 1 << (bd_shift - 1);
+// Partial-butterfly 1D inverse DCT (raw sums, no shift): exploits the
+// even/odd symmetry of the DCT-II rows — dst[i] = E[i] + O[i],
+// dst[N-1-i] = E[i] - O[i] — where the even half recurses onto the N/2
+// transform (the HEVC matrices nest: row 2k of the size-N matrix is row k
+// of the size-N/2 matrix).  Halves the multiply count per stage.
+template <int N>
+static inline void idct_1d_raw(i32* dst, const i32* src) {
+  if constexpr (N == 4) {
+    i32 e0 = 64 * (src[0] + src[2]);
+    i32 e1 = 64 * (src[0] - src[2]);
+    i32 o0 = 83 * src[1] + 36 * src[3];
+    i32 o1 = 36 * src[1] - 83 * src[3];
+    dst[0] = e0 + o0;
+    dst[1] = e1 + o1;
+    dst[2] = e1 - o1;
+    dst[3] = e0 - o0;
+  } else {
+    constexpr int H = N / 2;
+    constexpr int fact = 32 / N;
+    i32 ev[H], E[H], O[H];
+    for (int k = 0; k < H; k++) ev[k] = src[2 * k];
+    idct_1d_raw<H>(E, ev);
+    for (int i = 0; i < H; i++) {
+      i32 sum = 0;
+      for (int k = 0; k < H; k++)
+        sum += kDctMatrix[fact * (2 * k + 1)][i] * src[2 * k + 1];
+      O[i] = sum;
+    }
+    for (int i = 0; i < H; i++) {
+      dst[i] = E[i] + O[i];
+      dst[N - 1 - i] = E[i] - O[i];
+    }
+  }
+}
 
+template <int N>
+static void idct_2d_t(i32* dst, const i16* coeffs, int bd_shift) {
+  const int rnd1 = 1 << 6;
+  const int rnd2 = 1 << (bd_shift - 1);
+  i32 g[N * N];  // stage-1 output, transposed (row y = transformed column y)
+
+  for (int c = 0; c < N; c++) {
+    // all-zero coefficient columns (common beyond the last sig position)
+    // transform to zero rows
+    i32 src[N];
+    i32 any = 0;
+    for (int j = 0; j < N; j++) any |= (src[j] = coeffs[c + j * N]);
+    i32* out = g + c * N;
+    if (!any) {
+      for (int i = 0; i < N; i++) out[i] = 0;
+      continue;
+    }
+    i32 raw[N];
+    idct_1d_raw<N>(raw, src);
+    for (int i = 0; i < N; i++)
+      out[i] = clip3(-32768, 32767, (raw[i] + rnd1) >> 7);
+  }
+  for (int y = 0; y < N; y++) {
+    i32 src[N];
+    i32 any = 0;
+    for (int j = 0; j < N; j++) any |= (src[j] = g[j * N + y]);
+    i32* out = dst + y * N;
+    if (!any) {
+      for (int i = 0; i < N; i++) out[i] = 0;
+      continue;
+    }
+    i32 raw[N];
+    idct_1d_raw<N>(raw, src);
+    for (int i = 0; i < N; i++) out[i] = (raw[i] + rnd2) >> bd_shift;
+  }
+}
+
+void idct_2d(i32* dst, const i16* coeffs, int nT, int bd_shift) {
   // DC-only fast path (very common at moderate/high QP): both stages reduce
   // to a flat value.
   {
@@ -103,34 +171,19 @@ void idct_2d(i32* dst, const i16* coeffs, int nT, int bd_shift) {
     if (last == 0) {
       i32 v = 0;
       if (coeffs[0]) {
-        i32 gdc = clip3(-32768, 32767, (64 * coeffs[0] + rnd1) >> 7);
-        v = (64 * gdc + rnd2) >> bd_shift;
+        i32 gdc = clip3(-32768, 32767, (64 * coeffs[0] + (1 << 6)) >> 7);
+        v = (64 * gdc + (1 << (bd_shift - 1))) >> bd_shift;
       }
       for (int i = 0; i < nT * nT; i++) dst[i] = v;
       return;
     }
   }
 
-  i32 g[32 * 32];
-
-  for (int c = 0; c < nT; c++) {
-    int last = nT - 1;
-    while (last >= 0 && coeffs[c + last * nT] == 0) last--;
-    for (int i = 0; i < nT; i++) {
-      int sum = 0;
-      for (int j = 0; j <= last; j++)
-        sum += kDctMatrix[fact * j][i] * coeffs[c + j * nT];
-      g[c + i * nT] = clip3(-32768, 32767, (sum + rnd1) >> 7);
-    }
-  }
-  for (int y = 0; y < nT; y++) {
-    int last = nT - 1;
-    while (last >= 0 && g[y * nT + last] == 0) last--;
-    for (int i = 0; i < nT; i++) {
-      int sum = 0;
-      for (int j = 0; j <= last; j++) sum += kDctMatrix[fact * j][i] * g[y * nT + j];
-      dst[y * nT + i] = (sum + rnd2) >> bd_shift;
-    }
+  switch (nT) {
+    case 4: idct_2d_t<4>(dst, coeffs, bd_shift); break;
+    case 8: idct_2d_t<8>(dst, coeffs, bd_shift); break;
+    case 16: idct_2d_t<16>(dst, coeffs, bd_shift); break;
+    default: idct_2d_t<32>(dst, coeffs, bd_shift); break;
   }
 }
 
