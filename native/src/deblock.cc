@@ -111,9 +111,8 @@ int boundary_strength(const DeblockCtx& ctx, int x, int y, bool vertical,
   return 0;
 }
 
-template <typename pixel_t>
-void filter_luma_edge(const DeblockCtx& ctx, int x, int y, bool vertical,
-                      int bs) {
+template <typename pixel_t, bool vertical>
+void filter_luma_edge(const DeblockCtx& ctx, int x, int y, int bs) {
   Frame& f = *ctx.f;
   const SliceHeader* sh = ctx.slice_at(x, y);
   if (!sh || sh->deblocking_filter_disabled) return;
@@ -135,8 +134,8 @@ void filter_luma_edge(const DeblockCtx& ctx, int x, int y, bool vertical,
   // access helpers: s(i, k) = sample i away from the edge on line k
   // (i<0: P side), with the edge between i=-1 and i=0.
   auto at = [&](int i, int k) -> pixel_t& {
-    if (vertical) return img[(size_t)(y + k) * stride + (x + i)];
-    return img[(size_t)(y + i) * stride + (x + k)];
+    if constexpr (vertical) return img[(size_t)(y + k) * stride + (x + i)];
+    else return img[(size_t)(y + i) * stride + (x + k)];
   };
   auto p = [&](int i, int k) -> pixel_t& { return at(-1 - i, k); };
   auto q = [&](int i, int k) -> pixel_t& { return at(i, k); };
@@ -212,9 +211,8 @@ void filter_luma_edge(const DeblockCtx& ctx, int x, int y, bool vertical,
   }
 }
 
-template <typename pixel_t>
-void filter_chroma_edge(const DeblockCtx& ctx, int x, int y, bool vertical,
-                        int c) {
+template <typename pixel_t, bool vertical>
+void filter_chroma_edge(const DeblockCtx& ctx, int x, int y, int c) {
   // (x,y) luma position of the edge segment (4 luma lines)
   Frame& f = *ctx.f;
   const Sps& sps = *f.sps;
@@ -255,8 +253,8 @@ void filter_chroma_edge(const DeblockCtx& ctx, int x, int y, bool vertical,
   int n = vertical ? (4 / sps.sub_height_c) : (4 / sps.sub_width_c);
 
   auto at = [&](int i, int k) -> pixel_t& {
-    if (vertical) return img[(size_t)(cy + k) * stride + (cx + i)];
-    return img[(size_t)(cy + i) * stride + (cx + k)];
+    if constexpr (vertical) return img[(size_t)(cy + k) * stride + (cx + i)];
+    else return img[(size_t)(cy + i) * stride + (cx + k)];
   };
   for (int k = 0; k < n; k++) {
     int p0 = at(-1, k), p1 = at(-2, k);
@@ -267,11 +265,12 @@ void filter_chroma_edge(const DeblockCtx& ctx, int x, int y, bool vertical,
   }
 }
 
-template <typename pixel_t>
-void deblock_pass(DeblockCtx& ctx, bool vertical) {
+template <typename pixel_t, bool vertical>
+void deblock_pass(DeblockCtx& ctx) {
   Frame& f = *ctx.f;
   const Sps& sps = *f.sps;
   int w4 = f.pb_w, h4 = f.pb_h;
+  const bool bs_dump = getenv("TDE_BS_DUMP") != nullptr;
   int x_step = vertical ? 2 : 1;
   int y_step = vertical ? 1 : 2;
   // chroma edge spacing in 4x4 luma units
@@ -286,17 +285,17 @@ void deblock_pass(DeblockCtx& ctx, bool vertical) {
       if (!ctx.edge_allowed(x, y, vertical)) continue;
 
       int bs = boundary_strength(ctx, x, y, vertical, flags);
-      if (getenv("TDE_BS_DUMP"))
+      if (bs_dump)
         printf("BS %d %s %d %d %d\n", f.poc, vertical ? "V" : "H", x, y, bs);
       if (bs == 0) continue;
 
-      filter_luma_edge<pixel_t>(ctx, x, y, vertical, bs);
+      filter_luma_edge<pixel_t, vertical>(ctx, x, y, bs);
 
       if (bs == 2 && sps.chroma_array_type != 0) {
         bool on_chroma_grid = vertical ? (x4 % c_step == 0) : (y4 % c_step == 0);
         if (on_chroma_grid) {
-          filter_chroma_edge<pixel_t>(ctx, x, y, vertical, 1);
-          filter_chroma_edge<pixel_t>(ctx, x, y, vertical, 2);
+          filter_chroma_edge<pixel_t, vertical>(ctx, x, y, 1);
+          filter_chroma_edge<pixel_t, vertical>(ctx, x, y, 2);
         }
       }
     }
@@ -315,11 +314,11 @@ void apply_deblocking(FrameProgram& prog) {
   if (!any_enabled) return;
 
   if (f.bytes_pp == 1) {
-    deblock_pass<u8>(ctx, true);
-    deblock_pass<u8>(ctx, false);
+    deblock_pass<u8, true>(ctx);
+    deblock_pass<u8, false>(ctx);
   } else {
-    deblock_pass<u16>(ctx, true);
-    deblock_pass<u16>(ctx, false);
+    deblock_pass<u16, true>(ctx);
+    deblock_pass<u16, false>(ctx);
   }
 }
 

@@ -115,6 +115,9 @@ void sao_plane(Frame& f, const FrameProgram& prog, int c,
         int ys = max_i(y0, max_i(-dy0, -dy1));
         int ye = min_i(y1, h - max_i(0, max_i(dy0, dy1)));
         const i16* offs = sao.offset[c];
+        // branchless per-edge-index offsets (index 2 = category 0 = no-op);
+        // the unconditional store keeps the loop autovectorizable
+        const int eo_off[5] = {offs[0], offs[1], 0, offs[2], offs[3]};
         for (int y = ys; y < ye; y++) {
           const pixel_t* s = src + (size_t)y * stride;
           const pixel_t* sa = src + (size_t)(y + dy0) * stride + dx0;
@@ -124,8 +127,7 @@ void sao_plane(Frame& f, const FrameProgram& prog, int c,
             for (int x = xs; x < xe; x++) {
               int v = s[x];
               int edge_idx = 2 + sign3(v - sa[x]) + sign3(v - sb[x]);
-              int cat = kEdgeCat[edge_idx];
-              if (cat) d[x] = (pixel_t)clip3(0, maxv, v + offs[cat - 1]);
+              d[x] = (pixel_t)clip3(0, maxv, v + eo_off[edge_idx]);
             }
           } else {
             for (int x = xs; x < xe; x++) {
@@ -173,8 +175,11 @@ void apply_sao(FrameProgram& prog) {
   if (!any) return;
 
   int n_planes = (f.chroma_format == 0) ? 1 : 3;
+  // reused scratch: SAO reads pre-filter samples, so it works on a copy of
+  // the plane; a thread_local avoids a fresh allocation every picture
+  static thread_local std::vector<u8> copy;
   for (int c = 0; c < n_planes; c++) {
-    std::vector<u8> copy = f.plane[c];
+    copy.assign(f.plane[c].begin(), f.plane[c].end());
     if (f.bytes_pp == 1)
       sao_plane<u8>(f, prog, c, copy);
     else

@@ -95,8 +95,11 @@ const i8 (*dct_matrix_32())[32] { return kDctMatrix; }
 // dst[N-1-i] = E[i] - O[i] — where the even half recurses onto the N/2
 // transform (the HEVC matrices nest: row 2k of the size-N matrix is row k
 // of the size-N/2 matrix).  Halves the multiply count per stage.
+// `lim` bounds the number of leading (low-frequency) coefficients that can
+// be nonzero — entries src[j], j >= lim are known zero, so their multiplies
+// are skipped (high-frequency truncation is the common case at typical QPs).
 template <int N>
-static inline void idct_1d_raw(i32* dst, const i32* src) {
+static inline void idct_1d_raw(i32* dst, const i32* src, int lim) {
   if constexpr (N == 4) {
     i32 e0 = 64 * (src[0] + src[2]);
     i32 e1 = 64 * (src[0] - src[2]);
@@ -109,12 +112,13 @@ static inline void idct_1d_raw(i32* dst, const i32* src) {
   } else {
     constexpr int H = N / 2;
     constexpr int fact = 32 / N;
+    const int hl = min_i(H, (lim + 1) >> 1);
     i32 ev[H], E[H], O[H];
     for (int k = 0; k < H; k++) ev[k] = src[2 * k];
-    idct_1d_raw<H>(E, ev);
+    idct_1d_raw<H>(E, ev, hl);
     for (int i = 0; i < H; i++) {
       i32 sum = 0;
-      for (int k = 0; k < H; k++)
+      for (int k = 0; k < hl; k++)
         sum += kDctMatrix[fact * (2 * k + 1)][i] * src[2 * k + 1];
       O[i] = sum;
     }
@@ -126,7 +130,8 @@ static inline void idct_1d_raw(i32* dst, const i32* src) {
 }
 
 template <int N>
-static void idct_2d_t(i32* dst, const i16* coeffs, int bd_shift) {
+static void idct_2d_t(i32* dst, const i16* coeffs, int bd_shift, int row_lim,
+                      int col_lim) {
   const int rnd1 = 1 << 6;
   const int rnd2 = 1 << (bd_shift - 1);
   i32 g[N * N];  // stage-1 output, transposed (row y = transformed column y)
@@ -136,33 +141,46 @@ static void idct_2d_t(i32* dst, const i16* coeffs, int bd_shift) {
     // transform to zero rows
     i32 src[N];
     i32 any = 0;
-    for (int j = 0; j < N; j++) any |= (src[j] = coeffs[c + j * N]);
+    for (int j = 0; j < row_lim; j++) any |= (src[j] = coeffs[c + j * N]);
+    for (int j = row_lim; j < N; j++) src[j] = 0;
     i32* out = g + c * N;
     if (!any) {
       for (int i = 0; i < N; i++) out[i] = 0;
       continue;
     }
     i32 raw[N];
-    idct_1d_raw<N>(raw, src);
+    idct_1d_raw<N>(raw, src, row_lim);
     for (int i = 0; i < N; i++)
       out[i] = clip3(-32768, 32767, (raw[i] + rnd1) >> 7);
   }
   for (int y = 0; y < N; y++) {
     i32 src[N];
     i32 any = 0;
-    for (int j = 0; j < N; j++) any |= (src[j] = g[j * N + y]);
+    for (int j = 0; j < col_lim; j++) any |= (src[j] = g[j * N + y]);
+    for (int j = col_lim; j < N; j++) src[j] = 0;
     i32* out = dst + y * N;
     if (!any) {
       for (int i = 0; i < N; i++) out[i] = 0;
       continue;
     }
     i32 raw[N];
-    idct_1d_raw<N>(raw, src);
+    idct_1d_raw<N>(raw, src, col_lim);
     for (int i = 0; i < N; i++) out[i] = (raw[i] + rnd2) >> bd_shift;
   }
 }
 
+void idct_2d_ext(i32* dst, const i16* coeffs, int nT, int bd_shift,
+                 int row_lim, int col_lim);
+
 void idct_2d(i32* dst, const i16* coeffs, int nT, int bd_shift) {
+  idct_2d_ext(dst, coeffs, nT, bd_shift, nT, nT);
+}
+
+// row_lim/col_lim bound the nonzero coefficient extent (rows >= row_lim and
+// columns >= col_lim of the TU are known zero); callers that scatter sparse
+// coefficients know these for free.
+void idct_2d_ext(i32* dst, const i16* coeffs, int nT, int bd_shift,
+                 int row_lim, int col_lim) {
   // DC-only fast path (very common at moderate/high QP): both stages reduce
   // to a flat value.
   {
@@ -180,10 +198,10 @@ void idct_2d(i32* dst, const i16* coeffs, int nT, int bd_shift) {
   }
 
   switch (nT) {
-    case 4: idct_2d_t<4>(dst, coeffs, bd_shift); break;
-    case 8: idct_2d_t<8>(dst, coeffs, bd_shift); break;
-    case 16: idct_2d_t<16>(dst, coeffs, bd_shift); break;
-    default: idct_2d_t<32>(dst, coeffs, bd_shift); break;
+    case 4: idct_2d_t<4>(dst, coeffs, bd_shift, row_lim, col_lim); break;
+    case 8: idct_2d_t<8>(dst, coeffs, bd_shift, row_lim, col_lim); break;
+    case 16: idct_2d_t<16>(dst, coeffs, bd_shift, row_lim, col_lim); break;
+    default: idct_2d_t<32>(dst, coeffs, bd_shift, row_lim, col_lim); break;
   }
 }
 
@@ -272,12 +290,15 @@ void execute_tu_scalar(const FrameProgram& prog, const TuRec& tu) {
   int cidx = tu.cidx;
   int bd = frame.bit_depth[cidx];
 
-  // scatter sparse coefficients
+  // scatter sparse coefficients, tracking the nonzero extent for the IDCT
   i16 coeff[32 * 32];
   memset(coeff, 0, sizeof(i16) * nT * nT);
+  int max_xc = 0, max_yc = 0;
   for (int i = 0; i < tu.ncoeff; i++) {
     u16 pos = prog.coeff_pos[tu.coeff_start + i];
     int xc = pos & 63, yc = pos >> 6;
+    max_xc = max_i(max_xc, xc);
+    max_yc = max_i(max_yc, yc);
     coeff[yc * nT + xc] = prog.coeff_val[tu.coeff_start + i];
   }
 
@@ -384,7 +405,8 @@ void execute_tu_scalar(const FrameProgram& prog, const TuRec& tu) {
     } else if (tu.flags & TuRec::kUseDst) {
       idst_4x4(residual, coeff, 20 - bd);
     } else {
-      idct_2d(residual, coeff, nT, 20 - bd);
+      idct_2d_ext(residual, coeff, nT, 20 - bd, min_i(max_yc, nT - 1) + 1,
+                  min_i(max_xc, nT - 1) + 1);
     }
   }
 
