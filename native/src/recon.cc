@@ -43,16 +43,18 @@ static inline void gather_window(const pixel_t* img, int stride, int pw,
   const int center = kTaps / 2 - 1;
   const int ww = w + kTaps - 1, wh = h + kTaps - 1;
   const int x0 = x_int - center;
-  bool x_interior = (x0 >= 0 && x0 + ww <= pw);
+  // split each row into left-replicated / copied / right-replicated segments
+  const int n_left = clip3(0, ww, -x0);
+  const int n_mid = clip3(0, ww - n_left, pw - max_i(x0, 0));
+  const int n_right = ww - n_left - n_mid;
   for (int y = 0; y < wh; y++) {
     int sy = clip3(0, ph - 1, y_int - center + y);
     const pixel_t* row = img + (size_t)sy * stride;
-    if (x_interior) {
-      memcpy(win + (size_t)y * win_stride, row + x0, ww * sizeof(pixel_t));
-    } else {
-      for (int x = 0; x < ww; x++)
-        win[(size_t)y * win_stride + x] = row[clip3(0, pw - 1, x0 + x)];
-    }
+    pixel_t* wr = win + (size_t)y * win_stride;
+    for (int x = 0; x < n_left; x++) wr[x] = row[0];
+    memcpy(wr + n_left, row + max_i(x0, 0), n_mid * sizeof(pixel_t));
+    for (int x = 0; x < n_right; x++)
+      wr[n_left + n_mid + x] = row[pw - 1];
   }
 }
 
