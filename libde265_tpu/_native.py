@@ -69,6 +69,8 @@ class ProgramView(ct.Structure):
         ("slice_idx", ct.c_void_p),
         ("n_slices", ct.c_int32),
         ("slice_records", ct.c_void_p),
+        ("scaling_enabled", ct.c_int32),
+        ("scaling_factors", ct.c_void_p),
     ]
 
 

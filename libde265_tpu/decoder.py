@@ -104,6 +104,9 @@ class FrameProgramData:
     ctb_h: int = 0
     slice_idx: np.ndarray = None      # per CTB
     slice_records: np.ndarray = None  # [n_slices, 208] int32 (program.h)
+    # expanded scaling factors when scaling lists are active:
+    # {log2_size: uint8 [6, s, s]} (6 matrices per size), else None
+    scaling_factors: dict = None
 
 
 class Decoder:
@@ -238,7 +241,22 @@ class Decoder:
             slice_records=_np_from(view.slice_records, view.n_slices * 208,
                                    np.dtype(np.int32)).reshape(view.n_slices,
                                                                208),
+            scaling_factors=self._read_scaling(view),
         )
+
+    @staticmethod
+    def _read_scaling(view):
+        if not view.scaling_enabled or not view.scaling_factors:
+            return None
+        total = 6 * (16 + 64 + 256 + 1024)
+        raw = _np_from(view.scaling_factors, total, np.dtype(np.uint8))
+        out, off = {}, 0
+        for lg in (2, 3, 4, 5):
+            s = 1 << lg
+            n = 6 * s * s
+            out[lg] = raw[off:off + n].reshape(6, s, s).copy()
+            off += n
+        return out
 
     def programs(self):
         return [self.get_program(i) for i in range(self.num_programs())]

@@ -111,22 +111,39 @@ def _itx_2d(coeff, mat, bd_shift):
 
 @functools.partial(jax.jit, static_argnames=("log2_size", "bit_depth"))
 def residual_batch(levels, fact, tskip, use_dst, log2_size: int,
-                   bit_depth: int = 8):
+                   bit_depth: int = 8, sf=None, qp=None):
     """Dequant + inverse transform for one size bin.
 
     levels:  int32 [N, s, s] coded coefficient levels (dense)
     fact:    int32 [N] levelScale[qp%6] << (qp/6) (flat scaling list)
     tskip:   bool  [N] transform_skip_flag
     use_dst: bool  [N] 4x4 intra luma DST (only meaningful for s=4)
+    sf:      optional int32 [N, s, s] scaling factors (spec 8.6.3 m[x][y]);
+             requires `qp` int32 [N] (the per-TU QP') when given
     returns: int32 [N, s, s] residual
     """
     s = 1 << log2_size
 
-    # --- dequant (spec 8.6.3, flat scaling = shift folded) ---
-    bd_shift = bit_depth + log2_size - 5 - 4
-    offset = 1 << (bd_shift - 1)
-    coeff = jnp.clip((levels * fact[:, None, None] + offset) >> bd_shift,
-                     -32768, 32767)
+    if sf is None:
+        # --- dequant (spec 8.6.3, flat scaling = shift folded) ---
+        bd_shift = bit_depth + log2_size - 5 - 4
+        offset = 1 << (bd_shift - 1)
+        coeff = jnp.clip((levels * fact[:, None, None] + offset) >> bd_shift,
+                         -32768, 32767)
+    else:
+        # scaling-list dequant without int64: the spec value is
+        #   (level * m * levelScale[qp%6] << (qp/6) + 2^(b-1)) >> b,
+        # b = bd + log2 - 5.  level*m*levelScale fits int32 (<=2^31), and the
+        # qp/6 left-shift folds into the right shift exactly:
+        #   shift>0:  (t + 2^(shift-1)) >> shift,   shift = b - qp/6
+        #   shift<=0: t << -shift  (the rounding term vanishes)
+        b = bit_depth + log2_size - 5
+        t = levels * (sf * jnp.asarray(LEVEL_SCALE)[qp % 6][:, None, None])
+        d = (b - qp // 6)[:, None, None]
+        dp = jnp.maximum(d, 0)
+        rnd = jnp.where(d > 0, 1 << jnp.maximum(d - 1, 0), 0)
+        coeff = jnp.where(d > 0, (t + rnd) >> dp, t << jnp.maximum(-d, 0))
+        coeff = jnp.clip(coeff, -32768, 32767)
 
     # --- inverse transform ---
     bd_shift2 = 20 - bit_depth

@@ -46,7 +46,21 @@ def _compute_residuals(prog: FrameProgramData):
         tskip = (tus["flags"][sel] & TU_TRANSFORM_SKIP) != 0
         use_dst = (tus["flags"][sel] & TU_USE_DST) != 0
         bd = prog.bit_depth[0]  # per-TU channel bd equal for 8-bit
-        res = np.asarray(tx.residual_batch(levels, fact, tskip, use_dst, lg, bd))
+        if prog.scaling_factors is not None:
+            # per-TU matrix id (spec 7.4.5 / 8.6.3): cidx (+3 for inter,
+            # except 32x32 which has only intra/inter luma matrices)
+            cidx = tus["cidx"][sel].astype(np.int32)
+            intra = (tus["flags"][sel] & TU_INTRA) != 0
+            if lg == 5:
+                mid = np.where(intra, 0, 1)
+            else:
+                mid = cidx + np.where(intra, 0, 3)
+            sf = prog.scaling_factors[lg][mid].astype(np.int32)
+            res = np.asarray(tx.residual_batch(levels, fact, tskip, use_dst,
+                                               lg, bd, sf=sf, qp=qp))
+        else:
+            res = np.asarray(
+                tx.residual_batch(levels, fact, tskip, use_dst, lg, bd))
         for k, t in enumerate(sel):
             out[int(t)] = res[k]
     # bypass / rdpcm TUs: host fallback (rare; RExt only)

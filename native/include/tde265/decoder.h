@@ -203,6 +203,10 @@ Err execute_program_scalar(FrameProgram& prog, bool run_deblock, bool run_sao);
 void apply_deblocking(FrameProgram& prog);
 void apply_sao(FrameProgram& prog);
 
+// Expand all scaling lists to full resolution into an 8160-byte buffer
+// (6x16 | 6x64 | 6x256 | 6x1024); see transform.cc.
+void expand_all_scaling_lists(const ScalingLists& lists, u8* out);
+
 // Availability helper (spec 6.4.1 z-scan availability), shared between parse
 // and reconstruction.
 bool z_available(const Frame& frame, int x_curr, int y_curr, int xn, int yn);

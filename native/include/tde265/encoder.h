@@ -25,6 +25,9 @@ struct EncoderConfig {
   int min_cb_log2 = 3;    // 8x8 minimum CUs
   int fps_num = 25, fps_den = 1;
   int bit_depth = 8;  // 8 = Main profile, 9/10 = Main10
+  // signal scaling_list_enabled with the spec default lists (no explicit
+  // list data); reconstruction dequant then uses the default matrices
+  bool scaling_lists = false;
   // intra mode candidate set searched per CU
   std::vector<int> intra_candidates = {0, 1, 10, 26, 2, 18, 34};
 };

@@ -120,6 +120,10 @@ struct FrameProgram {
     // [80..143] chroma_weight[2][16][2] [144..207] chroma_offset[2][16][2]
     static constexpr int kSliceRecordLen = 208;
     std::vector<i32> slice_records;
+    // expanded full-resolution scaling factors when scaling lists are active:
+    // 6x4x4 | 6x8x8 | 6x16x16 | 6x32x32 matrices concatenated (8160 bytes)
+    bool scaling_enabled = false;
+    std::vector<u8> scaling_factors;
   };
   std::shared_ptr<Snapshot> snapshot;
 

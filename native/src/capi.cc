@@ -435,6 +435,8 @@ struct tde265_program_view {
   const uint16_t* slice_idx;      // per CTB
   int32_t n_slices;
   const int32_t* slice_records;   // n_slices x 208 i32 (see program.h)
+  int32_t scaling_enabled;        // scaling lists active for this picture
+  const uint8_t* scaling_factors; // 6x16|6x64|6x256|6x1024 expanded (or NULL)
 };
 
 LIBDE265_API void tde265_set_keep_programs(de265_decoder_context* ctx, int keep) {
@@ -501,6 +503,8 @@ LIBDE265_API int tde265_get_program(de265_decoder_context* ctx, int idx,
   out->n_slices = (int32_t)(s.slice_records.size() /
                             FrameProgram::Snapshot::kSliceRecordLen);
   out->slice_records = s.slice_records.data();
+  out->scaling_enabled = s.scaling_enabled ? 1 : 0;
+  out->scaling_factors = s.scaling_enabled ? s.scaling_factors.data() : nullptr;
   return 0;
 }
 

@@ -748,6 +748,15 @@ Err Decoder::finish_picture() {
           }
         }
     }
+    const Sps& dsps = *f->sps;
+    if (dsps.scaling_list_enabled) {
+      snap->scaling_enabled = true;
+      snap->scaling_factors.resize(6 * (16 + 64 + 256 + 1024));
+      const ScalingLists& lists = f->pps->pps_scaling_list_data_present
+                                      ? f->pps->scaling_lists
+                                      : dsps.scaling_lists;
+      expand_all_scaling_lists(lists, snap->scaling_factors.data());
+    }
     prog->snapshot = std::move(snap);
     finished_programs.push_back(std::move(prog));
   }

@@ -87,8 +87,11 @@ de265_error en265_set_parameter_int(en265_encoder_context* ctx,
   return DE265_OK;
 }
 
-de265_error en265_set_parameter_bool(en265_encoder_context*, const char*, int) {
-  return DE265_OK;  // accepted (no boolean knobs in the intra encoder yet)
+de265_error en265_set_parameter_bool(en265_encoder_context* ctx,
+                                     const char* param, int value) {
+  std::string p = param ? param : "";
+  if (p == "scaling-lists") C(ctx)->cfg.scaling_lists = (value != 0);
+  return DE265_OK;
 }
 
 de265_error en265_set_parameter_string(en265_encoder_context*, const char*,

@@ -105,7 +105,8 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   s.log2_diff_max_min_tb_size = 2;  // max TB 16
   s.max_transform_hierarchy_depth_inter = 0;
   s.max_transform_hierarchy_depth_intra = 0;
-  s.scaling_list_enabled = false;
+  s.scaling_list_enabled = cfg.scaling_lists;
+  if (cfg.scaling_lists) s.scaling_lists.set_default();
   s.amp_enabled = false;
   s.sao_enabled = false;
   s.pcm_enabled = false;
@@ -197,7 +198,9 @@ void Encoder::write_headers(std::vector<u8>* out) {
   sp.write_uvlc((u32)s.log2_diff_max_min_tb_size);
   sp.write_uvlc(0);  // max_transform_hierarchy_depth_inter
   sp.write_uvlc(0);  // ..._intra
-  sp.write_flag(false);  // scaling_list_enabled
+  sp.write_flag(s.scaling_list_enabled);
+  if (s.scaling_list_enabled)
+    sp.write_flag(false);  // sps_scaling_list_data_present (use defaults)
   sp.write_flag(false);  // amp
   sp.write_flag(false);  // sao
   sp.write_flag(false);  // pcm

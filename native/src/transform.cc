@@ -273,6 +273,19 @@ struct ScalingFactorCache {
 // (the de265.h thread-safety contract is one context per thread).
 static thread_local ScalingFactorCache g_sf_cache;
 
+// Expand all scaling lists to full resolution into one 8160-byte buffer
+// (6x16 | 6x64 | 6x256 | 6x1024) for the FrameProgram snapshot export.
+void expand_all_scaling_lists(const ScalingLists& lists, u8* out) {
+  for (int m = 0; m < 6; m++, out += 16)
+    expand_scaling_list(lists.list4x4[m], 0, 16, out);
+  for (int m = 0; m < 6; m++, out += 64)
+    expand_scaling_list(lists.list8x8[m], 1, 16, out);
+  for (int m = 0; m < 6; m++, out += 256)
+    expand_scaling_list(lists.list16x16[m], 2, lists.dc16x16[m], out);
+  for (int m = 0; m < 6; m++, out += 1024)
+    expand_scaling_list(lists.list32x32[m], 3, lists.dc32x32[m], out);
+}
+
 template <typename pixel_t>
 static void add_residual_t(pixel_t* dst, int stride, const i32* residual,
                            int nT, int bd) {

@@ -65,6 +65,24 @@ TDE_TEST(ctb_size_coverage) {
   }
 }
 
+TDE_TEST(scaling_list_roundtrip) {
+  // default scaling lists signalled in the SPS: the decoder's scaling-list
+  // dequant path must reproduce the encoder recon exactly
+  int W = 64, H = 64;
+  std::vector<u8> cb, cr;
+  auto y = test_frame(W, H, cb, cr);
+  EncoderConfig cfg;
+  cfg.width = W;
+  cfg.height = H;
+  cfg.qp = 30;
+  cfg.scaling_lists = true;
+  Encoder enc(cfg);
+  auto bits = enc.encode_frame(y.data(), W, cb.data(), cr.data(), W / 2);
+  TDE_CHECK(bits.size() > 50);
+  int diffs = decode_and_compare(bits, enc.recon());
+  TDE_CHECK_EQ(diffs, 0);
+}
+
 TDE_TEST(main10_roundtrip) {
   // 10-bit encode -> our decoder's 16-bit path must match the encoder recon
   int W = 64, H = 48;

@@ -107,6 +107,39 @@ def test_main10_reference_decoder(native_build, tmp_path):
         ref_yuv[w * h * 5 // 4:].reshape(h // 2, w // 2), pic.planes[2])
 
 
+def test_scaling_lists_roundtrip_and_jax(native_build, tmp_path):
+    """Default scaling lists: reference decoder must match our decoder, and
+    the JAX pipeline's scaling-list dequant must match the scalar oracle."""
+    import os
+    import subprocess
+    w, h = 96, 64
+    y, cb, cr = _test_frame(w, h, seed=11)
+    with Encoder(qp=30) as enc:
+        enc.set_parameter("scaling-lists", True)
+        stream = enc.encode(y, cb, cr) + enc.finish()
+
+    from libde265_tpu import pipeline
+    dec = Decoder(keep_programs=True)
+    pics = list(dec.decode_all(stream))
+    assert len(pics) == 1
+    prog = dec.get_program(0)
+    assert prog.scaling_factors is not None
+    assert set(prog.scaling_factors) == {2, 3, 4, 5}
+    planes = pipeline.reconstruct(prog)
+    for c in range(3):
+        assert np.array_equal(prog.planes[c].astype(np.int32), planes[c]), c
+
+    ref = "/tmp/refbuild/dec265/dec265"
+    if os.path.exists(ref):
+        sp = tmp_path / "sl.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / "sl.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8)
+        assert np.array_equal(ref_yuv[:w * h].reshape(h, w), pics[0].planes[0])
+
+
 def test_reference_decoder_accepts(native_build, tmp_path):
     """The reference libde265 must decode our Python-encoded stream to the
     same pixels as our own decoder (strongest conformance check)."""
