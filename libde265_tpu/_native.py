@@ -71,6 +71,9 @@ class ProgramView(ct.Structure):
         ("slice_records", ct.c_void_p),
         ("scaling_enabled", ct.c_int32),
         ("scaling_factors", ct.c_void_p),
+        ("slice_addr", ct.c_void_p),
+        ("tile_id", ct.c_void_p),
+        ("across_tiles", ct.c_int32),
     ]
 
 

@@ -107,6 +107,9 @@ class FrameProgramData:
     # expanded scaling factors when scaling lists are active:
     # {log2_size: uint8 [6, s, s]} (6 matrices per size), else None
     scaling_factors: dict = None
+    slice_addr: np.ndarray = None   # per CTB SliceAddrRs [ctb_h, ctb_w]
+    tile_id: np.ndarray = None      # per CTB tile id [ctb_h, ctb_w]
+    across_tiles: bool = True
 
 
 class Decoder:
@@ -242,6 +245,13 @@ class Decoder:
                                    np.dtype(np.int32)).reshape(view.n_slices,
                                                                208),
             scaling_factors=self._read_scaling(view),
+            slice_addr=_np_from(view.slice_addr, view.ctb_w * view.ctb_h,
+                                np.dtype(np.int32)).reshape(view.ctb_h,
+                                                            view.ctb_w),
+            tile_id=_np_from(view.tile_id, view.ctb_w * view.ctb_h,
+                             np.dtype(np.int32)).reshape(view.ctb_h,
+                                                         view.ctb_w),
+            across_tiles=bool(view.across_tiles),
         )
 
     @staticmethod

@@ -22,7 +22,7 @@ EDGE_CAT = np.array([1, 2, 0, 3, 4], dtype=np.int32)
 
 @functools.partial(jax.jit, static_argnames=("bit_depth",))
 def sao_plane(src, type_map, eo_class_map, band_pos_map, offsets_map,
-              skip_map, bit_depth: int = 8):
+              skip_map, bit_depth: int = 8, edge_ok=None):
     """Apply SAO to one plane.
 
     src:          [H, W] int32 (deblocked input)
@@ -31,6 +31,9 @@ def sao_plane(src, type_map, eo_class_map, band_pos_map, offsets_map,
     band_pos_map: [H, W] int32
     offsets_map:  [H, W, 4] int32 (sao offsets, already sign-applied/scaled)
     skip_map:     [H, W] bool (lossless/PCM samples to leave untouched)
+    edge_ok:      optional [H, W] bool — False where an edge-offset neighbor
+                  crosses a disabled slice/tile boundary (spec 8.7.3 filter
+                  boundary rules, precomputed by edge_boundary_ok)
     """
     H, W = src.shape
     maxv = (1 << bit_depth) - 1
@@ -74,12 +77,52 @@ def sao_plane(src, type_map, eo_class_map, band_pos_map, offsets_map,
     cat = jnp.asarray(EDGE_CAT)[edge_idx]
     edge_off = jnp.take_along_axis(
         offsets_map, jnp.clip(cat - 1, 0, 3)[..., None], axis=2)[..., 0]
+    if edge_ok is not None:
+        valid = valid & edge_ok
     edge_res = jnp.where((cat > 0) & valid, src + edge_off, src)
 
     out = jnp.where(type_map == 1, band_res,
                     jnp.where(type_map == 2, edge_res, src))
     out = jnp.clip(out, 0, maxv)
     return jnp.where(skip_map | (type_map == 0), src, out)
+
+
+def edge_boundary_ok(emap, slice_addr, across_slices, tile_id, across_tiles,
+                     ctb_size, H, W):
+    """Host: per-pixel mask of edge-offset applicability across slice/tile
+    boundaries (native/src/sao.cc neighbor_ok; spec 8.7.3).
+
+    emap:          [H, W] eo class per pixel
+    slice_addr:    [ctb_h, ctb_w] SliceAddrRs per CTB
+    across_slices: [ctb_h, ctb_w] bool, loop_filter_across_slices of the
+                   CTB's slice
+    tile_id:       [ctb_h, ctb_w] tile id per CTB
+    """
+    yy = np.arange(H)[:, None] // ctb_size
+    xx = np.arange(W)[None, :] // ctb_size
+    A = slice_addr[yy, xx]
+    L = across_slices[yy, xx]
+    T = tile_id[yy, xx]
+
+    def shifted(m, dy, dx):
+        ys = np.clip(np.arange(H) + dy, 0, H - 1)
+        xs = np.clip(np.arange(W) + dx, 0, W - 1)
+        return m[ys[:, None], xs[None, :]]
+
+    def ok(dy, dx):
+        An = shifted(A, dy, dx)
+        Ln = shifted(L, dy, dx)
+        Tn = shifted(T, dy, dx)
+        slice_ok = (An == A) | (L & Ln)
+        tile_ok = across_tiles | (Tn == T)
+        return slice_ok & tile_ok
+
+    out = np.ones((H, W), dtype=bool)
+    for cls in range(4):
+        (dy0, dx0), (dy1, dx1) = EO_D[cls]
+        m = ok(int(dy0), int(dx0)) & ok(int(dy1), int(dx1))
+        out = np.where(emap == cls, m, out)
+    return out
 
 
 def upsample_ctb_params(sao_rec, c, ctb_w, ctb_h, ctb_size, H, W):

@@ -284,20 +284,36 @@ def _deblock(prog: FrameProgramData, planes):
 
 def _apply_sao(prog: FrameProgramData, planes):
     recs = prog.slice_records
-    if not (recs[0, 4] or recs[0, 5]):
+    if not np.any(recs[:, 4] | recs[:, 5]):
         return
     skip4 = ((prog.cu_info & 4) != 0)  # lossless; PCM handled scalar-side
+    # per-CTB slice-derived info
+    sidx = np.clip(prog.slice_idx, 0, len(recs) - 1)
+    sao_on = (recs[sidx, 4] != 0, recs[sidx, 5] != 0)  # luma, chroma per CTB
+    across_slices = recs[sidx, 9] != 0
+    multi = (len(recs) > 1 and
+             (not np.all(across_slices))) or not prog.across_tiles
     for c in range(3 if prog.chroma_width else 1):
         H = prog.height if c == 0 else prog.chroma_height
         W = prog.width if c == 0 else prog.chroma_width
         cs = prog.ctb_size if c == 0 else prog.ctb_size // 2
         tmap, emap, bmap, omap = sao_ops.upsample_ctb_params(
             prog.sao, c, prog.ctb_w, prog.ctb_h, cs, H, W)
+        # per-slice sao enable gates the CTB's type (spec 7.3.8.3)
+        yy = np.arange(H)[:, None] // cs
+        xx = np.arange(W)[None, :] // cs
+        on = sao_on[0 if c == 0 else 1][yy, xx]
+        tmap = np.where(on, tmap, 0)
+        edge_ok = None
+        if multi:
+            edge_ok = sao_ops.edge_boundary_ok(
+                emap, prog.slice_addr, across_slices, prog.tile_id,
+                prog.across_tiles, cs, H, W)
         sub = 1 if c == 0 else 2
         skip = np.repeat(np.repeat(skip4, 4 // sub, 0), 4 // sub, 1)[:H, :W]
         planes[c] = np.asarray(sao_ops.sao_plane(
             planes[c].astype(np.int32), tmap, emap, bmap, omap, skip,
-            prog.bit_depth[c]))
+            prog.bit_depth[c], edge_ok=edge_ok))
 
 
 def reconstruct_stream(programs, run_deblock=True, run_sao=True):

@@ -124,6 +124,11 @@ struct FrameProgram {
     // 6x4x4 | 6x8x8 | 6x16x16 | 6x32x32 matrices concatenated (8160 bytes)
     bool scaling_enabled = false;
     std::vector<u8> scaling_factors;
+    // loop-filter boundary info: per-CTB SliceAddrRs and tile id, plus the
+    // PPS loop_filter_across_tiles flag (for the device filter passes)
+    std::vector<i32> slice_addr;
+    std::vector<i32> tile_id;
+    bool across_tiles = true;
   };
   std::shared_ptr<Snapshot> snapshot;
 

@@ -437,6 +437,9 @@ struct tde265_program_view {
   const int32_t* slice_records;   // n_slices x 208 i32 (see program.h)
   int32_t scaling_enabled;        // scaling lists active for this picture
   const uint8_t* scaling_factors; // 6x16|6x64|6x256|6x1024 expanded (or NULL)
+  const int32_t* slice_addr;      // per-CTB SliceAddrRs
+  const int32_t* tile_id;         // per-CTB tile id
+  int32_t across_tiles;           // pps loop_filter_across_tiles
 };
 
 LIBDE265_API void tde265_set_keep_programs(de265_decoder_context* ctx, int keep) {
@@ -505,6 +508,9 @@ LIBDE265_API int tde265_get_program(de265_decoder_context* ctx, int idx,
   out->slice_records = s.slice_records.data();
   out->scaling_enabled = s.scaling_enabled ? 1 : 0;
   out->scaling_factors = s.scaling_enabled ? s.scaling_factors.data() : nullptr;
+  out->slice_addr = s.slice_addr.data();
+  out->tile_id = s.tile_id.data();
+  out->across_tiles = s.across_tiles ? 1 : 0;
   return 0;
 }
 

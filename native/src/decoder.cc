@@ -748,6 +748,11 @@ Err Decoder::finish_picture() {
           }
         }
     }
+    snap->slice_addr = f->slice_addr_rs;
+    snap->tile_id.resize(f->ctb_w * f->ctb_h);
+    for (int rs = 0; rs < f->ctb_w * f->ctb_h; rs++)
+      snap->tile_id[rs] = f->pps->tile_id_rs(rs);
+    snap->across_tiles = f->pps->loop_filter_across_tiles;
     const Sps& dsps = *f->sps;
     if (dsps.scaling_list_enabled) {
       snap->scaling_enabled = true;
