@@ -74,6 +74,7 @@ class ProgramView(ct.Structure):
         ("slice_addr", ct.c_void_p),
         ("tile_id", ct.c_void_p),
         ("across_tiles", ct.c_int32),
+        ("ctb_size", ct.c_int32),
     ]
 
 

@@ -252,6 +252,7 @@ class Decoder:
                              np.dtype(np.int32)).reshape(view.ctb_h,
                                                          view.ctb_w),
             across_tiles=bool(view.across_tiles),
+            ctb_size=int(view.ctb_size),
         )
 
     @staticmethod

@@ -24,7 +24,8 @@ class IntraContext:
     """Availability helpers for one picture (no-tiles z-scan order)."""
 
     def __init__(self, width, height, ctb_size, cu_info, constrained=False,
-                 strong_smoothing=True, smoothing_disabled=False):
+                 strong_smoothing=True, smoothing_disabled=False,
+                 slice_addr=None, tile_id=None):
         self.width = width
         self.height = height
         self.log2ctb = int(ctb_size).bit_length() - 1
@@ -33,6 +34,8 @@ class IntraContext:
         self.strong_smoothing = strong_smoothing
         self.smoothing_disabled = smoothing_disabled
         self.ctb_w = (width + ctb_size - 1) // ctb_size
+        self.slice_addr = slice_addr  # per-CTB [ctb_h, ctb_w] or None
+        self.tile_id = tile_id
 
     def _zscan(self, x, y):
         # no-tiles z-scan index of the 4x4 block at luma (x, y)
@@ -51,6 +54,14 @@ class IntraContext:
             return False
         if self._zscan(xn, yn) > self._zscan(x_curr, y_curr):
             return False
+        # neighbors in a different slice or tile are unavailable (6.4.1)
+        if self.slice_addr is not None:
+            ca = (y_curr >> self.log2ctb, x_curr >> self.log2ctb)
+            na = (yn >> self.log2ctb, xn >> self.log2ctb)
+            if self.slice_addr[na] != self.slice_addr[ca]:
+                return False
+            if self.tile_id is not None and self.tile_id[na] != self.tile_id[ca]:
+                return False
         if self.constrained:
             if not (self.cu_info[yn >> 2, xn >> 2] & 1):
                 return False

@@ -362,7 +362,8 @@ def reconstruct(prog: FrameProgramData, run_deblock=True, run_sao=True):
 
     # intra ops in decode order
     ctx = intra_ops.IntraContext(prog.width, prog.height, prog.ctb_size,
-                                 prog.cu_info)
+                                 prog.cu_info, slice_addr=prog.slice_addr,
+                                 tile_id=prog.tile_id)
     tu_order = np.zeros(len(tus), dtype=np.int64)
     for op in prog.ops:
         if op["kind"] == OP_INTRA:

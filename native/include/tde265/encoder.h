@@ -28,6 +28,9 @@ struct EncoderConfig {
   // signal scaling_list_enabled with the spec default lists (no explicit
   // list data); reconstruction dequant then uses the default matrices
   bool scaling_lists = false;
+  // CTBs per slice (0 = one slice per picture); exercises slice restarts,
+  // slice_segment_address signalling and in-picture boundary rules
+  int ctbs_per_slice = 0;
   // intra mode candidate set searched per CU
   std::vector<int> intra_candidates = {0, 1, 10, 26, 2, 18, 34};
 };
@@ -55,7 +58,7 @@ class Encoder {
                                       const void* cb, const void* cr,
                                       int stride_c);
   void write_headers(std::vector<u8>* out);
-  void write_slice_header(BitWriter* bw, bool first_pic);
+  void write_slice_header(BitWriter* bw, int ctb_rs);
   void encode_ctb(int ctb_x, int ctb_y);
   void encode_cq(int x0, int y0, int log2_size, int depth);
   void encode_cu(int x0, int y0, int log2_size);

@@ -106,6 +106,7 @@ struct FrameProgram {
     std::vector<u8> plane[3];
     int stride[3] = {0, 0, 0};
     int pb_w = 0, pb_h = 0, ctb_w = 0, ctb_h = 0;
+    int ctb_size = 64;
     std::vector<i8> qp_y;
     std::vector<u8> nonzero_coeff, deblock_flags, cu_info;
     std::vector<SaoParams> sao;

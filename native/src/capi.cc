@@ -440,6 +440,7 @@ struct tde265_program_view {
   const int32_t* slice_addr;      // per-CTB SliceAddrRs
   const int32_t* tile_id;         // per-CTB tile id
   int32_t across_tiles;           // pps loop_filter_across_tiles
+  int32_t ctb_size;               // luma CTB size (16/32/64)
 };
 
 LIBDE265_API void tde265_set_keep_programs(de265_decoder_context* ctx, int keep) {
@@ -511,6 +512,7 @@ LIBDE265_API int tde265_get_program(de265_decoder_context* ctx, int idx,
   out->slice_addr = s.slice_addr.data();
   out->tile_id = s.tile_id.data();
   out->across_tiles = s.across_tiles ? 1 : 0;
+  out->ctb_size = s.ctb_size;
   return 0;
 }
 

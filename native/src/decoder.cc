@@ -712,6 +712,7 @@ Err Decoder::finish_picture() {
     snap->pb_h = f->pb_h;
     snap->ctb_w = f->ctb_w;
     snap->ctb_h = f->ctb_h;
+    snap->ctb_size = f->sps->ctb_size;
     snap->qp_y = f->qp_y;
     snap->nonzero_coeff = f->nonzero_coeff;
     snap->deblock_flags = f->deblock_flags;

@@ -78,6 +78,9 @@ de265_error en265_set_parameter_int(en265_encoder_context* ctx,
     c->cfg.height = value;
   } else if (p == "fps") {
     c->cfg.fps_num = value;
+  } else if (p == "ctbs-per-slice") {
+    if (value < 0) return DE265_ERROR_PARAMETER_PARSING;
+    c->cfg.ctbs_per_slice = value;
   } else if (p == "bit-depth") {
     if (value < 8 || value > 10) return DE265_ERROR_PARAMETER_PARSING;
     c->cfg.bit_depth = value;

@@ -247,10 +247,18 @@ void Encoder::write_headers(std::vector<u8>* out) {
   append_nal(out, NAL_PPS, 0, pp.rbsp());
 }
 
-void Encoder::write_slice_header(BitWriter* bw, bool /*first_pic*/) {
-  bw->write_flag(true);   // first_slice_segment_in_pic_flag
+void Encoder::write_slice_header(BitWriter* bw, int ctb_rs) {
+  bool first = (ctb_rs == 0);
+  bw->write_flag(first);  // first_slice_segment_in_pic_flag
   bw->write_flag(false);  // no_output_of_prior_pics (IRAP)
   bw->write_uvlc(0);      // pps_id
+  if (!first) {
+    // (dependent slice segments disabled in the PPS -> no dependent flag)
+    int n_ctbs = sps_->pic_size_in_ctbs;
+    int bits = 0;
+    while ((1 << bits) < n_ctbs) bits++;
+    bw->write_bits((u32)ctb_rs, bits);  // slice_segment_address
+  }
   bw->write_uvlc(SLICE_I);
   // IDR: no POC, no RPS
   // (sao disabled in SPS -> no sao flags)
@@ -298,22 +306,31 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
   src_stride_[0] = stride_y;
   src_stride_[1] = src_stride_[2] = stride_c;
 
-  slice_bw_.clear();
-  write_slice_header(&slice_bw_, frame_count_ == 0);
-  cabac_ = std::make_unique<CabacEncoder>(&slice_bw_);
-  ctx_.init(0 /* I slice */, cfg_.qp);
-
   int n_ctbs = sps_->pic_size_in_ctbs;
+  int per_slice = (cfg_.ctbs_per_slice > 0) ? cfg_.ctbs_per_slice : n_ctbs;
+  int slice_start = 0;
+  u16 slice_no = 0;
   for (int rs = 0; rs < n_ctbs; rs++) {
+    if (rs == slice_start) {
+      slice_bw_.clear();
+      write_slice_header(&slice_bw_, rs);
+      cabac_ = std::make_unique<CabacEncoder>(&slice_bw_);
+      ctx_.init(0 /* I slice */, cfg_.qp);
+    }
     int cx = rs % sps_->pic_width_in_ctbs;
     int cy = rs / sps_->pic_width_in_ctbs;
-    recon_->slice_addr_rs[rs] = 0;
-    recon_->slice_idx[rs] = 0;
+    recon_->slice_addr_rs[rs] = slice_start;
+    recon_->slice_idx[rs] = slice_no;
     encode_ctb(cx, cy);
-    cabac_->encode_terminate(rs == n_ctbs - 1 ? 1 : 0);
+    bool last_in_slice =
+        (rs == n_ctbs - 1) || (rs + 1 - slice_start >= per_slice);
+    cabac_->encode_terminate(last_in_slice ? 1 : 0);
+    if (last_in_slice) {
+      append_nal(&out, NAL_IDR_W_RADL, 0, slice_bw_.rbsp());
+      slice_start = rs + 1;
+      slice_no++;
+    }
   }
-
-  append_nal(&out, NAL_IDR_W_RADL, 0, slice_bw_.rbsp());
   frame_count_++;
   return out;
 }

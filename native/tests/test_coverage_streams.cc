@@ -83,6 +83,26 @@ TDE_TEST(scaling_list_roundtrip) {
   TDE_CHECK_EQ(diffs, 0);
 }
 
+TDE_TEST(multi_slice_roundtrip) {
+  // several slices per picture: exercises slice_segment_address parsing,
+  // per-slice CABAC restarts and in-picture availability boundaries
+  int W = 96, H = 96;
+  std::vector<u8> cb, cr;
+  auto y = test_frame(W, H, cb, cr);
+  for (int per_slice : {1, 3, 5}) {
+    EncoderConfig cfg;
+    cfg.width = W;
+    cfg.height = H;
+    cfg.qp = 30;
+    cfg.ctbs_per_slice = per_slice;
+    Encoder enc(cfg);
+    auto bits = enc.encode_frame(y.data(), W, cb.data(), cr.data(), W / 2);
+    TDE_CHECK(bits.size() > 50);
+    int diffs = decode_and_compare(bits, enc.recon());
+    TDE_CHECK_EQ(diffs, 0);
+  }
+}
+
 TDE_TEST(main10_roundtrip) {
   // 10-bit encode -> our decoder's 16-bit path must match the encoder recon
   int W = 64, H = 48;

@@ -107,6 +107,40 @@ def test_main10_reference_decoder(native_build, tmp_path):
         ref_yuv[w * h * 5 // 4:].reshape(h // 2, w // 2), pic.planes[2])
 
 
+def test_multi_slice_roundtrip_and_jax(native_build, tmp_path):
+    """Multi-slice picture: reference decoder must match ours, and the JAX
+    pipeline must handle n_slices > 1 (per-slice records, deblock across
+    slice boundaries)."""
+    import os
+    import subprocess
+    w, h = 96, 96
+    y, cb, cr = _test_frame(w, h, seed=21)
+    with Encoder(qp=30, ctb_size=32) as enc:
+        enc.set_parameter("ctbs-per-slice", 4)
+        stream = enc.encode(y, cb, cr) + enc.finish()
+
+    from libde265_tpu import pipeline
+    dec = Decoder(keep_programs=True)
+    pics = list(dec.decode_all(stream))
+    assert len(pics) == 1
+    prog = dec.get_program(0)
+    assert prog.slice_records.shape[0] == 3  # 9 CTBs / 4 per slice
+    assert len(np.unique(prog.slice_addr)) == 3
+    planes = pipeline.reconstruct(prog)
+    for c in range(3):
+        assert np.array_equal(prog.planes[c].astype(np.int32), planes[c]), c
+
+    ref = "/tmp/refbuild/dec265/dec265"
+    if os.path.exists(ref):
+        sp = tmp_path / "ms.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / "ms.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8)
+        assert np.array_equal(ref_yuv[:w * h].reshape(h, w), pics[0].planes[0])
+
+
 def test_scaling_lists_roundtrip_and_jax(native_build, tmp_path):
     """Default scaling lists: reference decoder must match our decoder, and
     the JAX pipeline's scaling-list dequant must match the scalar oracle."""
