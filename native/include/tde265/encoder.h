@@ -31,6 +31,9 @@ struct EncoderConfig {
   // CTBs per slice (0 = one slice per picture); exercises slice restarts,
   // slice_segment_address signalling and in-picture boundary rules
   int ctbs_per_slice = 0;
+  // entropy-coding structure (one slice per picture when either is set):
+  bool wpp = false;            // entropy_coding_sync (one substream per row)
+  int tile_cols = 1, tile_rows = 1;  // uniform tiles
   // intra mode candidate set searched per CU
   std::vector<int> intra_candidates = {0, 1, 10, 26, 2, 18, 34};
 };
@@ -58,7 +61,9 @@ class Encoder {
                                       const void* cb, const void* cr,
                                       int stride_c);
   void write_headers(std::vector<u8>* out);
-  void write_slice_header(BitWriter* bw, int ctb_rs);
+  void write_slice_header(BitWriter* bw, int ctb_rs,
+                          const std::vector<u32>* entry_sizes = nullptr);
+  void encode_slice_substreams(std::vector<u8>* out);
   void encode_ctb(int ctb_x, int ctb_y);
   void encode_cq(int x0, int y0, int log2_size, int depth);
   void encode_cu(int x0, int y0, int log2_size);

@@ -78,6 +78,12 @@ de265_error en265_set_parameter_int(en265_encoder_context* ctx,
     c->cfg.height = value;
   } else if (p == "fps") {
     c->cfg.fps_num = value;
+  } else if (p == "tile-cols") {
+    if (value < 1 || value > 64) return DE265_ERROR_PARAMETER_PARSING;
+    c->cfg.tile_cols = value;
+  } else if (p == "tile-rows") {
+    if (value < 1 || value > 64) return DE265_ERROR_PARAMETER_PARSING;
+    c->cfg.tile_rows = value;
   } else if (p == "ctbs-per-slice") {
     if (value < 0) return DE265_ERROR_PARAMETER_PARSING;
     c->cfg.ctbs_per_slice = value;
@@ -94,6 +100,7 @@ de265_error en265_set_parameter_bool(en265_encoder_context* ctx,
                                      const char* param, int value) {
   std::string p = param ? param : "";
   if (p == "scaling-lists") C(ctx)->cfg.scaling_lists = (value != 0);
+  if (p == "wpp") C(ctx)->cfg.wpp = (value != 0);
   return DE265_OK;
 }
 

@@ -123,6 +123,14 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   p.cu_qp_delta_enabled = false;
   p.loop_filter_across_slices = true;
   p.log2_parallel_merge_level = 2;
+  p.entropy_coding_sync_enabled = cfg.wpp;
+  if (cfg.tile_cols > 1 || cfg.tile_rows > 1) {
+    p.tiles_enabled = true;
+    p.num_tile_columns = cfg.tile_cols;
+    p.num_tile_rows = cfg.tile_rows;
+    p.uniform_spacing = true;
+    p.loop_filter_across_tiles = true;
+  }
   p.compute_derived();
 
   recon_ = std::make_unique<Frame>();
@@ -234,8 +242,15 @@ void Encoder::write_headers(std::vector<u8>* out) {
   pp.write_flag(false);  // weighted_pred
   pp.write_flag(false);  // weighted_bipred
   pp.write_flag(false);  // transquant_bypass
-  pp.write_flag(false);  // tiles_enabled
-  pp.write_flag(false);  // entropy_coding_sync
+  const Pps& ppr = *pps_;
+  pp.write_flag(ppr.tiles_enabled);
+  pp.write_flag(ppr.entropy_coding_sync_enabled);
+  if (ppr.tiles_enabled) {
+    pp.write_uvlc((u32)(ppr.num_tile_columns - 1));
+    pp.write_uvlc((u32)(ppr.num_tile_rows - 1));
+    pp.write_flag(true);  // uniform_spacing
+    pp.write_flag(ppr.loop_filter_across_tiles);
+  }
   pp.write_flag(true);   // loop_filter_across_slices
   pp.write_flag(false);  // deblocking_filter_control_present
   pp.write_flag(false);  // pps_scaling_list_data_present
@@ -247,7 +262,8 @@ void Encoder::write_headers(std::vector<u8>* out) {
   append_nal(out, NAL_PPS, 0, pp.rbsp());
 }
 
-void Encoder::write_slice_header(BitWriter* bw, int ctb_rs) {
+void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
+                                 const std::vector<u32>* entry_sizes) {
   bool first = (ctb_rs == 0);
   bw->write_flag(first);  // first_slice_segment_in_pic_flag
   bw->write_flag(false);  // no_output_of_prior_pics (IRAP)
@@ -266,9 +282,110 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs) {
   // deblocking control not present in PPS -> no override flags here
   // pps_loop_filter_across_slices == 1 and deblocking active -> flag present
   bw->write_flag(true);  // slice_loop_filter_across_slices_enabled_flag
-  // no tiles/WPP -> no entry points
+  if (pps_->tiles_enabled || pps_->entropy_coding_sync_enabled) {
+    u32 n = entry_sizes ? (u32)entry_sizes->size() : 0;
+    bw->write_uvlc(n);  // num_entry_point_offsets
+    if (n > 0) {
+      u32 maxv = 0;
+      for (u32 v : *entry_sizes) maxv = maxv > v - 1 ? maxv : v - 1;
+      int len = 1;
+      while ((1u << len) <= maxv) len++;
+      bw->write_uvlc((u32)(len - 1));  // offset_len_minus1
+      for (u32 v : *entry_sizes) bw->write_bits(v - 1, len);
+    }
+  }
   // byte_alignment
   bw->trailing_bits();
+}
+
+// Slice-data emission with substreams (WPP rows / tiles), entry points and
+// emulation-prevention-aware offsets (spec 7.4.7.1 entry_point_offset).
+// Mirrors the decoder's substream walk in syntax.cc SliceParser::decode.
+void Encoder::encode_slice_substreams(std::vector<u8>* out) {
+  const Sps& s = *sps_;
+  const Pps& p = *pps_;
+  int n_ctbs = s.pic_size_in_ctbs;
+  int pw = s.pic_width_in_ctbs;
+
+  BitWriter data_bw;
+  cabac_ = std::make_unique<CabacEncoder>(&data_bw);
+  ctx_.init(0 /* I slice */, cfg_.qp);
+  ContextTable wpp_saved;
+  bool wpp_saved_valid = false;
+
+  std::vector<u32> raw_bounds;  // cumulative RBSP offsets of substream ends
+  for (int ts = 0; ts < n_ctbs; ts++) {
+    int rs = p.ctb_ts_to_rs[ts];
+    int cx = rs % pw, cy = rs / pw;
+    recon_->slice_addr_rs[rs] = 0;
+    recon_->slice_idx[rs] = 0;
+    encode_ctb(cx, cy);
+    if (p.entropy_coding_sync_enabled && cx == 1) {
+      wpp_saved = ctx_;
+      wpp_saved_valid = true;
+    }
+    if (ts == n_ctbs - 1) {
+      cabac_->encode_terminate(1);  // end_of_slice_segment_flag
+      break;
+    }
+    cabac_->encode_terminate(0);
+    int next_rs = p.ctb_ts_to_rs[ts + 1];
+    int next_cx = next_rs % pw, next_cy = next_rs / pw;
+    bool new_row = p.entropy_coding_sync_enabled && next_cx == 0;
+    bool new_tile = p.tiles_enabled && !p.same_tile(rs, next_rs);
+    if (new_row || new_tile) {
+      cabac_->encode_terminate(1);  // end_of_subset_one_bit (flush + align)
+      raw_bounds.push_back((u32)data_bw.rbsp().size());
+      cabac_ = std::make_unique<CabacEncoder>(&data_bw);
+      bool inherit = new_row && !new_tile && next_cy > 0 && wpp_saved_valid &&
+                     pw >= 2;
+      if (inherit)
+        ctx_ = wpp_saved;
+      else
+        ctx_.init(0, cfg_.qp);
+    }
+  }
+
+  // entry_point_offsets are in the STUFFED byte stream; iterate since the
+  // header bytes (which contain the offsets) feed the emulation scan state
+  std::vector<u32> stuffed = raw_bounds;
+  std::vector<u8> header_rbsp;
+  const std::vector<u8>& data = data_bw.rbsp();
+  for (int iter = 0; iter < 4; iter++) {
+    std::vector<u32> sizes(stuffed.size());
+    for (size_t i = 0; i < stuffed.size(); i++)
+      sizes[i] = stuffed[i] - (i ? stuffed[i - 1] : 0);
+    BitWriter hb;
+    write_slice_header(&hb, 0, sizes.empty() ? nullptr : &sizes);
+    header_rbsp = hb.rbsp();
+    // simulate emulation prevention over header||data
+    std::vector<u32> ns(raw_bounds.size());
+    int zrun = 0;
+    u32 inserted = 0;
+    size_t bi = 0;
+    for (u8 b : header_rbsp) {
+      if (zrun >= 2 && b <= 3) zrun = 0;  // stuffed byte inside header
+      zrun = (b == 0) ? zrun + 1 : 0;
+    }
+    for (size_t i = 0; i < data.size(); i++) {
+      u8 b = data[i];
+      if (zrun >= 2 && b <= 3) {
+        inserted++;
+        zrun = 0;
+      }
+      if (bi < raw_bounds.size() && raw_bounds[bi] == i) {
+        ns[bi] = (u32)i + inserted;
+        bi++;
+      }
+      zrun = (b == 0) ? zrun + 1 : 0;
+    }
+    if (ns == stuffed) break;
+    stuffed = ns;
+  }
+
+  std::vector<u8> rbsp = header_rbsp;
+  rbsp.insert(rbsp.end(), data.begin(), data.end());
+  append_nal(out, NAL_IDR_W_RADL, 0, rbsp);
 }
 
 std::vector<u8> Encoder::encode_frame(const u8* y, int stride_y, const u8* cb,
@@ -305,6 +422,12 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
   src_[2] = cr;
   src_stride_[0] = stride_y;
   src_stride_[1] = src_stride_[2] = stride_c;
+
+  if (pps_->tiles_enabled || pps_->entropy_coding_sync_enabled) {
+    encode_slice_substreams(&out);
+    frame_count_++;
+    return out;
+  }
 
   int n_ctbs = sps_->pic_size_in_ctbs;
   int per_slice = (cfg_.ctbs_per_slice > 0) ? cfg_.ctbs_per_slice : n_ctbs;

@@ -83,6 +83,45 @@ TDE_TEST(scaling_list_roundtrip) {
   TDE_CHECK_EQ(diffs, 0);
 }
 
+TDE_TEST(wpp_roundtrip) {
+  // WPP: one substream per CTB row, context inheritance from CTB 1 of the
+  // row above, entry-point offsets
+  int W = 128, H = 96;
+  std::vector<u8> cb, cr;
+  auto y = test_frame(W, H, cb, cr);
+  EncoderConfig cfg;
+  cfg.width = W;
+  cfg.height = H;
+  cfg.qp = 30;
+  cfg.ctb_log2 = 5;
+  cfg.wpp = true;
+  Encoder enc(cfg);
+  auto bits = enc.encode_frame(y.data(), W, cb.data(), cr.data(), W / 2);
+  TDE_CHECK(bits.size() > 50);
+  int diffs = decode_and_compare(bits, enc.recon());
+  TDE_CHECK_EQ(diffs, 0);
+}
+
+TDE_TEST(tiles_roundtrip) {
+  int W = 128, H = 96;
+  std::vector<u8> cb, cr;
+  auto y = test_frame(W, H, cb, cr);
+  for (auto [tc, tr] : {std::pair{2, 2}, std::pair{3, 1}, std::pair{1, 3}}) {
+    EncoderConfig cfg;
+    cfg.width = W;
+    cfg.height = H;
+    cfg.qp = 30;
+    cfg.ctb_log2 = 5;
+    cfg.tile_cols = tc;
+    cfg.tile_rows = tr;
+    Encoder enc(cfg);
+    auto bits = enc.encode_frame(y.data(), W, cb.data(), cr.data(), W / 2);
+    TDE_CHECK(bits.size() > 50);
+    int diffs = decode_and_compare(bits, enc.recon());
+    TDE_CHECK_EQ(diffs, 0);
+  }
+}
+
 TDE_TEST(multi_slice_roundtrip) {
   // several slices per picture: exercises slice_segment_address parsing,
   // per-slice CABAC restarts and in-picture availability boundaries

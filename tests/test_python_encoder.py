@@ -107,6 +107,56 @@ def test_main10_reference_decoder(native_build, tmp_path):
         ref_yuv[w * h * 5 // 4:].reshape(h // 2, w // 2), pic.planes[2])
 
 
+def _ref_decode(stream, tmp_path, name, w, h):
+    import os
+    import subprocess
+    ref = "/tmp/refbuild/dec265/dec265"
+    if not os.path.exists(ref):
+        pytest.skip("reference build unavailable")
+    sp = tmp_path / f"{name}.h265"
+    sp.write_bytes(stream)
+    out = tmp_path / f"{name}.yuv"
+    subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                   capture_output=True)
+    ref_yuv = np.fromfile(out, dtype=np.uint8)
+    assert ref_yuv.size == w * h * 3 // 2
+    return ref_yuv[:w * h].reshape(h, w)
+
+
+def test_wpp_reference_decoder(native_build, tmp_path):
+    """WPP stream (entry points + per-row context inheritance) must decode
+    identically in the reference libde265 (which runs WPP threaded)."""
+    w, h = 128, 96
+    y, cb, cr = _test_frame(w, h, seed=31)
+    with Encoder(qp=28, ctb_size=32) as enc:
+        enc.set_parameter("wpp", True)
+        stream = enc.encode(y, cb, cr) + enc.finish()
+    dec = Decoder()
+    (pic,) = list(dec.decode_all(stream))
+    ry = _ref_decode(stream, tmp_path, "wpp", w, h)
+    assert np.array_equal(ry, pic.planes[0])
+
+
+def test_tiles_reference_decoder(native_build, tmp_path):
+    w, h = 128, 96
+    y, cb, cr = _test_frame(w, h, seed=32)
+    with Encoder(qp=28, ctb_size=32) as enc:
+        enc.set_parameter("tile-cols", 2)
+        enc.set_parameter("tile-rows", 2)
+        stream = enc.encode(y, cb, cr) + enc.finish()
+    dec = Decoder(keep_programs=True)
+    (pic,) = list(dec.decode_all(stream))
+    ry = _ref_decode(stream, tmp_path, "tiles", w, h)
+    assert np.array_equal(ry, pic.planes[0])
+    # tile ids exported for the JAX pipeline boundary rules
+    prog = dec.get_program(0)
+    assert len(np.unique(prog.tile_id)) == 4
+    from libde265_tpu import pipeline
+    planes = pipeline.reconstruct(prog)
+    for c in range(3):
+        assert np.array_equal(prog.planes[c].astype(np.int32), planes[c]), c
+
+
 def test_multi_slice_roundtrip_and_jax(native_build, tmp_path):
     """Multi-slice picture: reference decoder must match ours, and the JAX
     pipeline must handle n_slices > 1 (per-slice records, deblock across
