@@ -13,7 +13,9 @@
 
 #include "tde265/bitwriter.h"
 #include "tde265/frame.h"
+#include "tde265/motion.h"
 #include "tde265/program.h"
+#include "tde265/sliceheader.h"
 
 namespace tde265 {
 
@@ -34,6 +36,11 @@ struct EncoderConfig {
   // entropy-coding structure (one slice per picture when either is set):
   bool wpp = false;            // entropy_coding_sync (one substream per row)
   int tile_cols = 1, tile_rows = 1;  // uniform tiles
+  // GOP structure: 0/1 = all-intra; N>1 = IDR every N pictures, P pictures
+  // (one L0 reference, the previous picture) in between — the low-delay-P
+  // counterpart of the reference's sop-structure
+  int intra_period = 1;
+  int me_range = 12;  // full-pel motion search range around the predictor
   // intra mode candidate set searched per CU
   std::vector<int> intra_candidates = {0, 1, 10, 26, 2, 18, 34};
 };
@@ -68,6 +75,14 @@ class Encoder {
   void encode_cq(int x0, int y0, int log2_size, int depth);
   void encode_cu(int x0, int y0, int log2_size);
   int choose_luma_mode(int x0, int y0, int log2_size);
+  void encode_cu_intra(int x0, int y0, int log2_size);
+  void encode_cu_inter(int x0, int y0, int log2_size);
+  void write_cu_skip_flag(int x0, int y0, int flag);
+  void write_merge_idx(int idx);
+  void write_mvd(i32 mvd_x, i32 mvd_y);
+  int sad_luma(int x0, int y0, int n) const;
+  PbMotion predict_inter(int x0, int y0, int n, const PbMotion& m,
+                         bool emit_op);
   void write_intra_luma_mode(int x0, int y0, int mode);
   void write_residual(int x0c, int y0c, int log2_size, int cidx,
                       const i32* levels, int scan_idx);
@@ -93,6 +108,12 @@ class Encoder {
     return recon_->bytes_pp == 1 ? *recon_->px8(cidx, x, y)
                                  : *recon_->px16(cidx, x, y);
   }
+
+  // inter coding state
+  std::unique_ptr<Frame> ref_frame_;       // previous reconstructed picture
+  std::shared_ptr<SliceHeader> sh_;        // current picture's slice header
+  bool cur_is_intra_pic_ = true;
+  int poc_ = 0;
 
   BitWriter slice_bw_;
   std::unique_ptr<CabacEncoder> cabac_;

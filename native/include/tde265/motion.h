@@ -27,4 +27,13 @@ PbMotion derive_pu_motion(Frame& frame, const SliceHeader& sh, int xC, int yC,
                           int log2_cb, int xP, int yP, int nPbW, int nPbH,
                           int part_idx, int part_mode, const PuMotionSyntax& syn);
 
+// Candidate-list derivation (spec 8.5.3.2.x), exposed for the encoder's
+// mode decisions (the encoder enumerates the same lists the decoder will).
+void derive_merge_list(Frame& frame, const SliceHeader& sh, int xC, int yC,
+                       int log2_cb, int xP, int yP, int nPbW, int nPbH,
+                       int part_idx, int part_mode, PbMotion list[5]);
+void derive_mvp_list(Frame& frame, const SliceHeader& sh, int xP, int yP,
+                     int nPbW, int nPbH, int l, int ref_idx,
+                     MotionVector mvp[2]);
+
 }  // namespace tde265

@@ -78,6 +78,12 @@ de265_error en265_set_parameter_int(en265_encoder_context* ctx,
     c->cfg.height = value;
   } else if (p == "fps") {
     c->cfg.fps_num = value;
+  } else if (p == "intra-period") {
+    if (value < 0) return DE265_ERROR_PARAMETER_PARSING;
+    c->cfg.intra_period = value;
+  } else if (p == "me-range") {
+    if (value < 1 || value > 64) return DE265_ERROR_PARAMETER_PARSING;
+    c->cfg.me_range = value;
   } else if (p == "tile-cols") {
     if (value < 1 || value > 64) return DE265_ERROR_PARAMETER_PARSING;
     c->cfg.tile_cols = value;

@@ -124,6 +124,12 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   p.loop_filter_across_slices = true;
   p.log2_parallel_merge_level = 2;
   p.entropy_coding_sync_enabled = cfg.wpp;
+  if (cfg.intra_period > 1) {
+    // v1 inter coding signals in-loop deblocking off so the reference
+    // picture equals the unfiltered reconstruction
+    p.deblocking_filter_control_present = true;
+    p.pps_deblocking_filter_disabled = true;
+  }
   if (cfg.tile_cols > 1 || cfg.tile_rows > 1) {
     p.tiles_enabled = true;
     p.num_tile_columns = cfg.tile_cols;
@@ -252,7 +258,12 @@ void Encoder::write_headers(std::vector<u8>* out) {
     pp.write_flag(ppr.loop_filter_across_tiles);
   }
   pp.write_flag(true);   // loop_filter_across_slices
-  pp.write_flag(false);  // deblocking_filter_control_present
+  pp.write_flag(ppr.deblocking_filter_control_present);
+  if (ppr.deblocking_filter_control_present) {
+    pp.write_flag(false);  // deblocking_filter_override_enabled
+    pp.write_flag(ppr.pps_deblocking_filter_disabled);
+    // (disabled -> no beta/tc offsets)
+  }
   pp.write_flag(false);  // pps_scaling_list_data_present
   pp.write_flag(false);  // lists_modification_present
   pp.write_uvlc(0);      // log2_parallel_merge_level_minus2
@@ -265,8 +276,9 @@ void Encoder::write_headers(std::vector<u8>* out) {
 void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
                                  const std::vector<u32>* entry_sizes) {
   bool first = (ctb_rs == 0);
+  bool idr = cur_is_intra_pic_;
   bw->write_flag(first);  // first_slice_segment_in_pic_flag
-  bw->write_flag(false);  // no_output_of_prior_pics (IRAP)
+  if (idr) bw->write_flag(false);  // no_output_of_prior_pics (IRAP only)
   bw->write_uvlc(0);      // pps_id
   if (!first) {
     // (dependent slice segments disabled in the PPS -> no dependent flag)
@@ -275,13 +287,28 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
     while ((1 << bits) < n_ctbs) bits++;
     bw->write_bits((u32)ctb_rs, bits);  // slice_segment_address
   }
-  bw->write_uvlc(SLICE_I);
-  // IDR: no POC, no RPS
+  bw->write_uvlc(idr ? SLICE_I : SLICE_P);
+  if (!idr) {
+    bw->write_bits((u32)(poc_ & (sps_->max_pic_order_cnt_lsb - 1)),
+                   sps_->log2_max_pic_order_cnt_lsb);
+    bw->write_flag(false);  // short_term_ref_pic_set_sps_flag -> inline RPS
+    // st_ref_pic_set: one negative pic (the previous picture), used
+    bw->write_uvlc(1);      // num_negative_pics
+    bw->write_uvlc(0);      // num_positive_pics
+    bw->write_uvlc(0);      // delta_poc_s0_minus1 (= -1)
+    bw->write_flag(true);   // used_by_curr_pic_s0
+    // (long-term off, temporal_mvp off in SPS -> no flags)
+    bw->write_flag(false);  // num_ref_idx_active_override (default L0 = 1)
+    bw->write_uvlc(0);      // five_minus_max_num_merge_cand (= 5)
+  }
   // (sao disabled in SPS -> no sao flags)
   bw->write_svlc(cfg_.qp - 26);  // slice_qp_delta (init_qp = 26)
-  // deblocking control not present in PPS -> no override flags here
-  // pps_loop_filter_across_slices == 1 and deblocking active -> flag present
-  bw->write_flag(true);  // slice_loop_filter_across_slices_enabled_flag
+  // deblocking override not enabled -> no per-slice deblock fields.
+  // slice_loop_filter_across_slices present iff across-slices allowed in the
+  // PPS and any in-loop filter is active (sliceheader.cc:234)
+  if (pps_->loop_filter_across_slices &&
+      !pps_->pps_deblocking_filter_disabled)
+    bw->write_flag(true);  // slice_loop_filter_across_slices_enabled_flag
   if (pps_->tiles_enabled || pps_->entropy_coding_sync_enabled) {
     u32 n = entry_sizes ? (u32)entry_sizes->size() : 0;
     bw->write_uvlc(n);  // num_entry_point_offsets
@@ -309,7 +336,7 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
 
   BitWriter data_bw;
   cabac_ = std::make_unique<CabacEncoder>(&data_bw);
-  ctx_.init(0 /* I slice */, cfg_.qp);
+  ctx_.init(cur_is_intra_pic_ ? 0 : 1, cfg_.qp);
   ContextTable wpp_saved;
   bool wpp_saved_valid = false;
 
@@ -342,7 +369,7 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
       if (inherit)
         ctx_ = wpp_saved;
       else
-        ctx_.init(0, cfg_.qp);
+        ctx_.init(cur_is_intra_pic_ ? 0 : 1, cfg_.qp);
     }
   }
 
@@ -385,7 +412,8 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
 
   std::vector<u8> rbsp = header_rbsp;
   rbsp.insert(rbsp.end(), data.begin(), data.end());
-  append_nal(out, NAL_IDR_W_RADL, 0, rbsp);
+  append_nal(out, cur_is_intra_pic_ ? NAL_IDR_W_RADL : NAL_TRAIL_R, 0,
+             rbsp);
 }
 
 std::vector<u8> Encoder::encode_frame(const u8* y, int stride_y, const u8* cb,
@@ -410,10 +438,38 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
     headers_written_ = true;
   }
 
+  const bool gop = cfg_.intra_period > 1;
+  cur_is_intra_pic_ = !gop || (frame_count_ % (u32)cfg_.intra_period == 0);
+  poc_ = gop ? (int)(frame_count_ % (u32)cfg_.intra_period) : 0;
+  if (gop && frame_count_ > 0) {
+    // previous reconstruction becomes the reference picture
+    if (!ref_frame_) ref_frame_ = std::make_unique<Frame>();
+    std::swap(ref_frame_, recon_);
+    if (!recon_) recon_ = std::make_unique<Frame>();
+  }
+
   recon_->alloc(sps_, pps_);
-  recon_->poc = 0;
+  recon_->poc = poc_;
   prog_.clear();
   prog_.frame = recon_.get();
+
+  // current picture's slice header (also consumed by the motion-derivation
+  // and MC machinery shared with the decoder)
+  sh_ = std::make_shared<SliceHeader>();
+  sh_->slice_type = cur_is_intra_pic_ ? SLICE_I : SLICE_P;
+  sh_->pps = pps_;
+  sh_->slice_qp_y = cfg_.qp;
+  sh_->max_num_merge_cand = 5;
+  sh_->slice_index = 0;
+  sh_->loop_filter_across_slices = true;
+  sh_->deblocking_filter_disabled = pps_->pps_deblocking_filter_disabled;
+  if (!cur_is_intra_pic_) {
+    sh_->num_ref_idx[0] = 1;
+    sh_->ref_list[0][0] = ref_frame_.get();
+    sh_->ref_poc[0][0] = poc_ - 1;
+    prog_.ref_frames.push_back(ref_frame_.get());
+  }
+  prog_.slices.push_back(sh_);
   // the recon program needs slice-addr grids for availability checks
   for (auto& s : recon_->slice_addr_rs) s = -1;
 
@@ -438,7 +494,7 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
       slice_bw_.clear();
       write_slice_header(&slice_bw_, rs);
       cabac_ = std::make_unique<CabacEncoder>(&slice_bw_);
-      ctx_.init(0 /* I slice */, cfg_.qp);
+      ctx_.init(cur_is_intra_pic_ ? 0 : 1, cfg_.qp);
     }
     int cx = rs % sps_->pic_width_in_ctbs;
     int cy = rs / sps_->pic_width_in_ctbs;
@@ -449,7 +505,8 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
         (rs == n_ctbs - 1) || (rs + 1 - slice_start >= per_slice);
     cabac_->encode_terminate(last_in_slice ? 1 : 0);
     if (last_in_slice) {
-      append_nal(&out, NAL_IDR_W_RADL, 0, slice_bw_.rbsp());
+      append_nal(&out, cur_is_intra_pic_ ? NAL_IDR_W_RADL : NAL_TRAIL_R,
+                 0, slice_bw_.rbsp());
       slice_start = rs + 1;
       slice_no++;
     }
@@ -590,8 +647,22 @@ void Encoder::write_intra_luma_mode(int x0, int y0, int mode) {
 }
 
 void Encoder::encode_cu(int x0, int y0, int log2_size) {
+  if (!cur_is_intra_pic_) {
+    encode_cu_inter(x0, y0, log2_size);
+    return;
+  }
+  encode_cu_intra(x0, y0, log2_size);
+}
+
+void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
   Frame& f = *recon_;
   int n4 = 1 << (log2_size - 2);
+
+  // P slice: intra CU needs cu_skip_flag=0 + pred_mode_flag=1 first
+  if (!cur_is_intra_pic_) {
+    write_cu_skip_flag(x0, y0, 0);
+    cabac_->encode_bin(&ctx_[CTX_PRED_MODE_FLAG], 1);
+  }
 
   // part_mode (intra, coded only at minimum CB size): always 2Nx2N
   if (log2_size == sps_->log2_min_cb_size)
@@ -735,6 +806,302 @@ void Encoder::encode_cu(int x0, int y0, int log2_size) {
   if (ch[2].cbf)
     write_residual(x0, y0, log2c, 2, ch[2].levels.data(), ch[2].scan);
   emit_tu(ch[2]);
+}
+
+// ---------------------------------------------------------------------------
+// inter CU coding (P slices, 2Nx2N, single-TU): candidate search over the
+// decoder-identical merge/AMVP lists (motion.h), reconstruction through the
+// decoder's MC + transform kernels.  Counterpart of the reference's
+// encoder-motion.cc / algo/cb-intra-inter.cc decision layer.
+// ---------------------------------------------------------------------------
+void execute_pu_scalar(const FrameProgram& prog, const PuRec& pu);  // recon.cc
+
+void Encoder::write_cu_skip_flag(int x0, int y0, int flag) {
+  Frame& f = *recon_;
+  int inc = 0;
+  if (z_available(f, x0, y0, x0 - 1, y0) &&
+      (f.cu_info[(y0 >> 2) * f.pb_w + ((x0 - 1) >> 2)] & 8))
+    inc++;
+  if (z_available(f, x0, y0, x0, y0 - 1) &&
+      (f.cu_info[((y0 - 1) >> 2) * f.pb_w + (x0 >> 2)] & 8))
+    inc++;
+  cabac_->encode_bin(&ctx_[CTX_CU_SKIP_FLAG + inc], flag);
+}
+
+void Encoder::write_merge_idx(int idx) {
+  if (sh_->max_num_merge_cand <= 1) return;
+  cabac_->encode_bin(&ctx_[CTX_MERGE_IDX], idx > 0 ? 1 : 0);
+  if (idx > 0) {
+    for (int k = 1; k < idx; k++) cabac_->encode_bypass(1);
+    if (idx < sh_->max_num_merge_cand - 1) cabac_->encode_bypass(0);
+  }
+}
+
+void Encoder::write_mvd(i32 mvd_x, i32 mvd_y) {
+  // inverse of SliceParser::decode_mvd (spec 7.3.8.9)
+  i32 ax = abs_i(mvd_x), ay = abs_i(mvd_y);
+  cabac_->encode_bin(&ctx_[CTX_ABS_MVD_GREATER0], ax > 0);
+  cabac_->encode_bin(&ctx_[CTX_ABS_MVD_GREATER0], ay > 0);
+  if (ax > 0) cabac_->encode_bin(&ctx_[CTX_ABS_MVD_GREATER1], ax > 1);
+  if (ay > 0) cabac_->encode_bin(&ctx_[CTX_ABS_MVD_GREATER1], ay > 1);
+  if (ax > 0) {
+    if (ax > 1) cabac_->encode_egk((u32)(ax - 2), 1);
+    cabac_->encode_bypass(mvd_x < 0);
+  }
+  if (ay > 0) {
+    if (ay > 1) cabac_->encode_egk((u32)(ay - 2), 1);
+    cabac_->encode_bypass(mvd_y < 0);
+  }
+}
+
+int Encoder::sad_luma(int x0, int y0, int n) const {
+  int sad = 0;
+  for (int yy = 0; yy < n; yy++)
+    for (int xx = 0; xx < n; xx++)
+      sad += abs_i(src_px(0, x0 + xx, y0 + yy) - rec_px(0, x0 + xx, y0 + yy));
+  return sad;
+}
+
+PbMotion Encoder::predict_inter(int x0, int y0, int n, const PbMotion& m,
+                                bool emit_op) {
+  PuRec pu;
+  pu.x = (u16)x0;
+  pu.y = (u16)y0;
+  pu.w = pu.h = (u16)n;
+  pu.mv[0] = m.mv[0];
+  pu.mv[1] = m.mv[1];
+  pu.ref_idx[0] = m.ref_idx[0];
+  pu.ref_idx[1] = m.ref_idx[1];
+  pu.pred_flags = m.pred_flags;
+  pu.slice = 0;
+  pu.ref_dpb[0] = (m.pred_flags & 1) ? 0 : -1;  // ref_frames[0] = L0[0]
+  pu.ref_dpb[1] = -1;
+  execute_pu_scalar(prog_, pu);
+  if (emit_op) {
+    prog_.pus.push_back(pu);
+    prog_.ops.push_back({Op::kInterPred, (u32)(prog_.pus.size() - 1)});
+  }
+  return m;
+}
+
+void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
+  Frame& f = *recon_;
+  int n = 1 << log2_size;
+  int n4 = n >> 2;
+
+  // --- candidate evaluation -------------------------------------------
+  PbMotion merge_cand[5];
+  derive_merge_list(f, *sh_, x0, y0, log2_size, x0, y0, n, n, 0, PART_2Nx2N,
+                    merge_cand);
+  int best_merge = 0, best_merge_cost = INT32_MAX;
+  for (int k = 0; k < sh_->max_num_merge_cand; k++) {
+    if (!(merge_cand[k].pred_flags & 1)) continue;
+    predict_inter(x0, y0, n, merge_cand[k], false);
+    int cost = sad_luma(x0, y0, n) + 4 * k;
+    if (cost < best_merge_cost) {
+      best_merge_cost = cost;
+      best_merge = k;
+    }
+  }
+
+  // AMVP: coarse-to-fine full-pel search (SAD on raw reference samples)
+  MotionVector mvp[2];
+  derive_mvp_list(f, *sh_, x0, y0, n, n, 0, 0, mvp);
+  const Frame& rf = *ref_frame_;
+  auto sad_fullpel = [&](int dx, int dy) {
+    int sad = 0;
+    for (int yy = 0; yy < n; yy++) {
+      int ry = clip3(0, rf.height - 1, y0 + yy + dy);
+      for (int xx = 0; xx < n; xx++) {
+        int rx = clip3(0, rf.width - 1, x0 + xx + dx);
+        sad += abs_i(src_px(0, x0 + xx, y0 + yy) -
+                     (rf.bytes_pp == 1 ? *rf.px8(0, rx, ry)
+                                       : *rf.px16(0, rx, ry)));
+      }
+    }
+    return sad;
+  };
+  int bx = 0, by = 0, bsad = sad_fullpel(0, 0);
+  {
+    int px = mvp[0].x >> 2, py = mvp[0].y >> 2;
+    int s = sad_fullpel(px, py);
+    if (s < bsad) { bsad = s; bx = px; by = py; }
+    for (int step = 8; step >= 1; step >>= 1) {
+      if (step > cfg_.me_range) continue;
+      bool improved = true;
+      while (improved) {
+        improved = false;
+        static const int dxs[8] = {-1, 1, 0, 0, -1, -1, 1, 1};
+        static const int dys[8] = {0, 0, -1, 1, -1, 1, -1, 1};
+        for (int d = 0; d < 8; d++) {
+          int nx = bx + dxs[d] * step, ny = by + dys[d] * step;
+          if (abs_i(nx) > cfg_.me_range + abs_i(mvp[0].x >> 2) ||
+              abs_i(ny) > cfg_.me_range + abs_i(mvp[0].y >> 2))
+            continue;
+          int sd = sad_fullpel(nx, ny);
+          if (sd < bsad) { bsad = sd; bx = nx; by = ny; improved = true; }
+        }
+      }
+    }
+  }
+  PbMotion amvp_m;
+  amvp_m.intra = false;
+  amvp_m.pred_flags = 1;
+  amvp_m.ref_idx[0] = 0;
+  amvp_m.ref_poc[0] = sh_->ref_poc[0][0];
+  amvp_m.mv[0].x = (i16)(bx * 4);
+  amvp_m.mv[0].y = (i16)(by * 4);
+  // choose the cheaper predictor
+  int mvp_flag = 0;
+  {
+    i64 c0 = (i64)abs_i(amvp_m.mv[0].x - mvp[0].x) + abs_i(amvp_m.mv[0].y - mvp[0].y);
+    i64 c1 = (i64)abs_i(amvp_m.mv[0].x - mvp[1].x) + abs_i(amvp_m.mv[0].y - mvp[1].y);
+    if (c1 < c0) mvp_flag = 1;
+  }
+  int amvp_cost = bsad + 8 +
+                  2 * (abs_i(amvp_m.mv[0].x - mvp[mvp_flag].x) +
+                       abs_i(amvp_m.mv[0].y - mvp[mvp_flag].y));
+
+  // intra estimate (prediction left in recon planes)
+  int intra_mode = choose_luma_mode(x0, y0, log2_size);
+  int intra_cost = sad_luma(x0, y0, n) + 16;
+  (void)intra_mode;
+
+  bool use_intra = intra_cost < best_merge_cost && intra_cost < amvp_cost;
+  if (use_intra) {
+    encode_cu_intra(x0, y0, log2_size);
+    return;
+  }
+
+  bool use_merge = best_merge_cost <= amvp_cost;
+
+  // --- final motion + prediction (through the decoder path) ------------
+  PuMotionSyntax syn;
+  if (use_merge) {
+    syn.merge_flag = true;
+    syn.merge_idx = best_merge;
+  } else {
+    syn.merge_flag = false;
+    syn.inter_pred_idc = 0;  // L0
+    syn.ref_idx[0] = 0;
+    syn.mvp_flag[0] = mvp_flag;
+    syn.mvd[0][0] = amvp_m.mv[0].x - mvp[mvp_flag].x;
+    syn.mvd[0][1] = amvp_m.mv[0].y - mvp[mvp_flag].y;
+  }
+  PbMotion m = derive_pu_motion(f, *sh_, x0, y0, log2_size, x0, y0, n, n, 0,
+                                PART_2Nx2N, syn);
+  predict_inter(x0, y0, n, m, true);
+
+  // --- residuals for all channels -------------------------------------
+  struct Ch {
+    bool cbf;
+    std::vector<i32> levels;
+    int x0c, y0c, log2, cidx;
+  } ch[3];
+  auto prepare = [&](int cidx, int log2c, int x0c, int y0c) {
+    Ch& pc = ch[cidx];
+    pc.x0c = x0c;
+    pc.y0c = y0c;
+    pc.log2 = log2c;
+    pc.cidx = cidx;
+    int nn = 1 << log2c;
+    i32 res[32 * 32];
+    for (int yy = 0; yy < nn; yy++)
+      for (int xx = 0; xx < nn; xx++)
+        res[yy * nn + xx] =
+            src_px(cidx, x0c + xx, y0c + yy) - rec_px(cidx, x0c + xx, y0c + yy);
+    i32 coeffs[32 * 32];
+    const int bd = cidx == 0 ? sps_->bit_depth_luma : sps_->bit_depth_chroma;
+    const int qpp = cfg_.qp + (cidx == 0 ? sps_->qp_bd_offset_luma
+                                         : sps_->qp_bd_offset_chroma);
+    fwd_dct_2d(coeffs, res, log2c, bd);
+    pc.levels.resize(nn * nn);
+    quantize(pc.levels.data(), coeffs, nn * nn, qpp, log2c, bd, false);
+    pc.cbf = false;
+    for (int i = 0; i < nn * nn; i++)
+      if (pc.levels[i]) pc.cbf = true;
+  };
+  prepare(0, log2_size, x0, y0);
+  prepare(1, log2_size - 1, x0 >> 1, y0 >> 1);
+  prepare(2, log2_size - 1, x0 >> 1, y0 >> 1);
+  bool any_cbf = ch[0].cbf || ch[1].cbf || ch[2].cbf;
+
+  // update metadata grids
+  u8 info = (use_merge && !any_cbf) ? 8 : 0;  // skip flag for context derivation
+  for (int dy = 0; dy < n4; dy++)
+    for (int dx = 0; dx < n4; dx++) {
+      int px = (x0 >> 2) + dx, py = (y0 >> 2) + dy;
+      if (px >= f.pb_w || py >= f.pb_h) continue;
+      f.cu_info[py * f.pb_w + px] = info;
+      f.qp_y[py * f.pb_w + px] = (i8)cfg_.qp;
+    }
+
+  // --- syntax ----------------------------------------------------------
+  if (use_merge && !any_cbf) {
+    // skip CU: prediction is the reconstruction
+    write_cu_skip_flag(x0, y0, 1);
+    write_merge_idx(best_merge);
+    return;
+  }
+
+  write_cu_skip_flag(x0, y0, 0);
+  cabac_->encode_bin(&ctx_[CTX_PRED_MODE_FLAG], 0);  // inter
+  cabac_->encode_bin(&ctx_[CTX_PART_MODE + 0], 1);   // 2Nx2N
+  cabac_->encode_bin(&ctx_[CTX_MERGE_FLAG], use_merge ? 1 : 0);
+  if (use_merge) {
+    write_merge_idx(best_merge);
+    // rqt_root_cbf inferred 1 for 2Nx2N merge (syntax.cc:790)
+  } else {
+    // P slice: inter_pred_idc not coded; num_ref_idx == 1 -> no ref_idx
+    write_mvd(syn.mvd[0][0], syn.mvd[0][1]);
+    cabac_->encode_bin(&ctx_[CTX_MVP_LX_FLAG], syn.mvp_flag[0]);
+    cabac_->encode_bin(&ctx_[CTX_RQT_ROOT_CBF], any_cbf ? 1 : 0);
+    if (!any_cbf) return;
+  }
+
+  // transform tree (single TU = CU): chroma cbfs, then cbf_luma
+  cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[1].cbf ? 1 : 0);
+  cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[2].cbf ? 1 : 0);
+  // cbf_luma inferred 1 when inter, depth 0, no chroma cbf (syntax.cc:866)
+  if (ch[1].cbf || ch[2].cbf)
+    cabac_->encode_bin(&ctx_[CTX_CBF_LUMA + 1], ch[0].cbf ? 1 : 0);
+
+  auto emit = [&](Ch& pc) {
+    if (!pc.cbf) return;
+    int nn = 1 << pc.log2;
+    u32 start = (u32)prog_.coeff_val.size();
+    for (int i = 0; i < nn * nn; i++) {
+      if (pc.levels[i]) {
+        prog_.coeff_val.push_back((i16)clip3(-32768, 32767, pc.levels[i]));
+        int xc = i % nn, yc = i / nn;
+        prog_.coeff_pos.push_back((u16)((yc << 6) | xc));
+      }
+    }
+    TuRec tu;
+    tu.x = (u16)pc.x0c;
+    tu.y = (u16)pc.y0c;
+    tu.log2_size = (u8)pc.log2;
+    tu.cidx = (u8)pc.cidx;
+    tu.qp = (i8)(pc.cidx == 0
+                     ? cfg_.qp + sps_->qp_bd_offset_luma
+                     : chroma_qp(cfg_.qp) + sps_->qp_bd_offset_chroma);
+    tu.flags = 0;  // inter: DCT, no intra flag
+    tu.coeff_start = start;
+    tu.ncoeff = (u16)(prog_.coeff_val.size() - start);
+    prog_.tus.push_back(tu);
+    prog_.ops.push_back({Op::kAddResidual, (u32)(prog_.tus.size() - 1)});
+    execute_tu_scalar(prog_, tu);
+  };
+  // residual syntax + reconstruction, decoder channel order (Y, Cb, Cr);
+  // inter residual scan is always diagonal (scan_idx 0)
+  if (ch[0].cbf) write_residual(x0, y0, log2_size, 0, ch[0].levels.data(), 0);
+  emit(ch[0]);
+  if (ch[1].cbf)
+    write_residual(x0, y0, log2_size - 1, 1, ch[1].levels.data(), 0);
+  emit(ch[1]);
+  if (ch[2].cbf)
+    write_residual(x0, y0, log2_size - 1, 2, ch[2].levels.data(), 0);
+  emit(ch[2]);
 }
 
 // ---------------------------------------------------------------------------

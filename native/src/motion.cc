@@ -130,10 +130,10 @@ bool temporal_mv(Frame& frame, const SliceHeader& sh, int xP, int yP, int nPbW,
 // ---------------------------------------------------------------------------
 // Merge list (spec 8.5.3.2.2-8.5.3.2.5)
 // ---------------------------------------------------------------------------
-static void derive_merge_list(Frame& frame, const SliceHeader& sh, int xC,
-                              int yC, int log2_cb, int xP, int yP, int nPbW,
-                              int nPbH, int part_idx, int part_mode,
-                              PbMotion list[5]) {
+void derive_merge_list(Frame& frame, const SliceHeader& sh, int xC,
+                       int yC, int log2_cb, int xP, int yP, int nPbW,
+                       int nPbH, int part_idx, int part_mode,
+                       PbMotion list[5]) {
   const Pps& pps = *sh.pps;
   int mer = pps.log2_parallel_merge_level;
   int nCbS = 1 << log2_cb;
@@ -298,7 +298,7 @@ static void derive_merge_list(Frame& frame, const SliceHeader& sh, int xC,
 // ---------------------------------------------------------------------------
 // AMVP (spec 8.5.3.2.6)
 // ---------------------------------------------------------------------------
-static void derive_mvp_list(Frame& frame, const SliceHeader& sh, int xP, int yP,
+void derive_mvp_list(Frame& frame, const SliceHeader& sh, int xP, int yP,
                             int nPbW, int nPbH, int X, int ref_idx,
                             MotionVector mvp[2]) {
   i32 target_poc = sh.ref_poc[X][ref_idx];

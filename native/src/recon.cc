@@ -428,6 +428,14 @@ static void execute_pcm(const FrameProgram& prog, const PcmRec& rec) {
   }
 }
 
+// single-PU scalar MC (encoder prediction path)
+void execute_pu_scalar(const FrameProgram& prog, const PuRec& pu) {
+  if (prog.frame->bytes_pp == 1)
+    execute_pu_t<u8>(prog, pu);
+  else
+    execute_pu_t<u16>(prog, pu);
+}
+
 Err execute_program_scalar(FrameProgram& prog, bool run_deblock, bool run_sao) {
   if (!prog.frame) return Err::InternalError;
 

@@ -83,6 +83,55 @@ TDE_TEST(scaling_list_roundtrip) {
   TDE_CHECK_EQ(diffs, 0);
 }
 
+TDE_TEST(inter_gop_roundtrip) {
+  // low-delay P GOP: IDR + P frames with merge/skip/AMVP CUs; the decoder
+  // must reproduce every encoder reconstruction exactly
+  int W = 96, H = 80;
+  EncoderConfig cfg;
+  cfg.width = W;
+  cfg.height = H;
+  cfg.qp = 30;
+  cfg.intra_period = 8;
+  Encoder enc(cfg);
+
+  std::vector<u8> stream;
+  std::vector<std::vector<u8>> recons[3];
+  const int kFrames = 6;
+  for (int fno = 0; fno < kFrames; fno++) {
+    // translating + slowly changing pattern (exercises motion search)
+    std::vector<u8> y(W * H), cb(W * H / 4), cr(W * H / 4);
+    for (int yy = 0; yy < H; yy++)
+      for (int xx = 0; xx < W; xx++)
+        y[yy * W + xx] = (u8)(128 + 60 * std::sin((xx + 2 * fno) * 0.11) *
+                                        std::cos((yy + fno) * 0.07));
+    for (int i = 0; i < W * H / 4; i++) {
+      cb[i] = (u8)(100 + fno);
+      cr[i] = (u8)(150 - fno);
+    }
+    auto bits = enc.encode_frame(y.data(), W, cb.data(), cr.data(), W / 2);
+    stream.insert(stream.end(), bits.begin(), bits.end());
+    for (int c = 0; c < 3; c++) recons[c].push_back(enc.recon().plane[c]);
+  }
+
+  Decoder dec;
+  dec.push_data(stream.data(), stream.size());
+  dec.flush_data();
+  int n_out = 0, diffs = 0, more = 1;
+  while (more) {
+    more = 0;
+    dec.decode(&more);
+    Frame* df;
+    while ((df = dec.peek_next_picture()) != nullptr) {
+      for (int c = 0; c < 3; c++)
+        if (df->plane[c] != recons[c][n_out]) diffs++;
+      n_out++;
+      dec.release_next_picture();
+    }
+  }
+  TDE_CHECK_EQ(n_out, kFrames);
+  TDE_CHECK_EQ(diffs, 0);
+}
+
 TDE_TEST(wpp_roundtrip) {
   // WPP: one substream per CTB row, context inheritance from CTB 1 of the
   // row above, entry-point offsets

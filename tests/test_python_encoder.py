@@ -123,6 +123,54 @@ def _ref_decode(stream, tmp_path, name, w, h):
     return ref_yuv[:w * h].reshape(h, w)
 
 
+def test_inter_gop_reference_and_jax(native_build, tmp_path):
+    """Low-delay P GOP: every frame must decode identically in the reference
+    libde265, and the JAX pipeline (MC + merge/AMVP motion, residuals) must
+    reproduce the scalar oracle for the P frames."""
+    import os
+    import subprocess
+    w, h = 96, 80
+    frames = []
+    with Encoder(qp=30) as enc:
+        enc.set_parameter("intra-period", 8)
+        stream = b""
+        for f in range(6):
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            y = (128 + 60 * np.sin((xx + 2 * f) * 0.11)
+                 * np.cos((yy + f) * 0.07)).clip(0, 255).astype(np.uint8)
+            frames.append(y)
+            stream += enc.encode(y)
+        stream += enc.finish()
+
+    dec = Decoder(keep_programs=True)
+    pics = list(dec.decode_all(stream))
+    assert len(pics) == 6
+    # P frames actually use inter prediction
+    prog1 = dec.get_program(1)
+    assert len(prog1.pus) > 0
+    # coding efficiency sanity: P frames much smaller than the IDR
+    assert _psnr(frames[3], pics[3].planes[0]) > 34.0
+
+    # JAX pipeline on the full chain (recon feedback references)
+    from libde265_tpu.pipeline import reconstruct_stream
+    progs = [dec.get_program(i) for i in range(dec.num_programs())]
+    for i, (poc, planes) in enumerate(reconstruct_stream(progs)):
+        for c in range(3):
+            assert np.array_equal(
+                progs[i].planes[c].astype(np.int32), planes[c]), (i, c)
+
+    ref = "/tmp/refbuild/dec265/dec265"
+    if os.path.exists(ref):
+        sp = tmp_path / "gop.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / "gop.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(6, h * 3 // 2, w)
+        for i in range(6):
+            assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), i
+
+
 def test_wpp_reference_decoder(native_build, tmp_path):
     """WPP stream (entry points + per-row context inheritance) must decode
     identically in the reference libde265 (which runs WPP threaded)."""
