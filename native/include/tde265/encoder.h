@@ -78,6 +78,8 @@ class Encoder {
   void encode_cu_intra(int x0, int y0, int log2_size);
   void encode_cu_inter(int x0, int y0, int log2_size);
   void write_cu_skip_flag(int x0, int y0, int flag);
+  void mark_cu_edges(int x0, int y0, int log2_size);
+  void mark_nonzero(int x0, int y0, int log2_size);
   void write_merge_idx(int idx);
   void write_mvd(i32 mvd_x, i32 mvd_y);
   int sad_luma(int x0, int y0, int n) const;

@@ -124,12 +124,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   p.loop_filter_across_slices = true;
   p.log2_parallel_merge_level = 2;
   p.entropy_coding_sync_enabled = cfg.wpp;
-  if (cfg.intra_period > 1) {
-    // v1 inter coding signals in-loop deblocking off so the reference
-    // picture equals the unfiltered reconstruction
-    p.deblocking_filter_control_present = true;
-    p.pps_deblocking_filter_disabled = true;
-  }
+
   if (cfg.tile_cols > 1 || cfg.tile_rows > 1) {
     p.tiles_enabled = true;
     p.num_tile_columns = cfg.tile_cols;
@@ -485,6 +480,7 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
     return out;
   }
 
+  const bool deblock_recon = gop;  // in-loop filter on the reference path
   int n_ctbs = sps_->pic_size_in_ctbs;
   int per_slice = (cfg_.ctbs_per_slice > 0) ? cfg_.ctbs_per_slice : n_ctbs;
   int slice_start = 0;
@@ -511,6 +507,7 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
       slice_no++;
     }
   }
+  if (deblock_recon) apply_deblocking(prog_);
   frame_count_++;
   return out;
 }
@@ -791,6 +788,9 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
   prepare_channel(1, log2c, x0 >> 1, y0 >> 1, map_dm_chroma(mode));
   prepare_channel(2, log2c, x0 >> 1, y0 >> 1, map_dm_chroma(mode));
 
+  mark_cu_edges(x0, y0, log2_size);
+  if (ch[0].cbf) mark_nonzero(x0, y0, log2_size);
+
   // --- write transform_unit syntax ---
   // cbf_cb, cbf_cr at depth 0, then cbf_luma (ctx depth==0 -> 1)
   cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[1].cbf ? 1 : 0);
@@ -815,6 +815,29 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
 // encoder-motion.cc / algo/cb-intra-inter.cc decision layer.
 // ---------------------------------------------------------------------------
 void execute_pu_scalar(const FrameProgram& prog, const PuRec& pu);  // recon.cc
+
+// CU-boundary deblock-edge bits (our CUs are 2Nx2N single-TU, so the CU
+// boundary is the only TU/PU edge; mirrors SliceParser::mark_cu_edges)
+void Encoder::mark_cu_edges(int x0, int y0, int log2_size) {
+  Frame& f = *recon_;
+  int n4 = 1 << (log2_size - 2);
+  int x4 = x0 >> 2, y4 = y0 >> 2;
+  for (int i = 0; i < n4; i++) {
+    int py = y4 + i, px = x4 + i;
+    if (py < f.pb_h && x4 < f.pb_w) f.deblock_flags[py * f.pb_w + x4] |= 1 | 4;
+    if (px < f.pb_w && y4 < f.pb_h) f.deblock_flags[y4 * f.pb_w + px] |= 2 | 8;
+  }
+}
+
+void Encoder::mark_nonzero(int x0, int y0, int log2_size) {
+  Frame& f = *recon_;
+  int n4 = max_i(1, (1 << log2_size) >> 2);
+  for (int y = 0; y < n4; y++)
+    for (int x = 0; x < n4; x++) {
+      int px = (x0 >> 2) + x, py = (y0 >> 2) + y;
+      if (px < f.pb_w && py < f.pb_h) f.nonzero_coeff[py * f.pb_w + px] |= 1;
+    }
+}
 
 void Encoder::write_cu_skip_flag(int x0, int y0, int flag) {
   Frame& f = *recon_;
@@ -951,6 +974,33 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
   amvp_m.ref_poc[0] = sh_->ref_poc[0][0];
   amvp_m.mv[0].x = (i16)(bx * 4);
   amvp_m.mv[0].y = (i16)(by * 4);
+  // sub-pel refinement: half- then quarter-pel, SAD on the real
+  // interpolated prediction (the decoder's MC kernels)
+  {
+    predict_inter(x0, y0, n, amvp_m, false);
+    int best = sad_luma(x0, y0, n);
+    for (int step : {2, 1}) {
+      bool improved = true;
+      while (improved) {
+        improved = false;
+        static const int dxs[8] = {-1, 1, 0, 0, -1, -1, 1, 1};
+        static const int dys[8] = {0, 0, -1, 1, -1, 1, -1, 1};
+        for (int d = 0; d < 8; d++) {
+          PbMotion t = amvp_m;
+          t.mv[0].x = (i16)(amvp_m.mv[0].x + dxs[d] * step);
+          t.mv[0].y = (i16)(amvp_m.mv[0].y + dys[d] * step);
+          predict_inter(x0, y0, n, t, false);
+          int sd = sad_luma(x0, y0, n);
+          if (sd < best) {
+            best = sd;
+            amvp_m = t;
+            improved = true;
+          }
+        }
+      }
+    }
+    bsad = best;
+  }
   // choose the cheaper predictor
   int mvp_flag = 0;
   {
@@ -1025,6 +1075,9 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
   prepare(1, log2_size - 1, x0 >> 1, y0 >> 1);
   prepare(2, log2_size - 1, x0 >> 1, y0 >> 1);
   bool any_cbf = ch[0].cbf || ch[1].cbf || ch[2].cbf;
+
+  mark_cu_edges(x0, y0, log2_size);
+  if (ch[0].cbf) mark_nonzero(x0, y0, log2_size);
 
   // update metadata grids
   u8 info = (use_merge && !any_cbf) ? 8 : 0;  // skip flag for context derivation
