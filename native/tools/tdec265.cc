@@ -26,6 +26,7 @@ int main(int argc, char** argv) {
   int max_frames = -1;
   bool no_deblock = false, no_sao = false;
   bool dump_motion = false;
+  bool nal_input = false;  // -n: 4-byte length-prefixed NAL units
   int n_threads = 0;
   const char* measure_path = nullptr;  // -m: PSNR/SSIM vs reference YUV
 
@@ -44,6 +45,8 @@ int main(int argc, char** argv) {
       no_deblock = true;
     } else if (!strcmp(argv[i], "--no-sao")) {
       no_sao = true;
+    } else if (!strcmp(argv[i], "-n")) {
+      nal_input = true;
     } else if (!strcmp(argv[i], "--dump-motion")) {
       dump_motion = true;
     } else if (!strcmp(argv[i], "-m") && i + 1 < argc) {
@@ -53,7 +56,8 @@ int main(int argc, char** argv) {
     }
   }
   if (!in_path) {
-    fprintf(stderr, "usage: tdec265 [-o out.yuv] [-c] [-q] [-f N] input.h265\n");
+    fprintf(stderr,
+            "usage: tdec265 [-o out.yuv] [-c] [-q] [-n] [-f N] input.h265\n");
     return 1;
   }
 
@@ -76,10 +80,24 @@ int main(int argc, char** argv) {
 
   auto t0 = std::chrono::steady_clock::now();
 
-  u8 buf[65536];
-  size_t n;
-  while ((n = fread(buf, 1, sizeof(buf), fin)) > 0) {
-    dec.push_data(buf, n);
+  if (nal_input) {
+    // length-prefixed NAL units (counterpart of dec265 -n)
+    u8 len_buf[4];
+    std::vector<u8> nal_buf;
+    while (fread(len_buf, 1, 4, fin) == 4) {
+      u32 len = ((u32)len_buf[0] << 24) | ((u32)len_buf[1] << 16) |
+                ((u32)len_buf[2] << 8) | len_buf[3];
+      if (len == 0 || len > (64u << 20)) break;
+      nal_buf.resize(len);
+      if (fread(nal_buf.data(), 1, len, fin) != len) break;
+      dec.push_nal(nal_buf.data(), len);
+    }
+  } else {
+    u8 buf[65536];
+    size_t n;
+    while ((n = fread(buf, 1, sizeof(buf), fin)) > 0) {
+      dec.push_data(buf, n);
+    }
   }
   fclose(fin);
   dec.flush_data();
