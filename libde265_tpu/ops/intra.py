@@ -1,10 +1,9 @@
 """Intra prediction (spec 8.4.4.2) — host-side sequential implementation.
 
 Intra blocks have a hard sequential dependence on reconstructed neighbors
-(SURVEY.md section 7 "hard parts"), so the round-1 pipeline executes them on
-the host in decode order while everything batched (MC, residuals, filters)
-runs on the TPU.  The planned v2 maps CTB diagonals to batched wavefront
-kernel launches.
+(SURVEY.md section 7 "hard parts").  This module is the host-sequential
+reference; ops/intra_wave.py is the device-side wavefront-batched version
+(select with pipeline.reconstruct(..., device_intra=True)).
 
 Bit-exact counterpart of native/src/intra.cc.
 """

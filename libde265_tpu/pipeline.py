@@ -337,8 +337,13 @@ def reconstruct_stream(programs, run_deblock=True, run_sao=True):
         yield prog.poc, out
 
 
-def reconstruct(prog: FrameProgramData, run_deblock=True, run_sao=True):
-    """Reconstruct a full picture from its FrameProgram.  Returns 3 planes."""
+def reconstruct(prog: FrameProgramData, run_deblock=True, run_sao=True,
+                device_intra=False):
+    """Reconstruct a full picture from its FrameProgram.  Returns 3 planes.
+
+    device_intra=True batches intra blocks into wavefront levels executed on
+    the device (ops.intra_wave) instead of the host-sequential loop.
+    """
     planes = [np.zeros((prog.height, prog.width), dtype=np.int32),
               np.zeros((prog.chroma_height, prog.chroma_width), dtype=np.int32),
               np.zeros((prog.chroma_height, prog.chroma_width), dtype=np.int32)]
@@ -364,6 +369,28 @@ def reconstruct(prog: FrameProgramData, run_deblock=True, run_sao=True):
     ctx = intra_ops.IntraContext(prog.width, prog.height, prog.ctb_size,
                                  prog.cu_info, slice_addr=prog.slice_addr,
                                  tile_id=prog.tile_id)
+    if device_intra:
+        import jax.numpy as jnp
+
+        from .ops import intra_wave
+        batches = intra_wave.plan_blocks(prog, ctx, residuals)
+        jplanes = {c: jnp.asarray(planes[c]) for c in range(3)}
+        for (wave, c, lgs), b in batches.items():
+            s = 1 << lgs
+            P0, P1, WT = intra_wave.build_mode_tables(s)
+            jplanes[c] = intra_wave.intra_wave_kernel(
+                jplanes[c], b["pos"], b["subst"], b["unavail"], b["filt"],
+                b["strong"], b["mode"], b["edge"], b["resid"], b["y0"],
+                b["x0"], b["valid"], P0, P1, WT, s=s,
+                bit_depth=prog.bit_depth[c])
+        for c in range(3):
+            planes[c] = np.asarray(jplanes[c])
+        if run_deblock and len(prog.slice_records):
+            _deblock(prog, planes)
+        if run_sao and len(prog.slice_records):
+            _apply_sao(prog, planes)
+        return planes
+
     tu_order = np.zeros(len(tus), dtype=np.int64)
     for op in prog.ops:
         if op["kind"] == OP_INTRA:

@@ -52,6 +52,25 @@ def test_independent_decode_chain(native_build, programs):
             assert np.array_equal(ref.planes[c], planes[c]), (i, poc, c)
 
 
+def test_device_intra_wavefront(native_build, programs):
+    """Wavefront-batched device intra (ops.intra_wave) must equal the
+    host-sequential oracle on the I-frame and an inter frame."""
+    for p in (programs[0], programs[2]):
+        planes = pipeline.reconstruct(p, device_intra=True)
+        for c in range(3):
+            assert np.array_equal(p.planes[c].astype(np.int32), planes[c]), \
+                (p.poc, c)
+
+
+@pytest.mark.slow
+def test_device_intra_all_frames(native_build, programs):
+    # validated green 2026-08-16: every 5th girlshy frame + full run bit-exact
+    for p in programs:
+        planes = pipeline.reconstruct(p, device_intra=True)
+        for c in range(3):
+            assert np.array_equal(p.planes[c].astype(np.int32), planes[c])
+
+
 @pytest.mark.slow
 def test_all_frames(native_build, programs):
     # validated green 2026-08-16: all 75 girlshy frames bit-exact through the
