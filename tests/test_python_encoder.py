@@ -123,6 +123,55 @@ def _ref_decode(stream, tmp_path, name, w, h):
     return ref_yuv[:w * h].reshape(h, w)
 
 
+def test_main10_jax_pipeline(native_build):
+    """10-bit stream through the JAX pipeline (host + device intra)."""
+    from libde265_tpu import pipeline
+    w, h = 64, 64
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = (512 + 240 * np.sin(xx * 0.13) * np.cos(yy * 0.09)).clip(
+        0, 1023).astype(np.uint16)
+    with Encoder(qp=24, bit_depth=10) as enc:
+        stream = enc.encode(y) + enc.finish()
+    dec = Decoder(keep_programs=True)
+    list(dec.decode_all(stream))
+    prog = dec.get_program(0)
+    for di in (False, True):
+        planes = pipeline.reconstruct(prog, device_intra=di)
+        for c in range(3):
+            assert np.array_equal(prog.planes[c].astype(np.int32),
+                                  planes[c]), (di, c)
+
+
+def test_wpp_plus_gop_reference(native_build, tmp_path):
+    """WPP substreams on P frames (contexts + entry points + inter)."""
+    w, h = 96, 96
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    with Encoder(qp=30, ctb_size=32) as enc:
+        enc.set_parameter("wpp", True)
+        enc.set_parameter("intra-period", 8)
+        stream = b""
+        for f in range(4):
+            y = (128 + 60 * np.sin((xx + 2 * f) * 0.11)
+                 * np.cos((yy + f) * 0.07)).clip(0, 255).astype(np.uint8)
+            stream += enc.encode(y)
+        stream += enc.finish()
+    dec = Decoder()
+    pics = list(dec.decode_all(stream))
+    assert len(pics) == 4
+    import os
+    import subprocess
+    ref = "/tmp/refbuild/dec265/dec265"
+    if os.path.exists(ref):
+        sp = tmp_path / "wg.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / "wg.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(4, h * 3 // 2, w)
+        for i in range(4):
+            assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), i
+
+
 def test_inter_gop_reference_and_jax(native_build, tmp_path):
     """Low-delay P GOP: every frame must decode identically in the reference
     libde265, and the JAX pipeline (MC + merge/AMVP motion, residuals) must
