@@ -60,6 +60,7 @@ def _bind(L: ct.CDLL) -> ct.CDLL:
 
 
 _DE265_CHROMA_420 = 1
+_DE265_CHROMA_444 = 3
 
 
 class Encoder:
@@ -71,12 +72,15 @@ class Encoder:
     """
 
     def __init__(self, qp: int = 30, ctb_size: int = 64,
-                 min_cb_size: int = 8, fps: int = 25, bit_depth: int = 8):
+                 min_cb_size: int = 8, fps: int = 25, bit_depth: int = 8,
+                 chroma_format: str = "420"):
         self._L = _bind(lib())
         self._ctx = self._L.en265_new_encoder()
         if not self._ctx:
             raise RuntimeError("en265_new_encoder failed")
         self.bit_depth = bit_depth
+        self.chroma = (_DE265_CHROMA_444 if chroma_format in ("444", 3)
+                       else _DE265_CHROMA_420)
         self.set_parameter("qp", qp)
         self.set_parameter("ctb-size", ctb_size)
         self.set_parameter("min-cb-size", min_cb_size)
@@ -107,11 +111,12 @@ class Encoder:
         mid = 1 << (self.bit_depth - 1)
         y = np.ascontiguousarray(y, dtype=dtype)
         h, w = y.shape
+        sub = 1 if self.chroma == _DE265_CHROMA_444 else 2
         if cb is None:
-            cb = np.full((h // 2, w // 2), mid, dtype)
+            cb = np.full((h // sub, w // sub), mid, dtype)
         if cr is None:
-            cr = np.full((h // 2, w // 2), mid, dtype)
-        img = self._L.en265_allocate_image(self._ctx, w, h, _DE265_CHROMA_420,
+            cr = np.full((h // sub, w // sub), mid, dtype)
+        img = self._L.en265_allocate_image(self._ctx, w, h, self.chroma,
                                            pts, None)
         if not img:
             raise RuntimeError("en265_allocate_image failed (4:2:0 only)")

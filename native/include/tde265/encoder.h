@@ -27,6 +27,7 @@ struct EncoderConfig {
   int min_cb_log2 = 3;    // 8x8 minimum CUs
   int fps_num = 25, fps_den = 1;
   int bit_depth = 8;  // 8 = Main profile, 9/10 = Main10
+  int chroma_format = 1;  // 1 = 4:2:0, 3 = 4:4:4 (intra coding)
   // signal scaling_list_enabled with the spec default lists (no explicit
   // list data); reconstruction dequant then uses the default matrices
   bool scaling_lists = false;
@@ -89,7 +90,7 @@ class Encoder {
   void write_residual(int x0c, int y0c, int log2_size, int cidx,
                       const i32* levels, int scan_idx);
   static int map_dm_chroma(int luma_mode);
-  static int chroma_qp(int qp_y);
+  int chroma_qp(int qp_y) const;
 
   EncoderConfig cfg_;
   std::shared_ptr<Sps> sps_;

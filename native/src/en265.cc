@@ -134,17 +134,20 @@ const char** en265_list_parameters(en265_encoder_context*) {
 en265_image* en265_allocate_image(en265_encoder_context* ctx, int width,
                                   int height, enum de265_chroma chroma,
                                   de265_PTS pts, void* userdata) {
-  if (chroma != de265_chroma_420) return nullptr;
+  if (chroma != de265_chroma_420 && chroma != de265_chroma_444) return nullptr;
+  C(ctx)->cfg.chroma_format = (chroma == de265_chroma_444) ? 3 : 1;
+  int cw = (chroma == de265_chroma_444) ? width : width / 2;
+  int chh = (chroma == de265_chroma_444) ? height : height / 2;
   auto* img = new en265_image_intern();
   img->width = width;
   img->height = height;
   img->bytes_pp = C(ctx)->cfg.bit_depth > 8 ? 2 : 1;
   img->stride[0] = width;
-  img->stride[1] = img->stride[2] = width / 2;
+  img->stride[1] = img->stride[2] = cw;
   size_t bp = img->bytes_pp;
   img->planes[0].assign((size_t)width * height * bp, 0);
-  img->planes[1].assign((size_t)(width / 2) * (height / 2) * bp, 0);
-  img->planes[2].assign((size_t)(width / 2) * (height / 2) * bp, 0);
+  img->planes[1].assign((size_t)cw * chh * bp, 0);
+  img->planes[2].assign((size_t)cw * chh * bp, 0);
   if (bp == 1) {
     memset(img->planes[1].data(), 128, img->planes[1].size());
     memset(img->planes[2].data(), 128, img->planes[2].size());

@@ -85,7 +85,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   sps_ = std::make_shared<Sps>();
   Sps& s = *sps_;
   s.sps_id = 0;
-  s.chroma_format_idc = 1;
+  s.chroma_format_idc = (cfg.chroma_format == 3) ? 3 : 1;
   s.pic_width_in_luma_samples = (cfg.width + 7) & ~7;
   s.pic_height_in_luma_samples = (cfg.height + 7) & ~7;
   s.conformance_window_flag = (s.pic_width_in_luma_samples != cfg.width) ||
@@ -184,7 +184,8 @@ void Encoder::write_headers(std::vector<u8>* out) {
   sp.write_flag(true);  // temporal_id_nesting
   write_ptl(sp);
   sp.write_uvlc(0);  // sps_id
-  sp.write_uvlc(1);  // chroma_format_idc 4:2:0
+  sp.write_uvlc((u32)s.chroma_format_idc);
+  if (s.chroma_format_idc == 3) sp.write_flag(false);  // separate_colour_plane
   sp.write_uvlc((u32)s.pic_width_in_luma_samples);
   sp.write_uvlc((u32)s.pic_height_in_luma_samples);
   sp.write_flag(s.conformance_window_flag);
@@ -732,9 +733,10 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
     for (int i = 0; i < n * n; i++)
       if (pc.levels[i]) pc.cbf = true;
 
-    // scan from intra mode
+    // scan from intra mode (residual.cc intra_scan_idx)
     int scan = 0;
-    if (log2c == 2 || (log2c == 3 && cidx == 0)) {
+    if (log2c == 2 ||
+        (log2c == 3 && (cidx == 0 || sps_->chroma_array_type == 3))) {
       if (m >= 6 && m <= 14) scan = 2;
       else if (m >= 22 && m <= 30) scan = 1;
     }
@@ -784,9 +786,11 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
     execute_tu_scalar(prog_, tu);
   };
 
-  int log2c = log2_size - 1;
-  prepare_channel(1, log2c, x0 >> 1, y0 >> 1, map_dm_chroma(mode));
-  prepare_channel(2, log2c, x0 >> 1, y0 >> 1, map_dm_chroma(mode));
+  const bool c444 = sps_->chroma_array_type == 3;
+  int log2c = c444 ? log2_size : log2_size - 1;
+  int x0c = c444 ? x0 : (x0 >> 1), y0c = c444 ? y0 : (y0 >> 1);
+  prepare_channel(1, log2c, x0c, y0c, map_dm_chroma(mode));
+  prepare_channel(2, log2c, x0c, y0c, map_dm_chroma(mode));
 
   mark_cu_edges(x0, y0, log2_size);
   if (ch[0].cbf) mark_nonzero(x0, y0, log2_size);
@@ -1391,8 +1395,9 @@ void Encoder::write_residual(int x0c, int y0c, int log2, int cidx,
 
 int Encoder::map_dm_chroma(int luma_mode) { return luma_mode; }
 
-int Encoder::chroma_qp(int qp_y) {
+int Encoder::chroma_qp(int qp_y) const {
   int qpi = clip3(0, 57, qp_y);
+  if (sps_->chroma_array_type != 1) return min_i(qpi, 51);
   if (qpi < 30) return qpi;
   if (qpi > 43) return qpi - 6;
   static const int tab[14] = {29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37};

@@ -348,3 +348,33 @@ def test_reference_decoder_accepts(native_build, tmp_path):
     rcr = ref_yuv[w * h * 5 // 4:].reshape(h // 2, w // 2)
     assert np.array_equal(rcb, pic.planes[1])
     assert np.array_equal(rcr, pic.planes[2])
+
+
+def test_chroma_444_reference_decoder(native_build, tmp_path):
+    """4:4:4 intra encode: full-size chroma TUs, luma-rule chroma smoothing,
+    non-4:2:0 chroma QP mapping — reference decoder must match bit-exactly."""
+    import os
+    import subprocess
+    w, h = 64, 64
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = (128 + 60 * np.sin(xx * 0.13) * np.cos(yy * 0.09)).clip(
+        0, 255).astype(np.uint8)
+    cb = (100 + 40 * np.sin(xx * 0.07)).clip(0, 255).astype(np.uint8)
+    cr = (150 - 40 * np.cos(yy * 0.06)).clip(0, 255).astype(np.uint8)
+    with Encoder(qp=26, chroma_format="444") as enc:
+        stream = enc.encode(y, cb, cr) + enc.finish()
+    dec = Decoder()
+    (pic,) = list(dec.decode_all(stream))
+    assert pic.planes[1].shape == (h, w)
+    assert _psnr(cb, pic.planes[1]) > 38.0
+    ref = "/tmp/refbuild/dec265/dec265"
+    if os.path.exists(ref):
+        sp = tmp_path / "c444.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / "c444.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8)
+        assert ref_yuv.size == w * h * 3
+        for c, arr in enumerate(np.split(ref_yuv, 3)):
+            assert np.array_equal(arr.reshape(h, w), pic.planes[c]), c
