@@ -60,6 +60,7 @@ def _bind(L: ct.CDLL) -> ct.CDLL:
 
 
 _DE265_CHROMA_420 = 1
+_DE265_CHROMA_422 = 2
 _DE265_CHROMA_444 = 3
 
 
@@ -79,8 +80,8 @@ class Encoder:
         if not self._ctx:
             raise RuntimeError("en265_new_encoder failed")
         self.bit_depth = bit_depth
-        self.chroma = (_DE265_CHROMA_444 if chroma_format in ("444", 3)
-                       else _DE265_CHROMA_420)
+        self.chroma = {"420": 1, "422": 2, "444": 3,
+                       1: 1, 2: 2, 3: 3}[chroma_format]
         self.set_parameter("qp", qp)
         self.set_parameter("ctb-size", ctb_size)
         self.set_parameter("min-cb-size", min_cb_size)
@@ -111,11 +112,12 @@ class Encoder:
         mid = 1 << (self.bit_depth - 1)
         y = np.ascontiguousarray(y, dtype=dtype)
         h, w = y.shape
-        sub = 1 if self.chroma == _DE265_CHROMA_444 else 2
+        sub_x = 1 if self.chroma == _DE265_CHROMA_444 else 2
+        sub_y = 2 if self.chroma == _DE265_CHROMA_420 else 1
         if cb is None:
-            cb = np.full((h // sub, w // sub), mid, dtype)
+            cb = np.full((h // sub_y, w // sub_x), mid, dtype)
         if cr is None:
-            cr = np.full((h // sub, w // sub), mid, dtype)
+            cr = np.full((h // sub_y, w // sub_x), mid, dtype)
         img = self._L.en265_allocate_image(self._ctx, w, h, self.chroma,
                                            pts, None)
         if not img:

@@ -85,13 +85,18 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   sps_ = std::make_shared<Sps>();
   Sps& s = *sps_;
   s.sps_id = 0;
-  s.chroma_format_idc = (cfg.chroma_format == 3) ? 3 : 1;
+  s.chroma_format_idc =
+      (cfg.chroma_format == 3 || cfg.chroma_format == 2) ? cfg.chroma_format
+                                                         : 1;
   s.pic_width_in_luma_samples = (cfg.width + 7) & ~7;
   s.pic_height_in_luma_samples = (cfg.height + 7) & ~7;
   s.conformance_window_flag = (s.pic_width_in_luma_samples != cfg.width) ||
                               (s.pic_height_in_luma_samples != cfg.height);
-  s.conf_win_right = (s.pic_width_in_luma_samples - cfg.width) / 2;
-  s.conf_win_bottom = (s.pic_height_in_luma_samples - cfg.height) / 2;
+  // conformance-window offsets are in chroma units (SubWidthC/SubHeightC)
+  const int sw_c = (s.chroma_format_idc == 1 || s.chroma_format_idc == 2) ? 2 : 1;
+  const int sh_c = (s.chroma_format_idc == 1) ? 2 : 1;
+  s.conf_win_right = (s.pic_width_in_luma_samples - cfg.width) / sw_c;
+  s.conf_win_bottom = (s.pic_height_in_luma_samples - cfg.height) / sh_c;
   s.bit_depth_luma = s.bit_depth_chroma = clip3(8, 14, cfg.bit_depth);
   s.log2_max_pic_order_cnt_lsb = 8;
   for (int i = 0; i < kMaxSubLayers; i++) {
@@ -693,10 +698,11 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
     std::vector<i32> levels;
     int scan;
     int x0c, y0c, log2, cidx, mode;
-  } ch[3];
+  } ch[5];  // Y, Cb0, Cr0, Cb1 (4:2:2), Cr1 (4:2:2)
 
-  auto prepare_channel = [&](int cidx, int log2c, int x0c, int y0c, int m) {
-    Pending& pc = ch[cidx];
+  auto prepare_channel = [&](int slot, int log2c, int x0c, int y0c, int m) {
+    Pending& pc = ch[slot];
+    int cidx = (slot >= 3) ? slot - 2 : slot;  // 3/4 -> planes 1/2
     pc.x0c = x0c;
     pc.y0c = y0c;
     pc.log2 = log2c;
@@ -733,6 +739,34 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
     for (int i = 0; i < n * n; i++)
       if (pc.levels[i]) pc.cbf = true;
 
+    // append + execute the residual now, in decode order — later channel
+    // blocks (4:2:2 second TBs) predict from this reconstruction
+    if (pc.cbf) {
+      u32 start = (u32)prog_.coeff_val.size();
+      for (int i = 0; i < n * n; i++) {
+        if (pc.levels[i]) {
+          prog_.coeff_val.push_back((i16)clip3(-32768, 32767, pc.levels[i]));
+          int xc = i % n, yc = i / n;
+          prog_.coeff_pos.push_back((u16)((yc << 6) | xc));
+        }
+      }
+      TuRec tu;
+      tu.x = (u16)x0c;
+      tu.y = (u16)y0c;
+      tu.log2_size = (u8)log2c;
+      tu.cidx = (u8)cidx;
+      tu.qp = (i8)(cidx == 0
+                       ? cfg_.qp + sps_->qp_bd_offset_luma
+                       : chroma_qp(cfg_.qp) + sps_->qp_bd_offset_chroma);
+      tu.flags = TuRec::kIntra |
+                 ((log2c == 2 && cidx == 0) ? TuRec::kUseDst : 0);
+      tu.coeff_start = start;
+      tu.ncoeff = (u16)(prog_.coeff_val.size() - start);
+      prog_.tus.push_back(tu);
+      prog_.ops.push_back({Op::kAddResidual, (u32)(prog_.tus.size() - 1)});
+      execute_tu_scalar(prog_, tu);
+    }
+
     // scan from intra mode (residual.cc intra_scan_idx)
     int scan = 0;
     if (log2c == 2 ||
@@ -747,69 +781,57 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
   // through the chroma plane; channel order below matches the decoder.
   prepare_channel(0, log2_size, x0, y0, mode);
 
-  // emit luma TU now (residual add before chroma prediction — chroma planes
-  // are independent, so ordering here only needs to match within-plane)
-  auto emit_tu = [&](Pending& pc) {
-    if (!pc.cbf) return;
-    int n = 1 << pc.log2;
-    // write + program-append sparse coeffs
-    u32 start = (u32)prog_.coeff_val.size();
-    const ScanPos* scan_sub = scan_order(pc.log2 - 2, pc.scan);
-    const ScanPos* scan_pos = scan_order(2, pc.scan);
-    int sbw = 1 << (pc.log2 - 2);
-    // program wants decode order; order does not matter for correctness of
-    // the scatter, use raster
-    for (int i = 0; i < n * n; i++) {
-      if (pc.levels[i]) {
-        prog_.coeff_val.push_back((i16)clip3(-32768, 32767, pc.levels[i]));
-        int xc = i % n, yc = i / n;
-        prog_.coeff_pos.push_back((u16)((yc << 6) | xc));
-      }
-    }
-    (void)scan_sub;
-    (void)scan_pos;
-    (void)sbw;
-    TuRec tu;
-    tu.x = (u16)pc.x0c;
-    tu.y = (u16)pc.y0c;
-    tu.log2_size = (u8)pc.log2;
-    tu.cidx = (u8)pc.cidx;
-    tu.qp = (i8)(pc.cidx == 0
-                     ? cfg_.qp + sps_->qp_bd_offset_luma
-                     : chroma_qp(cfg_.qp) + sps_->qp_bd_offset_chroma);
-    tu.flags = TuRec::kIntra |
-               ((pc.log2 == 2 && pc.cidx == 0) ? TuRec::kUseDst : 0);
-    tu.coeff_start = start;
-    tu.ncoeff = (u16)(prog_.coeff_val.size() - start);
-    prog_.tus.push_back(tu);
-    prog_.ops.push_back({Op::kAddResidual, (u32)(prog_.tus.size() - 1)});
-    execute_tu_scalar(prog_, tu);
-  };
-
-  const bool c444 = sps_->chroma_array_type == 3;
+  const int cat = sps_->chroma_array_type;
+  const bool c444 = cat == 3;
+  const bool c422 = cat == 2;
   int log2c = c444 ? log2_size : log2_size - 1;
-  int x0c = c444 ? x0 : (x0 >> 1), y0c = c444 ? y0 : (y0 >> 1);
-  prepare_channel(1, log2c, x0c, y0c, map_dm_chroma(mode));
-  prepare_channel(2, log2c, x0c, y0c, map_dm_chroma(mode));
+  int x0c = c444 ? x0 : (x0 >> 1);
+  int y0c = (cat == 1) ? (y0 >> 1) : y0;
+  int cmode = map_dm_chroma(mode);
+  if (c422) {
+    // spec 8.4.4.2.1 Table 8-3: 4:2:2 chroma mode conversion
+    static const u8 kMode422[35] = {
+        0,  1,  2,  2,  2,  2,  3,  5,  7,  8,  10, 12, 13, 15, 17, 18,
+        19, 20, 21, 22, 23, 23, 24, 24, 25, 25, 26, 27, 27, 28, 28, 29,
+        29, 30, 31};
+    cmode = kMode422[cmode];
+  }
+  int y_off = 1 << log2c;  // 4:2:2 second TB offset (chroma rows)
+
+  // channel jobs: 1/2 = first Cb/Cr TB; 3/4 = 4:2:2 second Cb/Cr TB
+  // (prediction of the second TB reads the first TB's reconstruction, so
+  // prepare order matches the decoder: Cb0, Cb1, Cr0, Cr1 — see
+  // syntax.cc transform_unit)
+  prepare_channel(1, log2c, x0c, y0c, cmode);
+  if (c422) prepare_channel(3, log2c, x0c, y0c + y_off, cmode);
+  prepare_channel(2, log2c, x0c, y0c, cmode);
+  if (c422) prepare_channel(4, log2c, x0c, y0c + y_off, cmode);
 
   mark_cu_edges(x0, y0, log2_size);
   if (ch[0].cbf) mark_nonzero(x0, y0, log2_size);
 
   // --- write transform_unit syntax ---
-  // cbf_cb, cbf_cr at depth 0, then cbf_luma (ctx depth==0 -> 1)
+  // cbf_cb (both TBs for 4:2:2), cbf_cr, then cbf_luma (ctx depth==0 -> 1)
   cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[1].cbf ? 1 : 0);
+  if (c422) cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[3].cbf ? 1 : 0);
   cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[2].cbf ? 1 : 0);
+  if (c422) cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[4].cbf ? 1 : 0);
   cabac_->encode_bin(&ctx_[CTX_CBF_LUMA + 1], ch[0].cbf ? 1 : 0);
 
   if (ch[0].cbf)
     write_residual(x0, y0, log2_size, 0, ch[0].levels.data(), ch[0].scan);
-  emit_tu(ch[0]);
   if (ch[1].cbf)
     write_residual(x0, y0, log2c, 1, ch[1].levels.data(), ch[1].scan);
-  emit_tu(ch[1]);
+  if (c422) {
+    if (ch[3].cbf)
+      write_residual(x0, y0, log2c, 1, ch[3].levels.data(), ch[3].scan);
+  }
   if (ch[2].cbf)
     write_residual(x0, y0, log2c, 2, ch[2].levels.data(), ch[2].scan);
-  emit_tu(ch[2]);
+  if (c422) {
+    if (ch[4].cbf)
+      write_residual(x0, y0, log2c, 2, ch[4].levels.data(), ch[4].scan);
+  }
 }
 
 // ---------------------------------------------------------------------------

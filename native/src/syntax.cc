@@ -732,6 +732,14 @@ bool SliceParser::coding_unit(int x0, int y0, int log2_size) {
     if (sps_->chroma_array_type != 0) {
       int bin = decode_chroma_mode_bins();
       intra_mode_c_ = (u8)map_chroma_mode(bin, intra_mode_y_[0]);
+      if (sps_->chroma_array_type == 2) {
+        // spec 8.4.4.2.1 Table 8-3: 4:2:2 chroma mode conversion
+        static const u8 kMode422[35] = {
+            0,  1,  2,  2,  2,  2,  3,  5,  7,  8,  10, 12, 13, 15, 17, 18,
+            19, 20, 21, 22, 23, 23, 24, 24, 25, 25, 26, 27, 27, 28, 28, 29,
+            29, 30, 31};
+        intra_mode_c_ = kMode422[intra_mode_c_];
+      }
       // store chroma mode over CU area
       for (int y = 0; y < n4; y++)
         for (int x = 0; x < n4; x++) {
@@ -931,23 +939,54 @@ bool SliceParser::transform_unit(int x0, int y0, int x_base, int y_base,
   if (sps_->chroma_array_type == 0) return true;
 
   int sw = sps_->sub_width_c, shc = sps_->sub_height_c;
+  const bool c422 = sps_->chroma_array_type == 2;
   if (log2_size > 2 || sps_->chroma_array_type == 3) {
+    int y_off = 1 << log2_size_c;  // 4:2:2 second TB (chroma rows)
     if (cu_is_intra_) emit_intra(x0 / sw, y0 / shc, log2_size_c, 1, intra_mode_c_);
     if (cbf_cb[0]) {
       if (!residual_coding(x0, y0, log2_size_c, 1)) return false;
+    }
+    if (c422) {
+      if (cu_is_intra_)
+        emit_intra(x0 / sw, y0 / shc + y_off, log2_size_c, 1, intra_mode_c_);
+      if (cbf_cb[1]) {
+        if (!residual_coding(x0, y0 + y_off * shc, log2_size_c, 1)) return false;
+      }
     }
     if (cu_is_intra_) emit_intra(x0 / sw, y0 / shc, log2_size_c, 2, intra_mode_c_);
     if (cbf_cr[0]) {
       if (!residual_coding(x0, y0, log2_size_c, 2)) return false;
     }
+    if (c422) {
+      if (cu_is_intra_)
+        emit_intra(x0 / sw, y0 / shc + y_off, log2_size_c, 2, intra_mode_c_);
+      if (cbf_cr[1]) {
+        if (!residual_coding(x0, y0 + y_off * shc, log2_size_c, 2)) return false;
+      }
+    }
   } else if (blk_idx == 3) {
+    int y_off = 1 << log2_size;
     if (cu_is_intra_) emit_intra(x_base / sw, y_base / shc, log2_size, 1, intra_mode_c_);
     if (cbf_cb[0]) {
       if (!residual_coding(x_base, y_base, log2_size, 1)) return false;
     }
+    if (c422) {
+      if (cu_is_intra_)
+        emit_intra(x_base / sw, y_base / shc + y_off, log2_size, 1, intra_mode_c_);
+      if (cbf_cb[1]) {
+        if (!residual_coding(x_base, y_base + y_off * shc, log2_size, 1)) return false;
+      }
+    }
     if (cu_is_intra_) emit_intra(x_base / sw, y_base / shc, log2_size, 2, intra_mode_c_);
     if (cbf_cr[0]) {
       if (!residual_coding(x_base, y_base, log2_size, 2)) return false;
+    }
+    if (c422) {
+      if (cu_is_intra_)
+        emit_intra(x_base / sw, y_base / shc + y_off, log2_size, 2, intra_mode_c_);
+      if (cbf_cr[1]) {
+        if (!residual_coding(x_base, y_base + y_off * shc, log2_size, 2)) return false;
+      }
     }
   }
   return true;

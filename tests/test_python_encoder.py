@@ -378,3 +378,36 @@ def test_chroma_444_reference_decoder(native_build, tmp_path):
         assert ref_yuv.size == w * h * 3
         for c, arr in enumerate(np.split(ref_yuv, 3)):
             assert np.array_equal(arr.reshape(h, w), pic.planes[c]), c
+
+
+def test_chroma_422_reference_decoder(native_build, tmp_path):
+    """4:2:2 intra: two chroma TBs per TU (cbf pairs, mode-422 mapping) —
+    reference decoder must match bit-exactly."""
+    import os
+    import subprocess
+    w, h = 64, 64
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = (128 + 60 * np.sin(xx * 0.13) * np.cos(yy * 0.09)).clip(
+        0, 255).astype(np.uint8)
+    cb = (100 + 40 * np.sin(xx[:, ::2] * 0.07)).clip(0, 255).astype(np.uint8)
+    cr = (150 - 40 * np.cos(yy[:, ::2] * 0.06)).clip(0, 255).astype(np.uint8)
+    with Encoder(qp=26, chroma_format="422") as enc:
+        stream = enc.encode(y, cb, cr) + enc.finish()
+    dec = Decoder()
+    (pic,) = list(dec.decode_all(stream))
+    assert pic.planes[1].shape == (h, w // 2)
+    assert _psnr(cb, pic.planes[1]) > 38.0
+    ref = "/tmp/refbuild/dec265/dec265"
+    if os.path.exists(ref):
+        sp = tmp_path / "c422.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / "c422.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8)
+        assert ref_yuv.size == w * h * 2
+        ry = ref_yuv[:w * h].reshape(h, w)
+        rcb = ref_yuv[w * h:w * h * 3 // 2].reshape(h, w // 2)
+        rcr = ref_yuv[w * h * 3 // 2:].reshape(h, w // 2)
+        for c, arr in enumerate((ry, rcb, rcr)):
+            assert np.array_equal(arr, pic.planes[c]), c
