@@ -27,7 +27,11 @@ struct EncoderConfig {
   int min_cb_log2 = 3;    // 8x8 minimum CUs
   int fps_num = 25, fps_den = 1;
   int bit_depth = 8;  // 8 = Main profile, 9/10 = Main10
-  int chroma_format = 1;  // 1 = 4:2:0, 3 = 4:4:4 (intra coding)
+  int chroma_format = 1;  // 1 = 4:2:0, 2 = 4:2:2, 3 = 4:4:4 (intra coding)
+  // PCM: when enabled, intra CUs whose best-mode SAD exceeds the threshold
+  // are coded as raw samples (lossless at pcm bit depth == bit depth)
+  bool pcm = false;
+  int pcm_sad_threshold = 0;
   // signal scaling_list_enabled with the spec default lists (no explicit
   // list data); reconstruction dequant then uses the default matrices
   bool scaling_lists = false;

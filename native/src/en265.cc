@@ -81,6 +81,8 @@ de265_error en265_set_parameter_int(en265_encoder_context* ctx,
   } else if (p == "intra-period") {
     if (value < 0) return DE265_ERROR_PARAMETER_PARSING;
     c->cfg.intra_period = value;
+  } else if (p == "pcm-threshold") {
+    c->cfg.pcm_sad_threshold = value;
   } else if (p == "me-range") {
     if (value < 1 || value > 64) return DE265_ERROR_PARAMETER_PARSING;
     c->cfg.me_range = value;
@@ -107,6 +109,7 @@ de265_error en265_set_parameter_bool(en265_encoder_context* ctx,
   std::string p = param ? param : "";
   if (p == "scaling-lists") C(ctx)->cfg.scaling_lists = (value != 0);
   if (p == "wpp") C(ctx)->cfg.wpp = (value != 0);
+  if (p == "pcm") C(ctx)->cfg.pcm = (value != 0);
   return DE265_OK;
 }
 

@@ -114,7 +114,14 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   if (cfg.scaling_lists) s.scaling_lists.set_default();
   s.amp_enabled = false;
   s.sao_enabled = false;
-  s.pcm_enabled = false;
+  s.pcm_enabled = cfg.pcm;
+  if (cfg.pcm) {
+    s.pcm_bit_depth_luma = s.bit_depth_luma;
+    s.pcm_bit_depth_chroma = s.bit_depth_chroma;
+    s.log2_min_pcm_cb_size = 3;
+    s.log2_max_pcm_cb_size = 5;
+    s.pcm_loop_filter_disable = true;  // PCM blocks stay lossless
+  }
   s.temporal_mvp_enabled = false;
   s.strong_intra_smoothing_enabled = true;
   s.compute_derived();
@@ -218,7 +225,14 @@ void Encoder::write_headers(std::vector<u8>* out) {
     sp.write_flag(false);  // sps_scaling_list_data_present (use defaults)
   sp.write_flag(false);  // amp
   sp.write_flag(false);  // sao
-  sp.write_flag(false);  // pcm
+  sp.write_flag(s.pcm_enabled);
+  if (s.pcm_enabled) {
+    sp.write_bits((u32)(s.pcm_bit_depth_luma - 1), 4);
+    sp.write_bits((u32)(s.pcm_bit_depth_chroma - 1), 4);
+    sp.write_uvlc((u32)(s.log2_min_pcm_cb_size - 3));
+    sp.write_uvlc((u32)(s.log2_max_pcm_cb_size - s.log2_min_pcm_cb_size));
+    sp.write_flag(s.pcm_loop_filter_disable);
+  }
   sp.write_uvlc(0);      // num_short_term_ref_pic_sets
   sp.write_flag(false);  // long_term_ref_pics_present
   sp.write_flag(false);  // temporal_mvp
@@ -672,6 +686,55 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
     cabac_->encode_bin(&ctx_[CTX_PART_MODE], 1);
 
   int mode = choose_luma_mode(x0, y0, log2_size);
+
+  // --- PCM (spec 7.3.8.5 pcm_flag + 7.3.9 pcm_sample) ---
+  if (sps_->pcm_enabled && log2_size >= sps_->log2_min_pcm_cb_size &&
+      log2_size <= sps_->log2_max_pcm_cb_size) {
+    bool use_pcm = sad_luma(x0, y0, 1 << log2_size) > cfg_.pcm_sad_threshold;
+    cabac_->encode_terminate(use_pcm ? 1 : 0);
+    if (use_pcm) {
+      // terminate(1) flushed + byte-aligned the writer; raw samples follow,
+      // then the arithmetic engine restarts with the current contexts
+      // (mirrors SliceParser::pcm_sample)
+      int size = 1 << log2_size;
+      int bd_y = sps_->pcm_bit_depth_luma, bd_c = sps_->pcm_bit_depth_chroma;
+      for (int yy = 0; yy < size; yy++)
+        for (int xx = 0; xx < size; xx++) {
+          int v = src_px(0, x0 + xx, y0 + yy);
+          slice_bw_.write_bits((u32)v, bd_y);
+          if (recon_->bytes_pp == 1)
+            *recon_->px8(0, x0 + xx, y0 + yy) = (u8)v;
+          else
+            *recon_->px16(0, x0 + xx, y0 + yy) = (u16)v;
+        }
+      if (sps_->chroma_array_type != 0) {
+        int cw = size / sps_->sub_width_c, chh = size / sps_->sub_height_c;
+        int xc = x0 / sps_->sub_width_c, yc = y0 / sps_->sub_height_c;
+        for (int c = 1; c <= 2; c++)
+          for (int yy = 0; yy < chh; yy++)
+            for (int xx = 0; xx < cw; xx++) {
+              int v = src_px(c, xc + xx, yc + yy);
+              slice_bw_.write_bits((u32)v, bd_c);
+              if (recon_->bytes_pp == 1)
+                *recon_->px8(c, xc + xx, yc + yy) = (u8)v;
+              else
+                *recon_->px16(c, xc + xx, yc + yy) = (u16)v;
+            }
+      }
+      slice_bw_.byte_align_zero();
+      cabac_ = std::make_unique<CabacEncoder>(&slice_bw_);
+      // metadata: intra + pcm
+      for (int dy = 0; dy < n4; dy++)
+        for (int dx = 0; dx < n4; dx++) {
+          int px = (x0 >> 2) + dx, py = (y0 >> 2) + dy;
+          if (px >= f.pb_w || py >= f.pb_h) continue;
+          f.cu_info[py * f.pb_w + px] = 1 | 2;
+          f.qp_y[py * f.pb_w + px] = (i8)cfg_.qp;
+        }
+      mark_cu_edges(x0, y0, log2_size);
+      return;
+    }
+  }
   write_intra_luma_mode(x0, y0, mode);
   // chroma: derived mode (DM) -> single context bin 0
   cabac_->encode_bin(&ctx_[CTX_INTRA_CHROMA_PRED_MODE], 0);

@@ -411,3 +411,45 @@ def test_chroma_422_reference_decoder(native_build, tmp_path):
         rcr = ref_yuv[w * h * 3 // 2:].reshape(h, w // 2)
         for c, arr in enumerate((ry, rcb, rcr)):
             assert np.array_equal(arr, pic.planes[c]), c
+
+
+def test_pcm_reference_decoder(native_build, tmp_path):
+    """PCM blocks (raw samples, CABAC restart, pcm_loop_filter_disable):
+    all-PCM streams are lossless and the reference decoder matches."""
+    import os
+    import subprocess
+    w, h = 64, 64
+    rng = np.random.default_rng(9)
+    y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    cb = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    cr = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    with Encoder(qp=30) as enc:
+        enc.set_parameter("pcm", True)
+        enc.set_parameter("pcm-threshold", 0)
+        stream = enc.encode(y, cb, cr) + enc.finish()
+    dec = Decoder()
+    (pic,) = list(dec.decode_all(stream))
+    for a, b in zip((y, cb, cr), pic.planes):
+        assert np.array_equal(a, b)
+    ref = "/tmp/refbuild/dec265/dec265"
+    if os.path.exists(ref):
+        sp = tmp_path / "pcm.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / "pcm.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8)
+        assert np.array_equal(ref_yuv[:w * h].reshape(h, w), pic.planes[0])
+
+    # mixed PCM + transform CUs (threshold splits by content)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y2 = (128 + 60 * np.sin(xx * 0.13) * np.cos(yy * 0.09)).clip(
+        0, 255).astype(np.uint8)
+    y2[:32, :32] = rng.integers(0, 256, (32, 32))
+    with Encoder(qp=30) as enc:
+        enc.set_parameter("pcm", True)
+        enc.set_parameter("pcm-threshold", 3000)
+        stream2 = enc.encode(y2) + enc.finish()
+    dec2 = Decoder()
+    (p2,) = list(dec2.decode_all(stream2))
+    assert np.array_equal(y2[:32, :32], p2.planes[0][:32, :32])  # PCM corner
