@@ -32,6 +32,8 @@ struct EncoderConfig {
   // are coded as raw samples (lossless at pcm bit depth == bit depth)
   bool pcm = false;
   int pcm_sad_threshold = 0;
+  // lossless coding: every CU is transquant-bypass (residual carried raw)
+  bool lossless = false;
   // signal scaling_list_enabled with the spec default lists (no explicit
   // list data); reconstruction dequant then uses the default matrices
   bool scaling_lists = false;

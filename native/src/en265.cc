@@ -110,6 +110,7 @@ de265_error en265_set_parameter_bool(en265_encoder_context* ctx,
   if (p == "scaling-lists") C(ctx)->cfg.scaling_lists = (value != 0);
   if (p == "wpp") C(ctx)->cfg.wpp = (value != 0);
   if (p == "pcm") C(ctx)->cfg.pcm = (value != 0);
+  if (p == "lossless") C(ctx)->cfg.lossless = (value != 0);
   return DE265_OK;
 }
 

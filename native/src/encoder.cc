@@ -133,6 +133,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   p.sps = sps_;
   p.init_qp = 26;
   p.cu_qp_delta_enabled = false;
+  p.transquant_bypass_enabled = cfg.lossless;
   p.loop_filter_across_slices = true;
   p.log2_parallel_merge_level = 2;
   p.entropy_coding_sync_enabled = cfg.wpp;
@@ -262,7 +263,7 @@ void Encoder::write_headers(std::vector<u8>* out) {
   pp.write_flag(false);  // slice_chroma_qp_offsets_present
   pp.write_flag(false);  // weighted_pred
   pp.write_flag(false);  // weighted_bipred
-  pp.write_flag(false);  // transquant_bypass
+  pp.write_flag(pps_->transquant_bypass_enabled);
   const Pps& ppr = *pps_;
   pp.write_flag(ppr.tiles_enabled);
   pp.write_flag(ppr.entropy_coding_sync_enabled);
@@ -675,6 +676,9 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
   Frame& f = *recon_;
   int n4 = 1 << (log2_size - 2);
 
+  if (pps_->transquant_bypass_enabled)
+    cabac_->encode_bin(&ctx_[CTX_CU_TRANSQUANT_BYPASS], 1);  // all-lossless
+
   // P slice: intra CU needs cu_skip_flag=0 + pred_mode_flag=1 first
   if (!cur_is_intra_pic_) {
     write_cu_skip_flag(x0, y0, 0);
@@ -744,7 +748,8 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
     for (int dx = 0; dx < n4; dx++) {
       int px = (x0 >> 2) + dx, py = (y0 >> 2) + dy;
       if (px >= f.pb_w || py >= f.pb_h) continue;
-      f.cu_info[py * f.pb_w + px] = 1;  // intra
+      f.cu_info[py * f.pb_w + px] =
+          (u8)(1 | (pps_->transquant_bypass_enabled ? 4 : 0));  // intra
       f.intra_pred_mode[py * f.pb_w + px] = (u8)mode;
       f.intra_mode_c[py * f.pb_w + px] = (u8)mode;  // DM
       f.qp_y[py * f.pb_w + px] = (i8)cfg_.qp;
@@ -789,15 +794,21 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
       for (int xx = 0; xx < n; xx++)
         res[yy * n + xx] =
             src_px(cidx, x0c + xx, y0c + yy) - rec_px(cidx, x0c + xx, y0c + yy);
-    i32 coeffs[32 * 32];
-    const int bd = cidx == 0 ? sps_->bit_depth_luma : sps_->bit_depth_chroma;
-    // quantize against Qp' (with the bit-depth offset), matching the
-    // decoder's dequant (residual.cc tu.qp convention)
-    const int qpp = cfg_.qp + (cidx == 0 ? sps_->qp_bd_offset_luma
-                                         : sps_->qp_bd_offset_chroma);
-    fwd_dct_2d(coeffs, res, log2c, bd);
     pc.levels.resize(n * n);
-    quantize(pc.levels.data(), coeffs, n * n, qpp, log2c, bd, true);
+    if (pps_->transquant_bypass_enabled) {
+      // lossless: the coded levels ARE the residual samples
+      for (int i = 0; i < n * n; i++)
+        pc.levels[i] = clip3(-32768, 32767, res[i]);
+    } else {
+      i32 coeffs[32 * 32];
+      const int bd = cidx == 0 ? sps_->bit_depth_luma : sps_->bit_depth_chroma;
+      // quantize against Qp' (with the bit-depth offset), matching the
+      // decoder's dequant (residual.cc tu.qp convention)
+      const int qpp = cfg_.qp + (cidx == 0 ? sps_->qp_bd_offset_luma
+                                           : sps_->qp_bd_offset_chroma);
+      fwd_dct_2d(coeffs, res, log2c, bd);
+      quantize(pc.levels.data(), coeffs, n * n, qpp, log2c, bd, true);
+    }
     pc.cbf = false;
     for (int i = 0; i < n * n; i++)
       if (pc.levels[i]) pc.cbf = true;
@@ -822,7 +833,9 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
                        ? cfg_.qp + sps_->qp_bd_offset_luma
                        : chroma_qp(cfg_.qp) + sps_->qp_bd_offset_chroma);
       tu.flags = TuRec::kIntra |
-                 ((log2c == 2 && cidx == 0) ? TuRec::kUseDst : 0);
+                 ((log2c == 2 && cidx == 0) ? TuRec::kUseDst : 0) |
+                 (pps_->transquant_bypass_enabled ? TuRec::kTransquantBypass
+                                                  : 0);
       tu.coeff_start = start;
       tu.ncoeff = (u16)(prog_.coeff_val.size() - start);
       prog_.tus.push_back(tu);

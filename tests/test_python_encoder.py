@@ -453,3 +453,33 @@ def test_pcm_reference_decoder(native_build, tmp_path):
     dec2 = Decoder()
     (p2,) = list(dec2.decode_all(stream2))
     assert np.array_equal(y2[:32, :32], p2.planes[0][:32, :32])  # PCM corner
+
+
+def test_lossless_transquant_bypass(native_build, tmp_path):
+    """Lossless mode: every CU transquant-bypass, residual carried raw,
+    bypass CUs excluded from in-loop filtering."""
+    import os
+    import subprocess
+    w, h = 64, 64
+    rng = np.random.default_rng(4)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = (128 + 60 * np.sin(xx * 0.13) * np.cos(yy * 0.09)
+         + rng.integers(-20, 21, (h, w))).clip(0, 255).astype(np.uint8)
+    cb = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    cr = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    with Encoder(qp=30) as enc:
+        enc.set_parameter("lossless", True)
+        stream = enc.encode(y, cb, cr) + enc.finish()
+    dec = Decoder()
+    (pic,) = list(dec.decode_all(stream))
+    for a, b in zip((y, cb, cr), pic.planes):
+        assert np.array_equal(a, b)
+    ref = "/tmp/refbuild/dec265/dec265"
+    if os.path.exists(ref):
+        sp = tmp_path / "ll.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / "ll.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8)
+        assert np.array_equal(ref_yuv[:w * h].reshape(h, w), pic.planes[0])
