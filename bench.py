@@ -47,7 +47,7 @@ def bench_tpu_pipeline(width, height, reps=20):
     from libde265_tpu.ops import transform as tx
     from libde265_tpu.ops import mc as mc_ops
     from libde265_tpu.ops.deblock import _luma_pass, _chroma_pass
-    from libde265_tpu.ops.sao import sao_plane
+    from libde265_tpu.ops.sao_pallas import sao_neighbors_jnp, sao_plane_pallas
 
     rng = np.random.default_rng(0)
     H, W = height, width
@@ -111,7 +111,11 @@ def bench_tpu_pipeline(width, height, reps=20):
         v = _luma_pass(img, bs, beta, tc, zero_seg, zero_seg, bit_depth=8)
         h = _luma_pass(v.T, bs_h, beta_h, tc_h, zero_h, zero_h, bit_depth=8)
         cv = _chroma_pass(img_c, tcc, zc, zc, bit_depth=8)
-        s = sao_plane(h.T[:, 4:4 + W], tmap, emap, bmap, omap, skip, bit_depth=8)
+        simg = h.T[:, 4:4 + W].astype(jnp.int32)
+        na, nb, valid = sao_neighbors_jnp(simg, emap)
+        offs4 = jnp.transpose(omap, (2, 0, 1))
+        s = sao_plane_pallas(simg, na, nb, tmap, bmap, offs4,
+                             skip.astype(jnp.int32), valid, bit_depth=8)
         return r8.sum() + r16.sum() + mc.sum() + cv.sum() + s.sum()
 
     # warm up (compile)
