@@ -831,21 +831,24 @@ bool SliceParser::transform_tree(int x0, int y0, int x_base, int y_base,
   bool cbf_cb[2] = {parent_cbf_cb[0], parent_cbf_cb[1]};
   bool cbf_cr[2] = {parent_cbf_cr[0], parent_cbf_cr[1]};
 
+  // chroma cbf coding conditions mirror the spec (7.3.8.8): present when
+  // chroma exists and the luma TB is > 4x4 (or always for 4:4:4), gated on
+  // any parent chroma cbf; the 4:2:2 second TB flag is only coded at the
+  // bottom of the split (or unsplit) level
   bool two_chroma = (sps_->chroma_array_type == 2);
-  if (log2_size > 2 || sps_->chroma_array_type == 3) {
-    if (depth == 0 || parent_cbf_cb[0]) {
+  if ((log2_size > 2 && sps_->chroma_array_type != 0) ||
+      sps_->chroma_array_type == 3) {
+    if (depth == 0 || parent_cbf_cb[0] || parent_cbf_cb[1]) {
       cbf_cb[0] = cabac_.decode_bin(&ctx_[CTX_CBF_CHROMA + depth]) != 0;
-      if (two_chroma && (depth == 0 || parent_cbf_cb[1]))
+      cbf_cb[1] = false;
+      if (two_chroma && (!split || log2_size == 3))
         cbf_cb[1] = cabac_.decode_bin(&ctx_[CTX_CBF_CHROMA + depth]) != 0;
-      else if (!two_chroma)
-        cbf_cb[1] = false;
     }
-    if (depth == 0 || parent_cbf_cr[0]) {
+    if (depth == 0 || parent_cbf_cr[0] || parent_cbf_cr[1]) {
       cbf_cr[0] = cabac_.decode_bin(&ctx_[CTX_CBF_CHROMA + depth]) != 0;
-      if (two_chroma && (depth == 0 || parent_cbf_cr[1]))
+      cbf_cr[1] = false;
+      if (two_chroma && (!split || log2_size == 3))
         cbf_cr[1] = cabac_.decode_bin(&ctx_[CTX_CBF_CHROMA + depth]) != 0;
-      else if (!two_chroma)
-        cbf_cr[1] = false;
     }
   } else if (depth == 0) {
     // inherit: at depth 0 with 4x4 luma there is no chroma cbf -> defaults
