@@ -80,8 +80,8 @@ class Encoder:
         if not self._ctx:
             raise RuntimeError("en265_new_encoder failed")
         self.bit_depth = bit_depth
-        self.chroma = {"420": 1, "422": 2, "444": 3,
-                       1: 1, 2: 2, 3: 3}[chroma_format]
+        self.chroma = {"mono": 0, "400": 0, "420": 1, "422": 2, "444": 3,
+                       0: 0, 1: 1, 2: 2, 3: 3}[chroma_format]
         self.set_parameter("qp", qp)
         self.set_parameter("ctb-size", ctb_size)
         self.set_parameter("min-cb-size", min_cb_size)
@@ -114,6 +114,8 @@ class Encoder:
         h, w = y.shape
         sub_x = 1 if self.chroma == _DE265_CHROMA_444 else 2
         sub_y = 2 if self.chroma == _DE265_CHROMA_420 else 1
+        if self.chroma == 0:
+            cb = cr = np.zeros((0, 0), dtype)
         if cb is None:
             cb = np.full((h // sub_y, w // sub_x), mid, dtype)
         if cr is None:
@@ -122,8 +124,11 @@ class Encoder:
                                            pts, None)
         if not img:
             raise RuntimeError("en265_allocate_image failed (4:2:0 only)")
-        for cidx, plane in ((0, y), (1, np.ascontiguousarray(cb, dtype)),
-                            (2, np.ascontiguousarray(cr, dtype))):
+        chans = [(0, y)]
+        if self.chroma != 0:
+            chans += [(1, np.ascontiguousarray(cb, dtype)),
+                      (2, np.ascontiguousarray(cr, dtype))]
+        for cidx, plane in chans:
             stride = ct.c_int()
             ptr = self._L.en265_get_image_plane(img, cidx, ct.byref(stride))
             ph, pw = plane.shape

@@ -138,12 +138,16 @@ const char** en265_list_parameters(en265_encoder_context*) {
 en265_image* en265_allocate_image(en265_encoder_context* ctx, int width,
                                   int height, enum de265_chroma chroma,
                                   de265_PTS pts, void* userdata) {
-  if (chroma != de265_chroma_420 && chroma != de265_chroma_422 &&
-      chroma != de265_chroma_444)
+  if (chroma != de265_chroma_mono && chroma != de265_chroma_420 &&
+      chroma != de265_chroma_422 && chroma != de265_chroma_444)
     return nullptr;
   C(ctx)->cfg.chroma_format = (int)chroma;
-  int cw = (chroma == de265_chroma_444) ? width : width / 2;
-  int chh = (chroma == de265_chroma_420) ? height / 2 : height;
+  int cw = (chroma == de265_chroma_444) ? width
+           : (chroma == de265_chroma_mono) ? 0
+                                           : width / 2;
+  int chh = (chroma == de265_chroma_420)   ? height / 2
+            : (chroma == de265_chroma_mono) ? 0
+                                            : height;
   auto* img = new en265_image_intern();
   img->width = width;
   img->height = height;

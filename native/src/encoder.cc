@@ -86,7 +86,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   Sps& s = *sps_;
   s.sps_id = 0;
   s.chroma_format_idc =
-      (cfg.chroma_format == 3 || cfg.chroma_format == 2) ? cfg.chroma_format
+      (cfg.chroma_format >= 0 && cfg.chroma_format <= 3) ? cfg.chroma_format
                                                          : 1;
   s.pic_width_in_luma_samples = (cfg.width + 7) & ~7;
   s.pic_height_in_luma_samples = (cfg.height + 7) & ~7;
@@ -740,8 +740,9 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
     }
   }
   write_intra_luma_mode(x0, y0, mode);
-  // chroma: derived mode (DM) -> single context bin 0
-  cabac_->encode_bin(&ctx_[CTX_INTRA_CHROMA_PRED_MODE], 0);
+  // chroma: derived mode (DM) -> single context bin 0 (absent in monochrome)
+  if (sps_->chroma_array_type != 0)
+    cabac_->encode_bin(&ctx_[CTX_INTRA_CHROMA_PRED_MODE], 0);
 
   // update metadata grids (intra flags + modes) over the CU
   for (int dy = 0; dy < n4; dy++)
@@ -858,6 +859,15 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
   prepare_channel(0, log2_size, x0, y0, mode);
 
   const int cat = sps_->chroma_array_type;
+  if (cat == 0) {
+    // monochrome: luma only
+    mark_cu_edges(x0, y0, log2_size);
+    if (ch[0].cbf) mark_nonzero(x0, y0, log2_size);
+    cabac_->encode_bin(&ctx_[CTX_CBF_LUMA + 1], ch[0].cbf ? 1 : 0);
+    if (ch[0].cbf)
+      write_residual(x0, y0, log2_size, 0, ch[0].levels.data(), ch[0].scan);
+    return;
+  }
   const bool c444 = cat == 3;
   const bool c422 = cat == 2;
   int log2c = c444 ? log2_size : log2_size - 1;

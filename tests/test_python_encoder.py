@@ -483,3 +483,28 @@ def test_lossless_transquant_bypass(native_build, tmp_path):
                        capture_output=True)
         ref_yuv = np.fromfile(out, dtype=np.uint8)
         assert np.array_equal(ref_yuv[:w * h].reshape(h, w), pic.planes[0])
+
+
+def test_monochrome_reference_decoder(native_build, tmp_path):
+    """4:0:0 (monochrome): luma-only coding, no chroma syntax."""
+    import os
+    import subprocess
+    w, h = 64, 64
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = (128 + 60 * np.sin(xx * 0.13) * np.cos(yy * 0.09)).clip(
+        0, 255).astype(np.uint8)
+    with Encoder(qp=26, chroma_format="mono") as enc:
+        stream = enc.encode(y) + enc.finish()
+    dec = Decoder()
+    (pic,) = list(dec.decode_all(stream))
+    assert _psnr(y, pic.planes[0]) > 38.0
+    ref = "/tmp/refbuild/dec265/dec265"
+    if os.path.exists(ref):
+        sp = tmp_path / "mono.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / "mono.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8)
+        assert ref_yuv.size == w * h
+        assert np.array_equal(ref_yuv.reshape(h, w), pic.planes[0])
