@@ -353,6 +353,12 @@ def reconstruct(prog: FrameProgramData, run_deblock=True, run_sao=True,
     device_intra=True batches intra blocks into wavefront levels executed on
     the device (ops.intra_wave) instead of the host-sequential loop.
     """
+    if prog.chroma_width and (prog.width != 2 * prog.chroma_width or
+                              prog.height != 2 * prog.chroma_height):
+        raise NotImplementedError(
+            "the JAX pipeline currently batches 4:2:0 geometry; decode "
+            "4:2:2/4:4:4 streams through the native backend (Decoder "
+            "planes are already reconstructed)")
     planes = [np.zeros((prog.height, prog.width), dtype=np.int32),
               np.zeros((prog.chroma_height, prog.chroma_width), dtype=np.int32),
               np.zeros((prog.chroma_height, prog.chroma_width), dtype=np.int32)]
