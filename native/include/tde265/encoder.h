@@ -34,6 +34,9 @@ struct EncoderConfig {
   int pcm_sad_threshold = 0;
   // lossless coding: every CU is transquant-bypass (residual carried raw)
   bool lossless = false;
+  // SAO: two-pass encode (estimate band/edge offsets on the deblocked
+  // reconstruction, then re-encode the slice with per-CTB sao() syntax)
+  bool sao = false;
   // signal scaling_list_enabled with the spec default lists (no explicit
   // list data); reconstruction dequant then uses the default matrices
   bool scaling_lists = false;
@@ -88,6 +91,8 @@ class Encoder {
   void mark_cu_edges(int x0, int y0, int log2_size);
   void mark_nonzero(int x0, int y0, int log2_size);
   void write_merge_idx(int idx);
+  void write_sao(int ctb_x, int ctb_y);
+  void estimate_sao();
   void write_mvd(i32 mvd_x, i32 mvd_y);
   int sad_luma(int x0, int y0, int n) const;
   PbMotion predict_inter(int x0, int y0, int n, const PbMotion& m,
@@ -123,6 +128,7 @@ class Encoder {
   std::shared_ptr<SliceHeader> sh_;        // current picture's slice header
   bool cur_is_intra_pic_ = true;
   int poc_ = 0;
+  std::vector<SaoParams> sao_chosen_;  // per-CTB estimated SAO parameters
 
   BitWriter slice_bw_;
   std::unique_ptr<CabacEncoder> cabac_;

@@ -113,7 +113,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   s.scaling_list_enabled = cfg.scaling_lists;
   if (cfg.scaling_lists) s.scaling_lists.set_default();
   s.amp_enabled = false;
-  s.sao_enabled = false;
+  s.sao_enabled = cfg.sao;
   s.pcm_enabled = cfg.pcm;
   if (cfg.pcm) {
     s.pcm_bit_depth_luma = s.bit_depth_luma;
@@ -225,7 +225,7 @@ void Encoder::write_headers(std::vector<u8>* out) {
   if (s.scaling_list_enabled)
     sp.write_flag(false);  // sps_scaling_list_data_present (use defaults)
   sp.write_flag(false);  // amp
-  sp.write_flag(false);  // sao
+  sp.write_flag(s.sao_enabled);
   sp.write_flag(s.pcm_enabled);
   if (s.pcm_enabled) {
     sp.write_bits((u32)(s.pcm_bit_depth_luma - 1), 4);
@@ -314,10 +314,15 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
     bw->write_uvlc(0);      // delta_poc_s0_minus1 (= -1)
     bw->write_flag(true);   // used_by_curr_pic_s0
     // (long-term off, temporal_mvp off in SPS -> no flags)
+  }
+  if (sps_->sao_enabled) {
+    bw->write_flag(true);  // slice_sao_luma
+    if (sps_->chroma_array_type != 0) bw->write_flag(true);  // slice_sao_chroma
+  }
+  if (!idr) {
     bw->write_flag(false);  // num_ref_idx_active_override (default L0 = 1)
     bw->write_uvlc(0);      // five_minus_max_num_merge_cand (= 5)
   }
-  // (sao disabled in SPS -> no sao flags)
   bw->write_svlc(cfg_.qp - 26);  // slice_qp_delta (init_qp = 26)
   // deblocking override not enabled -> no per-slice deblock fields.
   // slice_loop_filter_across_slices present iff across-slices allowed in the
@@ -478,6 +483,8 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
   sh_->max_num_merge_cand = 5;
   sh_->slice_index = 0;
   sh_->loop_filter_across_slices = true;
+  sh_->sao_luma = sps_->sao_enabled;
+  sh_->sao_chroma = sps_->sao_enabled && sps_->chroma_array_type != 0;
   sh_->deblocking_filter_disabled = pps_->pps_deblocking_filter_disabled;
   if (!cur_is_intra_pic_) {
     sh_->num_ref_idx[0] = 1;
@@ -501,34 +508,64 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
     return out;
   }
 
-  const bool deblock_recon = gop;  // in-loop filter on the reference path
-  int n_ctbs = sps_->pic_size_in_ctbs;
-  int per_slice = (cfg_.ctbs_per_slice > 0) ? cfg_.ctbs_per_slice : n_ctbs;
-  int slice_start = 0;
-  u16 slice_no = 0;
-  for (int rs = 0; rs < n_ctbs; rs++) {
-    if (rs == slice_start) {
-      slice_bw_.clear();
-      write_slice_header(&slice_bw_, rs);
-      cabac_ = std::make_unique<CabacEncoder>(&slice_bw_);
-      ctx_.init(cur_is_intra_pic_ ? 0 : 1, cfg_.qp);
+  auto encode_slice_main = [&](std::vector<u8>* outp) {
+    int n_ctbs = sps_->pic_size_in_ctbs;
+    int per_slice = (cfg_.ctbs_per_slice > 0) ? cfg_.ctbs_per_slice : n_ctbs;
+    int slice_start = 0;
+    u16 slice_no = 0;
+    for (int rs = 0; rs < n_ctbs; rs++) {
+      if (rs == slice_start) {
+        slice_bw_.clear();
+        write_slice_header(&slice_bw_, rs);
+        cabac_ = std::make_unique<CabacEncoder>(&slice_bw_);
+        ctx_.init(cur_is_intra_pic_ ? 0 : 1, cfg_.qp);
+      }
+      int cx = rs % sps_->pic_width_in_ctbs;
+      int cy = rs / sps_->pic_width_in_ctbs;
+      recon_->slice_addr_rs[rs] = slice_start;
+      recon_->slice_idx[rs] = slice_no;
+      if (sps_->sao_enabled) write_sao(cx, cy);
+      encode_ctb(cx, cy);
+      bool last_in_slice =
+          (rs == n_ctbs - 1) || (rs + 1 - slice_start >= per_slice);
+      cabac_->encode_terminate(last_in_slice ? 1 : 0);
+      if (last_in_slice) {
+        append_nal(outp, cur_is_intra_pic_ ? NAL_IDR_W_RADL : NAL_TRAIL_R,
+                   0, slice_bw_.rbsp());
+        slice_start = rs + 1;
+        slice_no++;
+      }
     }
-    int cx = rs % sps_->pic_width_in_ctbs;
-    int cy = rs / sps_->pic_width_in_ctbs;
-    recon_->slice_addr_rs[rs] = slice_start;
-    recon_->slice_idx[rs] = slice_no;
-    encode_ctb(cx, cy);
-    bool last_in_slice =
-        (rs == n_ctbs - 1) || (rs + 1 - slice_start >= per_slice);
-    cabac_->encode_terminate(last_in_slice ? 1 : 0);
-    if (last_in_slice) {
-      append_nal(&out, cur_is_intra_pic_ ? NAL_IDR_W_RADL : NAL_TRAIL_R,
-                 0, slice_bw_.rbsp());
-      slice_start = rs + 1;
-      slice_no++;
+  };
+
+  if (sps_->sao_enabled) {
+    // pass 1: throwaway bitstream (all-off SAO params), then deblock the
+    // reconstruction and estimate per-CTB parameters against the source
+    sao_chosen_.assign(recon_->sao.size(), SaoParams());
+    std::vector<u8> scratch;
+    encode_slice_main(&scratch);
+    apply_deblocking(prog_);
+    estimate_sao();
+    // reset picture state for the real pass (decisions are deterministic,
+    // so pass 2 reproduces the same reconstruction before the loop filters)
+    recon_->alloc(sps_, pps_);
+    recon_->poc = poc_;
+    for (auto& a : recon_->slice_addr_rs) a = -1;
+    prog_.clear();
+    prog_.frame = recon_.get();
+    prog_.slices.push_back(sh_);
+    if (!cur_is_intra_pic_) prog_.ref_frames.push_back(ref_frame_.get());
+  }
+
+  encode_slice_main(&out);
+  const bool filter_recon = gop || sps_->sao_enabled;
+  if (filter_recon) {
+    apply_deblocking(prog_);
+    if (sps_->sao_enabled) {
+      recon_->sao = sao_chosen_;
+      apply_sao(prog_);
     }
   }
-  if (deblock_recon) apply_deblocking(prog_);
   frame_count_++;
   return out;
 }
@@ -948,6 +985,190 @@ void Encoder::mark_nonzero(int x0, int y0, int log2_size) {
     for (int x = 0; x < n4; x++) {
       int px = (x0 >> 2) + x, py = (y0 >> 2) + y;
       if (px < f.pb_w && py < f.pb_h) f.nonzero_coeff[py * f.pb_w + px] |= 1;
+    }
+}
+
+// sao() syntax writer (inverse of SliceParser::decode_sao, spec 7.3.8.3).
+// Merge flags are always written as 0 (full parameters per CTB).
+void Encoder::write_sao(int ctb_x, int ctb_y) {
+  Frame& f = *recon_;
+  int rs = ctb_y * f.ctb_w + ctb_x;
+  const SaoParams& sao = sao_chosen_.empty() ? f.sao[rs] : sao_chosen_[rs];
+
+  if (ctb_x > 0) cabac_->encode_bin(&ctx_[CTX_SAO_MERGE_FLAG], 0);
+  if (ctb_y > 0) cabac_->encode_bin(&ctx_[CTX_SAO_MERGE_FLAG], 0);
+
+  auto write_tu_bypass = [&](int v, int cmax) {
+    for (int k = 0; k < v; k++) cabac_->encode_bypass(1);
+    if (v < cmax) cabac_->encode_bypass(0);
+  };
+
+  int n_chan = (sps_->chroma_array_type == 0) ? 1 : 3;
+  for (int c = 0; c < n_chan; c++) {
+    int t = sao.type_idx[c];
+    if (c <= 1) {
+      cabac_->encode_bin(&ctx_[CTX_SAO_TYPE_IDX], t != 0);
+      if (t != 0) cabac_->encode_bypass(t == 2 ? 1 : 0);
+    }
+    if (t == 0) continue;
+    int bd = f.bit_depth[c];
+    int cmax = (1 << (min_i(bd, 10) - 5)) - 1;
+    for (int i = 0; i < 4; i++)
+      write_tu_bypass(abs_i(sao.offset[c][i]), cmax);
+    if (t == 1) {
+      for (int i = 0; i < 4; i++)
+        if (sao.offset[c][i] != 0)
+          cabac_->encode_bypass(sao.offset[c][i] < 0 ? 1 : 0);
+      cabac_->encode_bypass_bits((u32)sao.band_pos[c], 5);
+    } else if (c <= 1) {
+      cabac_->encode_bypass_bits((u32)sao.eo_class[c], 2);
+    }
+  }
+  f.sao[rs] = sao;  // mirror the decoder's grid state
+}
+
+// Per-CTB SAO parameter estimation on the deblocked reconstruction
+// (counterpart of the reference encoder's SAO search; simple SSD-gain
+// maximisation: gain(offset o over n samples with diff-sum d) = 2od - no^2).
+void Encoder::estimate_sao() {
+  Frame& f = *recon_;
+  const int cmax_bd = (1 << (min_i(sps_->bit_depth_luma, 10) - 5)) - 1;
+  static const int eo_dx[4][2] = {{-1, 1}, {0, 0}, {-1, 1}, {1, -1}};
+  static const int eo_dy[4][2] = {{0, 0}, {-1, 1}, {-1, 1}, {1, -1}};
+
+  for (int cy = 0; cy < f.ctb_h; cy++)
+    for (int cx = 0; cx < f.ctb_w; cx++) {
+      int rs = cy * f.ctb_w + cx;
+      SaoParams best;  // default: type 0 everywhere
+
+      // channel evaluation helper: returns (gain, params for channel c)
+      auto eval_channel = [&](int c, int force_type, int force_eo,
+                              i16 off_out[4], u8* band_pos_out) -> i64 {
+        int sub_x = (c == 0) ? 1 : sps_->sub_width_c;
+        int sub_y = (c == 0) ? 1 : sps_->sub_height_c;
+        int w = f.plane_width(c), h = f.plane_height(c);
+        int cs_x = sps_->ctb_size / sub_x, cs_y = sps_->ctb_size / sub_y;
+        int x0 = cx * cs_x, y0 = cy * cs_y;
+        int x1 = min_i(x0 + cs_x, w), y1 = min_i(y0 + cs_y, h);
+        int bd = f.bit_depth[c];
+        auto rec = [&](int x, int y) {
+          return f.bytes_pp == 1 ? (int)*f.px8(c, x, y) : (int)*f.px16(c, x, y);
+        };
+        for (int i = 0; i < 4; i++) off_out[i] = 0;
+
+        if (force_type == 1) {
+          // band offset: per-band diff stats, best 4-band window
+          i64 dsum[32] = {};
+          i64 cnt[32] = {};
+          int shift = bd - 5;
+          for (int y = y0; y < y1; y++)
+            for (int x = x0; x < x1; x++) {
+              int r = rec(x, y);
+              int b = r >> shift;
+              dsum[b] += src_px(c, x, y) - r;
+              cnt[b]++;
+            }
+          i64 best_gain = 0;
+          int best_pos = 0;
+          i16 best_off[4] = {};
+          for (int pos = 0; pos < 32; pos++) {
+            i64 g = 0;
+            i16 offs[4];
+            for (int k = 0; k < 4; k++) {
+              int b = (pos + k) & 31;
+              i64 o = cnt[b] ? (dsum[b] >= 0 ? (dsum[b] + cnt[b] / 2) / cnt[b]
+                                             : -((-dsum[b] + cnt[b] / 2) / cnt[b]))
+                             : 0;
+              o = clip3(-cmax_bd, cmax_bd, (int)o);
+              offs[k] = (i16)o;
+              g += 2 * o * dsum[b] - cnt[b] * o * o;
+            }
+            if (g > best_gain) {
+              best_gain = g;
+              best_pos = pos;
+              for (int k = 0; k < 4; k++) best_off[k] = offs[k];
+            }
+          }
+          for (int k = 0; k < 4; k++) off_out[k] = best_off[k];
+          *band_pos_out = (u8)best_pos;
+          return best_gain;
+        }
+
+        // edge offset for class force_eo
+        int e = force_eo;
+        i64 dsum[4] = {};
+        i64 cnt[4] = {};
+        int xs = max_i(x0, max_i(-eo_dx[e][0], -eo_dx[e][1]));
+        int xe = min_i(x1, w - max_i(0, max_i(eo_dx[e][0], eo_dx[e][1])));
+        int ys = max_i(y0, max_i(-eo_dy[e][0], -eo_dy[e][1]));
+        int ye = min_i(y1, h - max_i(0, max_i(eo_dy[e][0], eo_dy[e][1])));
+        static const int cat_of[5] = {1, 2, 0, 3, 4};
+        for (int y = ys; y < ye; y++)
+          for (int x = xs; x < xe; x++) {
+            int v = rec(x, y);
+            int a = rec(x + eo_dx[e][0], y + eo_dy[e][0]);
+            int b = rec(x + eo_dx[e][1], y + eo_dy[e][1]);
+            int idx = 2 + (v > a ? 1 : v < a ? -1 : 0) +
+                      (v > b ? 1 : v < b ? -1 : 0);
+            int cat = cat_of[idx];
+            if (!cat) continue;
+            dsum[cat - 1] += src_px(c, x, y) - v;
+            cnt[cat - 1]++;
+          }
+        i64 g = 0;
+        for (int k = 0; k < 4; k++) {
+          i64 o = cnt[k] ? (dsum[k] >= 0 ? (dsum[k] + cnt[k] / 2) / cnt[k]
+                                         : -((-dsum[k] + cnt[k] / 2) / cnt[k]))
+                         : 0;
+          // spec sign constraints: categories 1/2 >= 0, 3/4 <= 0
+          if (k < 2) o = clip3(0, cmax_bd, (int)o);
+          else o = clip3(-cmax_bd, 0, (int)o);
+          off_out[k] = (i16)o;
+          g += 2 * o * dsum[k] - cnt[k] * o * o;
+        }
+        return g;
+      };
+
+      // luma: best of {off, band, eo0..3}
+      {
+        i64 best_gain = 16;  // minimum worthwhile gain (bits cost guard)
+        for (int t = 1; t <= 2; t++)
+          for (int e = 0; e < (t == 1 ? 1 : 4); e++) {
+            i16 offs[4];
+            u8 pos = 0;
+            i64 g = eval_channel(0, t, e, offs, &pos);
+            if (g > best_gain) {
+              best_gain = g;
+              best.type_idx[0] = (u8)t;
+              best.eo_class[0] = (u8)e;
+              best.band_pos[0] = pos;
+              for (int k = 0; k < 4; k++) best.offset[0][k] = offs[k];
+            }
+          }
+      }
+      // chroma: shared type/eo-class, separate offsets/band positions
+      if (sps_->chroma_array_type != 0) {
+        i64 best_gain = 16;
+        for (int t = 1; t <= 2; t++)
+          for (int e = 0; e < (t == 1 ? 1 : 4); e++) {
+            i16 ocb[4], ocr[4];
+            u8 pcb = 0, pcr = 0;
+            i64 g = eval_channel(1, t, e, ocb, &pcb) +
+                    eval_channel(2, t, e, ocr, &pcr);
+            if (g > best_gain) {
+              best_gain = g;
+              best.type_idx[1] = best.type_idx[2] = (u8)t;
+              best.eo_class[1] = best.eo_class[2] = (u8)e;
+              best.band_pos[1] = pcb;
+              best.band_pos[2] = pcr;
+              for (int k = 0; k < 4; k++) {
+                best.offset[1][k] = ocb[k];
+                best.offset[2][k] = ocr[k];
+              }
+            }
+          }
+      }
+      sao_chosen_[rs] = best;
     }
 }
 

@@ -508,3 +508,37 @@ def test_monochrome_reference_decoder(native_build, tmp_path):
         ref_yuv = np.fromfile(out, dtype=np.uint8)
         assert ref_yuv.size == w * h
         assert np.array_equal(ref_yuv.reshape(h, w), pic.planes[0])
+
+
+def test_sao_encoding_reference_decoder(native_build, tmp_path):
+    """SAO emission (two-pass estimation + per-CTB sao() syntax), intra and
+    P-GOP with SAO'd reference pictures — reference decoder matches."""
+    import os
+    import subprocess
+    w, h = 96, 96
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    with Encoder(qp=34, ctb_size=32) as enc:
+        enc.set_parameter("sao", True)
+        enc.set_parameter("intra-period", 8)
+        stream = b""
+        srcs = []
+        for f in range(4):
+            y = (128 + 60 * np.sin((xx + 2 * f) * 0.11)
+                 * np.cos((yy + f) * 0.07)).clip(0, 255).astype(np.uint8)
+            srcs.append(y)
+            stream += enc.encode(y)
+        stream += enc.finish()
+    dec = Decoder()
+    pics = list(dec.decode_all(stream))
+    assert len(pics) == 4
+    assert _psnr(srcs[3], pics[3].planes[0]) > 38.0
+    ref = "/tmp/refbuild/dec265/dec265"
+    if os.path.exists(ref):
+        sp = tmp_path / "sao.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / "sao.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(4, h * 3 // 2, w)
+        for i in range(4):
+            assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), i
