@@ -37,6 +37,9 @@ struct EncoderConfig {
   // SAO: two-pass encode (estimate band/edge offsets on the deblocked
   // reconstruction, then re-encode the slice with per-CTB sao() syntax)
   bool sao = false;
+  // adaptive QP: per-CTB QP from luma variance, signalled via cu_qp_delta
+  bool adaptive_qp = false;
+  int aq_range = 4;  // max +/- QP adjustment
   // signal scaling_list_enabled with the spec default lists (no explicit
   // list data); reconstruction dequant then uses the default matrices
   bool scaling_lists = false;
@@ -129,6 +132,21 @@ class Encoder {
   bool cur_is_intra_pic_ = true;
   int poc_ = 0;
   std::vector<SaoParams> sao_chosen_;  // per-CTB estimated SAO parameters
+
+  // QP-group (cu_qp_delta) state mirroring SliceParser
+  int cur_qp_ = 26;          // QP used for quantization in the current QG
+  int qg_pred_ = 26;         // cached prediction for the current QG
+  int qg_prev_qp_ = 26;      // decoder's qPY_PREV
+  int last_cu_qp_ = 26;      // decoder's qp_y_ after the last CU
+  bool qg_first_ = true;
+  bool qg_delta_written_ = false;
+  int derive_qp_pred_enc(int x_qg, int y_qg) const;
+  void maybe_write_cu_qp_delta();
+  void set_cu_qp_grid(int x0, int y0, int log2_size);
+  int cu_grid_qp() const {
+    return (!pps_->cu_qp_delta_enabled || qg_delta_written_) ? cur_qp_
+                                                             : qg_pred_;
+  }
 
   BitWriter slice_bw_;
   std::unique_ptr<CabacEncoder> cabac_;

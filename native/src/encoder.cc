@@ -132,7 +132,8 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   p.sps_id = 0;
   p.sps = sps_;
   p.init_qp = 26;
-  p.cu_qp_delta_enabled = false;
+  p.cu_qp_delta_enabled = cfg.adaptive_qp;
+  p.diff_cu_qp_delta_depth = 0;  // QP group = CTB
   p.transquant_bypass_enabled = cfg.lossless;
   p.loop_filter_across_slices = true;
   p.log2_parallel_merge_level = 2;
@@ -257,7 +258,8 @@ void Encoder::write_headers(std::vector<u8>* out) {
   pp.write_svlc(0);      // init_qp_minus26
   pp.write_flag(false);  // constrained_intra_pred
   pp.write_flag(false);  // transform_skip
-  pp.write_flag(false);  // cu_qp_delta_enabled
+  pp.write_flag(pps_->cu_qp_delta_enabled);
+  if (pps_->cu_qp_delta_enabled) pp.write_uvlc(0);  // diff_cu_qp_delta_depth
   pp.write_svlc(0);      // cb_qp_offset
   pp.write_svlc(0);      // cr_qp_offset
   pp.write_flag(false);  // slice_chroma_qp_offsets_present
@@ -519,6 +521,8 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
         write_slice_header(&slice_bw_, rs);
         cabac_ = std::make_unique<CabacEncoder>(&slice_bw_);
         ctx_.init(cur_is_intra_pic_ ? 0 : 1, cfg_.qp);
+        qg_first_ = true;
+        qg_prev_qp_ = last_cu_qp_ = cfg_.qp;
       }
       int cx = rs % sps_->pic_width_in_ctbs;
       int cy = rs / sps_->pic_width_in_ctbs;
@@ -570,9 +574,83 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
   return out;
 }
 
+int Encoder::derive_qp_pred_enc(int x_qg, int y_qg) const {
+  // mirrors SliceParser::derive_qp_pred (spec 8.6.1)
+  Frame& f = *recon_;
+  int qp_a, qp_b;
+  int ctb_mask = ~(sps_->ctb_size - 1);
+  if (!z_available(f, x_qg, y_qg, x_qg - 1, y_qg) ||
+      ((x_qg - 1) & ctb_mask) != (x_qg & ctb_mask))
+    qp_a = qg_prev_qp_;
+  else
+    qp_a = f.qp_y[(y_qg >> 2) * f.pb_w + ((x_qg - 1) >> 2)];
+  if (!z_available(f, x_qg, y_qg, x_qg, y_qg - 1) ||
+      ((y_qg - 1) & ctb_mask) != (y_qg & ctb_mask))
+    qp_b = qg_prev_qp_;
+  else
+    qp_b = f.qp_y[((y_qg - 1) >> 2) * f.pb_w + (x_qg >> 2)];
+  return (qp_a + qp_b + 1) >> 1;
+}
+
+void Encoder::set_cu_qp_grid(int x0, int y0, int log2_size) {
+  Frame& f = *recon_;
+  int qp = cu_grid_qp();
+  int n4 = 1 << (log2_size - 2);
+  for (int dy = 0; dy < n4; dy++)
+    for (int dx = 0; dx < n4; dx++) {
+      int px = (x0 >> 2) + dx, py = (y0 >> 2) + dy;
+      if (px < f.pb_w && py < f.pb_h) f.qp_y[py * f.pb_w + px] = (i8)qp;
+    }
+  last_cu_qp_ = qp;
+}
+
+void Encoder::maybe_write_cu_qp_delta() {
+  // inverse of SliceParser::decode_cu_qp_delta (first coded TU in the QG)
+  if (!pps_->cu_qp_delta_enabled || qg_delta_written_) return;
+  qg_delta_written_ = true;
+  int delta = cur_qp_ - qg_pred_;
+  int a = abs_i(delta);
+  cabac_->encode_bin(&ctx_[CTX_CU_QP_DELTA_ABS + 0], a > 0);
+  if (a > 0) {
+    int prefix = min_i(a, 5);
+    for (int i = 1; i < prefix; i++)
+      cabac_->encode_bin(&ctx_[CTX_CU_QP_DELTA_ABS + 1], 1);
+    if (prefix < 5)
+      cabac_->encode_bin(&ctx_[CTX_CU_QP_DELTA_ABS + 1], 0);
+    if (a >= 5) cabac_->encode_egk((u32)(a - 5), 0);
+    cabac_->encode_bypass(delta < 0);
+  }
+}
+
 void Encoder::encode_ctb(int ctb_x, int ctb_y) {
-  encode_cq(ctb_x << sps_->log2_ctb_size, ctb_y << sps_->log2_ctb_size,
-            sps_->log2_ctb_size, 0);
+  int x0 = ctb_x << sps_->log2_ctb_size;
+  int y0 = ctb_y << sps_->log2_ctb_size;
+  if (pps_->cu_qp_delta_enabled) {
+    // QP-group start (QG = CTB): choose the CTB QP from luma variance and
+    // cache the prediction exactly as the decoder derives it
+    qg_delta_written_ = false;
+    if (!qg_first_) qg_prev_qp_ = last_cu_qp_;
+    qg_first_ = false;
+    qg_pred_ = derive_qp_pred_enc(x0, y0);
+
+    int n = sps_->ctb_size;
+    i64 sum = 0, sum2 = 0, cnt = 0;
+    for (int yy = y0; yy < min_i(y0 + n, cfg_.height); yy++)
+      for (int xx = x0; xx < min_i(x0 + n, cfg_.width); xx++) {
+        int v = src_px(0, xx, yy);
+        sum += v;
+        sum2 += (i64)v * v;
+        cnt++;
+      }
+    i64 var = cnt ? (sum2 - sum * sum / cnt) / cnt : 0;
+    // log-variance mapping into [-aq_range, +aq_range]
+    int adj = 0;
+    while (var > (i64)64 << (2 * adj) && adj < cfg_.aq_range) adj++;
+    cur_qp_ = clip3(1, 51, cfg_.qp + adj - cfg_.aq_range / 2);
+  } else {
+    cur_qp_ = cfg_.qp;
+  }
+  encode_cq(x0, y0, sps_->log2_ctb_size, 0);
 }
 
 void Encoder::encode_cq(int x0, int y0, int log2_size, int depth) {
@@ -770,8 +848,8 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
           int px = (x0 >> 2) + dx, py = (y0 >> 2) + dy;
           if (px >= f.pb_w || py >= f.pb_h) continue;
           f.cu_info[py * f.pb_w + px] = 1 | 2;
-          f.qp_y[py * f.pb_w + px] = (i8)cfg_.qp;
         }
+      set_cu_qp_grid(x0, y0, log2_size);
       mark_cu_edges(x0, y0, log2_size);
       return;
     }
@@ -790,7 +868,6 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
           (u8)(1 | (pps_->transquant_bypass_enabled ? 4 : 0));  // intra
       f.intra_pred_mode[py * f.pb_w + px] = (u8)mode;
       f.intra_mode_c[py * f.pb_w + px] = (u8)mode;  // DM
-      f.qp_y[py * f.pb_w + px] = (i8)cfg_.qp;
     }
 
   // --- transform tree: single TU = CU (max depth 0) ---
@@ -842,7 +919,7 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
       const int bd = cidx == 0 ? sps_->bit_depth_luma : sps_->bit_depth_chroma;
       // quantize against Qp' (with the bit-depth offset), matching the
       // decoder's dequant (residual.cc tu.qp convention)
-      const int qpp = cfg_.qp + (cidx == 0 ? sps_->qp_bd_offset_luma
+      const int qpp = cur_qp_ + (cidx == 0 ? sps_->qp_bd_offset_luma
                                            : sps_->qp_bd_offset_chroma);
       fwd_dct_2d(coeffs, res, log2c, bd);
       quantize(pc.levels.data(), coeffs, n * n, qpp, log2c, bd, true);
@@ -868,8 +945,8 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
       tu.log2_size = (u8)log2c;
       tu.cidx = (u8)cidx;
       tu.qp = (i8)(cidx == 0
-                       ? cfg_.qp + sps_->qp_bd_offset_luma
-                       : chroma_qp(cfg_.qp) + sps_->qp_bd_offset_chroma);
+                       ? cur_qp_ + sps_->qp_bd_offset_luma
+                       : chroma_qp(cur_qp_) + sps_->qp_bd_offset_chroma);
       tu.flags = TuRec::kIntra |
                  ((log2c == 2 && cidx == 0) ? TuRec::kUseDst : 0) |
                  (pps_->transquant_bypass_enabled ? TuRec::kTransquantBypass
@@ -901,8 +978,10 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
     mark_cu_edges(x0, y0, log2_size);
     if (ch[0].cbf) mark_nonzero(x0, y0, log2_size);
     cabac_->encode_bin(&ctx_[CTX_CBF_LUMA + 1], ch[0].cbf ? 1 : 0);
+    if (ch[0].cbf) maybe_write_cu_qp_delta();
     if (ch[0].cbf)
       write_residual(x0, y0, log2_size, 0, ch[0].levels.data(), ch[0].scan);
+    set_cu_qp_grid(x0, y0, log2_size);
     return;
   }
   const bool c444 = cat == 3;
@@ -941,6 +1020,9 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
   if (c422) cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[4].cbf ? 1 : 0);
   cabac_->encode_bin(&ctx_[CTX_CBF_LUMA + 1], ch[0].cbf ? 1 : 0);
 
+  if (ch[0].cbf || ch[1].cbf || ch[2].cbf || (c422 && (ch[3].cbf || ch[4].cbf)))
+    maybe_write_cu_qp_delta();
+
   if (ch[0].cbf)
     write_residual(x0, y0, log2_size, 0, ch[0].levels.data(), ch[0].scan);
   if (ch[1].cbf)
@@ -955,6 +1037,7 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
     if (ch[4].cbf)
       write_residual(x0, y0, log2c, 2, ch[4].levels.data(), ch[4].scan);
   }
+  set_cu_qp_grid(x0, y0, log2_size);
 }
 
 // ---------------------------------------------------------------------------
@@ -1395,7 +1478,7 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
             src_px(cidx, x0c + xx, y0c + yy) - rec_px(cidx, x0c + xx, y0c + yy);
     i32 coeffs[32 * 32];
     const int bd = cidx == 0 ? sps_->bit_depth_luma : sps_->bit_depth_chroma;
-    const int qpp = cfg_.qp + (cidx == 0 ? sps_->qp_bd_offset_luma
+    const int qpp = cur_qp_ + (cidx == 0 ? sps_->qp_bd_offset_luma
                                          : sps_->qp_bd_offset_chroma);
     fwd_dct_2d(coeffs, res, log2c, bd);
     pc.levels.resize(nn * nn);
@@ -1419,7 +1502,6 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
       int px = (x0 >> 2) + dx, py = (y0 >> 2) + dy;
       if (px >= f.pb_w || py >= f.pb_h) continue;
       f.cu_info[py * f.pb_w + px] = info;
-      f.qp_y[py * f.pb_w + px] = (i8)cfg_.qp;
     }
 
   // --- syntax ----------------------------------------------------------
@@ -1427,6 +1509,7 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
     // skip CU: prediction is the reconstruction
     write_cu_skip_flag(x0, y0, 1);
     write_merge_idx(best_merge);
+    set_cu_qp_grid(x0, y0, log2_size);
     return;
   }
 
@@ -1442,7 +1525,10 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
     write_mvd(syn.mvd[0][0], syn.mvd[0][1]);
     cabac_->encode_bin(&ctx_[CTX_MVP_LX_FLAG], syn.mvp_flag[0]);
     cabac_->encode_bin(&ctx_[CTX_RQT_ROOT_CBF], any_cbf ? 1 : 0);
-    if (!any_cbf) return;
+    if (!any_cbf) {
+      set_cu_qp_grid(x0, y0, log2_size);
+      return;
+    }
   }
 
   // transform tree (single TU = CU): chroma cbfs, then cbf_luma
@@ -1451,6 +1537,7 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
   // cbf_luma inferred 1 when inter, depth 0, no chroma cbf (syntax.cc:866)
   if (ch[1].cbf || ch[2].cbf)
     cabac_->encode_bin(&ctx_[CTX_CBF_LUMA + 1], ch[0].cbf ? 1 : 0);
+  maybe_write_cu_qp_delta();  // any_cbf is true here
 
   auto emit = [&](Ch& pc) {
     if (!pc.cbf) return;
@@ -1469,8 +1556,8 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
     tu.log2_size = (u8)pc.log2;
     tu.cidx = (u8)pc.cidx;
     tu.qp = (i8)(pc.cidx == 0
-                     ? cfg_.qp + sps_->qp_bd_offset_luma
-                     : chroma_qp(cfg_.qp) + sps_->qp_bd_offset_chroma);
+                     ? cur_qp_ + sps_->qp_bd_offset_luma
+                     : chroma_qp(cur_qp_) + sps_->qp_bd_offset_chroma);
     tu.flags = 0;  // inter: DCT, no intra flag
     tu.coeff_start = start;
     tu.ncoeff = (u16)(prog_.coeff_val.size() - start);
@@ -1488,6 +1575,7 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
   if (ch[2].cbf)
     write_residual(x0, y0, log2_size - 1, 2, ch[2].levels.data(), 0);
   emit(ch[2]);
+  set_cu_qp_grid(x0, y0, log2_size);
 }
 
 // ---------------------------------------------------------------------------

@@ -542,3 +542,34 @@ def test_sao_encoding_reference_decoder(native_build, tmp_path):
         ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(4, h * 3 // 2, w)
         for i in range(4):
             assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), i
+
+
+def test_adaptive_qp_reference_decoder(native_build, tmp_path):
+    """cu_qp_delta emission (variance-adaptive per-CTB QP, QG prediction
+    mirrored from the decoder) — reference decoder matches, intra and GOP."""
+    import os
+    import subprocess
+    w, h = 96, 96
+    rng = np.random.default_rng(7)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = (128 + 50 * np.sin(xx * 0.05) * np.cos(yy * 0.04)).clip(
+        0, 255).astype(np.uint8)
+    y[:48, :48] = rng.integers(60, 200, (48, 48))
+    with Encoder(qp=32, ctb_size=32) as enc:
+        enc.set_parameter("adaptive-qp", True)
+        enc.set_parameter("intra-period", 8)
+        stream = b"".join(enc.encode(np.roll(y, f, axis=1))
+                          for f in range(3)) + enc.finish()
+    dec = Decoder()
+    pics = list(dec.decode_all(stream))
+    assert len(pics) == 3
+    ref = "/tmp/refbuild/dec265/dec265"
+    if os.path.exists(ref):
+        sp = tmp_path / "aq.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / "aq.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(3, h * 3 // 2, w)
+        for i in range(3):
+            assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), i
