@@ -32,6 +32,29 @@ LIBDE265_API de265_error en265_set_parameter_choice(en265_encoder_context*,
                                                     const char* value);
 LIBDE265_API const char** en265_list_parameters(en265_encoder_context*);
 
+enum en265_parameter_type {
+  en265_parameter_bool,
+  en265_parameter_int,
+  en265_parameter_string,
+  en265_parameter_choice
+};
+LIBDE265_API enum en265_parameter_type en265_get_parameter_type(
+    en265_encoder_context*, const char* parametername);
+LIBDE265_API const char** en265_list_parameter_choices(
+    en265_encoder_context*, const char* parametername);
+LIBDE265_API de265_error en265_parse_command_line_parameters(
+    en265_encoder_context*, int* argc, char** argv);
+LIBDE265_API void en265_show_parameters(en265_encoder_context*);
+struct de265_image_spec;
+LIBDE265_API void en265_get_image_spec(en265_encoder_context*, int width,
+                                       int height, enum de265_chroma chroma,
+                                       struct de265_image_spec* out_spec);
+LIBDE265_API de265_error en265_block_on_input_queue_length(
+    en265_encoder_context*, int max_pending_images, int timeout_ms);
+LIBDE265_API de265_error en265_trim_input_queue(en265_encoder_context*,
+                                                int max_pending_images);
+LIBDE265_API int en265_current_input_queue_length(en265_encoder_context*);
+
 /* === image input === */
 struct en265_image_intern;
 typedef struct en265_image_intern en265_image;

@@ -24,8 +24,13 @@ struct DeblockCtx {
   const FrameProgram* prog;
   int log2ctb;
   int ctb_w;
+  // fast path: one slice, no tiles, no PCM/bypass CUs -> per-edge slice/
+  // tile/sample checks collapse to constants
+  bool simple = false;
+  const SliceHeader* sh0 = nullptr;
 
   const SliceHeader* slice_at(int x, int y) const {
+    if (simple) return sh0;
     int rs = (y >> log2ctb) * ctb_w + (x >> log2ctb);
     u16 idx = f->slice_idx[rs];
     if (idx >= prog->slices.size()) return nullptr;
@@ -37,6 +42,7 @@ struct DeblockCtx {
     int xp = vertical ? xq - 1 : xq;
     int yp = vertical ? yq : yq - 1;
     if (xp < 0 || yp < 0) return false;  // picture boundary
+    if (simple) return true;
     const Pps& pps = *f->pps;
     int rs_q = (yq >> log2ctb) * ctb_w + (xq >> log2ctb);
     int rs_p = (yp >> log2ctb) * ctb_w + (xp >> log2ctb);
@@ -53,6 +59,7 @@ struct DeblockCtx {
 
   // sample-side filtering disable (PCM + pcm_loop_filter_disable, tqbypass)
   bool side_unfiltered(int x, int y) const {
+    if (simple) return false;
     u8 info = f->cu_info[(y >> 2) * f->pb_w + (x >> 2)];
     if ((info & 2) && f->sps->pcm_loop_filter_disable) return true;  // PCM
     if (info & 4) return true;  // transquant bypass
@@ -312,6 +319,21 @@ void apply_deblocking(FrameProgram& prog) {
   for (auto& sh : prog.slices)
     if (!sh->deblocking_filter_disabled) any_enabled = true;
   if (!any_enabled) return;
+
+  // fast-path eligibility
+  if (prog.slices.size() == 1 && !f.pps->tiles_enabled &&
+      !prog.slices[0]->deblocking_filter_disabled) {
+    bool any_skip = false;
+    for (u8 v : f.cu_info)
+      if ((v & 4) || ((v & 2) && f.sps->pcm_loop_filter_disable)) {
+        any_skip = true;
+        break;
+      }
+    if (!any_skip) {
+      ctx.simple = true;
+      ctx.sh0 = prog.slices[0].get();
+    }
+  }
 
   if (f.bytes_pp == 1) {
     deblock_pass<u8, true>(ctx);

@@ -7,6 +7,7 @@
 #include <string>
 #include <vector>
 
+#include "tde265/de265.h"
 #include "tde265/en265.h"
 #include "tde265/encoder.h"
 
@@ -247,6 +248,101 @@ de265_error en265_free_packet(en265_encoder_context* ctx,
 
 int en265_number_of_queued_packets(en265_encoder_context* ctx) {
   return (int)C(ctx)->packets.size();
+}
+
+enum en265_parameter_type en265_get_parameter_type(en265_encoder_context*,
+                                                   const char* param) {
+  std::string p = param ? param : "";
+  if (p == "sop-structure") return en265_parameter_choice;
+  if (p == "scaling-lists" || p == "wpp" || p == "pcm" || p == "lossless" ||
+      p == "sao" || p == "adaptive-qp")
+    return en265_parameter_bool;
+  return en265_parameter_int;
+}
+
+const char** en265_list_parameter_choices(en265_encoder_context*,
+                                          const char* param) {
+  static const char* sop[] = {"intra", "low-delay", nullptr};
+  static const char* none[] = {nullptr};
+  if (param && std::string(param) == "sop-structure") return sop;
+  return none;
+}
+
+de265_error en265_parse_command_line_parameters(en265_encoder_context* ctx,
+                                                int* argc, char** argv) {
+  // accepts "--name value" pairs for the registered parameters and strips
+  // them from argv (counterpart of the reference's configparam CLI layer)
+  if (!argc || !argv) return DE265_OK;
+  int out = 1;
+  for (int i = 1; i < *argc; i++) {
+    std::string a = argv[i];
+    if (a.size() > 2 && a.rfind("--", 0) == 0 && i + 1 < *argc) {
+      std::string name = a.substr(2);
+      const char* val = argv[i + 1];
+      de265_error err;
+      if (en265_get_parameter_type(ctx, name.c_str()) == en265_parameter_bool)
+        err = en265_set_parameter_bool(ctx, name.c_str(),
+                                       std::string(val) != "0");
+      else
+        err = en265_set_parameter_int(ctx, name.c_str(), atoi(val));
+      if (err == DE265_OK) {
+        i++;  // consume the value
+        continue;
+      }
+    }
+    argv[out++] = argv[i];
+  }
+  *argc = out;
+  return DE265_OK;
+}
+
+void en265_show_parameters(en265_encoder_context* ctx) {
+  const char** params = en265_list_parameters(ctx);
+  for (int i = 0; params[i]; i++) {
+    const char* kind =
+        en265_get_parameter_type(ctx, params[i]) == en265_parameter_bool
+            ? "bool"
+            : "int";
+    fprintf(stderr, "  --%s (%s)\n", params[i], kind);
+  }
+}
+
+void en265_get_image_spec(en265_encoder_context* ctx, int width, int height,
+                          enum de265_chroma chroma,
+                          struct de265_image_spec* out_spec) {
+  (void)ctx;
+  if (!out_spec) return;
+  memset(out_spec, 0, sizeof(*out_spec));
+  out_spec->format = (int)chroma;
+  // encoder pads to coding-block alignment; callers see the visible size
+  int pw = (width + 7) & ~7, ph = (height + 7) & ~7;
+  out_spec->width = pw;
+  out_spec->height = ph;
+  out_spec->alignment = 16;
+  out_spec->crop_right = pw - width;
+  out_spec->crop_bottom = ph - height;
+  out_spec->visible_width = width;
+  out_spec->visible_height = height;
+}
+
+de265_error en265_block_on_input_queue_length(en265_encoder_context* ctx,
+                                              int max_pending, int) {
+  // synchronous encoder: the queue drains inside en265_encode()
+  (void)ctx;
+  (void)max_pending;
+  return DE265_OK;
+}
+
+de265_error en265_trim_input_queue(en265_encoder_context* ctx,
+                                   int max_pending) {
+  EncCtx* c = C(ctx);
+  while ((int)c->input_queue.size() > max_i(0, max_pending))
+    c->input_queue.pop_back();
+  return DE265_OK;
+}
+
+int en265_current_input_queue_length(en265_encoder_context* ctx) {
+  return (int)C(ctx)->input_queue.size();
 }
 
 }  // extern "C"
