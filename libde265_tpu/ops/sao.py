@@ -39,13 +39,15 @@ def sao_plane(src, type_map, eo_class_map, band_pos_map, offsets_map,
     maxv = (1 << bit_depth) - 1
     shift = bit_depth - 5
 
-    # --- band offset ---
+    # --- band offset (gather-free: 4-way select) ---
     band_idx = src >> shift
     k = (band_idx - band_pos_map) & 31
-    in_band = k < 4
-    band_off = jnp.take_along_axis(
-        offsets_map, jnp.clip(k, 0, 3)[..., None], axis=2)[..., 0]
-    band_res = jnp.where(in_band, src + band_off, src)
+    o = offsets_map
+    band_off = jnp.where(k == 0, o[..., 0],
+                         jnp.where(k == 1, o[..., 1],
+                                   jnp.where(k == 2, o[..., 2],
+                                             jnp.where(k == 3, o[..., 3], 0))))
+    band_res = src + band_off
 
     # --- edge offset ---
     # neighbors via padded shifts; out-of-picture positions are masked below

@@ -360,6 +360,8 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
   BitWriter data_bw;
   cabac_ = std::make_unique<CabacEncoder>(&data_bw);
   ctx_.init(cur_is_intra_pic_ ? 0 : 1, cfg_.qp);
+  qg_first_ = true;
+  qg_prev_qp_ = last_cu_qp_ = cfg_.qp;
   ContextTable wpp_saved;
   bool wpp_saved_valid = false;
 
@@ -369,6 +371,7 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
     int cx = rs % pw, cy = rs / pw;
     recon_->slice_addr_rs[rs] = 0;
     recon_->slice_idx[rs] = 0;
+    if (sps_->sao_enabled) write_sao(cx, cy);
     encode_ctb(cx, cy);
     if (p.entropy_coding_sync_enabled && cx == 1) {
       wpp_saved = ctx_;
@@ -393,6 +396,9 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
         ctx_ = wpp_saved;
       else
         ctx_.init(cur_is_intra_pic_ ? 0 : 1, cfg_.qp);
+      // per-substream QP-prediction reset (syntax.cc:1086-1140)
+      qg_first_ = true;
+      qg_prev_qp_ = last_cu_qp_ = cfg_.qp;
     }
   }
 
@@ -505,7 +511,28 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
   src_stride_[1] = src_stride_[2] = stride_c;
 
   if (pps_->tiles_enabled || pps_->entropy_coding_sync_enabled) {
+    if (sps_->sao_enabled) {
+      sao_chosen_.assign(recon_->sao.size(), SaoParams());
+      std::vector<u8> scratch;
+      encode_slice_substreams(&scratch);
+      apply_deblocking(prog_);
+      estimate_sao();
+      recon_->alloc(sps_, pps_);
+      recon_->poc = poc_;
+      for (auto& a : recon_->slice_addr_rs) a = -1;
+      prog_.clear();
+      prog_.frame = recon_.get();
+      prog_.slices.push_back(sh_);
+      if (!cur_is_intra_pic_) prog_.ref_frames.push_back(ref_frame_.get());
+    }
     encode_slice_substreams(&out);
+    if (gop || sps_->sao_enabled) {
+      apply_deblocking(prog_);
+      if (sps_->sao_enabled) {
+        recon_->sao = sao_chosen_;
+        apply_sao(prog_);
+      }
+    }
     frame_count_++;
     return out;
   }
@@ -1078,8 +1105,14 @@ void Encoder::write_sao(int ctb_x, int ctb_y) {
   int rs = ctb_y * f.ctb_w + ctb_x;
   const SaoParams& sao = sao_chosen_.empty() ? f.sao[rs] : sao_chosen_[rs];
 
-  if (ctb_x > 0) cabac_->encode_bin(&ctx_[CTX_SAO_MERGE_FLAG], 0);
-  if (ctb_y > 0) cabac_->encode_bin(&ctx_[CTX_SAO_MERGE_FLAG], 0);
+  // merge flags are only present when the neighbor is in the same slice
+  // and tile (SliceParser::decode_sao)
+  int slice_addr = f.slice_addr_rs[rs];  // set by the slice loop
+  if (ctb_x > 0 && rs > slice_addr && pps_->same_tile(rs, rs - 1))
+    cabac_->encode_bin(&ctx_[CTX_SAO_MERGE_FLAG], 0);
+  if (ctb_y > 0 && (rs - f.ctb_w) >= slice_addr &&
+      pps_->same_tile(rs, rs - f.ctb_w))
+    cabac_->encode_bin(&ctx_[CTX_SAO_MERGE_FLAG], 0);
 
   auto write_tu_bypass = [&](int v, int cmax) {
     for (int k = 0; k < v; k++) cabac_->encode_bypass(1);

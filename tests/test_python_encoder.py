@@ -573,3 +573,40 @@ def test_adaptive_qp_reference_decoder(native_build, tmp_path):
         ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(3, h * 3 // 2, w)
         for i in range(3):
             assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), i
+
+
+def test_feature_combinations_reference_decoder(native_build, tmp_path):
+    """Feature cross-products (WPP/tiles/slices x SAO/adaptive-QP) must all
+    decode identically in the reference libde265."""
+    import os
+    import subprocess
+    ref = "/tmp/refbuild/dec265/dec265"
+    if not os.path.exists(ref):
+        pytest.skip("reference build unavailable")
+    w, h = 128, 96
+    rng = np.random.default_rng(11)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = (128 + 60 * np.sin(xx * 0.11) * np.cos(yy * 0.07)
+         + rng.integers(-6, 7, (h, w))).clip(0, 255).astype(np.uint8)
+    combos = [
+        [("wpp", True), ("sao", True), ("adaptive-qp", True)],
+        [("tile-cols", 2), ("tile-rows", 2), ("sao", True)],
+        [("ctbs-per-slice", 5), ("sao", True)],
+        [("ctbs-per-slice", 5), ("adaptive-qp", True)],
+        [("wpp", True), ("adaptive-qp", True), ("intra-period", 4)],
+    ]
+    for ci, params in enumerate(combos):
+        with Encoder(qp=32, ctb_size=32) as enc:
+            for k, v in params:
+                enc.set_parameter(k, v)
+            stream = enc.encode(y) + enc.finish()
+        dec = Decoder()
+        (pic,) = list(dec.decode_all(stream))
+        sp = tmp_path / f"combo{ci}.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / f"combo{ci}.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8)
+        assert np.array_equal(ref_yuv[:w * h].reshape(h, w),
+                              pic.planes[0]), params
