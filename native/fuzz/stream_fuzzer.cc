@@ -81,6 +81,11 @@ int main(int argc, char** argv) {
         input.erase(input.begin() + a, input.begin() + b);
       }
     }
+    if (getenv("TDE_FUZZ_DUMP")) {
+      FILE* fp = fopen("/tmp/fuzz_last.bin", "wb");
+      fwrite(input.data(), 1, input.size(), fp);
+      fclose(fp);
+    }
     LLVMFuzzerTestOneInput(input.data(), input.size());
     if ((it + 1) % 100 == 0) fprintf(stderr, "fuzz: %d iterations ok\n", it + 1);
   }

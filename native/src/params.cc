@@ -524,6 +524,26 @@ bool Sps::parse(BitReader& br) {
     }
   }
   if (!br.ok()) return false;
+
+  // spec A.4/7.4.3.2 constraints a conformant stream must satisfy; violations
+  // would let coding blocks extend past the allocated planes
+  int min_cb = 1 << log2_min_cb_size;
+  if (pic_width_in_luma_samples <= 0 || pic_height_in_luma_samples <= 0)
+    return false;
+  if (pic_width_in_luma_samples % min_cb || pic_height_in_luma_samples % min_cb)
+    return false;
+  if (log2_min_tb_size >= log2_min_cb_size) return false;
+  if (log2_min_tb_size + log2_diff_max_min_tb_size >
+      min_i(log2_min_cb_size + log2_diff_max_min_cb_size, 5))
+    return false;
+  {
+    int sw = (chroma_format_idc == 1 || chroma_format_idc == 2) ? 2 : 1;
+    int sh = (chroma_format_idc == 1) ? 2 : 1;
+    if ((conf_win_left + conf_win_right) * sw >= pic_width_in_luma_samples ||
+        (conf_win_top + conf_win_bottom) * sh >= pic_height_in_luma_samples)
+      return false;
+  }
+
   compute_derived();
   return true;
 }

@@ -194,12 +194,13 @@ static void mc_chroma_core_t(const pixel_t* cc, int cs, i16* out,
       }
     }
   } else {
-    i16 tmp[(32 + 3) * 32];
+    // chroma blocks reach 64 wide for 4:4:4 (and 64 tall for 4:2:2)
+    i16 tmp[(64 + 3) * 64];
     constexpr const int* fx = kEpelFilter[FX];
     constexpr const int* fy = kEpelFilter[FY];
     for (int y = -1; y < h + 2; y++) {
       const pixel_t* row = cc + y * cs - 1;
-      i16* trow = tmp + (y + 1) * 32;
+      i16* trow = tmp + (y + 1) * 64;
       for (int x = 0; x < w; x++) {
         int sum = fx[0] * row[x] + fx[1] * row[x + 1] + fx[2] * row[x + 2] +
                   fx[3] * row[x + 3];
@@ -207,10 +208,10 @@ static void mc_chroma_core_t(const pixel_t* cc, int cs, i16* out,
       }
     }
     for (int y = 0; y < h; y++) {
-      const i16* t = tmp + y * 32;
+      const i16* t = tmp + y * 64;
       for (int x = 0; x < w; x++) {
-        int sum = fy[0] * t[x] + fy[1] * t[32 + x] + fy[2] * t[64 + x] +
-                  fy[3] * t[96 + x];
+        int sum = fy[0] * t[x] + fy[1] * t[64 + x] + fy[2] * t[128 + x] +
+                  fy[3] * t[192 + x];
         out[y * out_stride + x] = (i16)(sum >> 6);
       }
     }
@@ -256,7 +257,7 @@ static void mc_chroma(const Frame& ref, int c, int x_int, int y_int, int frac_x,
     return;
   }
 
-  constexpr int kWS = 32 + 3;
+  constexpr int kWS = 64 + 3;  // 4:4:4 chroma PUs reach 64x64
   pixel_t win[kWS * kWS];
   gather_window<pixel_t, 4>(img, stride, pw, ph, x_int, y_int, w, h, win, kWS);
   mc_chroma_core(win + 1 * kWS + 1, kWS, frac_x, frac_y, out, out_stride, w, h,
