@@ -1493,12 +1493,13 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
 
   // --- residuals for all channels -------------------------------------
   struct Ch {
-    bool cbf;
+    bool cbf = false;
     std::vector<i32> levels;
     int x0c, y0c, log2, cidx;
-  } ch[3];
-  auto prepare = [&](int cidx, int log2c, int x0c, int y0c) {
-    Ch& pc = ch[cidx];
+  } ch[5];  // Y, Cb0, Cr0, Cb1 (4:2:2), Cr1 (4:2:2)
+  auto prepare = [&](int slot, int log2c, int x0c, int y0c) {
+    Ch& pc = ch[slot];
+    int cidx = (slot >= 3) ? slot - 2 : slot;
     pc.x0c = x0c;
     pc.y0c = y0c;
     pc.log2 = log2c;
@@ -1520,10 +1521,23 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
     for (int i = 0; i < nn * nn; i++)
       if (pc.levels[i]) pc.cbf = true;
   };
+  const int cat = sps_->chroma_array_type;
+  const bool c444i = cat == 3;
+  const bool c422i = cat == 2;
+  int log2ci = c444i ? log2_size : log2_size - 1;
+  int x0ci = c444i ? x0 : (x0 >> 1);
+  int y0ci = (cat == 1) ? (y0 >> 1) : y0;
+  int y_offi = 1 << log2ci;
   prepare(0, log2_size, x0, y0);
-  prepare(1, log2_size - 1, x0 >> 1, y0 >> 1);
-  prepare(2, log2_size - 1, x0 >> 1, y0 >> 1);
-  bool any_cbf = ch[0].cbf || ch[1].cbf || ch[2].cbf;
+  if (cat != 0) {
+    prepare(1, log2ci, x0ci, y0ci);
+    prepare(2, log2ci, x0ci, y0ci);
+    if (c422i) {
+      prepare(3, log2ci, x0ci, y0ci + y_offi);
+      prepare(4, log2ci, x0ci, y0ci + y_offi);
+    }
+  }
+  bool any_cbf = ch[0].cbf || ch[1].cbf || ch[2].cbf || ch[3].cbf || ch[4].cbf;
 
   mark_cu_edges(x0, y0, log2_size);
   if (ch[0].cbf) mark_nonzero(x0, y0, log2_size);
@@ -1565,10 +1579,16 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
   }
 
   // transform tree (single TU = CU): chroma cbfs, then cbf_luma
-  cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[1].cbf ? 1 : 0);
-  cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[2].cbf ? 1 : 0);
+  if (cat != 0) {
+    cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[1].cbf ? 1 : 0);
+    if (c422i)
+      cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[3].cbf ? 1 : 0);
+    cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[2].cbf ? 1 : 0);
+    if (c422i)
+      cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[4].cbf ? 1 : 0);
+  }
   // cbf_luma inferred 1 when inter, depth 0, no chroma cbf (syntax.cc:866)
-  if (ch[1].cbf || ch[2].cbf)
+  if (ch[1].cbf || ch[2].cbf || ch[3].cbf || ch[4].cbf)
     cabac_->encode_bin(&ctx_[CTX_CBF_LUMA + 1], ch[0].cbf ? 1 : 0);
   maybe_write_cu_qp_delta();  // any_cbf is true here
 
@@ -1602,12 +1622,18 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
   // inter residual scan is always diagonal (scan_idx 0)
   if (ch[0].cbf) write_residual(x0, y0, log2_size, 0, ch[0].levels.data(), 0);
   emit(ch[0]);
-  if (ch[1].cbf)
-    write_residual(x0, y0, log2_size - 1, 1, ch[1].levels.data(), 0);
+  if (ch[1].cbf) write_residual(x0, y0, log2ci, 1, ch[1].levels.data(), 0);
   emit(ch[1]);
-  if (ch[2].cbf)
-    write_residual(x0, y0, log2_size - 1, 2, ch[2].levels.data(), 0);
+  if (c422i) {
+    if (ch[3].cbf) write_residual(x0, y0, log2ci, 1, ch[3].levels.data(), 0);
+    emit(ch[3]);
+  }
+  if (ch[2].cbf) write_residual(x0, y0, log2ci, 2, ch[2].levels.data(), 0);
   emit(ch[2]);
+  if (c422i) {
+    if (ch[4].cbf) write_residual(x0, y0, log2ci, 2, ch[4].levels.data(), 0);
+    emit(ch[4]);
+  }
   set_cu_qp_grid(x0, y0, log2_size);
 }
 

@@ -610,3 +610,43 @@ def test_feature_combinations_reference_decoder(native_build, tmp_path):
         ref_yuv = np.fromfile(out, dtype=np.uint8)
         assert np.array_equal(ref_yuv[:w * h].reshape(h, w),
                               pic.planes[0]), params
+
+
+def test_chroma_formats_inter_gop(native_build, tmp_path):
+    """P-GOPs in every chroma format (exercises the decoder's 4:4:4/4:2:2/
+    mono inter MC incl. chroma MV precision) vs the reference decoder."""
+    import os
+    import subprocess
+    ref = "/tmp/refbuild/dec265/dec265"
+    if not os.path.exists(ref):
+        pytest.skip("reference build unavailable")
+    w, h = 96, 96
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    for fmt, sx, sy in (("444", 1, 1), ("422", 2, 1), ("mono", 1, 1)):
+        with Encoder(qp=30, ctb_size=32, chroma_format=fmt) as enc:
+            enc.set_parameter("intra-period", 8)
+            stream = b""
+            for f in range(4):
+                y = (128 + 60 * np.sin((xx + 2 * f) * 0.11)
+                     * np.cos((yy + f) * 0.07)).clip(0, 255).astype(np.uint8)
+                cb = (100 + 40 * np.sin((xx[::sy, ::sx] + f) * 0.07)).clip(
+                    0, 255).astype(np.uint8)
+                cr = (150 - 40 * np.cos((yy[::sy, ::sx] + f) * 0.06)).clip(
+                    0, 255).astype(np.uint8)
+                stream += enc.encode(y, None if fmt == "mono" else cb,
+                                     None if fmt == "mono" else cr)
+            stream += enc.finish()
+        dec = Decoder()
+        pics = list(dec.decode_all(stream))
+        assert len(pics) == 4, fmt
+        sp = tmp_path / f"g{fmt}.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / f"g{fmt}.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8)
+        fs = w * h + (0 if fmt == "mono" else 2 * (w // sx) * (h // sy))
+        for i in range(4):
+            assert np.array_equal(
+                ref_yuv[i * fs:i * fs + w * h].reshape(h, w),
+                pics[i].planes[0]), (fmt, i)
