@@ -90,6 +90,9 @@ class Encoder {
   int choose_luma_mode(int x0, int y0, int log2_size);
   void encode_cu_intra(int x0, int y0, int log2_size);
   void encode_cu_inter(int x0, int y0, int log2_size);
+  bool try_large_skip(int x0, int y0, int log2_size);
+  void encode_large_skip(int x0, int y0, int log2_size);
+  int large_skip_merge_idx_ = 0;
   void write_cu_skip_flag(int x0, int y0, int flag);
   void mark_cu_edges(int x0, int y0, int log2_size);
   void mark_nonzero(int x0, int y0, int log2_size);

@@ -688,9 +688,16 @@ void Encoder::encode_cq(int x0, int y0, int log2_size, int depth) {
   bool inside = (x0 + (1 << log2_size) <= s.pic_width_in_luma_samples) &&
                 (y0 + (1 << log2_size) <= s.pic_height_in_luma_samples);
   // policy: CUs are 16x16 (log2 4); larger blocks split, 8x8 only at forced
-  // boundary splits.
+  // boundary splits.  P pictures: a large CU whose best merge candidate
+  // leaves an all-zero quantized residual is coded as one big skip CU.
   bool split = (log2_size > 4) || !inside;
   if (log2_size <= s.log2_min_cb_size) split = false;
+  bool large_skip = false;
+  if (!cur_is_intra_pic_ && inside && log2_size > 4 &&
+      try_large_skip(x0, y0, log2_size)) {
+    split = false;
+    large_skip = true;
+  }
 
   if (inside && log2_size > s.log2_min_cb_size) {
     // write split_cu_flag with the decoder's context derivation
@@ -721,6 +728,10 @@ void Encoder::encode_cq(int x0, int y0, int log2_size, int depth) {
       if (px < recon_->pb_w && py < recon_->pb_h)
         recon_->ct_depth[py * recon_->pb_w + px] = (u8)depth;
     }
+  if (large_skip) {
+    encode_large_skip(x0, y0, log2_size);
+    return;
+  }
   encode_cu(x0, y0, log2_size);
 }
 
@@ -1354,6 +1365,84 @@ PbMotion Encoder::predict_inter(int x0, int y0, int n, const PbMotion& m,
     prog_.ops.push_back({Op::kInterPred, (u32)(prog_.pus.size() - 1)});
   }
   return m;
+}
+
+// Evaluate whether the CU at (x0,y0) can be coded as one big skip CU: some
+// merge candidate whose prediction leaves an all-zero quantized residual in
+// every 16x16 sub-transform of every channel.
+bool Encoder::try_large_skip(int x0, int y0, int log2_size) {
+  Frame& f = *recon_;
+  int n = 1 << log2_size;
+  PbMotion cand[5];
+  derive_merge_list(f, *sh_, x0, y0, log2_size, x0, y0, n, n, 0, PART_2Nx2N,
+                    cand);
+
+  auto quantizes_to_zero = [&](int cidx, int bx, int by, int bs) {
+    i32 res[16 * 16], coeffs[16 * 16];
+    for (int yy = 0; yy < bs; yy++)
+      for (int xx = 0; xx < bs; xx++)
+        res[yy * bs + xx] = src_px(cidx, bx + xx, by + yy) -
+                            rec_px(cidx, bx + xx, by + yy);
+    int lg = ilog2((u32)bs);
+    const int bd = cidx == 0 ? sps_->bit_depth_luma : sps_->bit_depth_chroma;
+    const int qpp = cur_qp_ + (cidx == 0 ? sps_->qp_bd_offset_luma
+                                         : sps_->qp_bd_offset_chroma);
+    fwd_dct_2d(coeffs, res, lg, bd);
+    i32 levels[16 * 16];
+    quantize(levels, coeffs, bs * bs, qpp, lg, bd, false);
+    for (int i = 0; i < bs * bs; i++)
+      if (levels[i]) return false;
+    return true;
+  };
+
+  for (int k = 0; k < sh_->max_num_merge_cand; k++) {
+    if (!(cand[k].pred_flags & 1)) continue;
+    predict_inter(x0, y0, n, cand[k], false);
+    bool zero = true;
+    for (int by = 0; by < n && zero; by += 16)
+      for (int bx = 0; bx < n && zero; bx += 16)
+        if (!quantizes_to_zero(0, x0 + bx, y0 + by, 16)) zero = false;
+    if (zero && sps_->chroma_array_type != 0) {
+      int sw = sps_->sub_width_c, shc = sps_->sub_height_c;
+      int cw = n / sw, chh = n / shc;
+      for (int c = 1; c <= 2 && zero; c++)
+        for (int by = 0; by < chh && zero; by += 16)
+          for (int bx = 0; bx < cw && zero; bx += 16)
+            if (!quantizes_to_zero(c, x0 / sw + bx, y0 / shc + by,
+                                   min_i(16, min_i(cw - bx, chh - by))))
+              zero = false;
+    }
+    if (zero) {
+      large_skip_merge_idx_ = k;
+      return true;
+    }
+  }
+  return false;
+}
+
+void Encoder::encode_large_skip(int x0, int y0, int log2_size) {
+  Frame& f = *recon_;
+  int n = 1 << log2_size;
+  int n4 = n >> 2;
+
+  PuMotionSyntax syn;
+  syn.merge_flag = true;
+  syn.merge_idx = large_skip_merge_idx_;
+  PbMotion m = derive_pu_motion(f, *sh_, x0, y0, log2_size, x0, y0, n, n, 0,
+                                PART_2Nx2N, syn);
+  predict_inter(x0, y0, n, m, true);
+
+  write_cu_skip_flag(x0, y0, 1);
+  write_merge_idx(large_skip_merge_idx_);
+
+  for (int dy = 0; dy < n4; dy++)
+    for (int dx = 0; dx < n4; dx++) {
+      int px = (x0 >> 2) + dx, py = (y0 >> 2) + dy;
+      if (px >= f.pb_w || py >= f.pb_h) continue;
+      f.cu_info[py * f.pb_w + px] = 8;  // skip
+    }
+  mark_cu_edges(x0, y0, log2_size);
+  set_cu_qp_grid(x0, y0, log2_size);
 }
 
 void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
