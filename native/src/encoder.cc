@@ -1555,7 +1555,10 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
   int intra_cost = sad_luma(x0, y0, n) + 16;
   (void)intra_mode;
 
-  bool use_intra = intra_cost < best_merge_cost && intra_cost < amvp_cost;
+  // slight intra bias: at equal SAD an intra CU reconstructs better per
+  // bit at these operating points (deadzone asymmetry)
+  i64 inter_best = min_i(best_merge_cost, amvp_cost);
+  bool use_intra = (i64)intra_cost * 8 < inter_best * 9;
   if (use_intra) {
     encode_cu_intra(x0, y0, log2_size);
     return;
