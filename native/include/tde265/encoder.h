@@ -40,6 +40,8 @@ struct EncoderConfig {
   // adaptive QP: per-CTB QP from luma variance, signalled via cu_qp_delta
   bool adaptive_qp = false;
   int aq_range = 4;  // max +/- QP adjustment
+  // emit a decoded-picture-hash suffix SEI (MD5) per picture
+  bool sei_hash = false;
   // signal scaling_list_enabled with the spec default lists (no explicit
   // list data); reconstruction dequant then uses the default matrices
   bool scaling_lists = false;
@@ -99,6 +101,7 @@ class Encoder {
   void write_merge_idx(int idx);
   void write_sao(int ctb_x, int ctb_y);
   void estimate_sao();
+  void append_hash_sei(std::vector<u8>* out);
   void write_mvd(i32 mvd_x, i32 mvd_y);
   int sad_luma(int x0, int y0, int n) const;
   PbMotion predict_inter(int x0, int y0, int n, const PbMotion& m,

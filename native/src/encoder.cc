@@ -10,6 +10,7 @@
 #include <cstring>
 
 #include "tde265/decoder.h"
+#include "tde265/md5.h"
 #include "tde265/syntax.h"
 
 namespace tde265 {
@@ -526,13 +527,14 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
       if (!cur_is_intra_pic_) prog_.ref_frames.push_back(ref_frame_.get());
     }
     encode_slice_substreams(&out);
-    if (gop || sps_->sao_enabled) {
+    if (gop || sps_->sao_enabled || cfg_.sei_hash) {
       apply_deblocking(prog_);
       if (sps_->sao_enabled) {
         recon_->sao = sao_chosen_;
         apply_sao(prog_);
       }
     }
+    if (cfg_.sei_hash) append_hash_sei(&out);
     frame_count_++;
     return out;
   }
@@ -589,7 +591,7 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
   }
 
   encode_slice_main(&out);
-  const bool filter_recon = gop || sps_->sao_enabled;
+  const bool filter_recon = gop || sps_->sao_enabled || cfg_.sei_hash;
   if (filter_recon) {
     apply_deblocking(prog_);
     if (sps_->sao_enabled) {
@@ -597,6 +599,7 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
       apply_sao(prog_);
     }
   }
+  if (cfg_.sei_hash) append_hash_sei(&out);
   frame_count_++;
   return out;
 }
@@ -1076,6 +1079,26 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
       write_residual(x0, y0, log2c, 2, ch[4].levels.data(), ch[4].scan);
   }
   set_cu_qp_grid(x0, y0, log2_size);
+}
+
+// Decoded-picture-hash suffix SEI (spec D.3.19): MD5 of the filtered
+// reconstruction per plane; lets any decoder (ours and the reference)
+// verify the decode with `-c`.
+void Encoder::append_hash_sei(std::vector<u8>* out) {
+  const Frame& f = *recon_;
+  int planes = (sps_->chroma_array_type == 0) ? 1 : 3;
+  BitWriter sei;
+  sei.write_bits(132, 8);                      // payload type
+  sei.write_bits((u32)(1 + 16 * planes), 8);   // payload size
+  sei.write_bits(0, 8);                        // hash_type = MD5
+  for (int c = 0; c < planes; c++) {
+    u8 digest[16];
+    md5_plane(f.plane_ptr(c), f.plane_width(c), f.plane_height(c),
+              f.stride[c], f.bytes_pp, digest);
+    for (int i = 0; i < 16; i++) sei.write_bits(digest[i], 8);
+  }
+  sei.trailing_bits();
+  append_nal(out, NAL_SEI_SUFFIX, 0, sei.rbsp());
 }
 
 // ---------------------------------------------------------------------------

@@ -650,3 +650,32 @@ def test_chroma_formats_inter_gop(native_build, tmp_path):
             assert np.array_equal(
                 ref_yuv[i * fs:i * fs + w * h].reshape(h, w),
                 pics[i].planes[0]), (fmt, i)
+
+
+def test_sei_hash_emission(native_build, tmp_path):
+    """Decoded-picture-hash suffix SEI: both decoders verify our streams,
+    and corruption is detected."""
+    import subprocess
+    w, h = 96, 96
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    with Encoder(qp=30, ctb_size=32) as enc:
+        enc.set_parameter("sei-hash", True)
+        enc.set_parameter("intra-period", 8)
+        stream = b""
+        for f in range(3):
+            y = (128 + 60 * np.sin((xx + 2 * f) * 0.11)
+                 * np.cos((yy + f) * 0.07)).clip(0, 255).astype(np.uint8)
+            stream += enc.encode(y)
+        stream += enc.finish()
+    sp = tmp_path / "sei.h265"
+    sp.write_bytes(stream)
+    r = subprocess.run(["./build/tdec265", "-c", str(sp)],
+                       capture_output=True)
+    assert r.returncode == 0
+    bad = bytearray(stream)
+    bad[len(bad) // 2] ^= 0x40
+    spb = tmp_path / "sei_bad.h265"
+    spb.write_bytes(bytes(bad))
+    r = subprocess.run(["./build/tdec265", "-c", str(spb)],
+                       capture_output=True)
+    assert r.returncode != 0
