@@ -56,6 +56,10 @@ struct EncoderConfig {
   // counterpart of the reference's sop-structure
   int intra_period = 1;
   int me_range = 12;  // full-pel motion search range around the predictor
+  // generalized-B (GPB) low-delay: inter pictures are B slices with both
+  // reference lists pointing at the previous picture (bi-predictive merge
+  // candidates become available)
+  bool use_b_slices = false;
   // intra mode candidate set searched per CU
   std::vector<int> intra_candidates = {0, 1, 10, 26, 2, 18, 34};
 };

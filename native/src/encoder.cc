@@ -306,7 +306,8 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
     while ((1 << bits) < n_ctbs) bits++;
     bw->write_bits((u32)ctb_rs, bits);  // slice_segment_address
   }
-  bw->write_uvlc(idr ? SLICE_I : SLICE_P);
+  int stype = idr ? SLICE_I : (cfg_.use_b_slices ? SLICE_B : SLICE_P);
+  bw->write_uvlc((u32)stype);
   if (!idr) {
     bw->write_bits((u32)(poc_ & (sps_->max_pic_order_cnt_lsb - 1)),
                    sps_->log2_max_pic_order_cnt_lsb);
@@ -323,7 +324,8 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
     if (sps_->chroma_array_type != 0) bw->write_flag(true);  // slice_sao_chroma
   }
   if (!idr) {
-    bw->write_flag(false);  // num_ref_idx_active_override (default L0 = 1)
+    bw->write_flag(false);  // num_ref_idx_active_override (defaults = 1)
+    if (cfg_.use_b_slices) bw->write_flag(false);  // mvd_l1_zero
     bw->write_uvlc(0);      // five_minus_max_num_merge_cand (= 5)
   }
   bw->write_svlc(cfg_.qp - 26);  // slice_qp_delta (init_qp = 26)
@@ -360,7 +362,7 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
 
   BitWriter data_bw;
   cabac_ = std::make_unique<CabacEncoder>(&data_bw);
-  ctx_.init(cur_is_intra_pic_ ? 0 : 1, cfg_.qp);
+  ctx_.init(cur_is_intra_pic_ ? 0 : (cfg_.use_b_slices ? 2 : 1), cfg_.qp);
   qg_first_ = true;
   qg_prev_qp_ = last_cu_qp_ = cfg_.qp;
   ContextTable wpp_saved;
@@ -396,7 +398,7 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
       if (inherit)
         ctx_ = wpp_saved;
       else
-        ctx_.init(cur_is_intra_pic_ ? 0 : 1, cfg_.qp);
+        ctx_.init(cur_is_intra_pic_ ? 0 : (cfg_.use_b_slices ? 2 : 1), cfg_.qp);
       // per-substream QP-prediction reset (syntax.cc:1086-1140)
       qg_first_ = true;
       qg_prev_qp_ = last_cu_qp_ = cfg_.qp;
@@ -486,7 +488,9 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
   // current picture's slice header (also consumed by the motion-derivation
   // and MC machinery shared with the decoder)
   sh_ = std::make_shared<SliceHeader>();
-  sh_->slice_type = cur_is_intra_pic_ ? SLICE_I : SLICE_P;
+  sh_->slice_type = cur_is_intra_pic_
+                        ? SLICE_I
+                        : (cfg_.use_b_slices ? SLICE_B : SLICE_P);
   sh_->pps = pps_;
   sh_->slice_qp_y = cfg_.qp;
   sh_->max_num_merge_cand = 5;
@@ -499,6 +503,11 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
     sh_->num_ref_idx[0] = 1;
     sh_->ref_list[0][0] = ref_frame_.get();
     sh_->ref_poc[0][0] = poc_ - 1;
+    if (cfg_.use_b_slices) {
+      sh_->num_ref_idx[1] = 1;
+      sh_->ref_list[1][0] = ref_frame_.get();
+      sh_->ref_poc[1][0] = poc_ - 1;
+    }
     prog_.ref_frames.push_back(ref_frame_.get());
   }
   prog_.slices.push_back(sh_);
@@ -549,7 +558,7 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
         slice_bw_.clear();
         write_slice_header(&slice_bw_, rs);
         cabac_ = std::make_unique<CabacEncoder>(&slice_bw_);
-        ctx_.init(cur_is_intra_pic_ ? 0 : 1, cfg_.qp);
+        ctx_.init(cur_is_intra_pic_ ? 0 : (cfg_.use_b_slices ? 2 : 1), cfg_.qp);
         qg_first_ = true;
         qg_prev_qp_ = last_cu_qp_ = cfg_.qp;
       }
@@ -1380,8 +1389,9 @@ PbMotion Encoder::predict_inter(int x0, int y0, int n, const PbMotion& m,
   pu.ref_idx[1] = m.ref_idx[1];
   pu.pred_flags = m.pred_flags;
   pu.slice = 0;
-  pu.ref_dpb[0] = (m.pred_flags & 1) ? 0 : -1;  // ref_frames[0] = L0[0]
-  pu.ref_dpb[1] = -1;
+  // ref_frames[0] holds the single reference used by both lists (GPB)
+  pu.ref_dpb[0] = (m.pred_flags & 1) ? 0 : -1;
+  pu.ref_dpb[1] = (m.pred_flags & 2) ? 0 : -1;
   execute_pu_scalar(prog_, pu);
   if (emit_op) {
     prog_.pus.push_back(pu);
@@ -1419,7 +1429,7 @@ bool Encoder::try_large_skip(int x0, int y0, int log2_size) {
   };
 
   for (int k = 0; k < sh_->max_num_merge_cand; k++) {
-    if (!(cand[k].pred_flags & 1)) continue;
+    if (!cand[k].pred_flags) continue;
     predict_inter(x0, y0, n, cand[k], false);
     bool zero = true;
     for (int by = 0; by < n && zero; by += 16)
@@ -1479,7 +1489,7 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
                     merge_cand);
   int best_merge = 0, best_merge_cost = INT32_MAX;
   for (int k = 0; k < sh_->max_num_merge_cand; k++) {
-    if (!(merge_cand[k].pred_flags & 1)) continue;
+    if (!merge_cand[k].pred_flags) continue;
     predict_inter(x0, y0, n, merge_cand[k], false);
     int cost = sad_luma(x0, y0, n) + 4 * k;
     if (cost < best_merge_cost) {
@@ -1683,7 +1693,14 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
     write_merge_idx(best_merge);
     // rqt_root_cbf inferred 1 for 2Nx2N merge (syntax.cc:790)
   } else {
-    // P slice: inter_pred_idc not coded; num_ref_idx == 1 -> no ref_idx
+    if (sh_->slice_type == SLICE_B) {
+      // inter_pred_idc = PRED_L0 (spec 9.3.4.2.2: bit0 ctx[ct_depth]=0,
+      // bit1 ctx[4]=0); our explicit-MV path is always uni-L0
+      int ct_depth = f.ct_depth[(y0 >> 2) * f.pb_w + (x0 >> 2)];
+      cabac_->encode_bin(&ctx_[CTX_INTER_PRED_IDC + ct_depth], 0);
+      cabac_->encode_bin(&ctx_[CTX_INTER_PRED_IDC + 4], 0);
+    }
+    // num_ref_idx == 1 -> no ref_idx bits
     write_mvd(syn.mvd[0][0], syn.mvd[0][1]);
     cabac_->encode_bin(&ctx_[CTX_MVP_LX_FLAG], syn.mvp_flag[0]);
     cabac_->encode_bin(&ctx_[CTX_RQT_ROOT_CBF], any_cbf ? 1 : 0);

@@ -679,3 +679,44 @@ def test_sei_hash_emission(native_build, tmp_path):
     r = subprocess.run(["./build/tdec265", "-c", str(spb)],
                        capture_output=True)
     assert r.returncode != 0
+
+
+def test_b_slices_gpb_reference_and_jax(native_build, tmp_path):
+    """Generalized-B low-delay (B slices, both lists = previous picture):
+    bi-predictive merge candidates, inter_pred_idc coding — reference
+    decoder and JAX pipeline both bit-exact."""
+    import os
+    import subprocess
+    w, h = 96, 96
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    with Encoder(qp=30, ctb_size=32) as enc:
+        enc.set_parameter("b-slices", True)
+        enc.set_parameter("intra-period", 8)
+        stream = b""
+        for f in range(5):
+            y = (128 + 60 * np.sin((xx + 2 * f) * 0.11)
+                 * np.cos((yy + f) * 0.07)).clip(0, 255).astype(np.uint8)
+            stream += enc.encode(y)
+        stream += enc.finish()
+    dec = Decoder(keep_programs=True)
+    pics = list(dec.decode_all(stream))
+    assert len(pics) == 5
+    # slice type B recorded
+    assert dec.get_program(1).slice_records[0, 0] == 0
+    from libde265_tpu import pipeline
+    for i in (1, 3):
+        prog = dec.get_program(i)
+        planes = pipeline.reconstruct(prog)
+        for c in range(3):
+            assert np.array_equal(prog.planes[c].astype(np.int32),
+                                  planes[c]), (i, c)
+    ref = "/tmp/refbuild/dec265/dec265"
+    if os.path.exists(ref):
+        sp = tmp_path / "b.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / "b.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(5, h * 3 // 2, w)
+        for i in range(5):
+            assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), i
