@@ -60,6 +60,8 @@ struct EncoderConfig {
   // reference lists pointing at the previous picture (bi-predictive merge
   // candidates become available)
   bool use_b_slices = false;
+  int num_refs = 1;  // reference pictures in L0 (1 or 2; 2 exercises
+                     // ref_idx signalling and cross-distance MV scaling)
   // intra mode candidate set searched per CU
   std::vector<int> intra_candidates = {0, 1, 10, 26, 2, 18, 34};
 };
@@ -107,6 +109,7 @@ class Encoder {
   void estimate_sao();
   void append_hash_sei(std::vector<u8>* out);
   void write_mvd(i32 mvd_x, i32 mvd_y);
+  void write_ref_idx(int idx, int num_active);
   int sad_luma(int x0, int y0, int n) const;
   PbMotion predict_inter(int x0, int y0, int n, const PbMotion& m,
                          bool emit_op);
@@ -138,6 +141,7 @@ class Encoder {
 
   // inter coding state
   std::unique_ptr<Frame> ref_frame_;       // previous reconstructed picture
+  std::unique_ptr<Frame> ref_frame2_;      // picture before that (num_refs=2)
   std::shared_ptr<SliceHeader> sh_;        // current picture's slice header
   bool cur_is_intra_pic_ = true;
   int poc_ = 0;

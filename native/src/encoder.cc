@@ -101,7 +101,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   s.bit_depth_luma = s.bit_depth_chroma = clip3(8, 14, cfg.bit_depth);
   s.log2_max_pic_order_cnt_lsb = 8;
   for (int i = 0; i < kMaxSubLayers; i++) {
-    s.max_dec_pic_buffering[i] = 2;
+    s.max_dec_pic_buffering[i] = 4;
     s.max_num_reorder_pics[i] = 0;
     s.max_latency_increase[i] = 0;
   }
@@ -182,7 +182,7 @@ void Encoder::write_headers(std::vector<u8>* out) {
   };
   write_ptl(vps);
   vps.write_flag(false);  // sub_layer_ordering_info_present (== max layer only)
-  vps.write_uvlc(1);      // max_dec_pic_buffering_minus1
+  vps.write_uvlc(3);      // max_dec_pic_buffering_minus1
   vps.write_uvlc(0);      // max_num_reorder
   vps.write_uvlc(0);      // max_latency_increase_plus1
   vps.write_bits(0, 6);   // max_layer_id
@@ -312,11 +312,14 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
     bw->write_bits((u32)(poc_ & (sps_->max_pic_order_cnt_lsb - 1)),
                    sps_->log2_max_pic_order_cnt_lsb);
     bw->write_flag(false);  // short_term_ref_pic_set_sps_flag -> inline RPS
-    // st_ref_pic_set: one negative pic (the previous picture), used
-    bw->write_uvlc(1);      // num_negative_pics
-    bw->write_uvlc(0);      // num_positive_pics
-    bw->write_uvlc(0);      // delta_poc_s0_minus1 (= -1)
-    bw->write_flag(true);   // used_by_curr_pic_s0
+    // st_ref_pic_set: the previous 1..num_refs pictures, all used
+    int nrefs = min_i(cfg_.num_refs, poc_);
+    bw->write_uvlc((u32)nrefs);  // num_negative_pics
+    bw->write_uvlc(0);           // num_positive_pics
+    for (int i = 0; i < nrefs; i++) {
+      bw->write_uvlc(0);         // delta_poc_s0_minus1 (each 1 apart)
+      bw->write_flag(true);      // used_by_curr_pic_s0
+    }
     // (long-term off, temporal_mvp off in SPS -> no flags)
   }
   if (sps_->sao_enabled) {
@@ -324,7 +327,14 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
     if (sps_->chroma_array_type != 0) bw->write_flag(true);  // slice_sao_chroma
   }
   if (!idr) {
-    bw->write_flag(false);  // num_ref_idx_active_override (defaults = 1)
+    int nrefs = min_i(cfg_.num_refs, poc_);
+    if (nrefs > 1) {
+      bw->write_flag(true);  // num_ref_idx_active_override
+      bw->write_uvlc((u32)(nrefs - 1));
+      if (cfg_.use_b_slices) bw->write_uvlc((u32)(nrefs - 1));
+    } else {
+      bw->write_flag(false);  // defaults (= 1)
+    }
     if (cfg_.use_b_slices) bw->write_flag(false);  // mvd_l1_zero
     bw->write_uvlc(0);      // five_minus_max_num_merge_cand (= 5)
   }
@@ -474,8 +484,10 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
   cur_is_intra_pic_ = !gop || (frame_count_ % (u32)cfg_.intra_period == 0);
   poc_ = gop ? (int)(frame_count_ % (u32)cfg_.intra_period) : 0;
   if (gop && frame_count_ > 0) {
-    // previous reconstruction becomes the reference picture
+    // rotate: recon -> ref1 -> ref2
     if (!ref_frame_) ref_frame_ = std::make_unique<Frame>();
+    if (!ref_frame2_) ref_frame2_ = std::make_unique<Frame>();
+    std::swap(ref_frame2_, ref_frame_);
     std::swap(ref_frame_, recon_);
     if (!recon_) recon_ = std::make_unique<Frame>();
   }
@@ -500,15 +512,19 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
   sh_->sao_chroma = sps_->sao_enabled && sps_->chroma_array_type != 0;
   sh_->deblocking_filter_disabled = pps_->pps_deblocking_filter_disabled;
   if (!cur_is_intra_pic_) {
-    sh_->num_ref_idx[0] = 1;
-    sh_->ref_list[0][0] = ref_frame_.get();
-    sh_->ref_poc[0][0] = poc_ - 1;
-    if (cfg_.use_b_slices) {
-      sh_->num_ref_idx[1] = 1;
-      sh_->ref_list[1][0] = ref_frame_.get();
-      sh_->ref_poc[1][0] = poc_ - 1;
+    int nrefs = min_i(cfg_.num_refs, poc_);
+    Frame* refs[2] = {ref_frame_.get(), ref_frame2_.get()};
+    sh_->num_ref_idx[0] = nrefs;
+    for (int i = 0; i < nrefs; i++) {
+      sh_->ref_list[0][i] = refs[i];
+      sh_->ref_poc[0][i] = poc_ - 1 - i;
+      if (cfg_.use_b_slices) {
+        sh_->ref_list[1][i] = refs[i];
+        sh_->ref_poc[1][i] = poc_ - 1 - i;
+      }
+      prog_.ref_frames.push_back(refs[i]);
     }
-    prog_.ref_frames.push_back(ref_frame_.get());
+    if (cfg_.use_b_slices) sh_->num_ref_idx[1] = nrefs;
   }
   prog_.slices.push_back(sh_);
   // the recon program needs slice-addr grids for availability checks
@@ -1352,6 +1368,22 @@ void Encoder::write_merge_idx(int idx) {
   }
 }
 
+void Encoder::write_ref_idx(int idx, int num_active) {
+  // inverse of SliceParser::decode_ref_idx (TR: ctx, ctx+1, bypass...)
+  if (num_active <= 1) return;
+  int cmax = num_active - 1;
+  cabac_->encode_bin(&ctx_[CTX_REF_IDX_LX + 0], idx > 0 ? 1 : 0);
+  for (int k = 1; k <= idx && k < cmax; k++) {
+    int more = (idx > k) ? 1 : 0;
+    if (k == 1)
+      cabac_->encode_bin(&ctx_[CTX_REF_IDX_LX + 1], more);
+    else
+      cabac_->encode_bypass(more);
+    if (!more) break;
+  }
+  (void)cmax;
+}
+
 void Encoder::write_mvd(i32 mvd_x, i32 mvd_y) {
   // inverse of SliceParser::decode_mvd (spec 7.3.8.9)
   i32 ax = abs_i(mvd_x), ay = abs_i(mvd_y);
@@ -1389,9 +1421,9 @@ PbMotion Encoder::predict_inter(int x0, int y0, int n, const PbMotion& m,
   pu.ref_idx[1] = m.ref_idx[1];
   pu.pred_flags = m.pred_flags;
   pu.slice = 0;
-  // ref_frames[0] holds the single reference used by both lists (GPB)
-  pu.ref_dpb[0] = (m.pred_flags & 1) ? 0 : -1;
-  pu.ref_dpb[1] = (m.pred_flags & 2) ? 0 : -1;
+  // prog_.ref_frames is laid out in L0 order (both lists share it, GPB)
+  pu.ref_dpb[0] = (m.pred_flags & 1) ? m.ref_idx[0] : -1;
+  pu.ref_dpb[1] = (m.pred_flags & 2) ? m.ref_idx[1] : -1;
   execute_pu_scalar(prog_, pu);
   if (emit_op) {
     prog_.pus.push_back(pu);
@@ -1498,28 +1530,31 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
     }
   }
 
-  // AMVP: coarse-to-fine full-pel search (SAD on raw reference samples)
+  // AMVP: per-reference coarse-to-fine full-pel search (SAD on raw samples)
+  int n_active = sh_->num_ref_idx[0];
   MotionVector mvp[2];
-  derive_mvp_list(f, *sh_, x0, y0, n, n, 0, 0, mvp);
-  const Frame& rf = *ref_frame_;
-  auto sad_fullpel = [&](int dx, int dy) {
-    int sad = 0;
-    for (int yy = 0; yy < n; yy++) {
-      int ry = clip3(0, rf.height - 1, y0 + yy + dy);
-      for (int xx = 0; xx < n; xx++) {
-        int rx = clip3(0, rf.width - 1, x0 + xx + dx);
-        sad += abs_i(src_px(0, x0 + xx, y0 + yy) -
-                     (rf.bytes_pp == 1 ? *rf.px8(0, rx, ry)
-                                       : *rf.px16(0, rx, ry)));
+  int best_ref = 0, bx = 0, by = 0, bsad = INT32_MAX;
+  for (int r = 0; r < n_active; r++) {
+    const Frame& rf = *sh_->ref_list[0][r];
+    MotionVector mvp_r[2];
+    derive_mvp_list(f, *sh_, x0, y0, n, n, 0, r, mvp_r);
+    auto sad_fullpel = [&](int dx, int dy) {
+      int sad = 0;
+      for (int yy = 0; yy < n; yy++) {
+        int ry = clip3(0, rf.height - 1, y0 + yy + dy);
+        for (int xx = 0; xx < n; xx++) {
+          int rx = clip3(0, rf.width - 1, x0 + xx + dx);
+          sad += abs_i(src_px(0, x0 + xx, y0 + yy) -
+                       (rf.bytes_pp == 1 ? *rf.px8(0, rx, ry)
+                                         : *rf.px16(0, rx, ry)));
+        }
       }
-    }
-    return sad;
-  };
-  int bx = 0, by = 0, bsad = sad_fullpel(0, 0);
-  {
-    int px = mvp[0].x >> 2, py = mvp[0].y >> 2;
-    int s = sad_fullpel(px, py);
-    if (s < bsad) { bsad = s; bx = px; by = py; }
+      return sad;
+    };
+    int rbx = 0, rby = 0, rsad = sad_fullpel(0, 0);
+    int px = mvp_r[0].x >> 2, py = mvp_r[0].y >> 2;
+    int sd0 = sad_fullpel(px, py);
+    if (sd0 < rsad) { rsad = sd0; rbx = px; rby = py; }
     for (int step = 8; step >= 1; step >>= 1) {
       if (step > cfg_.me_range) continue;
       bool improved = true;
@@ -1528,21 +1563,30 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
         static const int dxs[8] = {-1, 1, 0, 0, -1, -1, 1, 1};
         static const int dys[8] = {0, 0, -1, 1, -1, 1, -1, 1};
         for (int d = 0; d < 8; d++) {
-          int nx = bx + dxs[d] * step, ny = by + dys[d] * step;
-          if (abs_i(nx) > cfg_.me_range + abs_i(mvp[0].x >> 2) ||
-              abs_i(ny) > cfg_.me_range + abs_i(mvp[0].y >> 2))
+          int nx = rbx + dxs[d] * step, ny = rby + dys[d] * step;
+          if (abs_i(nx) > cfg_.me_range + abs_i(mvp_r[0].x >> 2) ||
+              abs_i(ny) > cfg_.me_range + abs_i(mvp_r[0].y >> 2))
             continue;
           int sd = sad_fullpel(nx, ny);
-          if (sd < bsad) { bsad = sd; bx = nx; by = ny; improved = true; }
+          if (sd < rsad) { rsad = sd; rbx = nx; rby = ny; improved = true; }
         }
       }
+    }
+    rsad += r * 8;  // ref_idx bit cost
+    if (rsad < bsad) {
+      bsad = rsad;
+      best_ref = r;
+      bx = rbx;
+      by = rby;
+      mvp[0] = mvp_r[0];
+      mvp[1] = mvp_r[1];
     }
   }
   PbMotion amvp_m;
   amvp_m.intra = false;
   amvp_m.pred_flags = 1;
-  amvp_m.ref_idx[0] = 0;
-  amvp_m.ref_poc[0] = sh_->ref_poc[0][0];
+  amvp_m.ref_idx[0] = (i8)best_ref;
+  amvp_m.ref_poc[0] = sh_->ref_poc[0][best_ref];
   amvp_m.mv[0].x = (i16)(bx * 4);
   amvp_m.mv[0].y = (i16)(by * 4);
   // sub-pel refinement: half- then quarter-pel, SAD on the real
@@ -1607,7 +1651,7 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
   } else {
     syn.merge_flag = false;
     syn.inter_pred_idc = 0;  // L0
-    syn.ref_idx[0] = 0;
+    syn.ref_idx[0] = best_ref;
     syn.mvp_flag[0] = mvp_flag;
     syn.mvd[0][0] = amvp_m.mv[0].x - mvp[mvp_flag].x;
     syn.mvd[0][1] = amvp_m.mv[0].y - mvp[mvp_flag].y;
@@ -1700,7 +1744,7 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
       cabac_->encode_bin(&ctx_[CTX_INTER_PRED_IDC + ct_depth], 0);
       cabac_->encode_bin(&ctx_[CTX_INTER_PRED_IDC + 4], 0);
     }
-    // num_ref_idx == 1 -> no ref_idx bits
+    write_ref_idx(syn.ref_idx[0], sh_->num_ref_idx[0]);
     write_mvd(syn.mvd[0][0], syn.mvd[0][1]);
     cabac_->encode_bin(&ctx_[CTX_MVP_LX_FLAG], syn.mvp_flag[0]);
     cabac_->encode_bin(&ctx_[CTX_RQT_ROOT_CBF], any_cbf ? 1 : 0);

@@ -720,3 +720,49 @@ def test_b_slices_gpb_reference_and_jax(native_build, tmp_path):
         ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(5, h * 3 // 2, w)
         for i in range(5):
             assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), i
+
+
+def test_two_reference_frames(native_build, tmp_path):
+    """num-refs=2: ref_idx signalling, per-reference AMVP search, RPS with
+    two negative pictures — P and B variants vs the reference decoder,
+    plus the JAX pipeline on a multi-reference frame."""
+    import os
+    import subprocess
+    w, h = 96, 96
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    for bs in (False, True):
+        with Encoder(qp=30, ctb_size=32) as enc:
+            enc.set_parameter("num-refs", 2)
+            enc.set_parameter("intra-period", 16)
+            if bs:
+                enc.set_parameter("b-slices", True)
+            stream = b""
+            for f in range(6):
+                y = (128 + 60 * np.sin((xx + 2 * f) * 0.11)
+                     * np.cos((yy + f) * 0.07)).clip(0, 255).astype(np.uint8)
+                if f % 2:
+                    y[30:60, 30:60] = 40  # alternating occluder
+                stream += enc.encode(y)
+            stream += enc.finish()
+        dec = Decoder(keep_programs=True)
+        pics = list(dec.decode_all(stream))
+        assert len(pics) == 6
+        prog = dec.get_program(3)
+        assert len(prog.ref_pocs) >= 2  # actually multi-reference
+        from libde265_tpu import pipeline
+        planes = pipeline.reconstruct(prog)
+        for c in range(3):
+            assert np.array_equal(prog.planes[c].astype(np.int32),
+                                  planes[c]), (bs, c)
+        ref = "/tmp/refbuild/dec265/dec265"
+        if os.path.exists(ref):
+            sp = tmp_path / f"r2{bs}.h265"
+            sp.write_bytes(stream)
+            out = tmp_path / f"r2{bs}.yuv"
+            subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                           capture_output=True)
+            ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(6, h * 3 // 2,
+                                                               w)
+            for i in range(6):
+                assert np.array_equal(ref_yuv[i, :h, :],
+                                      pics[i].planes[0]), (bs, i)
