@@ -60,6 +60,7 @@ struct EncoderConfig {
   // reference lists pointing at the previous picture (bi-predictive merge
   // candidates become available)
   bool use_b_slices = false;
+  bool tmvp = false;  // temporal merge/AMVP candidates (collocated MVs)
   int num_refs = 1;  // reference pictures in L0 (1 or 2; 2 exercises
                      // ref_idx signalling and cross-distance MV scaling)
   // intra mode candidate set searched per CU

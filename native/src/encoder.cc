@@ -123,7 +123,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
     s.log2_max_pcm_cb_size = 5;
     s.pcm_loop_filter_disable = true;  // PCM blocks stay lossless
   }
-  s.temporal_mvp_enabled = false;
+  s.temporal_mvp_enabled = cfg.tmvp;
   s.strong_intra_smoothing_enabled = true;
   s.compute_derived();
 
@@ -238,7 +238,7 @@ void Encoder::write_headers(std::vector<u8>* out) {
   }
   sp.write_uvlc(0);      // num_short_term_ref_pic_sets
   sp.write_flag(false);  // long_term_ref_pics_present
-  sp.write_flag(false);  // temporal_mvp
+  sp.write_flag(s.temporal_mvp_enabled);
   sp.write_flag(true);   // strong_intra_smoothing
   sp.write_flag(false);  // vui_present
   sp.write_flag(false);  // extension
@@ -320,7 +320,9 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
       bw->write_uvlc(0);         // delta_poc_s0_minus1 (each 1 apart)
       bw->write_flag(true);      // used_by_curr_pic_s0
     }
-    // (long-term off, temporal_mvp off in SPS -> no flags)
+    // (long-term off)
+    if (sps_->temporal_mvp_enabled)
+      bw->write_flag(true);  // slice_temporal_mvp_enabled
   }
   if (sps_->sao_enabled) {
     bw->write_flag(true);  // slice_sao_luma
@@ -336,6 +338,10 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
       bw->write_flag(false);  // defaults (= 1)
     }
     if (cfg_.use_b_slices) bw->write_flag(false);  // mvd_l1_zero
+    if (sps_->temporal_mvp_enabled) {
+      if (cfg_.use_b_slices) bw->write_flag(true);  // collocated_from_l0
+      if (nrefs > 1) bw->write_uvlc(0);  // collocated_ref_idx
+    }
     bw->write_uvlc(0);      // five_minus_max_num_merge_cand (= 5)
   }
   bw->write_svlc(cfg_.qp - 26);  // slice_qp_delta (init_qp = 26)
@@ -525,6 +531,9 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
       prog_.ref_frames.push_back(refs[i]);
     }
     if (cfg_.use_b_slices) sh_->num_ref_idx[1] = nrefs;
+    sh_->temporal_mvp_enabled = sps_->temporal_mvp_enabled;
+    sh_->collocated_from_l0 = true;
+    sh_->collocated_ref_idx = 0;
   }
   prog_.slices.push_back(sh_);
   // the recon program needs slice-addr grids for availability checks

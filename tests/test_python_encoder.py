@@ -766,3 +766,38 @@ def test_two_reference_frames(native_build, tmp_path):
             for i in range(6):
                 assert np.array_equal(ref_yuv[i, :h, :],
                                       pics[i].planes[0]), (bs, i)
+
+
+def test_tmvp_reference_decoder(native_build, tmp_path):
+    """Temporal MVP (collocated merge/AMVP candidates), alone and combined
+    with B slices + two references — reference decoder bit-exact."""
+    import os
+    import subprocess
+    ref = "/tmp/refbuild/dec265/dec265"
+    if not os.path.exists(ref):
+        pytest.skip("reference build unavailable")
+    w, h = 96, 96
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    for combo in ([("tmvp", True), ("intra-period", 16)],
+                  [("tmvp", True), ("b-slices", True), ("num-refs", 2),
+                   ("intra-period", 16)]):
+        with Encoder(qp=30, ctb_size=32) as enc:
+            for k, v in combo:
+                enc.set_parameter(k, v)
+            stream = b""
+            for f in range(6):
+                y = (128 + 60 * np.sin((xx + 2 * f) * 0.11)
+                     * np.cos((yy + f) * 0.07)).clip(0, 255).astype(np.uint8)
+                stream += enc.encode(y)
+            stream += enc.finish()
+        dec = Decoder()
+        pics = list(dec.decode_all(stream))
+        sp = tmp_path / "t.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / "t.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(6, h * 3 // 2, w)
+        for i in range(6):
+            assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), \
+                (combo, i)
