@@ -61,6 +61,9 @@ struct EncoderConfig {
   // candidates become available)
   bool use_b_slices = false;
   bool tmvp = false;  // temporal merge/AMVP candidates (collocated MVs)
+  // keep the last IDR reconstruction as a long-term reference (second L0
+  // entry) — exercises LT marking/list construction and LT candidate rules
+  bool lt_ref = false;
   int num_refs = 1;  // reference pictures in L0 (1 or 2; 2 exercises
                      // ref_idx signalling and cross-distance MV scaling)
   // intra mode candidate set searched per CU
@@ -143,6 +146,7 @@ class Encoder {
   // inter coding state
   std::unique_ptr<Frame> ref_frame_;       // previous reconstructed picture
   std::unique_ptr<Frame> ref_frame2_;      // picture before that (num_refs=2)
+  std::unique_ptr<Frame> lt_frame_;        // last IDR recon (lt_ref mode)
   std::shared_ptr<SliceHeader> sh_;        // current picture's slice header
   bool cur_is_intra_pic_ = true;
   int poc_ = 0;

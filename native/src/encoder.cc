@@ -237,7 +237,8 @@ void Encoder::write_headers(std::vector<u8>* out) {
     sp.write_flag(s.pcm_loop_filter_disable);
   }
   sp.write_uvlc(0);      // num_short_term_ref_pic_sets
-  sp.write_flag(false);  // long_term_ref_pics_present
+  sp.write_flag(cfg_.lt_ref);  // long_term_ref_pics_present
+  if (cfg_.lt_ref) sp.write_uvlc(0);  // num_long_term_ref_pics_sps
   sp.write_flag(s.temporal_mvp_enabled);
   sp.write_flag(true);   // strong_intra_smoothing
   sp.write_flag(false);  // vui_present
@@ -320,7 +321,17 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
       bw->write_uvlc(0);         // delta_poc_s0_minus1 (each 1 apart)
       bw->write_flag(true);      // used_by_curr_pic_s0
     }
-    // (long-term off)
+    if (cfg_.lt_ref) {
+      // one long-term picture: the last IDR (not at poc 1, where the IDR
+      // is already the short-term reference)
+      int nlt = (poc_ > 1) ? 1 : 0;
+      bw->write_uvlc((u32)nlt);  // num_long_term_pics
+      if (nlt) {
+        bw->write_bits(0, sps_->log2_max_pic_order_cnt_lsb);  // poc_lsb = 0
+        bw->write_flag(true);   // used_by_curr_pic_lt
+        bw->write_flag(false);  // delta_poc_msb_present
+      }
+    }
     if (sps_->temporal_mvp_enabled)
       bw->write_flag(true);  // slice_temporal_mvp_enabled
   }
@@ -530,7 +541,20 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
       }
       prog_.ref_frames.push_back(refs[i]);
     }
-    if (cfg_.use_b_slices) sh_->num_ref_idx[1] = nrefs;
+    if (cfg_.lt_ref && poc_ > 1 && lt_frame_) {
+      // append the long-term IDR after the short-term refs (8.3.4 order)
+      sh_->ref_list[0][nrefs] = lt_frame_.get();
+      sh_->ref_poc[0][nrefs] = 0;
+      sh_->ref_longterm[0][nrefs] = true;
+      sh_->num_ref_idx[0] = nrefs + 1;
+      prog_.ref_frames.push_back(lt_frame_.get());
+      if (cfg_.use_b_slices) {
+        sh_->ref_list[1][nrefs] = lt_frame_.get();
+        sh_->ref_poc[1][nrefs] = 0;
+        sh_->ref_longterm[1][nrefs] = true;
+      }
+    }
+    if (cfg_.use_b_slices) sh_->num_ref_idx[1] = sh_->num_ref_idx[0];
     sh_->temporal_mvp_enabled = sps_->temporal_mvp_enabled;
     sh_->collocated_from_l0 = true;
     sh_->collocated_ref_idx = 0;

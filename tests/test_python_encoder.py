@@ -801,3 +801,37 @@ def test_tmvp_reference_decoder(native_build, tmp_path):
         for i in range(6):
             assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), \
                 (combo, i)
+
+
+def test_long_term_reference(native_build, tmp_path):
+    """Long-term reference pictures: slice-header LT entries, DPB LT
+    marking, LT list construction and LT candidate rules (no MV scaling) —
+    reference decoder bit-exact."""
+    import os
+    import subprocess
+    ref = "/tmp/refbuild/dec265/dec265"
+    if not os.path.exists(ref):
+        pytest.skip("reference build unavailable")
+    w, h = 96, 96
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    with Encoder(qp=30, ctb_size=32) as enc:
+        enc.set_parameter("lt-ref", True)
+        enc.set_parameter("intra-period", 16)
+        stream = b""
+        for f in range(6):
+            shift = 0 if f in (0, 5) else 3 * f
+            y = (128 + 60 * np.sin((xx + shift) * 0.11)
+                 * np.cos(yy * 0.07)).clip(0, 255).astype(np.uint8)
+            stream += enc.encode(y)
+        stream += enc.finish()
+    dec = Decoder()
+    pics = list(dec.decode_all(stream))
+    assert len(pics) == 6
+    sp = tmp_path / "lt.h265"
+    sp.write_bytes(stream)
+    out = tmp_path / "lt.yuv"
+    subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                   capture_output=True)
+    ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(6, h * 3 // 2, w)
+    for i in range(6):
+        assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), i
