@@ -67,6 +67,9 @@ struct EncoderConfig {
   // explicit weighted prediction: estimate a per-picture luma weight/offset
   // against each reference (fades) and signal a pred_weight_table
   bool weighted_pred = false;
+  // sign-data hiding: skip the DC-most sign per qualifying sub-block and
+  // carry it in the level-sum parity (spec 7.4.9.11)
+  bool sign_hiding = false;
   int num_refs = 1;  // reference pictures in L0 (1 or 2; 2 exercises
                      // ref_idx signalling and cross-distance MV scaling)
   // intra mode candidate set searched per CU
@@ -117,6 +120,7 @@ class Encoder {
   void append_hash_sei(std::vector<u8>* out);
   void write_mvd(i32 mvd_x, i32 mvd_y);
   void write_ref_idx(int idx, int num_active);
+  void apply_sign_hiding(i32* levels, int log2, int scan_idx);
   int sad_luma(int x0, int y0, int n) const;
   PbMotion predict_inter(int x0, int y0, int n, const PbMotion& m,
                          bool emit_op);

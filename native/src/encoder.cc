@@ -134,6 +134,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   p.sps = sps_;
   p.init_qp = 26;
   p.cu_qp_delta_enabled = cfg.adaptive_qp;
+  p.sign_data_hiding = cfg.sign_hiding;
   p.weighted_pred = cfg.weighted_pred;
   p.weighted_bipred = cfg.weighted_pred;
   p.diff_cu_qp_delta_depth = 0;  // QP group = CTB
@@ -255,7 +256,7 @@ void Encoder::write_headers(std::vector<u8>* out) {
   pp.write_flag(false);  // dependent_slice_segments
   pp.write_flag(false);  // output_flag_present
   pp.write_bits(0, 3);   // num_extra_slice_header_bits
-  pp.write_flag(false);  // sign_data_hiding
+  pp.write_flag(pps_->sign_data_hiding);
   pp.write_flag(false);  // cabac_init_present
   pp.write_uvlc(0);      // num_ref_idx_l0_default_minus1
   pp.write_uvlc(0);      // num_ref_idx_l1_default_minus1
@@ -1087,6 +1088,19 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
       fwd_dct_2d(coeffs, res, log2c, bd);
       quantize(pc.levels.data(), coeffs, n * n, qpp, log2c, bd, true);
     }
+    // scan from intra mode (residual.cc intra_scan_idx)
+    {
+      int scan = 0;
+      if (log2c == 2 ||
+          (log2c == 3 && (cidx == 0 || sps_->chroma_array_type == 3))) {
+        if (m >= 6 && m <= 14) scan = 2;
+        else if (m >= 22 && m <= 30) scan = 1;
+      }
+      pc.scan = scan;
+    }
+    if (pps_->sign_data_hiding && !pps_->transquant_bypass_enabled)
+      apply_sign_hiding(pc.levels.data(), log2c, pc.scan);
+
     pc.cbf = false;
     for (int i = 0; i < n * n; i++)
       if (pc.levels[i]) pc.cbf = true;
@@ -1121,14 +1135,6 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
       execute_tu_scalar(prog_, tu);
     }
 
-    // scan from intra mode (residual.cc intra_scan_idx)
-    int scan = 0;
-    if (log2c == 2 ||
-        (log2c == 3 && (cidx == 0 || sps_->chroma_array_type == 3))) {
-      if (m >= 6 && m <= 14) scan = 2;
-      else if (m >= 22 && m <= 30) scan = 1;
-    }
-    pc.scan = scan;
   };
 
   // NB: chroma prediction borders depend on the *luma* reconstruction only
@@ -1442,6 +1448,55 @@ void Encoder::estimate_sao() {
       }
       sao_chosen_[rs] = best;
     }
+}
+
+// Sign-data-hiding parity fixup (inverse of residual.cc:296-347): for each
+// sub-block whose first..last coded-scan distance exceeds 3, the DC-most
+// coefficient's sign is inferred from the level-sum parity; adjust that
+// coefficient's magnitude by +-1 when the parity disagrees.
+void Encoder::apply_sign_hiding(i32* levels, int log2, int scan_idx) {
+  int n = 1 << log2;
+  const ScanPos* scan_sub = scan_order(log2 - 2, scan_idx);
+  const ScanPos* scan_pos = scan_order(2, scan_idx);
+  int sbw = 1 << (log2 - 2);
+  for (int i = sbw * sbw - 1; i >= 0; i--) {
+    int xs = scan_sub[i].x, ys = scan_sub[i].y;
+    int first = -1, last = -1;  // parse order: descending scan position
+    i64 sum = 0;
+    int last_idx = -1;
+    for (int p = 15; p >= 0; p--) {
+      int xc = (xs << 2) + scan_pos[p].x, yc = (ys << 2) + scan_pos[p].y;
+      i32 v = levels[yc * n + xc];
+      if (!v) continue;
+      if (first < 0) first = p;
+      last = p;
+      last_idx = yc * n + xc;
+      sum += v;
+    }
+    if (first < 0) continue;
+    if (first - last <= 3) continue;  // sign not hidden for this sub-block
+    // decoder infers: negative iff (sum with last level taken positive) odd
+    i64 s0 = sum - levels[last_idx] + abs_i(levels[last_idx]);
+    bool implied_neg = (s0 & 1) != 0;
+    bool want_neg = levels[last_idx] < 0;
+    if (implied_neg != want_neg) {
+      // flip parity by shrinking the largest-magnitude coefficient (cheapest
+      // in bits, bounded distortion); grow the DC-most one if all are +-1
+      int best = -1, best_abs = 1;
+      for (int p = 15; p >= 0; p--) {
+        int xc = (xs << 2) + scan_pos[p].x, yc = (ys << 2) + scan_pos[p].y;
+        int idx = yc * n + xc;
+        if (abs_i(levels[idx]) > best_abs) {
+          best_abs = abs_i(levels[idx]);
+          best = idx;
+        }
+      }
+      if (best >= 0)
+        levels[best] += (levels[best] > 0) ? -1 : 1;
+      else
+        levels[last_idx] += (levels[last_idx] > 0) ? 1 : -1;
+    }
+  }
 }
 
 void Encoder::write_cu_skip_flag(int x0, int y0, int flag) {
@@ -1783,6 +1838,8 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
     fwd_dct_2d(coeffs, res, log2c, bd);
     pc.levels.resize(nn * nn);
     quantize(pc.levels.data(), coeffs, nn * nn, qpp, log2c, bd, false);
+    if (pps_->sign_data_hiding)
+      apply_sign_hiding(pc.levels.data(), log2c, 0);
     pc.cbf = false;
     for (int i = 0; i < nn * nn; i++)
       if (pc.levels[i]) pc.cbf = true;
@@ -2106,8 +2163,12 @@ void Encoder::write_residual(int x0c, int y0c, int log2, int cidx,
       base_level_gt2 = first_gt1;
     }
 
-    // signs (sign hiding disabled in PPS)
-    for (int k = 0; k < n_coeffs; k++) c.encode_bypass(coeff_sign[k]);
+    // signs (last one hidden when SDH applies to this sub-block)
+    bool sign_hidden = pps_->sign_data_hiding &&
+                       !pps_->transquant_bypass_enabled && n_coeffs > 0 &&
+                       (pos_list[0] - pos_list[n_coeffs - 1] > 3);
+    int n_signs = sign_hidden ? n_coeffs - 1 : n_coeffs;
+    for (int k = 0; k < n_signs; k++) c.encode_bypass(coeff_sign[k]);
 
     // remaining levels (mirrors the decoder: coded only where the base level
     // reached its maximum; decoder base = 1 + gt1 + gt2-as-coded)

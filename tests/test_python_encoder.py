@@ -869,3 +869,33 @@ def test_weighted_prediction_fade(native_build, tmp_path):
         for i in range(6):
             assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), \
                 (bs, i)
+
+
+def test_sign_data_hiding(native_build, tmp_path):
+    """Sign-data hiding: parity-carried DC-most signs per sub-block; the
+    reference decoder matches bit-exactly (validates the SDH decode path)."""
+    import os
+    import subprocess
+    ref = "/tmp/refbuild/dec265/dec265"
+    if not os.path.exists(ref):
+        pytest.skip("reference build unavailable")
+    w, h = 96, 96
+    rng = np.random.default_rng(13)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = (128 + 60 * np.sin(xx * 0.11) * np.cos(yy * 0.07)
+         + rng.integers(-10, 11, (h, w))).clip(0, 255).astype(np.uint8)
+    with Encoder(qp=27, ctb_size=32) as enc:
+        enc.set_parameter("sign-hiding", True)
+        enc.set_parameter("intra-period", 8)
+        stream = b"".join(enc.encode(np.roll(y, f, 1))
+                          for f in range(3)) + enc.finish()
+    dec = Decoder()
+    pics = list(dec.decode_all(stream))
+    sp = tmp_path / "sdh.h265"
+    sp.write_bytes(stream)
+    out = tmp_path / "sdh.yuv"
+    subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                   capture_output=True)
+    ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(3, h * 3 // 2, w)
+    for i in range(3):
+        assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), i
