@@ -70,6 +70,8 @@ struct EncoderConfig {
   // sign-data hiding: skip the DC-most sign per qualifying sub-block and
   // carry it in the level-sum parity (spec 7.4.9.11)
   bool sign_hiding = false;
+  // transform-skip for 4x4 TBs (chosen per TB by SSD + level-cost proxy)
+  bool transform_skip = false;
   int num_refs = 1;  // reference pictures in L0 (1 or 2; 2 exercises
                      // ref_idx signalling and cross-distance MV scaling)
   // intra mode candidate set searched per CU
@@ -126,7 +128,7 @@ class Encoder {
                          bool emit_op);
   void write_intra_luma_mode(int x0, int y0, int mode);
   void write_residual(int x0c, int y0c, int log2_size, int cidx,
-                      const i32* levels, int scan_idx);
+                      const i32* levels, int scan_idx, bool tskip = false);
   static int map_dm_chroma(int luma_mode);
   int chroma_qp(int qp_y) const;
 

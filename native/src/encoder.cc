@@ -135,6 +135,8 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   p.init_qp = 26;
   p.cu_qp_delta_enabled = cfg.adaptive_qp;
   p.sign_data_hiding = cfg.sign_hiding;
+  p.transform_skip_enabled = cfg.transform_skip;
+  p.log2_max_transform_skip_block_size = 2;
   p.weighted_pred = cfg.weighted_pred;
   p.weighted_bipred = cfg.weighted_pred;
   p.diff_cu_qp_delta_depth = 0;  // QP group = CTB
@@ -262,7 +264,7 @@ void Encoder::write_headers(std::vector<u8>* out) {
   pp.write_uvlc(0);      // num_ref_idx_l1_default_minus1
   pp.write_svlc(0);      // init_qp_minus26
   pp.write_flag(false);  // constrained_intra_pred
-  pp.write_flag(false);  // transform_skip
+  pp.write_flag(pps_->transform_skip_enabled);
   pp.write_flag(pps_->cu_qp_delta_enabled);
   if (pps_->cu_qp_delta_enabled) pp.write_uvlc(0);  // diff_cu_qp_delta_depth
   pp.write_svlc(0);      // cb_qp_offset
@@ -1042,6 +1044,7 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
   // 1. luma predict + transform (prediction uses final recon borders)
   struct Pending {
     bool cbf;
+    bool tskip = false;
     std::vector<i32> levels;
     int scan;
     int x0c, y0c, log2, cidx, mode;
@@ -1087,6 +1090,28 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
                                            : sps_->qp_bd_offset_chroma);
       fwd_dct_2d(coeffs, res, log2c, bd);
       quantize(pc.levels.data(), coeffs, n * n, qpp, log2c, bd, true);
+      pc.tskip = false;
+      if (pps_->transform_skip_enabled && log2c == 2) {
+        // transform-skip alternative: the coefficients are the residual
+        // samples scaled into the transform domain (inverse of the
+        // decoder's r = (c << (5+log2)) >> (20-bd) path)
+        i32 ts_coeffs[16];
+        int up = 15 - bd - log2c;
+        for (int i = 0; i < 16; i++)
+          ts_coeffs[i] = up >= 0 ? (res[i] << up) : (res[i] >> -up);
+        i32 ts_levels[16];
+        quantize(ts_levels, ts_coeffs, 16, qpp, log2c, bd, true);
+        // pick by absolute-level sum (rate proxy); ties keep the DCT
+        i64 a_dct = 0, a_ts = 0;
+        for (int i = 0; i < 16; i++) {
+          a_dct += abs_i(pc.levels[i]);
+          a_ts += abs_i(ts_levels[i]);
+        }
+        if (a_ts < a_dct) {
+          pc.tskip = true;
+          for (int i = 0; i < 16; i++) pc.levels[i] = ts_levels[i];
+        }
+      }
     }
     // scan from intra mode (residual.cc intra_scan_idx)
     {
@@ -1125,7 +1150,8 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
                        ? cur_qp_ + sps_->qp_bd_offset_luma
                        : chroma_qp(cur_qp_) + sps_->qp_bd_offset_chroma);
       tu.flags = TuRec::kIntra |
-                 ((log2c == 2 && cidx == 0) ? TuRec::kUseDst : 0) |
+                 ((log2c == 2 && cidx == 0 && !pc.tskip) ? TuRec::kUseDst : 0) |
+                 (pc.tskip ? TuRec::kTransformSkip : 0) |
                  (pps_->transquant_bypass_enabled ? TuRec::kTransquantBypass
                                                   : 0);
       tu.coeff_start = start;
@@ -1193,18 +1219,23 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
     maybe_write_cu_qp_delta();
 
   if (ch[0].cbf)
-    write_residual(x0, y0, log2_size, 0, ch[0].levels.data(), ch[0].scan);
+    write_residual(x0, y0, log2_size, 0, ch[0].levels.data(), ch[0].scan,
+                   ch[0].tskip);
   if (ch[1].cbf)
-    write_residual(x0, y0, log2c, 1, ch[1].levels.data(), ch[1].scan);
+    write_residual(x0, y0, log2c, 1, ch[1].levels.data(), ch[1].scan,
+                   ch[1].tskip);
   if (c422) {
     if (ch[3].cbf)
-      write_residual(x0, y0, log2c, 1, ch[3].levels.data(), ch[3].scan);
+      write_residual(x0, y0, log2c, 1, ch[3].levels.data(), ch[3].scan,
+                     ch[3].tskip);
   }
   if (ch[2].cbf)
-    write_residual(x0, y0, log2c, 2, ch[2].levels.data(), ch[2].scan);
+    write_residual(x0, y0, log2c, 2, ch[2].levels.data(), ch[2].scan,
+                   ch[2].tskip);
   if (c422) {
     if (ch[4].cbf)
-      write_residual(x0, y0, log2c, 2, ch[4].levels.data(), ch[4].scan);
+      write_residual(x0, y0, log2c, 2, ch[4].levels.data(), ch[4].scan,
+                     ch[4].tskip);
   }
   set_cu_qp_grid(x0, y0, log2_size);
 }
@@ -1971,7 +2002,7 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
 // residual_coding writer (inverse of residual.cc; spec 7.3.8.11)
 // ---------------------------------------------------------------------------
 void Encoder::write_residual(int x0c, int y0c, int log2, int cidx,
-                             const i32* levels, int scan_idx) {
+                             const i32* levels, int scan_idx, bool tskip) {
   CabacEncoder& c = *cabac_;
   const bool trace = getenv("TDE_RES_TRACE") != nullptr;
   int n = 1 << log2;
@@ -1979,7 +2010,12 @@ void Encoder::write_residual(int x0c, int y0c, int log2, int cidx,
   const ScanPos* scan_pos = scan_order(2, scan_idx);
   int sbw = 1 << (log2 - 2);
 
-  // (transform_skip disabled in PPS; no flag)
+  if (pps_->transform_skip_enabled && !pps_->transquant_bypass_enabled &&
+      log2 <= pps_->log2_max_transform_skip_block_size) {
+    c.encode_bin(&ctx_[cidx == 0 ? CTX_TRANSFORM_SKIP_LUMA
+                                 : CTX_TRANSFORM_SKIP_CHROMA],
+                 tskip ? 1 : 0);
+  }
 
   // --- locate last significant coefficient in scan order ---
   int last_sb = -1, last_pos = -1;

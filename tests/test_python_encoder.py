@@ -899,3 +899,35 @@ def test_sign_data_hiding(native_build, tmp_path):
     ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(3, h * 3 // 2, w)
     for i in range(3):
         assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), i
+
+
+def test_transform_skip(native_build, tmp_path):
+    """Transform-skip 4x4 TBs (chosen per TB on screen content): the
+    reference decoder matches bit-exactly (validates the ts decode path)."""
+    import os
+    import subprocess
+    ref = "/tmp/refbuild/dec265/dec265"
+    if not os.path.exists(ref):
+        pytest.skip("reference build unavailable")
+    w, h = 88, 72
+    y = np.full((h, w), 60, np.uint8)
+    y[::4, :] = 210
+    y[:, ::6] = 20
+    cb = np.full((h // 2, w // 2), 90, np.uint8)
+    cb[::3, :] = 200
+    cr = np.full((h // 2, w // 2), 160, np.uint8)
+    cr[:, ::3] = 50
+    with Encoder(qp=30, ctb_size=32) as enc:
+        enc.set_parameter("transform-skip", True)
+        stream = enc.encode(y, cb, cr) + enc.finish()
+    dec = Decoder()
+    (pic,) = list(dec.decode_all(stream))
+    sp = tmp_path / "ts.h265"
+    sp.write_bytes(stream)
+    out = tmp_path / "ts.yuv"
+    subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                   capture_output=True)
+    ref_yuv = np.fromfile(out, dtype=np.uint8)
+    assert np.array_equal(ref_yuv[:w * h].reshape(h, w), pic.planes[0])
+    assert np.array_equal(ref_yuv[w * h:w * h * 5 // 4].reshape(h // 2, w // 2),
+                          pic.planes[1])
