@@ -72,6 +72,8 @@ struct EncoderConfig {
   bool sign_hiding = false;
   // transform-skip for 4x4 TBs (chosen per TB by SSD + level-cost proxy)
   bool transform_skip = false;
+  // constrained intra prediction (intra borders exclude inter samples)
+  bool constrained_intra = false;
   int num_refs = 1;  // reference pictures in L0 (1 or 2; 2 exercises
                      // ref_idx signalling and cross-distance MV scaling)
   // intra mode candidate set searched per CU

@@ -124,6 +124,7 @@ de265_error en265_set_parameter_bool(en265_encoder_context* ctx,
   if (p == "weighted-pred") C(ctx)->cfg.weighted_pred = (value != 0);
   if (p == "sign-hiding") C(ctx)->cfg.sign_hiding = (value != 0);
   if (p == "transform-skip") C(ctx)->cfg.transform_skip = (value != 0);
+  if (p == "constrained-intra") C(ctx)->cfg.constrained_intra = (value != 0);
   return DE265_OK;
 }
 

@@ -136,6 +136,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   p.cu_qp_delta_enabled = cfg.adaptive_qp;
   p.sign_data_hiding = cfg.sign_hiding;
   p.transform_skip_enabled = cfg.transform_skip;
+  p.constrained_intra_pred = cfg.constrained_intra;
   p.log2_max_transform_skip_block_size = 2;
   p.weighted_pred = cfg.weighted_pred;
   p.weighted_bipred = cfg.weighted_pred;
@@ -263,7 +264,7 @@ void Encoder::write_headers(std::vector<u8>* out) {
   pp.write_uvlc(0);      // num_ref_idx_l0_default_minus1
   pp.write_uvlc(0);      // num_ref_idx_l1_default_minus1
   pp.write_svlc(0);      // init_qp_minus26
-  pp.write_flag(false);  // constrained_intra_pred
+  pp.write_flag(pps_->constrained_intra_pred);
   pp.write_flag(pps_->transform_skip_enabled);
   pp.write_flag(pps_->cu_qp_delta_enabled);
   if (pps_->cu_qp_delta_enabled) pp.write_uvlc(0);  // diff_cu_qp_delta_depth

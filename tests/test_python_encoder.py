@@ -931,3 +931,34 @@ def test_transform_skip(native_build, tmp_path):
     assert np.array_equal(ref_yuv[:w * h].reshape(h, w), pic.planes[0])
     assert np.array_equal(ref_yuv[w * h:w * h * 5 // 4].reshape(h // 2, w // 2),
                           pic.planes[1])
+
+
+def test_constrained_intra_pred(native_build, tmp_path):
+    """Constrained intra prediction in P GOPs (intra borders exclude
+    inter-coded samples) — reference decoder bit-exact."""
+    import os
+    import subprocess
+    ref = "/tmp/refbuild/dec265/dec265"
+    if not os.path.exists(ref):
+        pytest.skip("reference build unavailable")
+    w, h = 96, 96
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    with Encoder(qp=30, ctb_size=32) as enc:
+        enc.set_parameter("constrained-intra", True)
+        enc.set_parameter("intra-period", 8)
+        stream = b""
+        for f in range(4):
+            y = (128 + 60 * np.sin((xx + 2 * f) * 0.11)
+                 * np.cos((yy + f) * 0.07)).clip(0, 255).astype(np.uint8)
+            stream += enc.encode(y)
+        stream += enc.finish()
+    dec = Decoder()
+    pics = list(dec.decode_all(stream))
+    sp = tmp_path / "cip.h265"
+    sp.write_bytes(stream)
+    out = tmp_path / "cip.yuv"
+    subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                   capture_output=True)
+    ref_yuv = np.fromfile(out, dtype=np.uint8).reshape(4, h * 3 // 2, w)
+    for i in range(4):
+        assert np.array_equal(ref_yuv[i, :h, :], pics[i].planes[0]), i
