@@ -267,6 +267,17 @@ static void mc_chroma(const Frame& ref, int c, int x_int, int y_int, int frac_x,
 // ---------------------------------------------------------------------------
 // weighted / default sample prediction merge (spec 8.5.4.2.3)
 // ---------------------------------------------------------------------------
+// unweighted uni-prediction, 8-bit: the hottest merge case — kept separate
+// and forced inline so the constant shift vectorizes at the call site
+template <typename pixel_t>
+static inline void pred_copy_uni8(pixel_t* dst, int stride, const i16* p0,
+                                  int buf_stride, int w, int h) {
+  for (int y = 0; y < h; y++)
+    for (int x = 0; x < w; x++)
+      dst[y * stride + x] =
+          (pixel_t)clip3(0, 255, (p0[y * buf_stride + x] + 32) >> 6);
+}
+
 template <typename pixel_t>
 static void pred_merge(pixel_t* dst, int stride, const i16* p0, const i16* p1,
                        int buf_stride, int w, int h, int bd, bool bi,
@@ -274,6 +285,10 @@ static void pred_merge(pixel_t* dst, int stride, const i16* p0, const i16* p1,
                        int log2_denom) {
   if (!weighted) {
     if (!bi) {
+      if (bd == 8) {
+        pred_copy_uni8(dst, stride, p0, buf_stride, w, h);
+        return;
+      }
       int shift = 14 - bd;
       int offset = (shift > 0) ? (1 << (shift - 1)) : 0;
       for (int y = 0; y < h; y++)

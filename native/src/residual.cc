@@ -221,11 +221,23 @@ bool SliceParser::residual_coding(int x0, int y0, int log2_size, int cidx) {
     bool skip_ctx = sps_->transform_skip_context_enabled &&
                     (cu_transquant_bypass_ || tskip);
 
+    // per-sub-block significance context: an inner-position LUT (indexed by
+    // prev_csbf) plus a constant base offset — avoids recomputing the full
+    // sig_ctx_inc branch tree for every coefficient
+    i16 ctx_lut[16];
+    if (!skip_ctx) {
+      for (int n = 15; n >= 0; n--) {
+        int xc = (sx << 2) + scan_pos[n].x;
+        int yc = (sy << 2) + scan_pos[n].y;
+        ctx_lut[n] = (i16)sig_ctx_inc(log2_size, cidx, xc, yc, prev_csbf,
+                                      scan_idx);
+      }
+    } else {
+      for (int n = 0; n < 16; n++) ctx_lut[n] = (i16)(cidx == 0 ? 42 : 43);
+    }
+
     for (int n = first_coded; n > 0; n--) {
-      int xc = (sx << 2) + scan_pos[n].x;
-      int yc = (sy << 2) + scan_pos[n].y;
-      int ctx_inc = skip_ctx ? (cidx == 0 ? 42 : 43)
-                             : sig_ctx_inc(log2_size, cidx, xc, yc, prev_csbf, scan_idx);
+      int ctx_inc = ctx_lut[n];
       if (cabac_.decode_bin(&ctx_[CTX_SIG_COEFF_FLAG + ctx_inc])) {
         coeff_base[n_coeffs] = 1;
         has_max_base[n_coeffs] = 1;
@@ -238,9 +250,7 @@ bool SliceParser::residual_coding(int x0, int y0, int log2_size, int cidx) {
     // DC significance
     if (first_coded >= 0) {
       if (!infer_sb_dc) {
-        int xc = sx << 2, yc = sy << 2;
-        int ctx_inc = skip_ctx ? (cidx == 0 ? 42 : 43)
-                               : sig_ctx_inc(log2_size, cidx, xc, yc, prev_csbf, scan_idx);
+        int ctx_inc = ctx_lut[0];
         if (cabac_.decode_bin(&ctx_[CTX_SIG_COEFF_FLAG + ctx_inc])) {
           coeff_base[n_coeffs] = 1;
           has_max_base[n_coeffs] = 1;
