@@ -38,8 +38,6 @@ static void fill_border(const Frame& frame, int x0c, int y0c, int nT, int cidx,
 
   const int n2 = 2 * nT;
   bool avail[4 * 64 + 1];  // availability per border sample
-  // In practice availability is constant per 4-sample (min TU) group; we
-  // compute per sample for simplicity (cost is negligible vs CABAC).
   bool any_avail = false;
 
   bool constrained = frame.pps->constrained_intra_pred;
@@ -55,14 +53,29 @@ static void fill_border(const Frame& frame, int x0c, int y0c, int nT, int cidx,
   };
 
   // left column, bottom-up: border index 0 .. 2n-1 maps to left sample
-  // p[-1][2n-1] .. p[-1][0]
-  for (int k = 0; k < n2; k++) {
-    int yc = y0c + n2 - 1 - k;  // sample row for border index k
-    bool a = (x0c > 0 && yc < h) && sample_avail(x0c - 1, yc);
-    avail[k] = a;
-    if (a) {
-      border[k] = img[yc * stride + (x0c - 1)];
-      any_avail = true;
+  // p[-1][2n-1] .. p[-1][0].  Availability is constant per 4-luma-pel run
+  // (min-TB granularity), so it is evaluated once per group.
+  {
+    int group_of = -1;  // (yc * sub_y) >> 2 of the cached decision
+    bool ga = false;
+    for (int k = 0; k < n2; k++) {
+      int yc = y0c + n2 - 1 - k;  // sample row for border index k
+      bool a;
+      if (x0c <= 0 || yc >= h) {
+        a = false;
+      } else {
+        int g = (yc * sub_y) >> 2;
+        if (g != group_of) {
+          group_of = g;
+          ga = sample_avail(x0c - 1, yc);
+        }
+        a = ga;
+      }
+      avail[k] = a;
+      if (a) {
+        border[k] = img[yc * stride + (x0c - 1)];
+        any_avail = true;
+      }
     }
   }
   // corner
@@ -74,14 +87,28 @@ static void fill_border(const Frame& frame, int x0c, int y0c, int nT, int cidx,
       any_avail = true;
     }
   }
-  // top row
-  for (int k = 0; k < n2; k++) {
-    int xc = x0c + k;
-    bool a = (y0c > 0 && xc < w) && sample_avail(xc, y0c - 1);
-    avail[n2 + 1 + k] = a;
-    if (a) {
-      border[n2 + 1 + k] = img[(y0c - 1) * stride + xc];
-      any_avail = true;
+  // top row (availability per 4-luma-pel group, as above)
+  {
+    int group_of = -1;
+    bool ga = false;
+    for (int k = 0; k < n2; k++) {
+      int xc = x0c + k;
+      bool a;
+      if (y0c <= 0 || xc >= w) {
+        a = false;
+      } else {
+        int g = (xc * sub_x) >> 2;
+        if (g != group_of) {
+          group_of = g;
+          ga = sample_avail(xc, y0c - 1);
+        }
+        a = ga;
+      }
+      avail[n2 + 1 + k] = a;
+      if (a) {
+        border[n2 + 1 + k] = img[(y0c - 1) * stride + xc];
+        any_avail = true;
+      }
     }
   }
 
