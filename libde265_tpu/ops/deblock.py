@@ -206,18 +206,20 @@ def _luma_pass(img, bs, beta, tc, no_p, no_q, bit_depth: int = 8):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("bit_depth",))
-def _chroma_pass(img, tc, no_p, no_q, bit_depth: int = 8):
+@functools.partial(jax.jit, static_argnames=("bit_depth", "rows_per_seg"))
+def _chroma_pass(img, tc, no_p, no_q, bit_depth: int = 8, rows_per_seg: int = 2):
     """Chroma vertical pass on a [Hc, pad] plane; edges every 8 chroma cols.
 
-    tc/no_p/no_q: [Hc/2, E] per-2-row segment params (tc=0 where bs!=2).
+    tc/no_p/no_q: [S, E] per-segment params (tc=0 where bs!=2); one luma
+    4-row segment covers `rows_per_seg` chroma rows (2 for 4:2:0 vertical,
+    4 for full-resolution axes in 4:2:2/4:4:4).
     """
     H = img.shape[0]
     E = tc.shape[1]
     maxv = (1 << bit_depth) - 1
     cols = [img[:, k:k + 8 * E:8] for k in range(4)]
     p1, p0, q0, q1 = cols
-    rep = lambda a: jnp.repeat(a, 2, axis=0)[:H]
+    rep = lambda a: jnp.repeat(a, rows_per_seg, axis=0)[:H]
     tc_r = rep(tc)
     no_p_r = rep(no_p).astype(bool)
     no_q_r = rep(no_q).astype(bool)
@@ -248,15 +250,17 @@ def luma_horizontal(img_np, params, bit_depth=8):
     return luma_vertical(img_np.T, params, bit_depth).T
 
 
-def chroma_vertical(img_np, tc, no_p, no_q, bit_depth=8):
+def chroma_vertical(img_np, tc, no_p, no_q, bit_depth=8, rows_per_seg=2):
     H, W = img_np.shape
     E = W // 8
     pad = np.zeros((H, W + 8), dtype=np.int32)
     pad[:, 2:2 + W] = img_np
     out = _chroma_pass(jnp.asarray(pad), jnp.asarray(tc), jnp.asarray(no_p),
-                       jnp.asarray(no_q), bit_depth=bit_depth)
+                       jnp.asarray(no_q), bit_depth=bit_depth,
+                       rows_per_seg=rows_per_seg)
     return np.asarray(out)[:, 2:2 + W]
 
 
-def chroma_horizontal(img_np, tc, no_p, no_q, bit_depth=8):
-    return chroma_vertical(img_np.T, tc, no_p, no_q, bit_depth).T
+def chroma_horizontal(img_np, tc, no_p, no_q, bit_depth=8, rows_per_seg=2):
+    return chroma_vertical(img_np.T, tc, no_p, no_q, bit_depth,
+                           rows_per_seg).T

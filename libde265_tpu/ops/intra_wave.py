@@ -84,7 +84,7 @@ def build_mode_tables(s: int):
     return P0, P1, W
 
 
-def border_plan(ctx: IntraContext, x0c, y0c, nT, sub, H, W):
+def border_plan(ctx: IntraContext, x0c, y0c, nT, sub_x, sub_y, H, W):
     """Static border gather plan for one block (mirrors intra.fill_border).
 
     Returns (pos [4nT+1, 2], subst [4nT+1], all_unavailable).
@@ -93,10 +93,10 @@ def border_plan(ctx: IntraContext, x0c, y0c, nT, sub, H, W):
     n = 4 * nT + 1
     pos = np.zeros((n, 2), dtype=np.int32)
     avail = np.zeros(n, dtype=bool)
-    xL, yL = x0c * sub, y0c * sub
+    xL, yL = x0c * sub_x, y0c * sub_y
 
     def savail(xc, yc):
-        return ctx.available(xL, yL, xc * sub, yc * sub)
+        return ctx.available(xL, yL, xc * sub_x, yc * sub_y)
 
     for k in range(n2):
         yc = y0c + n2 - 1 - k
@@ -155,9 +155,14 @@ def plan_blocks(prog, ctx: IntraContext, residuals):
     # wavefront levels per channel (4-pel metadata grids)
     grids = {}
     batches = {}
+    chroma444 = prog.chroma_width == prog.width and prog.chroma_width > 0
     for rec, resid in blocks:
         c = int(rec["cidx"])
-        sub = 1 if c == 0 else 2
+        if c == 0:
+            sub_x = sub_y = 1
+        else:
+            sub_x = prog.width // prog.chroma_width
+            sub_y = prog.height // prog.chroma_height
         H = prog.height if c == 0 else prog.chroma_height
         Wd = prog.width if c == 0 else prog.chroma_width
         if c not in grids:
@@ -166,7 +171,7 @@ def plan_blocks(prog, ctx: IntraContext, residuals):
         x0, y0 = int(rec["x"]), int(rec["y"])
         lg = int(rec["log2_size"])
         nT = 1 << lg
-        pos, subst, unavail = border_plan(ctx, x0, y0, nT, sub, H, Wd)
+        pos, subst, unavail = border_plan(ctx, x0, y0, nT, sub_x, sub_y, H, Wd)
         # wave = 1 + max wave of the cells this block's border reads
         if unavail:
             wave = 1
@@ -178,7 +183,8 @@ def plan_blocks(prog, ctx: IntraContext, residuals):
 
         mode = int(rec["mode"])
         filt = False
-        if c == 0 and not ctx.smoothing_disabled:
+        # smoothing (8.4.4.2.3): luma always eligible; chroma only in 4:4:4
+        if (c == 0 or chroma444) and not ctx.smoothing_disabled:
             if mode != 1 and nT != 4:
                 mind = min(abs(mode - 26), abs(mode - 10))
                 thresh = 7 if nT == 8 else (1 if nT == 16 else 0)

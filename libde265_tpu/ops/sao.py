@@ -99,9 +99,13 @@ def edge_boundary_ok(emap, slice_addr, across_slices, tile_id, across_tiles,
     across_slices: [ctb_h, ctb_w] bool, loop_filter_across_slices of the
                    CTB's slice
     tile_id:       [ctb_h, ctb_w] tile id per CTB
+    ctb_size:      CTB size in this channel's samples — an int, or a
+                   (cs_y, cs_x) pair for anisotropic chroma (4:2:2)
     """
-    yy = np.arange(H)[:, None] // ctb_size
-    xx = np.arange(W)[None, :] // ctb_size
+    cs_y, cs_x = ((ctb_size, ctb_size) if np.isscalar(ctb_size)
+                  else tuple(ctb_size))
+    yy = np.arange(H)[:, None] // cs_y
+    xx = np.arange(W)[None, :] // cs_x
     A = slice_addr[yy, xx]
     L = across_slices[yy, xx]
     T = tile_id[yy, xx]
@@ -128,7 +132,13 @@ def edge_boundary_ok(emap, slice_addr, across_slices, tile_id, across_tiles,
 
 
 def upsample_ctb_params(sao_rec, c, ctb_w, ctb_h, ctb_size, H, W):
-    """Host: expand per-CTB SaoParams records to per-pixel maps for channel c."""
+    """Host: expand per-CTB SaoParams records to per-pixel maps for channel c.
+
+    ctb_size is the CTB extent in this channel's samples — an int, or a
+    (cs_y, cs_x) pair for anisotropic chroma geometry (4:2:2).
+    """
+    cs_y, cs_x = ((ctb_size, ctb_size) if np.isscalar(ctb_size)
+                  else tuple(ctb_size))
     tmap = np.zeros((H, W), dtype=np.int32)
     emap = np.zeros((H, W), dtype=np.int32)
     bmap = np.zeros((H, W), dtype=np.int32)
@@ -139,10 +149,10 @@ def upsample_ctb_params(sao_rec, c, ctb_w, ctb_h, ctb_size, H, W):
     offs = sao_rec["offset"][:, c, :].reshape(ctb_h, ctb_w, 4)
 
     def up(a):
-        return np.repeat(np.repeat(a, ctb_size, 0), ctb_size, 1)[:H, :W]
+        return np.repeat(np.repeat(a, cs_y, 0), cs_x, 1)[:H, :W]
 
     tmap = up(types).astype(np.int32)
     emap = up(eocls).astype(np.int32)
     bmap = up(bpos).astype(np.int32)
-    omap = np.repeat(np.repeat(offs, ctb_size, 0), ctb_size, 1)[:H, :W].astype(np.int32)
+    omap = np.repeat(np.repeat(offs, cs_y, 0), cs_x, 1)[:H, :W].astype(np.int32)
     return tmap, emap, bmap, omap

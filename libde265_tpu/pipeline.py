@@ -12,6 +12,11 @@ Executes a FrameProgram with the batched device kernels:
 Inter prediction never reads the current picture, and intra neighbors are
 final after steps 2-3, so this ordering is equivalent to the serial decode
 order (see native/src/recon.cc).
+
+All chroma geometries are supported (4:0:0/4:2:0/4:2:2/4:4:4): subsampling
+factors are derived per axis from the program's plane dimensions, covering
+chroma MV precision (8.5.3.2.2), anisotropic intra borders, the non-4:2:0
+deblock chroma-QP mapping (8.7.2.5.5), and per-axis SAO CTB geometry.
 """
 from __future__ import annotations
 
@@ -87,6 +92,12 @@ def _motion_compensate(prog: FrameProgramData, planes):
     recs = prog.slice_records
     H, W = prog.height, prog.width
     bd = prog.bit_depth[0]
+    has_chroma = prog.chroma_width > 0
+    sx = W // prog.chroma_width if has_chroma else 1
+    sy = H // prog.chroma_height if has_chroma else 1
+    # chroma MV precision: 1/8 chroma-pel on subsampled axes, else the luma
+    # 1/4-pel doubled (spec 8.5.3.2.2; mirrors native/src/recon.cc)
+    shx, shy = (3 if sx == 2 else 2), (3 if sy == 2 else 2)
 
     # group PUs by (w, h)
     keys = pus["w"].astype(np.int64) * 1000 + pus["h"]
@@ -103,7 +114,7 @@ def _motion_compensate(prog: FrameProgramData, planes):
             win = np.zeros((n, h + 7, w + 7), dtype=np.int32)
             fx = np.zeros(n, dtype=np.int32)
             fy = np.zeros(n, dtype=np.int32)
-            winc = [np.zeros((n, h // 2 + 3, w // 2 + 3), dtype=np.int32)
+            winc = [np.zeros((n, h // sy + 3, w // sx + 3), dtype=np.int32)
                     for _ in range(2)]
             fcx = np.zeros(n, dtype=np.int32)
             fcy = np.zeros(n, dtype=np.int32)
@@ -118,17 +129,21 @@ def _motion_compensate(prog: FrameProgramData, planes):
                 fx[k], fy[k] = mvx & 3, mvy & 3
                 win[k] = mc_ops.gather_windows(ref[0].astype(np.int32),
                                                [x0], [y0], w, h, 8, 3)[0]
-                cx = int(pu["x"]) // 2 + (mvx >> 3)
-                cy = int(pu["y"]) // 2 + (mvy >> 3)
-                fcx[k], fcy[k] = mvx & 7, mvy & 7
+                if not has_chroma:
+                    continue
+                cx = int(pu["x"]) // sx + (mvx >> shx)
+                cy = int(pu["y"]) // sy + (mvy >> shy)
+                fcx[k] = (mvx & 7) if sx == 2 else ((mvx & 3) << 1)
+                fcy[k] = (mvy & 7) if sy == 2 else ((mvy & 3) << 1)
                 for c in range(2):
                     winc[c][k] = mc_ops.gather_windows(
-                        ref[1 + c].astype(np.int32), [cx], [cy], w // 2,
-                        h // 2, 4, 1)[0]
+                        ref[1 + c].astype(np.int32), [cx], [cy], w // sx,
+                        h // sy, 4, 1)[0]
             preds_l[l] = np.asarray(mc_ops.mc_luma_batch(win, fx, fy, w, h, bd))
-            for c in range(2):
-                preds_c[l][c] = np.asarray(mc_ops.mc_chroma_batch(
-                    winc[c], fcx, fcy, w // 2, h // 2, bd))
+            if has_chroma:
+                for c in range(2):
+                    preds_c[l][c] = np.asarray(mc_ops.mc_chroma_batch(
+                        winc[c], fcx, fcy, w // sx, h // sy, bd))
 
         # merge params per PU
         bi = pus["pred_flags"][sel] == 3
@@ -159,7 +174,7 @@ def _motion_compensate(prog: FrameProgramData, planes):
             pu = pus[i]
             planes[0][pu["y"]:pu["y"] + h, pu["x"]:pu["x"] + w] = merged[k]
 
-        for c in range(2):
+        for c in range(2 if has_chroma else 0):
             pc0 = np.where(first[:, None, None] == 0, preds_c[0][c],
                            preds_c[1][c])
             pc1 = preds_c[1][c]
@@ -172,8 +187,8 @@ def _motion_compensate(prog: FrameProgramData, planes):
                 prog.bit_depth[1]))
             for k, i in enumerate(sel):
                 pu = pus[i]
-                planes[1 + c][pu["y"] // 2:pu["y"] // 2 + h // 2,
-                              pu["x"] // 2:pu["x"] // 2 + w // 2] = mc[k]
+                planes[1 + c][pu["y"] // sy:pu["y"] // sy + h // sy,
+                              pu["x"] // sx:pu["x"] // sx + w // sx] = mc[k]
 
 
 def _paint_motion_grids(prog: FrameProgramData):
@@ -205,6 +220,18 @@ def _deblock(prog: FrameProgramData, planes):
     beta_off = int(recs[0, 2])
     tc_off = int(recs[0, 3])
     bd = prog.bit_depth[0]
+    has_chroma = prog.chroma_width > 0
+    sub_x = prog.width // prog.chroma_width if has_chroma else 1
+    sub_y = prog.height // prog.chroma_height if has_chroma else 1
+    # 4:2:0 uses the chroma-QP conversion table; 4:2:2/4:4:4 clamp (8.7.2.5.5)
+    is420 = sub_x == 2 and sub_y == 2
+
+    def chroma_qp(qpi):
+        if is420:
+            return np.where(qpi < 30, qpi,
+                            np.where(qpi > 43, qpi - 6,
+                                     dbk.CHROMA_QP_TAB[np.clip(qpi - 30, 0, 13)]))
+        return np.clip(qpi, 0, 51)
 
     pf, mv, rp = _paint_motion_grids(prog)
     pb_h, pb_w = prog.qp_y.shape
@@ -238,24 +265,23 @@ def _deblock(prog: FrameProgramData, planes):
     params_v = {k: pad_edge0(v) for k, v in pv.items()}
     planes[0] = dbk.luma_vertical(planes[0], params_v, bd)
 
-    # chroma vertical: luma edges x=16k -> edge array indices 2k
+    # chroma vertical: chroma edges every 8 chroma cols = luma edge index
+    # step sub_x; one luma 4-row segment covers 4//sub_y chroma rows
     bs_v = params_v["bs"]
     qp_l = params_v["qp_l"]
-    segs = np.arange(0, bs_v.shape[1], 2)
-    for c in range(2):
+    segs = np.arange(0, bs_v.shape[1], sub_x)
+    for c in range(2 if has_chroma else 0):
         qpi = qp_l[:, segs]  # + pps cb/cr offset: folded into qp via recs? kept 0
-        qpc = np.where(qpi < 30, qpi,
-                       np.where(qpi > 43, qpi - 6,
-                                dbk.CHROMA_QP_TAB[np.clip(qpi - 30, 0, 13)]))
+        qpc = chroma_qp(qpi)
         tc_c = dbk.TC_TABLE[np.clip(qpc + 2 + tc_off, 0, 53)] << (bd - 8)
         tc_c = np.where(bs_v[:, segs] == 2, tc_c, 0)
-        # segment rows map 1:1: one luma segment (4 rows) = 2 chroma rows
         Ec = prog.chroma_width // 8
         tcc = tc_c[:, :Ec]
         nop = params_v["no_p"][:, segs][:, :Ec]
         noq = params_v["no_q"][:, segs][:, :Ec]
         planes[1 + c] = dbk.chroma_vertical(planes[1 + c], tcc, nop, noq,
-                                            prog.bit_depth[1])
+                                            prog.bit_depth[1],
+                                            rows_per_seg=4 // sub_y)
 
     # --- horizontal ---
     ph = dbk.derive_edge_params(meta, vertical=False)
@@ -266,12 +292,10 @@ def _deblock(prog: FrameProgramData, planes):
 
     bs_h = params_h["bs"]  # [w4, Eh] (transposed layout)
     qp_lh = params_h["qp_l"]
-    segs_h = np.arange(0, bs_h.shape[1], 2)
-    for c in range(2):
+    segs_h = np.arange(0, bs_h.shape[1], sub_y)
+    for c in range(2 if has_chroma else 0):
         qpi = qp_lh[:, segs_h]
-        qpc = np.where(qpi < 30, qpi,
-                       np.where(qpi > 43, qpi - 6,
-                                dbk.CHROMA_QP_TAB[np.clip(qpi - 30, 0, 13)]))
+        qpc = chroma_qp(qpi)
         tc_c = dbk.TC_TABLE[np.clip(qpc + 2 + tc_off, 0, 53)] << (bd - 8)
         tc_c = np.where(bs_h[:, segs_h] == 2, tc_c, 0)
         Ec = prog.chroma_height // 8
@@ -279,7 +303,9 @@ def _deblock(prog: FrameProgramData, planes):
         nop = params_h["no_p"][:, segs_h][:, :Ec]
         noq = params_h["no_q"][:, segs_h][:, :Ec]
         planes[1 + c] = dbk.chroma_horizontal(planes[1 + c], tcc, nop, noq,
-                                              prog.bit_depth[1]).astype(np.int32)
+                                              prog.bit_depth[1],
+                                              rows_per_seg=4 // sub_x
+                                              ).astype(np.int32)
 
 
 def _apply_sao(prog: FrameProgramData, planes):
@@ -293,15 +319,18 @@ def _apply_sao(prog: FrameProgramData, planes):
     across_slices = recs[sidx, 9] != 0
     multi = (len(recs) > 1 and
              (not np.all(across_slices))) or not prog.across_tiles
+    sub_x = prog.width // prog.chroma_width if prog.chroma_width else 1
+    sub_y = prog.height // prog.chroma_height if prog.chroma_width else 1
     for c in range(3 if prog.chroma_width else 1):
         H = prog.height if c == 0 else prog.chroma_height
         W = prog.width if c == 0 else prog.chroma_width
-        cs = prog.ctb_size if c == 0 else prog.ctb_size // 2
+        cs = ((prog.ctb_size, prog.ctb_size) if c == 0 else
+              (prog.ctb_size // sub_y, prog.ctb_size // sub_x))
         tmap, emap, bmap, omap = sao_ops.upsample_ctb_params(
             prog.sao, c, prog.ctb_w, prog.ctb_h, cs, H, W)
         # per-slice sao enable gates the CTB's type (spec 7.3.8.3)
-        yy = np.arange(H)[:, None] // cs
-        xx = np.arange(W)[None, :] // cs
+        yy = np.arange(H)[:, None] // cs[0]
+        xx = np.arange(W)[None, :] // cs[1]
         on = sao_on[0 if c == 0 else 1][yy, xx]
         tmap = np.where(on, tmap, 0)
         edge_ok = None
@@ -309,8 +338,9 @@ def _apply_sao(prog: FrameProgramData, planes):
             edge_ok = sao_ops.edge_boundary_ok(
                 emap, prog.slice_addr, across_slices, prog.tile_id,
                 prog.across_tiles, cs, H, W)
-        sub = 1 if c == 0 else 2
-        skip = np.repeat(np.repeat(skip4, 4 // sub, 0), 4 // sub, 1)[:H, :W]
+        rx = 4 // (1 if c == 0 else sub_x)
+        ry = 4 // (1 if c == 0 else sub_y)
+        skip = np.repeat(np.repeat(skip4, ry, 0), rx, 1)[:H, :W]
         import jax
         if jax.default_backend() in ("tpu", "axon"):
             # fused single-pass Pallas kernel (~100x the XLA elementwise
@@ -353,12 +383,9 @@ def reconstruct(prog: FrameProgramData, run_deblock=True, run_sao=True,
     device_intra=True batches intra blocks into wavefront levels executed on
     the device (ops.intra_wave) instead of the host-sequential loop.
     """
-    if prog.chroma_width and (prog.width != 2 * prog.chroma_width or
-                              prog.height != 2 * prog.chroma_height):
-        raise NotImplementedError(
-            "the JAX pipeline currently batches 4:2:0 geometry; decode "
-            "4:2:2/4:4:4 streams through the native backend (Decoder "
-            "planes are already reconstructed)")
+    sub_x = prog.width // prog.chroma_width if prog.chroma_width else 1
+    sub_y = prog.height // prog.chroma_height if prog.chroma_width else 1
+    chroma444 = prog.chroma_width == prog.width and prog.chroma_width > 0
     planes = [np.zeros((prog.height, prog.width), dtype=np.int32),
               np.zeros((prog.chroma_height, prog.chroma_width), dtype=np.int32),
               np.zeros((prog.chroma_height, prog.chroma_width), dtype=np.int32)]
@@ -411,11 +438,13 @@ def reconstruct(prog: FrameProgramData, run_deblock=True, run_sao=True,
         if op["kind"] == OP_INTRA:
             rec = prog.intras[op["idx"]]
             c = int(rec["cidx"])
-            sub = 1 if c == 0 else 2
+            sx = 1 if c == 0 else sub_x
+            sy = 1 if c == 0 else sub_y
             intra_ops.predict_block(planes[c], ctx, int(rec["x"]),
                                     int(rec["y"]), 1 << int(rec["log2_size"]),
-                                    c, int(rec["mode"]), sub, sub,
-                                    prog.bit_depth[c])
+                                    c, int(rec["mode"]), sx, sy,
+                                    prog.bit_depth[c],
+                                    chroma444=(c != 0 and chroma444))
         elif op["kind"] == OP_RESIDUAL:
             t = int(op["idx"])
             if not (tus["flags"][t] & TU_INTRA):
