@@ -75,6 +75,13 @@ class ProgramView(ct.Structure):
         ("tile_id", ct.c_void_p),
         ("across_tiles", ct.c_int32),
         ("ctb_size", ct.c_int32),
+        ("n_pcms", ct.c_int32),
+        ("pcm_raw", ct.c_void_p),
+        ("pcm_stride", ct.c_int32),
+        ("pcm_data", ct.c_void_p),
+        ("n_pcm_data", ct.c_int32),
+        ("pcm_bit_depth", ct.c_int32 * 2),
+        ("pcm_loop_filter_disable", ct.c_int32),
     ]
 
 

@@ -43,6 +43,11 @@ SAO_DTYPE = np.dtype({
                 (np.int16, (3, 4))],
     "offsets": [0, 3, 6, 10], "itemsize": 34})
 
+PCM_DTYPE = np.dtype({
+    "names": ["x", "y", "log2_size", "data_start"],
+    "formats": [np.uint16, np.uint16, np.uint8, np.uint32],
+    "offsets": [0, 2, 4, 8], "itemsize": 12})
+
 OP_INTRA, OP_RESIDUAL, OP_INTER, OP_PCM = 0, 1, 2, 3
 
 # TuRec flags
@@ -110,6 +115,11 @@ class FrameProgramData:
     slice_addr: np.ndarray = None   # per CTB SliceAddrRs [ctb_h, ctb_w]
     tile_id: np.ndarray = None      # per CTB tile id [ctb_h, ctb_w]
     across_tiles: bool = True
+    # PCM blocks: records + raw samples (Y,Cb,Cr per block, sps depth)
+    pcms: np.ndarray = None
+    pcm_data: np.ndarray = None
+    pcm_bit_depth: tuple = (8, 8)
+    pcm_loop_filter_disable: bool = False
 
 
 class Decoder:
@@ -253,6 +263,12 @@ class Decoder:
                                                          view.ctb_w),
             across_tiles=bool(view.across_tiles),
             ctb_size=int(view.ctb_size),
+            pcms=_np_from(view.pcm_raw, view.n_pcms, PCM_DTYPE,
+                          view.pcm_stride),
+            pcm_data=_np_from(view.pcm_data, view.n_pcm_data,
+                              np.dtype(np.uint16)),
+            pcm_bit_depth=tuple(view.pcm_bit_depth),
+            pcm_loop_filter_disable=bool(view.pcm_loop_filter_disable),
         )
 
     @staticmethod

@@ -191,6 +191,46 @@ def _motion_compensate(prog: FrameProgramData, planes):
                               pu["x"] // sx:pu["x"] // sx + w // sx] = mc[k]
 
 
+def _apply_pcm(prog: FrameProgramData, planes):
+    """Scatter raw PCM samples into the planes (spec 8.4.1: pcm_flag CUs
+    bypass prediction+residual; samples coded at sps pcm bit depth).
+
+    Safe to run before the intra loop: each block owns its pixels, and
+    intra availability excludes not-yet-decoded positions, so pre-placing
+    PCM pixels matches decode order exactly (see recon.cc execute_pcm).
+    """
+    if prog.pcms is None or len(prog.pcms) == 0:
+        return
+    has_chroma = prog.chroma_width > 0
+    sx = prog.width // prog.chroma_width if has_chroma else 1
+    sy = prog.height // prog.chroma_height if has_chroma else 1
+    sh_y = max(prog.bit_depth[0] - prog.pcm_bit_depth[0], 0)
+    sh_c = max(prog.bit_depth[1] - prog.pcm_bit_depth[1], 0)
+    data = prog.pcm_data.astype(np.int32)
+    for rec in prog.pcms:
+        s = 1 << int(rec["log2_size"])
+        p = int(rec["data_start"])
+        x, y = int(rec["x"]), int(rec["y"])
+        planes[0][y:y + s, x:x + s] = data[p:p + s * s].reshape(s, s) << sh_y
+        p += s * s
+        if has_chroma:
+            cw, ch = s // sx, s // sy
+            cx, cy = x // sx, y // sy
+            for c in (1, 2):
+                planes[c][cy:cy + ch, cx:cx + cw] = \
+                    data[p:p + cw * ch].reshape(ch, cw) << sh_c
+                p += cw * ch
+
+
+def _skip_filter_map4(prog: FrameProgramData):
+    """Per-4x4 mask of samples the loop filters must leave untouched:
+    transquant-bypass CUs, plus PCM CUs when pcm_loop_filter_disable."""
+    skip = (prog.cu_info & 4) != 0
+    if prog.pcm_loop_filter_disable:
+        skip = skip | ((prog.cu_info & 2) != 0)
+    return skip
+
+
 def _paint_motion_grids(prog: FrameProgramData):
     """Per-4x4 motion metadata painted from PU records (deblock bS input)."""
     pb_h, pb_w = prog.qp_y.shape
@@ -250,7 +290,7 @@ def _deblock(prog: FrameProgramData, planes):
         "bit_depth": bd,
         "beta_off": beta_off,
         "tc_off": tc_off,
-        "unfilt": ((prog.cu_info & 4) != 0).astype(np.int32),
+        "unfilt": _skip_filter_map4(prog).astype(np.int32),
         "allow_v": np.ones((pb_h, pb_w), dtype=bool),
         "allow_h": np.ones((pb_h, pb_w), dtype=bool),
     }
@@ -312,7 +352,7 @@ def _apply_sao(prog: FrameProgramData, planes):
     recs = prog.slice_records
     if not np.any(recs[:, 4] | recs[:, 5]):
         return
-    skip4 = ((prog.cu_info & 4) != 0)  # lossless; PCM handled scalar-side
+    skip4 = _skip_filter_map4(prog)  # lossless + filter-disabled PCM
     # per-CTB slice-derived info
     sidx = np.clip(prog.slice_idx, 0, len(recs) - 1)
     sao_on = (recs[sidx, 4] != 0, recs[sidx, 5] != 0)  # luma, chroma per CTB
@@ -392,6 +432,7 @@ def reconstruct(prog: FrameProgramData, run_deblock=True, run_sao=True,
 
     residuals = _compute_residuals(prog)
     _motion_compensate(prog, planes)
+    _apply_pcm(prog, planes)
 
     # inter residual adds
     tus = prog.tus

@@ -130,6 +130,9 @@ struct FrameProgram {
     std::vector<i32> slice_addr;
     std::vector<i32> tile_id;
     bool across_tiles = true;
+    // PCM sample depth + loop-filter disable (sps; for the device backend)
+    int pcm_bit_depth[2] = {8, 8};
+    bool pcm_loop_filter_disable = false;
   };
   std::shared_ptr<Snapshot> snapshot;
 

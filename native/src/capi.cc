@@ -441,6 +441,13 @@ struct tde265_program_view {
   const int32_t* tile_id;         // per-CTB tile id
   int32_t across_tiles;           // pps loop_filter_across_tiles
   int32_t ctb_size;               // luma CTB size (16/32/64)
+  int32_t n_pcms;
+  const uint8_t* pcm_raw;         // raw PcmRec array
+  int32_t pcm_stride;
+  const uint16_t* pcm_data;       // raw samples (Y,Cb,Cr per block)
+  int32_t n_pcm_data;
+  int32_t pcm_bit_depth[2];       // luma, chroma
+  int32_t pcm_loop_filter_disable;
 };
 
 LIBDE265_API void tde265_set_keep_programs(de265_decoder_context* ctx, int keep) {
@@ -513,6 +520,14 @@ LIBDE265_API int tde265_get_program(de265_decoder_context* ctx, int idx,
   out->tile_id = s.tile_id.data();
   out->across_tiles = s.across_tiles ? 1 : 0;
   out->ctb_size = s.ctb_size;
+  out->n_pcms = (int32_t)p.pcms.size();
+  out->pcm_raw = reinterpret_cast<const uint8_t*>(p.pcms.data());
+  out->pcm_stride = sizeof(PcmRec);
+  out->pcm_data = p.pcm_data.data();
+  out->n_pcm_data = (int32_t)p.pcm_data.size();
+  out->pcm_bit_depth[0] = s.pcm_bit_depth[0];
+  out->pcm_bit_depth[1] = s.pcm_bit_depth[1];
+  out->pcm_loop_filter_disable = s.pcm_loop_filter_disable ? 1 : 0;
   return 0;
 }
 

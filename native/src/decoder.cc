@@ -713,6 +713,9 @@ Err Decoder::finish_picture() {
     snap->ctb_w = f->ctb_w;
     snap->ctb_h = f->ctb_h;
     snap->ctb_size = f->sps->ctb_size;
+    snap->pcm_bit_depth[0] = f->sps->pcm_bit_depth_luma;
+    snap->pcm_bit_depth[1] = f->sps->pcm_bit_depth_chroma;
+    snap->pcm_loop_filter_disable = f->sps->pcm_loop_filter_disable;
     snap->qp_y = f->qp_y;
     snap->nonzero_coeff = f->nonzero_coeff;
     snap->deblock_flags = f->deblock_flags;

@@ -69,3 +69,47 @@ def test_pipeline_chroma_format_chain(native_build, fmt, sx, sy):
                                    pipeline.reconstruct_stream(progs)):
         for c in range(nplanes):
             assert np.array_equal(prog.planes[c], planes[c]), (fmt, poc, c)
+
+
+@pytest.mark.parametrize("device_intra", [False, True],
+                         ids=["host-intra", "device-intra"])
+def test_pipeline_pcm_blocks(native_build, device_intra):
+    """PCM CUs through the JAX pipeline: raw samples placed before the
+    intra pass, SAO/deblock skipping PCM pixels (pcm_loop_filter_disable;
+    spec 8.4.1 + 8.7; reference behavior: libde265 pcm handling in
+    slice.cc/deblock.cc). Mixed PCM + transform content, P-GOP, SAO on."""
+    w, h = 96, 96
+    rng = np.random.default_rng(11)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    with Encoder(qp=30, ctb_size=32) as enc:
+        enc.set_parameter("intra-period", 8)
+        enc.set_parameter("sao", True)
+        enc.set_parameter("pcm", True)
+        enc.set_parameter("pcm-threshold", 3000)
+        stream = b""
+        for f in range(3):
+            y = (128 + 60 * np.sin((xx + 2 * f) * 0.11)
+                 * np.cos((yy + f) * 0.07)).clip(0, 255).astype(np.uint8)
+            y[:32, :32] = rng.integers(0, 256, (32, 32))  # forces PCM
+            cb = (100 + 40 * np.sin((xx[::2, ::2] + f) * 0.07)).clip(
+                0, 255).astype(np.uint8)
+            cr = (150 - 40 * np.cos((yy[::2, ::2] + f) * 0.06)).clip(
+                0, 255).astype(np.uint8)
+            stream += enc.encode(y, cb, cr)
+        stream += enc.finish()
+    dec = Decoder(keep_programs=True)
+    pics = list(dec.decode_all(stream))
+    assert len(pics) == 3
+    saw_pcm = False
+    for i in range(dec.num_programs()):
+        prog = dec.get_program(i)
+        saw_pcm = saw_pcm or len(prog.pcms) > 0
+        planes = pipeline.reconstruct(prog, device_intra=device_intra)
+        for c in range(3):
+            ref = prog.planes[c].astype(np.int32)
+            if not np.array_equal(ref, planes[c]):
+                d = np.argwhere(ref != planes[c])
+                raise AssertionError(
+                    f"poc={prog.poc} plane {c}: {len(d)} mismatches, "
+                    f"first at {d[0]}")
+    assert saw_pcm, "stream encoded no PCM blocks; test is vacuous"
