@@ -40,7 +40,12 @@ def _compute_residuals(prog: FrameProgramData):
     tus = prog.tus
     if len(tus) == 0:
         return out
-    plain = (tus["flags"] & (TU_TQ_BYPASS | TU_RDPCM)) == 0
+    # host fallback set: transquant bypass, and explicit RDPCM on
+    # transform-skip TUs; RDPCM without transform-skip takes the normal
+    # inverse-transform path (mirrors native/src/transform.cc)
+    rdpcm_ts = ((tus["flags"] & TU_RDPCM) != 0) & \
+               ((tus["flags"] & TU_TRANSFORM_SKIP) != 0)
+    plain = ((tus["flags"] & TU_TQ_BYPASS) == 0) & ~rdpcm_ts
     for lg in (2, 3, 4, 5):
         sel = np.nonzero((tus["log2_size"] == lg) & plain)[0]
         if len(sel) == 0:
@@ -68,19 +73,44 @@ def _compute_residuals(prog: FrameProgramData):
                 tx.residual_batch(levels, fact, tskip, use_dst, lg, bd))
         for k, t in enumerate(sel):
             out[int(t)] = res[k]
-    # bypass / rdpcm TUs: host fallback (rare; RExt only)
+    # bypass / explicit-RDPCM TUs: host fallback (rare; RExt only)
+    from .decoder import TU_RDPCM_VERTICAL
     for t in np.nonzero(~plain)[0]:
         tu = tus[t]
-        s = 1 << int(tu["log2_size"])
-        block = np.zeros((s, s), dtype=np.int32)
+        lg = int(tu["log2_size"])
+        s = 1 << lg
+        block = np.zeros((s, s), dtype=np.int64)
         start, n = int(tu["coeff_start"]), int(tu["ncoeff"])
         pos = prog.coeff_pos[start:start + n]
         block[pos >> 6, pos & 63] = prog.coeff_val[start:start + n]
-        # transquant bypass: residual = levels (incl. rdpcm cumsum)
-        if tu["flags"] & TU_RDPCM:
-            axis = 0 if True else 1  # direction refinement for RExt later
-            block = np.cumsum(block, axis=axis)
-        out[int(t)] = block
+        axis = 0 if (tu["flags"] & TU_RDPCM_VERTICAL) else 1
+        if tu["flags"] & TU_TQ_BYPASS:
+            # transquant bypass: residual = levels (rdpcm: prefix sums)
+            if tu["flags"] & TU_RDPCM:
+                block = np.cumsum(block, axis=axis)
+            out[int(t)] = block.astype(np.int32)
+            continue
+        # explicit RDPCM on a transform-skip TU: dequant (8.6.3) +
+        # transform-skip scaling, then directional prefix sums
+        # (native/src/transform.cc kTransformSkip+kRdpcm path)
+        c = int(tu["cidx"])
+        bd = prog.bit_depth[c]
+        qp = min(max(int(tu["qp"]), 0), 75)
+        bd_shift = bd + lg - 5
+        if prog.scaling_factors is None:
+            fact = np.int64(tx.LEVEL_SCALE[qp % 6]) << (qp // 6)
+            bd_shift -= 4  # flat factor 16 folded into the shift
+        else:
+            intra = bool(tu["flags"] & TU_INTRA)
+            mid = ((0 if intra else 1) if lg == 5
+                   else c + (0 if intra else 3))
+            sf = prog.scaling_factors[lg][mid].astype(np.int64)
+            fact = (sf * int(tx.LEVEL_SCALE[qp % 6])) << (qp // 6)
+        deq = np.clip((block * fact + (1 << (bd_shift - 1))) >> bd_shift,
+                      -32768, 32767)
+        bd_shift2 = max(20 - bd, 0)
+        v = ((deq << (5 + lg)) + (1 << (bd_shift2 - 1))) >> bd_shift2
+        out[int(t)] = np.cumsum(v, axis=axis).astype(np.int32)
     return out
 
 

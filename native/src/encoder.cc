@@ -1632,6 +1632,13 @@ bool Encoder::try_large_skip(int x0, int y0, int log2_size) {
       for (int xx = 0; xx < bs; xx++)
         res[yy * bs + xx] = src_px(cidx, bx + xx, by + yy) -
                             rec_px(cidx, bx + xx, by + yy);
+    if (cfg_.lossless) {
+      // transquant bypass codes the residual raw: a skip is only valid
+      // when the prediction is already exact
+      for (int i = 0; i < bs * bs; i++)
+        if (res[i]) return false;
+      return true;
+    }
     int lg = ilog2((u32)bs);
     const int bd = cidx == 0 ? sps_->bit_depth_luma : sps_->bit_depth_chroma;
     const int qpp = cur_qp_ + (cidx == 0 ? sps_->qp_bd_offset_luma
@@ -1681,14 +1688,17 @@ void Encoder::encode_large_skip(int x0, int y0, int log2_size) {
                                 PART_2Nx2N, syn);
   predict_inter(x0, y0, n, m, true);
 
+  if (pps_->transquant_bypass_enabled)
+    cabac_->encode_bin(&ctx_[CTX_CU_TRANSQUANT_BYPASS], 1);  // all-lossless
   write_cu_skip_flag(x0, y0, 1);
   write_merge_idx(large_skip_merge_idx_);
 
+  u8 info = (u8)(8 | (pps_->transquant_bypass_enabled ? 4 : 0));  // skip
   for (int dy = 0; dy < n4; dy++)
     for (int dx = 0; dx < n4; dx++) {
       int px = (x0 >> 2) + dx, py = (y0 >> 2) + dy;
       if (px >= f.pb_w || py >= f.pb_h) continue;
-      f.cu_info[py * f.pb_w + px] = 8;  // skip
+      f.cu_info[py * f.pb_w + px] = info;
     }
   mark_cu_edges(x0, y0, log2_size);
   set_cu_qp_grid(x0, y0, log2_size);
@@ -1863,15 +1873,21 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
       for (int xx = 0; xx < nn; xx++)
         res[yy * nn + xx] =
             src_px(cidx, x0c + xx, y0c + yy) - rec_px(cidx, x0c + xx, y0c + yy);
-    i32 coeffs[32 * 32];
-    const int bd = cidx == 0 ? sps_->bit_depth_luma : sps_->bit_depth_chroma;
-    const int qpp = cur_qp_ + (cidx == 0 ? sps_->qp_bd_offset_luma
-                                         : sps_->qp_bd_offset_chroma);
-    fwd_dct_2d(coeffs, res, log2c, bd);
     pc.levels.resize(nn * nn);
-    quantize(pc.levels.data(), coeffs, nn * nn, qpp, log2c, bd, false);
-    if (pps_->sign_data_hiding)
-      apply_sign_hiding(pc.levels.data(), log2c, 0);
+    if (pps_->transquant_bypass_enabled) {
+      // lossless: the coded levels ARE the residual samples
+      for (int i = 0; i < nn * nn; i++)
+        pc.levels[i] = clip3(-32768, 32767, res[i]);
+    } else {
+      i32 coeffs[32 * 32];
+      const int bd = cidx == 0 ? sps_->bit_depth_luma : sps_->bit_depth_chroma;
+      const int qpp = cur_qp_ + (cidx == 0 ? sps_->qp_bd_offset_luma
+                                           : sps_->qp_bd_offset_chroma);
+      fwd_dct_2d(coeffs, res, log2c, bd);
+      quantize(pc.levels.data(), coeffs, nn * nn, qpp, log2c, bd, false);
+      if (pps_->sign_data_hiding)
+        apply_sign_hiding(pc.levels.data(), log2c, 0);
+    }
     pc.cbf = false;
     for (int i = 0; i < nn * nn; i++)
       if (pc.levels[i]) pc.cbf = true;
@@ -1897,8 +1913,10 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
   mark_cu_edges(x0, y0, log2_size);
   if (ch[0].cbf) mark_nonzero(x0, y0, log2_size);
 
-  // update metadata grids
-  u8 info = (use_merge && !any_cbf) ? 8 : 0;  // skip flag for context derivation
+  // update metadata grids (bit3 skip for context derivation, bit2 bypass
+  // for the loop-filter exclusion)
+  u8 info = (u8)(((use_merge && !any_cbf) ? 8 : 0) |
+                 (pps_->transquant_bypass_enabled ? 4 : 0));
   for (int dy = 0; dy < n4; dy++)
     for (int dx = 0; dx < n4; dx++) {
       int px = (x0 >> 2) + dx, py = (y0 >> 2) + dy;
@@ -1907,6 +1925,8 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
     }
 
   // --- syntax ----------------------------------------------------------
+  if (pps_->transquant_bypass_enabled)
+    cabac_->encode_bin(&ctx_[CTX_CU_TRANSQUANT_BYPASS], 1);  // all-lossless
   if (use_merge && !any_cbf) {
     // skip CU: prediction is the reconstruction
     write_cu_skip_flag(x0, y0, 1);
@@ -1973,7 +1993,8 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
     tu.qp = (i8)(pc.cidx == 0
                      ? cur_qp_ + sps_->qp_bd_offset_luma
                      : chroma_qp(cur_qp_) + sps_->qp_bd_offset_chroma);
-    tu.flags = 0;  // inter: DCT, no intra flag
+    tu.flags = pps_->transquant_bypass_enabled ? TuRec::kTransquantBypass
+                                               : 0;  // inter: no intra flag
     tu.coeff_start = start;
     tu.ncoeff = (u16)(prog_.coeff_val.size() - start);
     prog_.tus.push_back(tu);

@@ -652,7 +652,8 @@ bool SliceParser::coding_unit(int x0, int y0, int log2_size) {
 
   if (skip) {
     cu_is_intra_ = false;
-    set_cu_info(8);  // skip, inter
+    // skip, inter; bypass still excludes the CU from loop filters (8.7.2)
+    set_cu_info((u8)(8 | (cu_transquant_bypass_ ? 4 : 0)));
     PuMotionSyntax syn;
     syn.merge_flag = true;
     syn.merge_idx = decode_merge_idx();

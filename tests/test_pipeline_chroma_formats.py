@@ -113,3 +113,114 @@ def test_pipeline_pcm_blocks(native_build, device_intra):
                     f"poc={prog.poc} plane {c}: {len(d)} mismatches, "
                     f"first at {d[0]}")
     assert saw_pcm, "stream encoded no PCM blocks; test is vacuous"
+
+
+def test_pipeline_main10_scaling_lists(native_build):
+    """Main10 + default scaling lists through the JAX pipeline: the
+    int32 shift-split dequant (ops/transform.py residual_batch sf path)
+    must stay exact at 10-bit coefficient ranges (spec 8.6.3)."""
+    w, h = 96, 96
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    with Encoder(qp=27, ctb_size=32, bit_depth=10) as enc:
+        enc.set_parameter("scaling-lists", True)
+        enc.set_parameter("intra-period", 8)
+        stream = b""
+        for f in range(3):
+            y = (512 + 240 * np.sin((xx + 2 * f) * 0.11)
+                 * np.cos((yy + f) * 0.07)).clip(0, 1023).astype(np.uint16)
+            cb = (400 + 160 * np.sin((xx[::2, ::2] + f) * 0.07)).clip(
+                0, 1023).astype(np.uint16)
+            cr = (600 - 160 * np.cos((yy[::2, ::2] + f) * 0.06)).clip(
+                0, 1023).astype(np.uint16)
+            stream += enc.encode(y, cb, cr)
+        stream += enc.finish()
+    dec = Decoder(keep_programs=True)
+    pics = list(dec.decode_all(stream))
+    assert len(pics) == 3
+    for i in range(dec.num_programs()):
+        prog = dec.get_program(i)
+        assert prog.scaling_factors is not None
+        planes = pipeline.reconstruct(prog)
+        for c in range(3):
+            assert np.array_equal(prog.planes[c].astype(np.int32),
+                                  planes[c]), (prog.poc, c)
+
+
+@pytest.mark.parametrize("device_intra", [False, True],
+                         ids=["host-intra", "device-intra"])
+def test_pipeline_lossless_bypass(native_build, device_intra):
+    """Lossless transquant-bypass P-GOP through the JAX pipeline: raw
+    residual levels pass through the host fallback, bypass CUs excluded
+    from deblock/SAO (cu_info bit 2 -> skip maps)."""
+    w, h = 64, 64
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    with Encoder(qp=30, ctb_size=32) as enc:
+        enc.set_parameter("lossless", True)
+        enc.set_parameter("intra-period", 8)
+        stream = b""
+        frames = []
+        for f in range(3):
+            y = (128 + 60 * np.sin((xx + 2 * f) * 0.11)
+                 * np.cos((yy + f) * 0.07)).clip(0, 255).astype(np.uint8)
+            cb = (100 + 40 * np.sin((xx[::2, ::2] + f) * 0.07)).clip(
+                0, 255).astype(np.uint8)
+            cr = (150 - 40 * np.cos((yy[::2, ::2] + f) * 0.06)).clip(
+                0, 255).astype(np.uint8)
+            frames.append((y, cb, cr))
+            stream += enc.encode(y, cb, cr)
+        stream += enc.finish()
+    dec = Decoder(keep_programs=True)
+    pics = list(dec.decode_all(stream))
+    assert len(pics) == 3
+    for i in range(dec.num_programs()):
+        prog = dec.get_program(i)
+        planes = pipeline.reconstruct(prog, device_intra=device_intra)
+        for c in range(3):
+            # lossless: pipeline == oracle == original input
+            assert np.array_equal(prog.planes[c].astype(np.int32),
+                                  planes[c]), (prog.poc, c)
+            assert np.array_equal(frames[i][c].astype(np.int32),
+                                  planes[c]), (prog.poc, c)
+
+
+def test_lossless_inter_gop_reference_decoder(native_build, tmp_path):
+    """Lossless P-GOP conformance: cu_transquant_bypass_flag emitted on
+    inter/skip CUs (spec 7.3.8.5 CU syntax order), skip decisions require
+    exact prediction, inter residual coded raw — the reference decoder
+    must reproduce the original frames exactly."""
+    import os
+    import subprocess
+    ref = "/tmp/refbuild/dec265/dec265"
+    if not os.path.exists(ref):
+        pytest.skip("reference build unavailable")
+    w, h = 64, 64
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    frames = []
+    with Encoder(qp=30, ctb_size=32) as enc:
+        enc.set_parameter("lossless", True)
+        enc.set_parameter("intra-period", 8)
+        stream = b""
+        for f in range(3):
+            y = (128 + 60 * np.sin((xx + 2 * f) * 0.11)
+                 * np.cos((yy + f) * 0.07)).clip(0, 255).astype(np.uint8)
+            cb = (100 + 40 * np.sin((xx[::2, ::2] + f) * 0.07)).clip(
+                0, 255).astype(np.uint8)
+            cr = (150 - 40 * np.cos((yy[::2, ::2] + f) * 0.06)).clip(
+                0, 255).astype(np.uint8)
+            frames.append((y, cb, cr))
+            stream += enc.encode(y, cb, cr)
+        stream += enc.finish()
+    sp = tmp_path / "llgop.h265"
+    sp.write_bytes(stream)
+    out = tmp_path / "llgop.yuv"
+    subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                   capture_output=True)
+    data = np.fromfile(out, dtype=np.uint8)
+    fs = w * h + 2 * (w // 2) * (h // 2)
+    assert data.size == 3 * fs
+    for i, (y, cb, cr) in enumerate(frames):
+        fr = data[i * fs:(i + 1) * fs]
+        assert np.array_equal(fr[:w * h].reshape(h, w), y), i
+        assert np.array_equal(
+            fr[w * h:w * h + (w // 2) * (h // 2)].reshape(h // 2, w // 2),
+            cb), i
