@@ -106,8 +106,16 @@ def derive_edge_params(meta, vertical: bool):
     qp_q = meta["qp"][q].astype(np.int32)
     qp_l = (qp_p + qp_q + 1) >> 1
     bd = meta["bit_depth"]
-    beta = BETA_TABLE[np.clip(qp_l + meta["beta_off"], 0, 51)] << (bd - 8)
-    tc = TC_TABLE[np.clip(qp_l + 2 * (bs - 1) + meta["tc_off"], 0, 53)] << (bd - 8)
+    # offsets may be scalars (single slice) or per-4x4 grids, in which case
+    # the Q-side cell's slice governs (spec 8.7.2, scalar slice_at(xq, yq))
+    boff = meta["beta_off"]
+    if getattr(boff, "ndim", 0) == 2:
+        boff = boff[q]
+    toff = meta["tc_off"]
+    if getattr(toff, "ndim", 0) == 2:
+        toff = toff[q]
+    beta = BETA_TABLE[np.clip(qp_l + boff, 0, 51)] << (bd - 8)
+    tc = TC_TABLE[np.clip(qp_l + 2 * (bs - 1) + toff, 0, 53)] << (bd - 8)
 
     return {"bs": bs.astype(np.int32), "beta": beta.astype(np.int32),
             "tc": tc.astype(np.int32), "qp_l": qp_l.astype(np.int32),

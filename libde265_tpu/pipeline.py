@@ -283,13 +283,37 @@ def _paint_motion_grids(prog: FrameProgramData):
 
 def _deblock(prog: FrameProgramData, planes):
     recs = prog.slice_records
-    # per-picture filter params (multi-slice pictures use slice 0's params in
-    # this round-1 pipeline; the scalar backend remains the general oracle)
-    if recs[0, 1]:
+    pb_h, pb_w = prog.qp_y.shape
+    # per-4x4 slice-derived params: the Q-side cell's slice governs the
+    # offsets/disable (spec 8.7.2; scalar deblock.cc slice_at(xq, yq))
+    cs4 = prog.ctb_size // 4
+    cy = np.arange(pb_h) // cs4
+    cx = np.arange(pb_w) // cs4
+    sidx4 = np.clip(prog.slice_idx[cy[:, None], cx[None, :]].astype(np.int64),
+                    0, len(recs) - 1)
+    disabled4 = recs[sidx4, 1] != 0
+    if np.all(disabled4):
         return
-    beta_off = int(recs[0, 2])
-    tc_off = int(recs[0, 3])
+    beta_off = recs[sidx4, 2].astype(np.int32)
+    tc_off = recs[sidx4, 3].astype(np.int32)
     bd = prog.bit_depth[0]
+
+    # boundary gating (scalar edge_allowed): an edge between different
+    # slices is filtered only if the Q slice allows it; tile boundaries
+    # follow pps loop_filter_across_tiles; disabled slices filter nothing
+    sa4 = prog.slice_addr[cy[:, None], cx[None, :]]
+    ti4 = prog.tile_id[cy[:, None], cx[None, :]]
+    across4 = recs[sidx4, 9] != 0
+
+    def gate(shift_axis):
+        sp = np.roll(sa4, 1, axis=shift_axis)
+        tp = np.roll(ti4, 1, axis=shift_axis)
+        slice_ok = (sp == sa4) | across4
+        tile_ok = prog.across_tiles | (tp == ti4)
+        return slice_ok & tile_ok & ~disabled4
+
+    allow_v4 = gate(1)
+    allow_h4 = gate(0)
     has_chroma = prog.chroma_width > 0
     sub_x = prog.width // prog.chroma_width if has_chroma else 1
     sub_y = prog.height // prog.chroma_height if has_chroma else 1
@@ -304,7 +328,6 @@ def _deblock(prog: FrameProgramData, planes):
         return np.clip(qpi, 0, 51)
 
     pf, mv, rp = _paint_motion_grids(prog)
-    pb_h, pb_w = prog.qp_y.shape
     flags = prog.deblock_flags
     meta = {
         "intra": (prog.cu_info & 1),
@@ -321,8 +344,8 @@ def _deblock(prog: FrameProgramData, planes):
         "beta_off": beta_off,
         "tc_off": tc_off,
         "unfilt": _skip_filter_map4(prog).astype(np.int32),
-        "allow_v": np.ones((pb_h, pb_w), dtype=bool),
-        "allow_h": np.ones((pb_h, pb_w), dtype=bool),
+        "allow_v": allow_v4,
+        "allow_h": allow_h4,
     }
     H, W = prog.height, prog.width
     Ev = W // 8
@@ -340,10 +363,11 @@ def _deblock(prog: FrameProgramData, planes):
     bs_v = params_v["bs"]
     qp_l = params_v["qp_l"]
     segs = np.arange(0, bs_v.shape[1], sub_x)
+    tco_v = tc_off[:, 2 * segs]  # Q-side slice's tc offset per (row, edge)
     for c in range(2 if has_chroma else 0):
         qpi = qp_l[:, segs]  # + pps cb/cr offset: folded into qp via recs? kept 0
         qpc = chroma_qp(qpi)
-        tc_c = dbk.TC_TABLE[np.clip(qpc + 2 + tc_off, 0, 53)] << (bd - 8)
+        tc_c = dbk.TC_TABLE[np.clip(qpc + 2 + tco_v, 0, 53)] << (bd - 8)
         tc_c = np.where(bs_v[:, segs] == 2, tc_c, 0)
         Ec = prog.chroma_width // 8
         tcc = tc_c[:, :Ec]
@@ -363,10 +387,11 @@ def _deblock(prog: FrameProgramData, planes):
     bs_h = params_h["bs"]  # [w4, Eh] (transposed layout)
     qp_lh = params_h["qp_l"]
     segs_h = np.arange(0, bs_h.shape[1], sub_y)
+    tco_h = tc_off.T[:, 2 * segs_h]
     for c in range(2 if has_chroma else 0):
         qpi = qp_lh[:, segs_h]
         qpc = chroma_qp(qpi)
-        tc_c = dbk.TC_TABLE[np.clip(qpc + 2 + tc_off, 0, 53)] << (bd - 8)
+        tc_c = dbk.TC_TABLE[np.clip(qpc + 2 + tco_h, 0, 53)] << (bd - 8)
         tc_c = np.where(bs_h[:, segs_h] == 2, tc_c, 0)
         Ec = prog.chroma_height // 8
         tcc = tc_c[:, :Ec]
