@@ -23,10 +23,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.deblock import _luma_pass
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
-    devs = jax.devices()
-    n = n_devices or len(devs)
-    return Mesh(np.array(devs[:n]), (axis,))
+def make_mesh(n_devices: int | None = None, axis: str = "tiles",
+              devices=None) -> Mesh:
+    """Build a 1-D device mesh.
+
+    `devices` may be passed explicitly (e.g. ``jax.devices("cpu")``); when it
+    is None and the ambient platform cannot supply ``n_devices`` devices, we
+    fall back to the host-CPU backend so that multi-chip dry runs work on a
+    machine with a single accelerator (or a broken one).
+    """
+    if devices is None:
+        try:
+            devices = jax.devices()
+        except Exception:
+            devices = []
+        if n_devices is not None and len(devices) < n_devices:
+            try:
+                devices = jax.devices("cpu")
+            except Exception:
+                pass
+    n = n_devices or len(devices)
+    if len(devices) < n:
+        raise RuntimeError(
+            f"need {n} devices, have {len(devices)}; set "
+            f"JAX_PLATFORMS=cpu with "
+            f"--xla_force_host_platform_device_count={n}")
+    return Mesh(np.array(devices[:n]), (axis,))
 
 
 def shard_residual_batch(mesh: Mesh, levels, fact, tskip, use_dst):

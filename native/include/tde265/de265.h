@@ -164,6 +164,17 @@ LIBDE265_API void de265_set_image_allocation_functions(de265_decoder_context*,
 LIBDE265_API const struct de265_image_allocation* de265_get_default_image_allocation_functions(void);
 LIBDE265_API void de265_set_image_plane(struct de265_image* img, int cIdx,
                                         void* mem, int stride, void* userdata);
+/* Allocate plane memory for cIdx inside the image (16-byte-aligned stride),
+   optionally copying `inputdata` (with `inputstride` bytes per row) into it.
+   Returns the plane base pointer.  Mirrors reference image.cc:69-100. */
+LIBDE265_API void* de265_alloc_image_plane(struct de265_image* img, int cIdx,
+                                           void* inputdata, int inputstride,
+                                           void* userdata);
+LIBDE265_API void de265_free_image_plane(struct de265_image* img, int cIdx);
+/* Query the memory-layout specification of an existing image
+   (reference en265.h:110). */
+LIBDE265_API void de265_get_image_spec_from_image(const struct de265_image* img,
+                                                  struct de265_image_spec* spec);
 
 /* === frame dropping === */
 LIBDE265_API int de265_get_highest_TID(de265_decoder_context*);

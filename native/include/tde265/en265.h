@@ -66,6 +66,14 @@ LIBDE265_API en265_image* en265_allocate_image(en265_encoder_context*, int width
 LIBDE265_API uint8_t* en265_get_image_plane(en265_image*, int cIdx,
                                             int* out_stride);
 LIBDE265_API de265_error en265_push_image(en265_encoder_context*, en265_image*);
+/* Register a callback invoked when the encoder is done reading a pushed
+   image (reference en265.h:45).  The image pointer passed to the callback is
+   the en265_image* originally pushed; the encoder still frees the image
+   struct itself after the callback returns. */
+LIBDE265_API void en265_set_image_release_function(
+    en265_encoder_context*,
+    void (*release_func)(en265_encoder_context*, en265_image*, void* userdata),
+    void* alloc_userdata);
 LIBDE265_API de265_error en265_push_eof(en265_encoder_context*);
 
 /* === encoding loop === */

@@ -62,6 +62,7 @@ struct Frame {
   int bytes_pp = 1;
   std::vector<u8> plane[3];
   int stride[3] = {0, 0, 0};  // in pixels
+  void* plane_user_data[3] = {nullptr, nullptr, nullptr};
 
   // --- per-4x4 metadata (luma coords / 4) ---
   int pb_w = 0, pb_h = 0;

@@ -160,7 +160,12 @@ const de265_image* de265_peek_next_picture(de265_decoder_context* ctx) {
 }
 
 const de265_image* de265_get_next_picture(de265_decoder_context* ctx) {
-  return de265_peek_next_picture(ctx);
+  // Reference semantics (de265.cc:426-433): get = peek + release.  The
+  // returned image stays valid until the next de265 call (its DPB slot is
+  // only reused by a later decode).
+  const de265_image* img = de265_peek_next_picture(ctx);
+  if (img) de265_release_next_picture(ctx);
+  return img;
 }
 
 void de265_release_next_picture(de265_decoder_context* ctx) {
@@ -228,7 +233,10 @@ const uint8_t* de265_get_image_plane(const de265_image* img, int channel,
          ((size_t)top * f->stride[channel] + left) * f->bytes_pp;
 }
 
-void* de265_get_image_plane_user_data(const de265_image*, int) { return nullptr; }
+void* de265_get_image_plane_user_data(const de265_image* img, int channel) {
+  if (!img || channel < 0 || channel > 2) return nullptr;
+  return F(img)->plane_user_data[channel];
+}
 de265_PTS de265_get_image_PTS(const de265_image* img) { return F(img)->pts; }
 void* de265_get_image_user_data(const de265_image* img) { return F(img)->user_data; }
 void de265_set_image_user_data(de265_image* img, void* user_data) {
@@ -285,6 +293,78 @@ const de265_image_allocation* de265_get_default_image_allocation_functions(void)
   return &g_default_alloc;
 }
 void de265_set_image_plane(de265_image*, int, void*, int, void*) {}
+
+// Plane (re)allocation on an image, mirroring the reference's
+// de265_alloc_image_plane/de265_free_image_plane (image.cc:69-107).  tde265
+// keeps pixel ownership inside Frame, so "alloc" (re)initializes the internal
+// plane storage at a 16-aligned stride and copies the caller's data in; the
+// returned pointer is the live plane base.
+void* de265_alloc_image_plane(de265_image* img, int cIdx, void* inputdata,
+                              int inputstride, void* userdata) {
+  if (!img || cIdx < 0 || cIdx > 2) return nullptr;
+  Frame* f = F(img);
+  int w = f->plane_width(cIdx);
+  int h = f->plane_height(cIdx);
+  if (w <= 0 || h <= 0) return nullptr;
+  const int alignment = 16;
+  int stride_px = (w + alignment - 1) / alignment * alignment;
+  f->stride[cIdx] = stride_px;
+  size_t stride_bytes = (size_t)stride_px * f->bytes_pp;
+  f->plane[cIdx].assign(stride_bytes * h, 0);
+  f->plane_user_data[cIdx] = userdata;
+  uint8_t* p = f->plane_ptr(cIdx);
+  if (inputdata) {
+    size_t row_bytes = (size_t)w * f->bytes_pp;
+    if (inputstride == (int)stride_bytes) {
+      memcpy(p, inputdata, stride_bytes * h);
+    } else {
+      for (int y = 0; y < h; y++)
+        memcpy(p + (size_t)y * stride_bytes,
+               (const char*)inputdata + (size_t)y * inputstride, row_bytes);
+    }
+  }
+  return p;
+}
+
+void de265_free_image_plane(de265_image* img, int cIdx) {
+  if (!img || cIdx < 0 || cIdx > 2) return;
+  Frame* f = F(img);
+  f->plane[cIdx].clear();
+  f->plane[cIdx].shrink_to_fit();
+  f->plane_user_data[cIdx] = nullptr;
+}
+
+void de265_get_image_spec_from_image(const de265_image* img,
+                                     de265_image_spec* spec) {
+  if (!img || !spec) return;
+  const Frame* f = F(img);
+  // format codes follow the reference's de265_image_format enum:
+  // 1=YUV420P8, 2=YUV422P8, 3=YUV444P8, 4=mono8 (de265.h:328-333 there).
+  int fmt = 1;
+  switch (f->chroma_format) {
+    case 0: fmt = 4; break;
+    case 1: fmt = 1; break;
+    case 2: fmt = 2; break;
+    case 3: fmt = 3; break;
+  }
+  spec->format = fmt;
+  spec->width = f->width;
+  spec->height = f->height;
+  spec->alignment = 16;
+  int cl = 0, cr = 0, ct = 0, cb = 0;
+  if (f->sps) {
+    cl = f->sps->conf_win_left * f->sps->sub_width_c;
+    cr = f->sps->conf_win_right * f->sps->sub_width_c;
+    ct = f->sps->conf_win_top * f->sps->sub_height_c;
+    cb = f->sps->conf_win_bottom * f->sps->sub_height_c;
+  }
+  spec->crop_left = cl;
+  spec->crop_right = cr;
+  spec->crop_top = ct;
+  spec->crop_bottom = cb;
+  spec->visible_width = f->width - cl - cr;
+  spec->visible_height = f->height - ct - cb;
+}
 
 // ---------------------------------------------------------------------------
 // frame dropping

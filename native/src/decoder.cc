@@ -100,6 +100,15 @@ Err Decoder::decode(int* more) {
     return Err::WaitingForInput;
   }
 
+  // Output-stall protocol (reference decctx.cc:1185-1190): when no DPB slot
+  // is free, pause WITHOUT consuming the NAL so the caller can drain the
+  // output queue and retry.  Skipped while a picture is in flight (its slices
+  // only continue into the already-allocated frame).
+  if (!cur_frame_ && !has_free_dpb_slot()) {
+    if (more) *more = 1;
+    return Err::ImageBufferFull;
+  }
+
   auto nal = nal_parser_.pop();
   if (!nal) return Err::WaitingForInput;
   Err e = decode_nal(std::move(nal));

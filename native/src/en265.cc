@@ -37,6 +37,9 @@ struct EncCtx {
   bool eof = false;
   int frame_number = 0;
   bool started = false;
+  void (*release_func)(en265_encoder_context*, en265_image*,
+                       void* userdata) = nullptr;
+  void* release_userdata = nullptr;
 };
 
 EncCtx* C(en265_encoder_context* ctx) { return reinterpret_cast<EncCtx*>(ctx); }
@@ -232,8 +235,18 @@ de265_error en265_encode(en265_encoder_context* ctx) {
     pkt->pub.pts = img->pts;
     pkt->pub.user_data = img->userdata;
     c->packets.push_back(std::move(pkt));
+    if (c->release_func) c->release_func(ctx, img.get(), c->release_userdata);
   }
   return DE265_OK;
+}
+
+void en265_set_image_release_function(
+    en265_encoder_context* ctx,
+    void (*release_func)(en265_encoder_context*, en265_image*, void* userdata),
+    void* alloc_userdata) {
+  EncCtx* c = C(ctx);
+  c->release_func = release_func;
+  c->release_userdata = alloc_userdata;
 }
 
 enum en265_encoder_state en265_get_encoder_state(en265_encoder_context* ctx) {
