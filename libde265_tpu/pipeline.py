@@ -114,6 +114,38 @@ def _compute_residuals(prog: FrameProgramData):
     return out
 
 
+def _apply_ccp(prog: FrameProgramData, residuals):
+    """RExt cross-component prediction (spec 8.6.6): chroma residual +=
+    (scale * luma_residual_term) >> 3, pairing each scaled chroma TU with the
+    most recent luma TU in op order (4:4:4 only, identical geometry).
+
+    Integer behavior replicates the reference decoder exactly
+    (transform.cc:244-260 there): LOGICAL uint32 shifts for the luma term and
+    int32 wraparound in the product — see native/src/transform.cc CCP hook.
+    """
+    tus = prog.tus
+    if len(tus) == 0 or not (tus["cross_comp_scale"] != 0).any():
+        return
+    bd_y = prog.bit_depth[0]
+    last_luma = -1
+    for op in prog.ops:
+        if op["kind"] != OP_RESIDUAL:
+            continue
+        t = int(op["idx"])
+        tu = tus[t]
+        if tu["cidx"] == 0:
+            last_luma = t
+            continue
+        s = int(tu["cross_comp_scale"])
+        if s == 0 or last_luma < 0:
+            continue
+        bd_c = prog.bit_depth[int(tu["cidx"])]
+        r_y = residuals[last_luma].astype(np.uint32)
+        term32 = ((r_y << np.uint32(bd_c)) >> np.uint32(bd_y))
+        prod = (np.uint32(s & 0xFFFFFFFF) * term32).astype(np.int32)
+        residuals[t] = (residuals[t] + (prod >> 3)).astype(np.int32)
+
+
 def _motion_compensate(prog: FrameProgramData, planes):
     """Batched MC for all PUs; writes predictions into planes."""
     pus = prog.pus
@@ -486,6 +518,7 @@ def reconstruct(prog: FrameProgramData, run_deblock=True, run_sao=True,
               np.zeros((prog.chroma_height, prog.chroma_width), dtype=np.int32)]
 
     residuals = _compute_residuals(prog)
+    _apply_ccp(prog, residuals)
     _motion_compensate(prog, planes)
     _apply_pcm(prog, planes)
 

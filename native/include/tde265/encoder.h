@@ -74,6 +74,9 @@ struct EncoderConfig {
   bool transform_skip = false;
   // constrained intra prediction (intra borders exclude inter samples)
   bool constrained_intra = false;
+  // RExt cross-component prediction (4:4:4 only): predict chroma residuals
+  // from the reconstructed luma residual with a signalled per-TU scale
+  bool ccp = false;
   int num_refs = 1;  // reference pictures in L0 (1 or 2; 2 exercises
                      // ref_idx signalling and cross-distance MV scaling)
   // intra mode candidate set searched per CU

@@ -77,6 +77,10 @@ class SliceParser {
   bool residual_coding(int x0, int y0, int log2_size, int cidx);
   // Emit intra-pred op for a channel block.
   void emit_intra(int x0, int y0, int log2_size, int cidx, int mode);
+  int chroma_mode_at(int x0, int y0) const;   // luma coords
+  bool chroma_dm_at(int x0, int y0) const;    // luma coords
+  int read_cross_comp_pred(int c_minus1);     // returns ResScaleVal
+  void emit_zero_ccp_tu(int x0, int y0, int log2_size, int cidx, int scale);
   void emit_residual(int x0, int y0, int log2_size, int cidx, bool has_coeffs,
                      u32 coeff_start, int ncoeff, u8 extra_flags);
 
@@ -139,6 +143,13 @@ class SliceParser {
   bool cu_pcm_ = false;
   u8 intra_mode_y_[4] = {};   // per NxN part
   u8 intra_mode_c_ = 0;
+  // 4:4:4 signals one chroma mode per luma PB (spec 7.3.8.5; reference
+  // slice.cc:4514-4536); per-quadrant mode + derived-from-luma (mode 4) flag.
+  u8 intra_mode_c4_[4] = {};
+  bool chroma_dm_[4] = {};
+  // RExt cross-component prediction: ResScaleVal for the chroma residual
+  // currently being parsed (reference slice.cc:3565-3599).
+  int cur_res_scale_ = 0;
   bool cu_is_intra_ = true;
   u8 cu_part_mode_ = 0;       // PartMode enum
   bool explicit_rdpcm_flag_ = false;

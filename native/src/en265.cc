@@ -128,6 +128,7 @@ de265_error en265_set_parameter_bool(en265_encoder_context* ctx,
   if (p == "sign-hiding") C(ctx)->cfg.sign_hiding = (value != 0);
   if (p == "transform-skip") C(ctx)->cfg.transform_skip = (value != 0);
   if (p == "constrained-intra") C(ctx)->cfg.constrained_intra = (value != 0);
+  if (p == "ccp") C(ctx)->cfg.ccp = (value != 0);
   return DE265_OK;
 }
 
@@ -279,7 +280,7 @@ enum en265_parameter_type en265_get_parameter_type(en265_encoder_context*,
   std::string p = param ? param : "";
   if (p == "sop-structure") return en265_parameter_choice;
   if (p == "scaling-lists" || p == "wpp" || p == "pcm" || p == "lossless" ||
-      p == "sao" || p == "adaptive-qp")
+      p == "sao" || p == "adaptive-qp" || p == "ccp")
     return en265_parameter_bool;
   return en265_parameter_int;
 }

@@ -17,7 +17,8 @@ namespace tde265 {
 
 // defined in intra.cc / transform.cc (scalar backend)
 void execute_intra_scalar(const FrameProgram& prog, const IntraRec& rec);
-void execute_tu_scalar(const FrameProgram& prog, const TuRec& tu);
+void execute_tu_scalar(const FrameProgram& prog, const TuRec& tu,
+                       i32* luma_residual_cache = nullptr);
 void idct_2d(i32* dst, const i16* coeffs, int nT, int bd_shift);
 void idst_4x4(i32* dst, const i16* coeffs, int bd_shift);
 
@@ -145,6 +146,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   p.loop_filter_across_slices = true;
   p.log2_parallel_merge_level = 2;
   p.entropy_coding_sync_enabled = cfg.wpp;
+  p.cross_component_prediction_enabled = cfg.ccp && cfg.chroma_format == 3;
 
   if (cfg.tile_cols > 1 || cfg.tile_rows > 1) {
     p.tiles_enabled = true;
@@ -294,7 +296,22 @@ void Encoder::write_headers(std::vector<u8>* out) {
   pp.write_flag(false);  // lists_modification_present
   pp.write_uvlc(0);      // log2_parallel_merge_level_minus2
   pp.write_flag(false);  // slice_segment_header_extension
-  pp.write_flag(false);  // pps_extension
+  if (ppr.cross_component_prediction_enabled) {
+    // pps_range_extension (spec 7.3.2.3.2): only CCP switched on
+    pp.write_flag(true);   // pps_extension_present
+    pp.write_flag(true);   // pps_range_extension
+    pp.write_flag(false);  // pps_multilayer_extension
+    pp.write_flag(false);  // pps_3d_extension
+    for (int i = 0; i < 5; i++) pp.write_flag(false);  // pps_extension_5bits
+    if (ppr.transform_skip_enabled)
+      pp.write_uvlc(0);    // log2_max_transform_skip_block_size_minus2
+    pp.write_flag(true);   // cross_component_prediction_enabled
+    pp.write_flag(false);  // chroma_qp_offset_list_enabled
+    pp.write_uvlc(0);      // log2_sao_offset_scale_luma
+    pp.write_uvlc(0);      // log2_sao_offset_scale_chroma
+  } else {
+    pp.write_flag(false);  // pps_extension
+  }
   pp.trailing_bits();
   append_nal(out, NAL_PPS, 0, pp.rbsp());
 }
@@ -1049,7 +1066,13 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
     std::vector<i32> levels;
     int scan;
     int x0c, y0c, log2, cidx, mode;
+    int ccp_scale = 0;  // RExt cross-component prediction ResScaleVal
   } ch[5];  // Y, Cb0, Cr0, Cb1 (4:2:2), Cr1 (4:2:2)
+
+  // decoded luma residual of this TU, for cross-component prediction
+  i32 ccp_luma_res[32 * 32];
+  const bool ccp_active = pps_->cross_component_prediction_enabled;
+  i32* ccp_cache = ccp_active ? ccp_luma_res : nullptr;
 
   auto prepare_channel = [&](int slot, int log2c, int x0c, int y0c, int m) {
     Pending& pc = ch[slot];
@@ -1077,6 +1100,36 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
       for (int xx = 0; xx < n; xx++)
         res[yy * n + xx] =
             src_px(cidx, x0c + xx, y0c + yy) - rec_px(cidx, x0c + xx, y0c + yy);
+
+    // Cross-component prediction: pick the ResScaleVal that minimizes the
+    // energy of res - (scale * decoded_luma_residual) >> 3, then code that
+    // adjusted residual (decoder applies the inverse, transform.cc CCP hook).
+    pc.ccp_scale = 0;
+    if (ccp_active && cidx != 0 && ch[0].cbf) {
+      const int bd_y = sps_->bit_depth_luma, bd_c = sps_->bit_depth_chroma;
+      static const int kScales[9] = {0, 1, -1, 2, -2, 4, -4, 8, -8};
+      i64 best = -1;
+      int best_s = 0;
+      // terms use the decoder's exact integer behavior (see transform.cc
+      // CCP hook: logical shifts + int32 wrap, matching the reference)
+      auto ccp_term = [&](int s, i32 r_y) {
+        i32 t = (i32)(((u32)r_y << bd_c) >> bd_y);
+        return (i32)((u32)s * (u32)t) >> 3;
+      };
+      for (int s : kScales) {
+        i64 ssd = 0;
+        for (int i = 0; i < n * n; i++) {
+          i64 d = res[i] - ccp_term(s, ccp_luma_res[i]);
+          ssd += d * d;
+        }
+        if (best < 0 || ssd < best) { best = ssd; best_s = s; }
+      }
+      if (best_s != 0) {
+        pc.ccp_scale = best_s;
+        for (int i = 0; i < n * n; i++)
+          res[i] -= ccp_term(best_s, ccp_luma_res[i]);
+      }
+    }
     pc.levels.resize(n * n);
     if (pps_->transquant_bypass_enabled) {
       // lossless: the coded levels ARE the residual samples
@@ -1133,9 +1186,9 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
 
     // append + execute the residual now, in decode order — later channel
     // blocks (4:2:2 second TBs) predict from this reconstruction
-    if (pc.cbf) {
+    if (pc.cbf || pc.ccp_scale) {
       u32 start = (u32)prog_.coeff_val.size();
-      for (int i = 0; i < n * n; i++) {
+      for (int i = 0; i < n * n && pc.cbf; i++) {
         if (pc.levels[i]) {
           prog_.coeff_val.push_back((i16)clip3(-32768, 32767, pc.levels[i]));
           int xc = i % n, yc = i / n;
@@ -1157,9 +1210,10 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
                                                   : 0);
       tu.coeff_start = start;
       tu.ncoeff = (u16)(prog_.coeff_val.size() - start);
+      tu.cross_comp_scale = (i8)pc.ccp_scale;
       prog_.tus.push_back(tu);
       prog_.ops.push_back({Op::kAddResidual, (u32)(prog_.tus.size() - 1)});
-      execute_tu_scalar(prog_, tu);
+      execute_tu_scalar(prog_, tu, ccp_cache);
     }
 
   };
@@ -1222,6 +1276,26 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
   if (ch[0].cbf)
     write_residual(x0, y0, log2_size, 0, ch[0].levels.data(), ch[0].scan,
                    ch[0].tskip);
+
+  // Cross-component prediction res_scale syntax (spec 7.3.8.12): one value
+  // per chroma component, before its residual, whenever CCP is possible
+  // (444 + DM chroma + coded luma) — even when the value is zero.
+  const bool write_ccp_syntax = ccp_active && ch[0].cbf;
+  auto write_ccp = [&](int c_minus1, int scale) {
+    int abs_plus1 = 0;
+    int a = scale < 0 ? -scale : scale;
+    while ((1 << abs_plus1) <= a) abs_plus1++;  // 0->0, 1->1, 2->2, 4->3, 8->4
+    for (int b = 0; b < abs_plus1; b++)
+      cabac_->encode_bin(&ctx_[CTX_LOG2_RES_SCALE_ABS + 4 * c_minus1 + b], 1);
+    if (abs_plus1 < 4)
+      cabac_->encode_bin(
+          &ctx_[CTX_LOG2_RES_SCALE_ABS + 4 * c_minus1 + abs_plus1], 0);
+    if (abs_plus1)
+      cabac_->encode_bin(&ctx_[CTX_RES_SCALE_SIGN + c_minus1],
+                         scale < 0 ? 1 : 0);
+  };
+
+  if (write_ccp_syntax) write_ccp(0, ch[1].ccp_scale);
   if (ch[1].cbf)
     write_residual(x0, y0, log2c, 1, ch[1].levels.data(), ch[1].scan,
                    ch[1].tskip);
@@ -1230,6 +1304,7 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
       write_residual(x0, y0, log2c, 1, ch[3].levels.data(), ch[3].scan,
                      ch[3].tskip);
   }
+  if (write_ccp_syntax) write_ccp(1, ch[2].ccp_scale);
   if (ch[2].cbf)
     write_residual(x0, y0, log2c, 2, ch[2].levels.data(), ch[2].scan,
                    ch[2].tskip);

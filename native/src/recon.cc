@@ -10,7 +10,8 @@
 
 namespace tde265 {
 
-void execute_tu_scalar(const FrameProgram& prog, const TuRec& tu);       // transform.cc
+void execute_tu_scalar(const FrameProgram& prog, const TuRec& tu,
+                       i32* luma_residual_cache = nullptr);  // transform.cc
 void execute_intra_scalar(const FrameProgram& prog, const IntraRec& r);  // intra.cc
 
 // ---------------------------------------------------------------------------
@@ -455,13 +456,21 @@ void execute_pu_scalar(const FrameProgram& prog, const PuRec& pu) {
 Err execute_program_scalar(FrameProgram& prog, bool run_deblock, bool run_sao) {
   if (!prog.frame) return Err::InternalError;
 
+  // Cross-component prediction needs the enclosing TU's luma residual when
+  // reconstructing chroma; ops run in parse order, so a single cache works.
+  i32 luma_residual[32 * 32];
+  i32* ccp_cache = (prog.frame->pps &&
+                    prog.frame->pps->cross_component_prediction_enabled)
+                       ? luma_residual
+                       : nullptr;
+
   for (const Op& op : prog.ops) {
     switch (op.kind) {
       case Op::kIntraPred:
         execute_intra_scalar(prog, prog.intras[op.idx]);
         break;
       case Op::kAddResidual:
-        execute_tu_scalar(prog, prog.tus[op.idx]);
+        execute_tu_scalar(prog, prog.tus[op.idx], ccp_cache);
         break;
       case Op::kInterPred:
         if (prog.frame->bytes_pp == 1)

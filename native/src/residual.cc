@@ -378,6 +378,7 @@ bool SliceParser::residual_coding(int x0, int y0, int log2_size, int cidx) {
   }
   tu.log2_size = (u8)log2_size;
   tu.cidx = (u8)cidx;
+  if (cidx != 0) tu.cross_comp_scale = (i8)cur_res_scale_;
   tu.coeff_start = coeff_start;
   tu.ncoeff = (u16)(prog_->coeff_val.size() - coeff_start);
   u8 flags = 0;

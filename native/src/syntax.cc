@@ -457,6 +457,63 @@ void SliceParser::emit_intra(int x0, int y0, int log2_size, int cidx, int mode) 
   prog_->ops.push_back({Op::kIntraPred, (u32)(prog_->intras.size() - 1)});
 }
 
+// Chroma intra mode / derived-from-luma flag at a luma position inside the
+// current CU.  4:4:4 NxN CUs carry one chroma mode per quadrant.
+int SliceParser::chroma_mode_at(int x0, int y0) const {
+  if (sps_->chroma_array_type != 3 || !intra_split_) return intra_mode_c_;
+  int half = 1 << (cu_log2_size_ - 1);
+  int q = ((y0 - cu_pred_mode_y0_) >= half ? 2 : 0) +
+          ((x0 - cu_pred_mode_x0_) >= half ? 1 : 0);
+  return intra_mode_c4_[q];
+}
+
+bool SliceParser::chroma_dm_at(int x0, int y0) const {
+  if (sps_->chroma_array_type != 3 || !intra_split_) return chroma_dm_[0];
+  int half = 1 << (cu_log2_size_ - 1);
+  int q = ((y0 - cu_pred_mode_y0_) >= half ? 2 : 0) +
+          ((x0 - cu_pred_mode_x0_) >= half ? 1 : 0);
+  return chroma_dm_[q];
+}
+
+// RExt cross-component prediction syntax (spec 7.3.8.12; reference
+// slice.cc:3527-3581): TR-coded log2_res_scale_abs_plus1 (cMax=4, contexts
+// 4*c+binIdx) then res_scale_sign_flag.  Returns ResScaleVal.
+int SliceParser::read_cross_comp_pred(int c_minus1) {
+  int value = 0;
+  for (int bin_idx = 0; bin_idx < 4; bin_idx++) {
+    if (!cabac_.decode_bin(
+            &ctx_[CTX_LOG2_RES_SCALE_ABS + 4 * c_minus1 + bin_idx]))
+      break;
+    value++;
+  }
+  if (value == 0) return 0;
+  int sign = cabac_.decode_bin(&ctx_[CTX_RES_SCALE_SIGN + c_minus1]);
+  int res_scale = 1 << (value - 1);
+  return sign ? -res_scale : res_scale;
+}
+
+// Chroma TB with cbf==0 but ResScaleVal!=0 still reconstructs a residual
+// (the scaled luma residual); emit a coefficient-less TU record (reference
+// decode_TU cbf==0 path, slice.cc:3516-3524).
+void SliceParser::emit_zero_ccp_tu(int x0, int y0, int log2_size, int cidx,
+                                   int scale) {
+  TuRec tu;
+  tu.x = (u16)(x0 / sps_->sub_width_c);
+  tu.y = (u16)(y0 / sps_->sub_height_c);
+  tu.qp = (i8)get_chroma_qp(qp_y_, cidx);
+  tu.log2_size = (u8)log2_size;
+  tu.cidx = (u8)cidx;
+  tu.coeff_start = (u32)prog_->coeff_val.size();
+  tu.ncoeff = 0;
+  tu.cross_comp_scale = (i8)scale;
+  u8 flags = 0;
+  if (cu_transquant_bypass_) flags |= TuRec::kTransquantBypass;
+  if (cu_is_intra_) flags |= TuRec::kIntra;
+  tu.flags = flags;
+  prog_->tus.push_back(tu);
+  prog_->ops.push_back({Op::kAddResidual, (u32)(prog_->tus.size() - 1)});
+}
+
 // --- coding quadtree (spec 7.3.8.4) ----------------------------------------
 
 bool SliceParser::coding_quadtree(int x0, int y0, int log2_size, int depth) {
@@ -730,9 +787,30 @@ bool SliceParser::coding_unit(int x0, int y0, int log2_size) {
     set_cu_info(info);
     intra_split = (part_mode == PART_NxN);
     intra_mode_luma(x0, y0, log2_size, intra_split);
-    if (sps_->chroma_array_type != 0) {
+    if (sps_->chroma_array_type == 3) {
+      // 4:4:4: one intra_chroma_pred_mode per luma PB (spec 7.3.8.5;
+      // reference slice.cc:4514-4536).
+      int n_parts = intra_split ? 4 : 1;
+      int pb4 = n4 >> (intra_split ? 1 : 0);
+      for (int i = 0; i < n_parts; i++) {
+        int bin = decode_chroma_mode_bins();
+        u8 mc = (u8)map_chroma_mode(bin, intra_mode_y_[i]);
+        intra_mode_c4_[i] = mc;
+        chroma_dm_[i] = (bin == 4);
+        int bx = (x0 >> 2) + (i & 1) * pb4, by = (y0 >> 2) + (i >> 1) * pb4;
+        for (int y = 0; y < pb4; y++)
+          for (int x = 0; x < pb4; x++) {
+            int px = bx + x, py = by + y;
+            if (px < frame_->pb_w && py < frame_->pb_h)
+              frame_->intra_mode_c[py * frame_->pb_w + px] = mc;
+          }
+      }
+      intra_mode_c_ = intra_mode_c4_[0];
+    } else if (sps_->chroma_array_type != 0) {
       int bin = decode_chroma_mode_bins();
       intra_mode_c_ = (u8)map_chroma_mode(bin, intra_mode_y_[0]);
+      chroma_dm_[0] = chroma_dm_[1] = chroma_dm_[2] = chroma_dm_[3] =
+          (bin == 4);
       if (sps_->chroma_array_type == 2) {
         // spec 8.4.4.2.1 Table 8-3: 4:2:2 chroma mode conversion
         static const u8 kMode422[35] = {
@@ -946,24 +1024,43 @@ bool SliceParser::transform_unit(int x0, int y0, int x_base, int y_base,
   const bool c422 = sps_->chroma_array_type == 2;
   if (log2_size > 2 || sps_->chroma_array_type == 3) {
     int y_off = 1 << log2_size_c;  // 4:2:2 second TB (chroma rows)
-    if (cu_is_intra_) emit_intra(x0 / sw, y0 / shc, log2_size_c, 1, intra_mode_c_);
+
+    // RExt cross-component prediction (reference slice.cc:3719-3724): one
+    // res_scale per chroma component, read before its residual, when the
+    // luma TB is coded and chroma predicts from luma (inter or DM mode).
+    const bool do_ccp = pps_->cross_component_prediction_enabled && cbf_luma &&
+                        (!cu_is_intra_ || chroma_dm_at(x0, y0));
+
+    if (cu_is_intra_)
+      emit_intra(x0 / sw, y0 / shc, log2_size_c, 1, chroma_mode_at(x0, y0));
+    cur_res_scale_ = do_ccp ? read_cross_comp_pred(0) : 0;
     if (cbf_cb[0]) {
       if (!residual_coding(x0, y0, log2_size_c, 1)) return false;
+    } else if (cur_res_scale_ != 0) {
+      emit_zero_ccp_tu(x0, y0, log2_size_c, 1, cur_res_scale_);
     }
+    cur_res_scale_ = 0;
     if (c422) {
       if (cu_is_intra_)
-        emit_intra(x0 / sw, y0 / shc + y_off, log2_size_c, 1, intra_mode_c_);
+        emit_intra(x0 / sw, y0 / shc + y_off, log2_size_c, 1,
+                   chroma_mode_at(x0, y0));
       if (cbf_cb[1]) {
         if (!residual_coding(x0, y0 + y_off * shc, log2_size_c, 1)) return false;
       }
     }
-    if (cu_is_intra_) emit_intra(x0 / sw, y0 / shc, log2_size_c, 2, intra_mode_c_);
+    if (cu_is_intra_)
+      emit_intra(x0 / sw, y0 / shc, log2_size_c, 2, chroma_mode_at(x0, y0));
+    cur_res_scale_ = do_ccp ? read_cross_comp_pred(1) : 0;
     if (cbf_cr[0]) {
       if (!residual_coding(x0, y0, log2_size_c, 2)) return false;
+    } else if (cur_res_scale_ != 0) {
+      emit_zero_ccp_tu(x0, y0, log2_size_c, 2, cur_res_scale_);
     }
+    cur_res_scale_ = 0;
     if (c422) {
       if (cu_is_intra_)
-        emit_intra(x0 / sw, y0 / shc + y_off, log2_size_c, 2, intra_mode_c_);
+        emit_intra(x0 / sw, y0 / shc + y_off, log2_size_c, 2,
+                   chroma_mode_at(x0, y0));
       if (cbf_cr[1]) {
         if (!residual_coding(x0, y0 + y_off * shc, log2_size_c, 2)) return false;
       }

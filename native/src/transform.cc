@@ -295,7 +295,8 @@ static void add_residual_t(pixel_t* dst, int stride, const i32* residual,
           (pixel_t)clip_bd(dst[y * stride + x] + residual[y * nT + x], bd);
 }
 
-void execute_tu_scalar(const FrameProgram& prog, const TuRec& tu) {
+void execute_tu_scalar(const FrameProgram& prog, const TuRec& tu,
+                       i32* luma_residual_cache) {
   Frame& frame = *prog.frame;
   const Sps& sps = *frame.sps;
   const Pps& pps = *frame.pps;
@@ -423,7 +424,29 @@ void execute_tu_scalar(const FrameProgram& prog, const TuRec& tu) {
     }
   }
 
-  // TODO(rext): cross-component prediction hooks into the residual here.
+  // RExt cross-component prediction (spec 8.6.6; reference
+  // transform.cc:244-260): chroma residual += (ResScaleVal *
+  // ((luma_residual << BitDepthC) >> BitDepthY)) >> 3.  The luma residual of
+  // the enclosing TU is cached by the executor loop (4:4:4 only, so the luma
+  // and chroma TBs have identical geometry).
+  if (luma_residual_cache) {
+    if (cidx == 0) {
+      memcpy(luma_residual_cache, residual, sizeof(i32) * nT * nT);
+    } else if (tu.cross_comp_scale != 0) {
+      // r += (ResScaleVal * ((rY << BitDepthC) >> BitDepthY)) >> 3
+      // (spec 8.6.6).  NOTE: we replicate the reference's exact integer
+      // behavior (transform.cc:244-260 there): the luma term is computed
+      // with uint32 LOGICAL shifts, so a negative rY yields rY mod 2^24
+      // (equal bit depths) rather than rY — the product then wraps in
+      // int32.  Spec-arithmetic shifts would preserve the sign; we match
+      // the reference bit-for-bit since it is the conformance oracle.
+      int bd_y = frame.bit_depth[0];
+      for (int i = 0; i < nT * nT; i++) {
+        i32 t = (i32)(((u32)luma_residual_cache[i] << bd) >> bd_y);
+        residual[i] += (i32)((u32)tu.cross_comp_scale * (u32)t) >> 3;
+      }
+    }
+  }
 
   if (frame.bytes_pp == 1) {
     add_residual_t(frame.px8(cidx, tu.x, tu.y), frame.stride[cidx], residual,
