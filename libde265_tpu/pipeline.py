@@ -328,6 +328,10 @@ def _deblock(prog: FrameProgramData, planes):
         return
     beta_off = recs[sidx4, 2].astype(np.int32)
     tc_off = recs[sidx4, 3].astype(np.int32)
+    # pps cb/cr qp offsets for the chroma tc lookup (spec 8.7.2.5.5;
+    # scalar deblock.cc:237)
+    cqoff = [recs[sidx4, 10].astype(np.int32),
+             recs[sidx4, 11].astype(np.int32)]
     bd = prog.bit_depth[0]
 
     # boundary gating (scalar edge_allowed): an edge between different
@@ -397,7 +401,7 @@ def _deblock(prog: FrameProgramData, planes):
     segs = np.arange(0, bs_v.shape[1], sub_x)
     tco_v = tc_off[:, 2 * segs]  # Q-side slice's tc offset per (row, edge)
     for c in range(2 if has_chroma else 0):
-        qpi = qp_l[:, segs]  # + pps cb/cr offset: folded into qp via recs? kept 0
+        qpi = qp_l[:, segs] + cqoff[c][:, 2 * segs]
         qpc = chroma_qp(qpi)
         tc_c = dbk.TC_TABLE[np.clip(qpc + 2 + tco_v, 0, 53)] << (bd - 8)
         tc_c = np.where(bs_v[:, segs] == 2, tc_c, 0)
@@ -421,7 +425,7 @@ def _deblock(prog: FrameProgramData, planes):
     segs_h = np.arange(0, bs_h.shape[1], sub_y)
     tco_h = tc_off.T[:, 2 * segs_h]
     for c in range(2 if has_chroma else 0):
-        qpi = qp_lh[:, segs_h]
+        qpi = qp_lh[:, segs_h] + cqoff[c].T[:, 2 * segs_h]
         qpc = chroma_qp(qpi)
         tc_c = dbk.TC_TABLE[np.clip(qpc + 2 + tco_h, 0, 53)] << (bd - 8)
         tc_c = np.where(bs_h[:, segs_h] == 2, tc_c, 0)

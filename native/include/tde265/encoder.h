@@ -77,6 +77,10 @@ struct EncoderConfig {
   // RExt cross-component prediction (4:4:4 only): predict chroma residuals
   // from the reconstructed luma residual with a signalled per-TU scale
   bool ccp = false;
+  // PPS-level chroma QP offsets (spec 7.4.3.3.1, -12..12); also used by the
+  // deblocking chroma tc derivation (8.7.2.5.5)
+  int cb_qp_offset = 0;
+  int cr_qp_offset = 0;
   int num_refs = 1;  // reference pictures in L0 (1 or 2; 2 exercises
                      // ref_idx signalling and cross-distance MV scaling)
   // intra mode candidate set searched per CU
@@ -135,7 +139,7 @@ class Encoder {
   void write_residual(int x0c, int y0c, int log2_size, int cidx,
                       const i32* levels, int scan_idx, bool tskip = false);
   static int map_dm_chroma(int luma_mode);
-  int chroma_qp(int qp_y) const;
+  int chroma_qp(int qp_y, int cidx) const;
 
   EncoderConfig cfg_;
   std::shared_ptr<Sps> sps_;

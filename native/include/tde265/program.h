@@ -117,6 +117,7 @@ struct FrameProgram {
     // [0] slice_type [1] deblock_disabled [2] beta_offset [3] tc_offset
     // [4] sao_luma [5] sao_chroma [6] weighted_flag [7] luma_log2_denom
     // [8] chroma_log2_denom [9] loop_filter_across_slices
+    // [10] pps_cb_qp_offset [11] pps_cr_qp_offset
     // [16..47]  luma_weight[2][16]   [48..79]  luma_offset[2][16]
     // [80..143] chroma_weight[2][16][2] [144..207] chroma_offset[2][16][2]
     static constexpr int kSliceRecordLen = 208;

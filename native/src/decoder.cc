@@ -751,6 +751,8 @@ Err Decoder::finish_picture() {
       r[7] = sh.wp.luma_log2_weight_denom;
       r[8] = sh.wp.chroma_log2_weight_denom;
       r[9] = sh.loop_filter_across_slices;
+      r[10] = sh.pps->cb_qp_offset;  // deblock chroma QP (spec 8.7.2.5.5)
+      r[11] = sh.pps->cr_qp_offset;
       for (int l = 0; l < 2; l++)
         for (int i = 0; i < 16; i++) {
           r[16 + l * 16 + i] = sh.wp.luma_weight[l][i];

@@ -102,6 +102,12 @@ de265_error en265_set_parameter_int(en265_encoder_context* ctx,
   } else if (p == "ctbs-per-slice") {
     if (value < 0) return DE265_ERROR_PARAMETER_PARSING;
     c->cfg.ctbs_per_slice = value;
+  } else if (p == "cb-qp-offset") {
+    if (value < -12 || value > 12) return DE265_ERROR_PARAMETER_PARSING;
+    c->cfg.cb_qp_offset = value;
+  } else if (p == "cr-qp-offset") {
+    if (value < -12 || value > 12) return DE265_ERROR_PARAMETER_PARSING;
+    c->cfg.cr_qp_offset = value;
   } else if (p == "bit-depth") {
     if (value < 8 || value > 10) return DE265_ERROR_PARAMETER_PARSING;
     c->cfg.bit_depth = value;

@@ -147,6 +147,8 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   p.log2_parallel_merge_level = 2;
   p.entropy_coding_sync_enabled = cfg.wpp;
   p.cross_component_prediction_enabled = cfg.ccp && cfg.chroma_format == 3;
+  p.cb_qp_offset = clip3(-12, 12, cfg.cb_qp_offset);
+  p.cr_qp_offset = clip3(-12, 12, cfg.cr_qp_offset);
 
   if (cfg.tile_cols > 1 || cfg.tile_rows > 1) {
     p.tiles_enabled = true;
@@ -270,8 +272,8 @@ void Encoder::write_headers(std::vector<u8>* out) {
   pp.write_flag(pps_->transform_skip_enabled);
   pp.write_flag(pps_->cu_qp_delta_enabled);
   if (pps_->cu_qp_delta_enabled) pp.write_uvlc(0);  // diff_cu_qp_delta_depth
-  pp.write_svlc(0);      // cb_qp_offset
-  pp.write_svlc(0);      // cr_qp_offset
+  pp.write_svlc(pps_->cb_qp_offset);
+  pp.write_svlc(pps_->cr_qp_offset);
   pp.write_flag(false);  // slice_chroma_qp_offsets_present
   pp.write_flag(pps_->weighted_pred);
   pp.write_flag(pps_->weighted_bipred);
@@ -1202,7 +1204,7 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
       tu.cidx = (u8)cidx;
       tu.qp = (i8)(cidx == 0
                        ? cur_qp_ + sps_->qp_bd_offset_luma
-                       : chroma_qp(cur_qp_) + sps_->qp_bd_offset_chroma);
+                       : chroma_qp(cur_qp_, cidx) + sps_->qp_bd_offset_chroma);
       tu.flags = TuRec::kIntra |
                  ((log2c == 2 && cidx == 0 && !pc.tskip) ? TuRec::kUseDst : 0) |
                  (pc.tskip ? TuRec::kTransformSkip : 0) |
@@ -2067,7 +2069,7 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
     tu.cidx = (u8)pc.cidx;
     tu.qp = (i8)(pc.cidx == 0
                      ? cur_qp_ + sps_->qp_bd_offset_luma
-                     : chroma_qp(cur_qp_) + sps_->qp_bd_offset_chroma);
+                     : chroma_qp(cur_qp_, pc.cidx) + sps_->qp_bd_offset_chroma);
     tu.flags = pps_->transquant_bypass_enabled ? TuRec::kTransquantBypass
                                                : 0;  // inter: no intra flag
     tu.coeff_start = start;
@@ -2338,8 +2340,9 @@ void Encoder::write_residual(int x0c, int y0c, int log2, int cidx,
 
 int Encoder::map_dm_chroma(int luma_mode) { return luma_mode; }
 
-int Encoder::chroma_qp(int qp_y) const {
-  int qpi = clip3(0, 57, qp_y);
+int Encoder::chroma_qp(int qp_y, int cidx) const {
+  int off = (cidx == 2) ? pps_->cr_qp_offset : pps_->cb_qp_offset;
+  int qpi = clip3(0, 57, qp_y + off);
   if (sps_->chroma_array_type != 1) return min_i(qpi, 51);
   if (qpi < 30) return qpi;
   if (qpi > 43) return qpi - 6;

@@ -224,3 +224,50 @@ def test_lossless_inter_gop_reference_decoder(native_build, tmp_path):
         assert np.array_equal(
             fr[w * h:w * h + (w // 2) * (h // 2)].reshape(h // 2, w // 2),
             cb), i
+
+
+def test_pipeline_chroma_qp_offsets(native_build, tmp_path):
+    """Nonzero pps cb/cr QP offsets flow into the chroma deblock tc lookup
+    (spec 8.7.2.5.5; scalar deblock.cc:237, snapshot slots 10/11) — pipeline
+    must stay bit-exact, and the stream must match the reference decoder."""
+    import os
+    import subprocess
+    w, h = 96, 96
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    with Encoder(qp=32, ctb_size=32) as enc:
+        enc.set_parameter("cb-qp-offset", 6)
+        enc.set_parameter("cr-qp-offset", -6)
+        enc.set_parameter("intra-period", 4)
+        stream = b""
+        for f in range(3):
+            y = (128 + 60 * np.sin((xx + 2 * f) * 0.11)
+                 * np.cos((yy + f) * 0.07)).clip(0, 255).astype(np.uint8)
+            cb = (100 + 50 * np.sin((xx[::2, ::2] + f) * 0.09)).clip(
+                0, 255).astype(np.uint8)
+            cr = (150 - 50 * np.cos((yy[::2, ::2] + f) * 0.08)).clip(
+                0, 255).astype(np.uint8)
+            stream += enc.encode(y, cb, cr)
+        stream += enc.finish()
+    dec = Decoder(keep_programs=True)
+    pics = list(dec.decode_all(stream))
+    for i in range(dec.num_programs()):
+        planes = pipeline.reconstruct(dec.get_program(i))
+        for c in range(3):
+            assert np.array_equal(np.asarray(planes[c], dtype=np.uint8),
+                                  pics[i].planes[c]), (i, c)
+    ref = "/tmp/refbuild/dec265/dec265"
+    if os.path.exists(ref):
+        sp = tmp_path / "cqo.h265"
+        sp.write_bytes(stream)
+        out = tmp_path / "cqo.yuv"
+        subprocess.run([ref, "-q", "-o", str(out), str(sp)], check=True,
+                       capture_output=True)
+        raw = np.fromfile(out, dtype=np.uint8)
+        fs = w * h * 3 // 2
+        for i, pic in enumerate(pics):
+            fr = raw[i * fs:(i + 1) * fs]
+            planes = [fr[:w * h].reshape(h, w),
+                      fr[w * h:w * h * 5 // 4].reshape(h // 2, w // 2),
+                      fr[w * h * 5 // 4:].reshape(h // 2, w // 2)]
+            for c in range(3):
+                assert np.array_equal(planes[c], pic.planes[c]), (i, c)
