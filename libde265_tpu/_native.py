@@ -127,6 +127,7 @@ def lib() -> ct.CDLL:
     L.de265_get_version.restype = ct.c_char_p
 
     L.tde265_set_keep_programs.argtypes = [ct.c_void_p, ct.c_int]
+    L.tde265_set_parse_only.argtypes = [ct.c_void_p, ct.c_int]
     L.tde265_num_programs.argtypes = [ct.c_void_p]
     L.tde265_get_program.argtypes = [ct.c_void_p, ct.c_int,
                                      ct.POINTER(ProgramView)]

@@ -126,7 +126,8 @@ class Decoder:
     """Push-data / decode / pull-picture HEVC decoder."""
 
     def __init__(self, check_hash: bool = False, keep_programs: bool = False,
-                 disable_deblocking: bool = False, disable_sao: bool = False):
+                 disable_deblocking: bool = False, disable_sao: bool = False,
+                 parse_only: bool = False):
         self._lib = lib()
         self._ctx = self._lib.de265_new_decoder()
         if check_hash:
@@ -137,6 +138,10 @@ class Decoder:
             self._lib.de265_set_parameter_bool(self._ctx, 8, 1)
         if keep_programs:
             self._lib.tde265_set_keep_programs(self._ctx, 1)
+        if parse_only:
+            # host does syntax/CABAC only; pixels are reconstructed by an
+            # external backend (tpu_decode.DeviceDecoder)
+            self._lib.tde265_set_parse_only(self._ctx, 1)
 
     def __del__(self):
         if getattr(self, "_ctx", None):

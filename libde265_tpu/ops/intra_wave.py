@@ -210,14 +210,23 @@ def plan_blocks(prog, ctx: IntraContext, residuals):
         b["strong"].append(strong)
         b["mode"].append(mode)
         b["edge"].append(edge)
-        b["resid"].append(resid if resid is not None
-                          else np.zeros((nT, nT), dtype=np.int32))
+        # residuals may be host arrays or device-residual handles (tpu_decode
+        # keeps them on device and stacks them per batch later)
+        if resid is not None and hasattr(resid, "key"):
+            b["resid"].append(resid)
+        else:
+            b["resid"].append(resid if resid is not None
+                              else np.zeros((nT, nT), dtype=np.int32))
         b["y0"].append(y0)
         b["x0"].append(x0)
 
     out = {}
     for key in sorted(batches):
         b = batches[key]
+        handles = None
+        if b["resid"] and any(hasattr(r, "key") for r in b["resid"]):
+            handles = [r if hasattr(r, "key") else None for r in b["resid"]]
+            del b["resid"]
         arrs = {k: np.stack(v) if k in ("pos", "subst", "resid")
                 else np.asarray(v) for k, v in b.items()}
         # pad the batch to a power-of-two size so jit traces are reused
@@ -231,6 +240,8 @@ def plan_blocks(prog, ctx: IntraContext, residuals):
             for k, v in list(arrs.items()):
                 pad_block = np.zeros((pad,) + v.shape[1:], dtype=v.dtype)
                 arrs[k] = np.concatenate([v, pad_block])
+        if handles is not None:
+            arrs["resid_handles"] = handles + [None] * (cap - n)
         out[key] = arrs
     return out
 

@@ -103,6 +103,10 @@ class Decoder {
   // When set, completed FrameProgram objects are retained (Python pulls them
   // as tensors); the scalar backend is skipped.
   bool keep_programs = false;
+  // parse-only: skip pixel reconstruction entirely (programs are consumed by
+  // an external backend); implies no SEI-hash verification and no plane
+  // copies in the program snapshots
+  bool parse_only = false;
 
   // --- introspection ---
   std::vector<Warning> warnings;

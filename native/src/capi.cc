@@ -534,6 +534,11 @@ LIBDE265_API void tde265_set_keep_programs(de265_decoder_context* ctx, int keep)
   C(ctx)->dec.keep_programs = keep != 0;
 }
 
+LIBDE265_API void tde265_set_parse_only(de265_decoder_context* ctx, int on) {
+  C(ctx)->dec.parse_only = on != 0;
+  if (on) C(ctx)->dec.keep_programs = true;
+}
+
 LIBDE265_API int tde265_num_programs(de265_decoder_context* ctx) {
   return (int)C(ctx)->dec.finished_programs.size();
 }
@@ -575,8 +580,13 @@ LIBDE265_API int tde265_get_program(de265_decoder_context* ctx, int idx,
   out->n_refs = (int32_t)min_i((int)s.ref_pocs.size(), 16);
   for (int r = 0; r < out->n_refs; r++) {
     for (int c = 0; c < 3; c++) {
-      auto& pl = s.ref_planes[r * 3 + c];
-      out->ref_plane[r][c] = pl.empty() ? nullptr : pl.data();
+      // parse-only snapshots carry no reference pixel copies
+      if ((size_t)(r * 3 + c) < s.ref_planes.size()) {
+        auto& pl = s.ref_planes[r * 3 + c];
+        out->ref_plane[r][c] = pl.empty() ? nullptr : pl.data();
+      } else {
+        out->ref_plane[r][c] = nullptr;
+      }
     }
     out->ref_poc[r] = s.ref_pocs[r];
   }

@@ -684,6 +684,11 @@ Err Decoder::finish_picture() {
     });
     // guard the reference frames against DPB-slot recycling while in flight
     for (Frame* r : prog->ref_frames) r->last_use = f->pending;
+  } else if (parse_only) {
+    // Syntax parsing never reads pixel values (CABAC/MV/mode prediction use
+    // only metadata grids), so the pixel pipeline can be skipped entirely;
+    // reconstruction is delegated to an external backend consuming the
+    // exported FrameProgram (the device decode path).
   } else {
     if (pixel_backend) {
       e = pixel_backend(cur_program_);
@@ -714,7 +719,7 @@ Err Decoder::finish_picture() {
     snap->bytes_pp = f->bytes_pp;
     for (int c = 0; c < 3; c++) {
       snap->bit_depth[c] = f->bit_depth[c];
-      snap->plane[c] = f->plane[c];
+      if (!parse_only) snap->plane[c] = f->plane[c];
       snap->stride[c] = f->stride[c];
     }
     snap->pb_w = f->pb_w;
@@ -732,7 +737,8 @@ Err Decoder::finish_picture() {
     snap->sao = f->sao;
     for (Frame* r : cur_program_.ref_frames) {
       snap->ref_pocs.push_back(r->poc);
-      for (int c = 0; c < 3; c++) snap->ref_planes.push_back(r->plane[c]);
+      if (!parse_only)
+        for (int c = 0; c < 3; c++) snap->ref_planes.push_back(r->plane[c]);
     }
     snap->slice_idx = f->slice_idx;
     constexpr int L = FrameProgram::Snapshot::kSliceRecordLen;
