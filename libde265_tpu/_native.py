@@ -82,6 +82,7 @@ class ProgramView(ct.Structure):
         ("n_pcm_data", ct.c_int32),
         ("pcm_bit_depth", ct.c_int32 * 2),
         ("pcm_loop_filter_disable", ct.c_int32),
+        ("pu_idx", ct.c_void_p),
     ]
 
 

@@ -120,6 +120,9 @@ class FrameProgramData:
     pcm_data: np.ndarray = None
     pcm_bit_depth: tuple = (8, 8)
     pcm_loop_filter_disable: bool = False
+    # per-4x4 covering-PU index (-1 = no inter PU), painted natively at
+    # parse time (program.h Snapshot::pu_idx)
+    pu_idx: np.ndarray = None
 
 
 class Decoder:
@@ -274,6 +277,8 @@ class Decoder:
                               np.dtype(np.uint16)),
             pcm_bit_depth=tuple(view.pcm_bit_depth),
             pcm_loop_filter_disable=bool(view.pcm_loop_filter_disable),
+            pu_idx=_np_from(view.pu_idx, pbn, np.dtype(np.int32)).reshape(
+                view.pb_h, view.pb_w),
         )
 
     @staticmethod

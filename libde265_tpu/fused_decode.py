@@ -1,0 +1,1106 @@
+"""Production device decode path: ONE fused jit dispatch per picture.
+
+The launch-per-op path (tpu_decode.DeviceDecoder) is bit-exact but pays one
+device dispatch per kernel and recompiles whenever a batch shape changes.
+This module compiles a single whole-picture XLA program per stream geometry
+and feeds it one packed host->device upload per frame:
+
+  1. inter MC: per-4x4-cell PU parameters are *gathered on device* from the
+     natively painted `pu_idx` map (program.h Snapshot::pu_idx) + the PU SoA
+     arrays — no host-side rectangle painting at all;
+  2. TU residuals: sparse coefficients are scattered into size-binned dense
+     batches on device, dequant+IDCT'd, and the inter residuals scatter-added
+     into the prediction planes;
+  3. intra blocks: a lax.scan over capacity-limited "super-waves" — the host
+     list-schedules blocks into steps (a block lands in the earliest step
+     after every step that writes its border samples, spilling when a step's
+     per-size capacity is full) and the scan replays the steps with the
+     plane as carry.  One compiled program regardless of the picture's
+     wavefront structure;
+  4. deblock + SAO: the whole edge-parameter derivation + both filters are
+     traced into the same program (reuses tpu_decode._edge_params_jnp).
+
+All array sizes are padded to per-stream watermark capacities (powers of
+two), so a running stream recompiles only when a capacity watermark grows —
+O(log) times, not per frame.  `plan_stream` pre-computes the final
+capacities so benchmarks compile exactly once per (geometry, use_l1).
+
+Decoded planes stay on device and serve as the reference stack for later
+pictures (HBM-resident DPB); only frames the caller pulls are copied back.
+
+Bit-exactness oracle: the scalar C++ backend (tests/test_fused_decode.py).
+Exotic RExt paths (cross-component prediction, RDPCM, >8 active refs)
+fall back to pipeline.reconstruct for that picture, like tpu_decode.
+
+Reference behavior being replaced: the per-PU/TU acceleration calls of
+/root/reference/libde265/decctx.cc:564-650 and motion.cc:288.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import pipeline
+from .decoder import (OP_INTRA, OP_RESIDUAL, TU_INTRA, TU_RDPCM,
+                      TU_TQ_BYPASS, TU_TRANSFORM_SKIP, TU_USE_DST,
+                      FrameProgramData)
+from .ops import deblock as dbk
+from .ops import transform as tx
+from .ops.intra import IntraContext
+from .ops.intra_wave import border_plan, build_mode_tables
+from .ops.mc import EPEL_FILTERS, QPEL_FILTERS
+from .ops.sao import EDGE_CAT, EO_D
+from .tpu_decode import (_chroma_qp_map, _edge_params_jnp, _mc_plane, _merge,
+                         _cells_to_plane, _pad_edge0_cols)
+
+MAX_REFS = 8
+NOREF = -(10 ** 6)
+
+# intra super-wave per-step capacities (blocks of size 1<<lg per scan step);
+# a step's overflow spills to the next step
+WAVE_CAP = {2: 64, 3: 32, 4: 16, 5: 4}
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(0, int(n - 1).bit_length())
+
+
+# ---------------------------------------------------------------------------
+# host: per-frame feed packing (numpy, vectorized)
+# ---------------------------------------------------------------------------
+
+def _bin_tus(prog: FrameProgramData):
+    """Vectorized size-binning of the TU records.
+
+    Returns {lg: dict} with per-bin TU arrays, flattened coefficient
+    segments, inter-scatter targets, and tu->(lg,row) mapping arrays.
+    """
+    tus = prog.tus
+    bins = {}
+    tu_bin_lg = np.full(len(tus), -1, np.int32)
+    tu_bin_row = np.full(len(tus), -1, np.int32)
+    if len(tus) == 0:
+        return bins, tu_bin_lg, tu_bin_row
+    for lg in (2, 3, 4, 5):
+        sel = np.nonzero(tus["log2_size"] == lg)[0]
+        if len(sel) == 0:
+            continue
+        n = len(sel)
+        t = tus[sel]
+        tu_bin_lg[sel] = lg
+        tu_bin_row[sel] = np.arange(n)
+        # ragged gather of the sparse coefficient segments
+        starts = t["coeff_start"].astype(np.int64)
+        ncs = t["ncoeff"].astype(np.int64)
+        total = int(ncs.sum())
+        if total:
+            base = np.repeat(starts - np.concatenate(
+                [[0], np.cumsum(ncs)[:-1]]), ncs)
+            cidx_flat = np.arange(total, dtype=np.int64) + base
+            cval = prog.coeff_val[cidx_flat].astype(np.int32)
+            cpos = prog.coeff_pos[cidx_flat].astype(np.int32)
+            crow = np.repeat(np.arange(n, dtype=np.int32), ncs)
+        else:
+            cval = cpos = crow = np.zeros(0, np.int32)
+        flags = t["flags"].astype(np.int32)
+        intra = (flags & TU_INTRA) != 0
+        cidx = t["cidx"].astype(np.int32)
+        if prog.scaling_factors is not None:
+            if lg == 5:
+                mid = np.where(intra, 0, 1)
+            else:
+                mid = cidx + np.where(intra, 0, 3)
+        else:
+            mid = np.zeros(n, np.int32)
+        b = {"qp": t["qp"].astype(np.int32), "flags": flags, "mid": mid,
+             "n": n, "cval": cval, "cpos": cpos, "crow": crow}
+        # inter residual scatter targets per channel
+        inter_nz = ~intra & (t["ncoeff"] > 0)
+        for ch, m in (("y", inter_nz & (cidx == 0)),
+                      ("cb", inter_nz & (cidx == 1)),
+                      ("cr", inter_nz & (cidx == 2))):
+            rows = np.nonzero(m)[0].astype(np.int32)
+            b[f"sc_{ch}"] = np.stack(
+                [rows, t["x"][rows].astype(np.int32),
+                 t["y"][rows].astype(np.int32)], axis=1) if len(rows) else \
+                np.zeros((0, 3), np.int32)
+        bins[lg] = b
+    return bins, tu_bin_lg, tu_bin_row
+
+
+_PLANE_CLASS = {0: "y", 1: "cb", 2: "cr"}
+
+
+def _plan_intra(prog: FrameProgramData, tu_bin_lg, tu_bin_row):
+    """List-schedule the intra blocks into capacity-limited super-waves.
+
+    Returns {(pc, lg): dict of [C, K, ...] arrays}, with C equal across all
+    entries of a plane class (the scan length) and K = WAVE_CAP[lg].
+    """
+    if len(prog.intras) == 0:
+        return {}, 0
+    ctx = IntraContext(prog.width, prog.height, prog.ctb_size, prog.cu_info,
+                       slice_addr=prog.slice_addr, tile_id=prog.tile_id)
+    chroma444 = prog.chroma_width == prog.width and prog.chroma_width > 0
+
+    # residual TU for each intra op (same x/y/cidx, next in decode order)
+    resid_of = {}
+    pending = {}
+    order = []
+    for op in prog.ops:
+        if op["kind"] == OP_INTRA:
+            rec = prog.intras[op["idx"]]
+            key = (int(rec["x"]), int(rec["y"]), int(rec["cidx"]))
+            pending[key] = int(op["idx"])
+            order.append(int(op["idx"]))
+        elif op["kind"] == OP_RESIDUAL:
+            t = int(op["idx"])
+            if not (prog.tus["flags"][t] & TU_INTRA):
+                continue
+            tu = prog.tus[t]
+            key = (int(tu["x"]), int(tu["y"]), int(tu["cidx"]))
+            i = pending.get(key)
+            if i is not None:
+                resid_of[i] = t
+
+    wmaps = {}
+    counts = {}   # (pc, lg) -> list of per-step counts
+    batches = {}  # (pc, lg) -> list of per-step lists of block dicts
+    n_steps = 0
+    for i in order:
+        rec = prog.intras[i]
+        c = int(rec["cidx"])
+        pc = _PLANE_CLASS[c]
+        if c == 0:
+            sub_x = sub_y = 1
+            H, Wd = prog.height, prog.width
+        else:
+            sub_x = prog.width // prog.chroma_width
+            sub_y = prog.height // prog.chroma_height
+            H, Wd = prog.chroma_height, prog.chroma_width
+        if c not in wmaps:
+            wmaps[c] = np.zeros(((H + 3) // 4, (Wd + 3) // 4), np.int32)
+        wmap = wmaps[c]
+        x0, y0 = int(rec["x"]), int(rec["y"])
+        lg = int(rec["log2_size"])
+        nT = 1 << lg
+        pos, subst, unavail = border_plan(ctx, x0, y0, nT, sub_x, sub_y, H, Wd)
+        if unavail:
+            dep = 0
+        else:
+            have = subst == np.arange(len(subst))
+            cells = pos[have] >> 2
+            dep = int(wmap[cells[:, 0], cells[:, 1]].max(initial=0))
+        key = (pc, lg)
+        cap = WAVE_CAP[lg]
+        cnt = counts.setdefault(key, [])
+        bat = batches.setdefault(key, [])
+        step = dep  # 0-based step index; block must run at step >= dep
+        while True:
+            while len(cnt) <= step:
+                cnt.append(0)
+                bat.append([])
+            if cnt[step] < cap:
+                break
+            step += 1
+        cnt[step] += 1
+        wmap[y0 >> 2:(y0 + nT + 3) >> 2, x0 >> 2:(x0 + nT + 3) >> 2] = step + 1
+        n_steps = max(n_steps, step + 1)
+
+        mode = int(rec["mode"])
+        filt = False
+        if (c == 0 or chroma444) and not ctx.smoothing_disabled:
+            if mode != 1 and nT != 4:
+                mind = min(abs(mode - 26), abs(mode - 10))
+                thresh = 7 if nT == 8 else (1 if nT == 16 else 0)
+                filt = True if mode == 0 else (mind > thresh)
+        strong = filt and ctx.strong_smoothing and c == 0 and nT == 32
+        edge = 0
+        if c == 0 and nT < 32:
+            edge = {1: 1, 26: 2, 10: 3}.get(mode, 0)
+        t = resid_of.get(i)
+        rrow = -1
+        if t is not None and tu_bin_lg[t] == lg:
+            rrow = int(tu_bin_row[t])
+        elif t is not None:
+            # residual TU size differs from the intra block (cannot happen
+            # in HEVC: intra prediction operates per transform block)
+            raise ValueError("intra/TU size mismatch")
+        bat[step].append({
+            "pos": pos[:, 0].astype(np.int32) * Wd + pos[:, 1],
+            "subst": subst, "mode": mode, "edge": edge, "y0": y0, "x0": x0,
+            "flags": (1 * unavail) | (2 * filt) | (4 * strong) | 8,  # 8=valid
+            "rrow": rrow})
+
+    out = {}
+    for (pc, lg), bat in batches.items():
+        K = WAVE_CAP[lg]
+        C = len(bat)
+        n = 4 * (1 << lg) + 1
+        pos = np.zeros((C, K, n), np.int32)
+        sub = np.zeros((C, K, n), np.int32)
+        meta = np.zeros((C, K, 5), np.int32)  # mode, edge, y0, x0, flags
+        rrow = np.full((C, K), -1, np.int32)
+        for s_i, blocks in enumerate(bat):
+            for k, blk in enumerate(blocks):
+                pos[s_i, k] = blk["pos"]
+                sub[s_i, k] = blk["subst"]
+                meta[s_i, k] = (blk["mode"], blk["edge"], blk["y0"],
+                                blk["x0"], blk["flags"])
+                rrow[s_i, k] = blk["rrow"]
+        out[(pc, lg)] = {"pos": pos, "sub": sub, "meta": meta, "rrow": rrow}
+    return out, n_steps
+
+
+def _pack_pcm(prog: FrameProgramData, sub_x, sub_y):
+    """Flat (plane, index, value) PCM scatter lists (rare blocks)."""
+    if prog.pcms is None or len(prog.pcms) == 0:
+        return [np.zeros((0, 2), np.int32) for _ in range(3)]
+    sh_y = max(prog.bit_depth[0] - prog.pcm_bit_depth[0], 0)
+    sh_c = max((prog.bit_depth[1] if prog.chroma_width else 8) -
+               prog.pcm_bit_depth[1], 0)
+    data = prog.pcm_data.astype(np.int32)
+    out = [[], [], []]
+    for rec in prog.pcms:
+        s = 1 << int(rec["log2_size"])
+        p = int(rec["data_start"])
+        x, y0 = int(rec["x"]), int(rec["y"])
+        yy, xx = np.mgrid[y0:y0 + s, x:x + s]
+        out[0].append(np.stack([(yy * prog.width + xx).ravel(),
+                                data[p:p + s * s] << sh_y], axis=1))
+        p += s * s
+        if prog.chroma_width:
+            cw, chh = s // sub_x, s // sub_y
+            cx, cy = x // sub_x, y0 // sub_y
+            for c in (1, 2):
+                yy, xx = np.mgrid[cy:cy + chh, cx:cx + cw]
+                out[c].append(np.stack([(yy * prog.chroma_width + xx).ravel(),
+                                        data[p:p + cw * chh] << sh_c], axis=1))
+                p += cw * chh
+    return [np.concatenate(o).astype(np.int32) if o else
+            np.zeros((0, 2), np.int32) for o in out]
+
+
+def _pad_rows(a: np.ndarray, cap: int, fill=0) -> np.ndarray:
+    """Pad axis 0 to cap (>= len(a))."""
+    if len(a) == cap:
+        return np.ascontiguousarray(a)
+    pad = np.full((cap - len(a),) + a.shape[1:], fill, a.dtype)
+    return np.concatenate([a, pad])
+
+
+# ---------------------------------------------------------------------------
+# device: fused whole-picture kernel
+# ---------------------------------------------------------------------------
+
+def _intra_scan(plane, xs, bin_res, bit_depth: int):
+    """Scan the super-wave steps of one plane.  xs: {lg: arrays [C,K,...]}."""
+    lgs = sorted(xs.keys())
+    tables = {lg: tuple(jnp.asarray(t) for t in build_mode_tables(1 << lg))
+              for lg in lgs}
+
+    def step(pl, x):
+        for lg in lgs:
+            b = x[lg]
+            resid = jnp.where(
+                (b["rrow"] >= 0)[:, None, None],
+                bin_res[lg][jnp.clip(b["rrow"], 0)], 0)
+            pl = _wave_body(pl, b["pos"], b["sub"], b["meta"], resid,
+                            *tables[lg], s=1 << lg, bit_depth=bit_depth)
+        return pl, None
+
+    plane, _ = lax.scan(step, plane, xs)
+    return plane
+
+
+def _wave_body(plane, pos, subst, meta, resid, P0, P1, WT, s: int,
+               bit_depth: int):
+    """One super-wave step: predict + residual-add K same-size blocks.
+
+    Same math as ops.intra_wave.intra_wave_kernel (spec 8.4.4.2), operating
+    on flat border positions and a packed meta array.
+    """
+    mode, edge, y0, x0 = meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3]
+    unavail = (meta[:, 4] & 1).astype(bool)
+    filt = (meta[:, 4] & 2).astype(bool)
+    strong = (meta[:, 4] & 4).astype(bool)
+    valid = (meta[:, 4] & 8).astype(bool)
+    N = mode.shape[0]
+    n2 = 2 * s
+    maxv = (1 << bit_depth) - 1
+    lg = s.bit_length() - 1
+
+    b = plane.reshape(-1)[pos]
+    b = jnp.take_along_axis(b, subst, axis=1)
+    b = jnp.where(unavail[:, None], 1 << (bit_depth - 1), b)
+
+    corner = b[:, n2]
+    tap3 = b.at[:, 1:-1].set((b[:, :-2] + 2 * b[:, 1:-1] + b[:, 2:] + 2) >> 2)
+    if s == 32:
+        thr = 1 << (bit_depth - 5)
+        bi_ok = ((jnp.abs(corner + b[:, 4 * s] - 2 * b[:, n2 + s]) < thr) &
+                 (jnp.abs(corner + b[:, 0] - 2 * b[:, s]) < thr))
+        i = jnp.arange(1, n2)
+        bl = b[:, 0:1]
+        tr = b[:, 4 * s:4 * s + 1]
+        bilin = b
+        bilin = bilin.at[:, n2 - i].set(
+            ((n2 - i)[None, :] * corner[:, None] + i[None, :] * bl + 32) >> 6)
+        bilin = bilin.at[:, n2 + i].set(
+            ((n2 - i)[None, :] * corner[:, None] + i[None, :] * tr + 32) >> 6)
+        filtered = jnp.where((strong & bi_ok)[:, None], bilin,
+                             jnp.where(filt[:, None], tap3, b))
+    else:
+        filtered = jnp.where(filt[:, None], tap3, b)
+
+    left = filtered[:, n2 - 1 - jnp.arange(n2)]
+    top = filtered[:, n2 + 1 + jnp.arange(n2)]
+    corner = filtered[:, n2]
+
+    xg = jnp.arange(s)[None, None, :]
+    yg = jnp.arange(s)[None, :, None]
+    planar = (((s - 1 - xg) * left[:, :s, None] +
+               (xg + 1) * top[:, s, None, None] +
+               (s - 1 - yg) * top[:, None, :s] +
+               (yg + 1) * left[:, s, None, None] + s) >> (lg + 1))
+
+    dc = (left[:, :s].sum(axis=1) + top[:, :s].sum(axis=1) + s) >> (lg + 1)
+    dcp = jnp.broadcast_to(dc[:, None, None], (N, s, s))
+    if s < 32:
+        row0 = (top[:, 1:s] + 3 * dc[:, None] + 2) >> 2
+        col0 = (left[:, 1:s] + 3 * dc[:, None] + 2) >> 2
+        c00 = (left[:, 0] + 2 * dc + top[:, 0] + 2) >> 2
+        dce = dcp.at[:, 0, 1:].set(row0).at[:, 1:, 0].set(col0)
+        dce = dce.at[:, 0, 0].set(c00)
+        dcp = jnp.where((edge == 1)[:, None, None], dce, dcp)
+
+    p0, p1, w = P0[mode], P1[mode], WT[mode]
+    g0 = jnp.take_along_axis(filtered, p0, axis=1)
+    g1 = jnp.take_along_axis(filtered, p1, axis=1)
+    ang = (((32 - w) * g0 + w * g1 + 16) >> 5).reshape(N, s, s)
+    if s < 32:
+        v26 = jnp.clip(top[:, 0, None] + ((left[:, :s] - corner[:, None]) >> 1),
+                       0, maxv)
+        v10 = jnp.clip(left[:, 0, None] + ((top[:, :s] - corner[:, None]) >> 1),
+                       0, maxv)
+        ang = jnp.where((edge == 2)[:, None, None],
+                        ang.at[:, :, 0].set(v26), ang)
+        ang = jnp.where((edge == 3)[:, None, None],
+                        ang.at[:, 0, :].set(v10), ang)
+
+    pred = jnp.where((mode == 0)[:, None, None], planar,
+                     jnp.where((mode == 1)[:, None, None], dcp, ang))
+    out = jnp.clip(pred + resid, 0, maxv)
+
+    # padded entries scatter out of bounds and are dropped (valid blocks of
+    # one step are disjoint transform blocks, so updates never collide)
+    rows = jnp.where(valid, y0, 1 << 28)[:, None, None] + \
+        jnp.arange(s)[None, :, None]
+    cols = x0[:, None, None] + jnp.arange(s)[None, None, :]
+    return plane.at[rows, cols].set(out, mode="drop", unique_indices=True)
+
+
+def _sao_section(planes, feed, recs, skip4, st):
+    """SAO from per-CTB parameter maps (in-jit port of the host upsampling
+    in tpu_decode._filter_meta + _filter_kernel)."""
+    H, W, sub_x, sub_y = st["H"], st["W"], st["sub_x"], st["sub_y"]
+    ctb = st["ctb_size"]
+    sidx = jnp.clip(feed["slice_idx"], 0, st["n_slices"] - 1)
+    sao_on = [recs[sidx, 4] != 0, recs[sidx, 5] != 0]
+    out = []
+    for c in range(len(planes)):
+        Hc = H if c == 0 else st["ch"]
+        Wc = W if c == 0 else st["cw"]
+        cs_y = ctb if c == 0 else ctb // sub_y
+        cs_x = ctb if c == 0 else ctb // sub_x
+        bd = st["bd"] if c == 0 else st["bdc"]
+
+        def up(a, r_y, r_x, Hc=Hc, Wc=Wc):
+            return jnp.repeat(jnp.repeat(a, r_y, 0), r_x, 1)[:Hc, :Wc]
+
+        on = sao_on[0 if c == 0 else 1].astype(jnp.int32)
+        tmap = up(feed["sao_t"][:, :, c] * on, cs_y, cs_x)
+        emap = up(feed["sao_eo"][:, :, c], cs_y, cs_x)
+        bmap = up(feed["sao_band"][:, :, c], cs_y, cs_x)
+        omap = jnp.repeat(jnp.repeat(feed["sao_off"][:, :, c], cs_y, 0),
+                          cs_x, 1)[:Hc, :Wc]
+        skip = up(skip4.astype(bool), 4 // (sub_y if c else 1),
+                  4 // (sub_x if c else 1))
+        if st["multi_boundary"]:
+            eok = _edge_ok_jnp(emap, feed, recs, sidx, (cs_y, cs_x), Hc, Wc,
+                               st)
+        else:
+            eok = None
+        from .ops.sao import sao_plane
+        out.append(sao_plane(planes[c], tmap, emap, bmap, omap, skip,
+                             bit_depth=bd, edge_ok=eok))
+    return out
+
+
+def _edge_ok_jnp(emap, feed, recs, sidx, cs, Hc, Wc, st):
+    """In-jit port of ops.sao.edge_boundary_ok (slice/tile boundary rules)."""
+    cs_y, cs_x = cs
+    yy = jnp.arange(Hc)[:, None] // cs_y
+    xx = jnp.arange(Wc)[None, :] // cs_x
+    A = feed["slice_addr"][yy, xx]
+    L = (recs[sidx, 9] != 0)[yy, xx]
+    T = feed["tile_id"][yy, xx]
+
+    def shifted(m, dy, dx):
+        ys = jnp.clip(jnp.arange(Hc) + dy, 0, Hc - 1)
+        xs = jnp.clip(jnp.arange(Wc) + dx, 0, Wc - 1)
+        return m[ys[:, None], xs[None, :]]
+
+    def ok(dy, dx):
+        An = shifted(A, dy, dx)
+        Ln = shifted(L, dy, dx)
+        slice_ok = (An == A) | (L & Ln)
+        tile_ok = st["across_tiles"] | (shifted(T, dy, dx) == T)
+        return slice_ok & tile_ok
+
+    good = jnp.ones((Hc, Wc), bool)
+    for cls in range(4):
+        (dy0, dx0), (dy1, dx1) = EO_D[cls]
+        sel = emap == cls
+        v = ok(int(dy0), int(dx0)) & ok(int(dy1), int(dx1))
+        good = jnp.where(sel, v, good)
+    return good
+
+
+def _deblock_section(planes, feed, recs, cell, skip4, st):
+    """Deblock V+H (luma+chroma) — tpu_decode._filter_kernel body driven by
+    in-jit derived metadata."""
+    H, W, sub_x, sub_y = st["H"], st["W"], st["sub_x"], st["sub_y"]
+    bd, bdc = st["bd"], st["bdc"]
+    has_chroma = not st["mono"]
+    is420 = sub_x == 2 and sub_y == 2
+    pb_h, pb_w = feed["qp4"].shape
+    cs4 = st["ctb_size"] // 4
+    cy = jnp.arange(pb_h) // cs4
+    cx = jnp.arange(pb_w) // cs4
+    sidx4 = jnp.clip(feed["slice_idx"][cy[:, None], cx[None, :]], 0,
+                     st["n_slices"] - 1)
+    disabled4 = recs[sidx4, 1] != 0
+    sa4 = feed["slice_addr"][cy[:, None], cx[None, :]]
+    ti4 = feed["tile_id"][cy[:, None], cx[None, :]]
+    across4 = recs[sidx4, 9] != 0
+
+    def gate(axis):
+        sp = jnp.roll(sa4, 1, axis=axis)
+        tp = jnp.roll(ti4, 1, axis=axis)
+        slice_ok = (sp == sa4) | across4
+        tile_ok = st["across_tiles"] | (tp == ti4)
+        return (slice_ok & tile_ok & ~disabled4).astype(jnp.int32)
+
+    dbf = feed["dbf4"]
+    meta = {
+        "intra": (feed["cu4"] & 1).astype(jnp.int32),
+        "nzc": (feed["nzc4"] & 1).astype(jnp.int32),
+        "tu_edge_v": ((dbf & 1) != 0).astype(jnp.int32),
+        "tu_edge_h": ((dbf & 2) != 0).astype(jnp.int32),
+        "pu_edge_v": ((dbf & 4) != 0).astype(jnp.int32),
+        "pu_edge_h": ((dbf & 8) != 0).astype(jnp.int32),
+        "qp": feed["qp4"],
+        "pf": cell["pf"].reshape(pb_h, pb_w),
+        "mv": [[cell[f"mv{l}x"].reshape(pb_h, pb_w),
+                cell[f"mv{l}y"].reshape(pb_h, pb_w)] for l in (0, 1)],
+        "rp": [cell[f"poc{l}"].reshape(pb_h, pb_w) for l in (0, 1)],
+        "bit_depth": bd,
+        "beta_off": recs[sidx4, 2],
+        "tc_off": recs[sidx4, 3],
+        "cqo0": recs[sidx4, 10],
+        "cqo1": recs[sidx4, 11],
+        "unfilt": skip4.astype(jnp.int32),
+        "allow_v": gate(1),
+        "allow_h": gate(0),
+    }
+
+    y = planes[0]
+    cb = planes[1] if has_chroma else planes[0]
+    cr = planes[2] if has_chroma else planes[0]
+    Ev, Eh = W // 8, H // 8
+
+    pv = _edge_params_jnp(meta, vertical=True)
+    params_v = {k: _pad_edge0_cols(v, Ev) for k, v in pv.items()
+                if k not in ("cqo", "tco")}
+    pad = jnp.zeros((H, W + 8), jnp.int32).at[:, 4:4 + W].set(y)
+    y = dbk._luma_pass(pad, params_v["bs"], params_v["beta"],
+                       params_v["tc"], params_v["no_p"],
+                       params_v["no_q"], bit_depth=bd)[:, 4:4 + W]
+    if has_chroma:
+        segs = jnp.arange(0, Ev, sub_x)
+        cqo = [_pad_edge0_cols(c, Ev) for c in pv["cqo"]]
+        tco = _pad_edge0_cols(jnp.broadcast_to(pv["tco"], pv["bs"].shape), Ev)
+        Ec = (W // sub_x) // 8
+        outc = []
+        for ci, plane in enumerate((cb, cr)):
+            qpi = params_v["qp_l"][:, segs] + cqo[ci][:, segs]
+            qpc = _chroma_qp_map(qpi, is420)
+            tc_c = jnp.asarray(dbk.TC_TABLE)[
+                jnp.clip(qpc + 2 + tco[:, segs], 0, 53)] << (bdc - 8)
+            tc_c = jnp.where(params_v["bs"][:, segs] == 2, tc_c, 0)
+            Hc = H // sub_y
+            padc = jnp.zeros((Hc, W // sub_x + 8), jnp.int32)
+            padc = padc.at[:, 2:2 + W // sub_x].set(plane)
+            out = dbk._chroma_pass(padc, tc_c[:, :Ec],
+                                   params_v["no_p"][:, segs][:, :Ec],
+                                   params_v["no_q"][:, segs][:, :Ec],
+                                   bit_depth=bdc, rows_per_seg=4 // sub_y)
+            outc.append(out[:, 2:2 + W // sub_x])
+        cb, cr = outc
+
+    ph = _edge_params_jnp(meta, vertical=False)
+
+    def _pad0_rows(a):
+        return jnp.concatenate(
+            [jnp.zeros((1, a.shape[1]), a.dtype), a], axis=0)[:Eh]
+
+    ph_t = {k: _pad0_rows(v).T for k, v in ph.items()
+            if k not in ("cqo", "tco")}
+    pad = jnp.zeros((W, H + 8), jnp.int32).at[:, 4:4 + H].set(y.T)
+    y = dbk._luma_pass(pad, ph_t["bs"], ph_t["beta"], ph_t["tc"],
+                       ph_t["no_p"], ph_t["no_q"],
+                       bit_depth=bd)[:, 4:4 + H].T
+    if has_chroma:
+        segs_h = jnp.arange(0, Eh, sub_y)
+        cqo_h = [_pad0_rows(jnp.broadcast_to(c, ph["bs"].shape)).T
+                 for c in ph["cqo"]]
+        tco_h = _pad0_rows(jnp.broadcast_to(ph["tco"], ph["bs"].shape)).T
+        Ech = (H // sub_y) // 8
+        outc = []
+        for ci, plane in enumerate((cb, cr)):
+            qpi = ph_t["qp_l"][:, segs_h] + cqo_h[ci][:, segs_h]
+            qpc = _chroma_qp_map(qpi, is420)
+            tc_c = jnp.asarray(dbk.TC_TABLE)[
+                jnp.clip(qpc + 2 + tco_h[:, segs_h], 0, 53)] << (bdc - 8)
+            tc_c = jnp.where(ph_t["bs"][:, segs_h] == 2, tc_c, 0)
+            Wc = W // sub_x
+            padc = jnp.zeros((Wc, H // sub_y + 8), jnp.int32)
+            padc = padc.at[:, 2:2 + H // sub_y].set(plane.T)
+            out = dbk._chroma_pass(padc, tc_c[:, :Ech],
+                                   ph_t["no_p"][:, segs_h][:, :Ech],
+                                   ph_t["no_q"][:, segs_h][:, :Ech],
+                                   bit_depth=bdc, rows_per_seg=4 // sub_x)
+            outc.append(out[:, 2:2 + H // sub_y].T)
+        cb, cr = outc
+
+    return [y, cb, cr] if has_chroma else [y]
+
+
+def _frame_fn(refs_y, refs_cb, refs_cr, feed, intra_xs, sf_tables, st):
+    """The fused whole-picture program (traced under jit via _compiled)."""
+    H, W = st["H"], st["W"]
+    sub_x, sub_y = st["sub_x"], st["sub_y"]
+    bd, bdc = st["bd"], st["bdc"]
+    has_chroma = not st["mono"]
+    pb_h, pb_w = feed["pu_idx"].shape
+
+    # ---- per-cell PU parameter gather (from the natively painted pu_idx) --
+    pidx = feed["pu_idx"].reshape(-1)
+    covered = pidx >= 0
+    pc = jnp.clip(pidx, 0)
+    pu = feed["pu"]  # [Pcap, 10]: mv0x mv0y mv1x mv1y pf slot0 slot1 r0 r1 sl
+    cell = {}
+    cell["pf"] = jnp.where(covered, pu[pc, 4], 0)
+    for l in (0, 1):
+        has = ((cell["pf"] >> l) & 1).astype(bool)
+        cell[f"mv{l}x"] = jnp.where(has, pu[pc, 0 + 2 * l], 0)
+        cell[f"mv{l}y"] = jnp.where(has, pu[pc, 1 + 2 * l], 0)
+        cell[f"slot{l}"] = jnp.where(has, pu[pc, 5 + l], 0)
+        cell[f"poc{l}"] = jnp.where(
+            has, feed["ref_pocs"][jnp.clip(pu[pc, 5 + l], 0)], NOREF)
+        cell[f"ridx{l}"] = jnp.where(has, jnp.clip(pu[pc, 7 + l], 0), 0)
+    cell["slice"] = jnp.clip(pu[pc, 9], 0, st["n_slices"] - 1)
+
+    recs = feed["slice_recs"]
+    sl = cell["slice"]
+    wg = {"weighted": (recs[sl, 6] != 0).astype(jnp.int32),
+          "denom_l": recs[sl, 7], "denom_c": recs[sl, 8]}
+    for l in (0, 1):
+        r = cell[f"ridx{l}"]
+        wg[f"lw{l}"] = recs[sl, 16 + l * 16 + r]
+        wg[f"lo{l}"] = recs[sl, 48 + l * 16 + r]
+        for c in (0, 1):
+            wg[f"cw{l}{c}"] = recs[sl, 80 + (l * 16 + r) * 2 + c]
+            wg[f"co{l}{c}"] = recs[sl, 144 + (l * 16 + r) * 2 + c]
+
+    # ---- inter prediction over the cell grid ----
+    if st["has_inter"]:
+        y, cbp, crp = _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st,
+                                  pb_h, pb_w)
+        m = jnp.repeat(jnp.repeat(covered.reshape(pb_h, pb_w), 4, 0),
+                       4, 1)[:H, :W]
+        y = jnp.where(m, y, 0)
+        if has_chroma:
+            mc_ = jnp.repeat(jnp.repeat(covered.reshape(pb_h, pb_w),
+                                        4 // sub_y, 0),
+                             4 // sub_x, 1)[:H // sub_y, :W // sub_x]
+            cbp = jnp.where(mc_, cbp, 0)
+            crp = jnp.where(mc_, crp, 0)
+        planes = [y, cbp, crp] if has_chroma else [y]
+    else:
+        planes = [jnp.zeros((H, W), jnp.int32)]
+        if has_chroma:
+            planes += [jnp.zeros((H // sub_y, W // sub_x), jnp.int32)] * 2
+
+    # ---- residual bins (sparse->dense scatter + dequant + IDCT) ----
+    bin_res = {}
+    for lg in st["lgs"]:
+        s = 1 << lg
+        bf = feed[f"bin{lg}"]
+        crow = bf["crow"]
+        cpos = bf["cpos"]
+        levels = jnp.zeros((bf["qp"].shape[0], s, s), jnp.int32)
+        levels = levels.at[crow, cpos >> 6, cpos & 63].set(
+            bf["cval"], mode="drop", unique_indices=True)
+        flags = bf["flags"]
+        tskip = (flags & TU_TRANSFORM_SKIP) != 0
+        use_dst = (flags & TU_USE_DST) != 0
+        bypass = (flags & TU_TQ_BYPASS) != 0
+        if st["scaling"]:
+            sf = sf_tables[lg - 2][bf["mid"]]
+            res = tx.residual_batch(levels, tx.qp_to_fact_jnp(bf["qp"]),
+                                    tskip, use_dst, lg, bd, sf=sf,
+                                    qp=bf["qp"])
+        else:
+            res = tx.residual_batch(levels, tx.qp_to_fact_jnp(bf["qp"]),
+                                    tskip, use_dst, lg, bd)
+        bin_res[lg] = jnp.where(bypass[:, None, None], levels, res)
+
+    # ---- inter residual scatter-add + clip ----
+    for lg in st["lgs"]:
+        s = 1 << lg
+        bf = feed[f"bin{lg}"]
+        for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
+            if c > 0 and not has_chroma:
+                continue
+            sc = bf[f"sc_{ch}"]  # [cap, 3] rows/x/y ; pad rows = -1
+            if sc.shape[0] == 0:
+                continue
+            rows, xs, ys = sc[:, 0], sc[:, 1], sc[:, 2]
+            blk = jnp.where((rows >= 0)[:, None, None],
+                            bin_res[lg][jnp.clip(rows, 0)], 0)
+            iy = jnp.where(rows < 0, -(s + 1), ys)[:, None, None] + \
+                jnp.arange(s)[None, :, None]
+            ix = xs[:, None, None] + jnp.arange(s)[None, None, :]
+            planes[c] = planes[c].at[iy, ix].add(blk, mode="drop",
+                                                 unique_indices=True)
+    planes[0] = jnp.clip(planes[0], 0, (1 << bd) - 1)
+    if has_chroma:
+        planes[1] = jnp.clip(planes[1], 0, (1 << bdc) - 1)
+        planes[2] = jnp.clip(planes[2], 0, (1 << bdc) - 1)
+
+    # ---- PCM scatter ----
+    for c in range(len(planes)):
+        pcm = feed[f"pcm{c}"]
+        if pcm.shape[0]:
+            flat = planes[c].reshape(-1)
+            flat = flat.at[pcm[:, 0]].set(pcm[:, 1], mode="drop")
+            planes[c] = flat.reshape(planes[c].shape)
+
+    # ---- intra super-wave scans (independent per plane) ----
+    for c, pcls in ((0, "y"), (1, "cb"), (2, "cr")):
+        xs = {int(k.rsplit("_", 1)[1]): v for k, v in intra_xs.items()
+              if k.rsplit("_", 1)[0] == pcls}
+        if xs:
+            planes[c] = _intra_scan(planes[c], xs, bin_res,
+                                    bd if c == 0 else bdc)
+
+    # ---- loop filters ----
+    skip4 = (feed["cu4"] & 4) != 0
+    if st["pcm_lf_disable"]:
+        skip4 = skip4 | ((feed["cu4"] & 2) != 0)
+    if st["run_deblock"]:
+        planes = _deblock_section(planes, feed, recs, cell, skip4, st)
+    if st["run_sao"]:
+        planes = _sao_section(planes, feed, recs, skip4, st)
+    return tuple(planes)
+
+
+def _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st, pb_h, pb_w):
+    H, W = st["H"], st["W"]
+    sub_x, sub_y = max(st["sub_x"], 1), max(st["sub_y"], 1)
+    bd, bdc = st["bd"], st["bdc"]
+    use_l1 = st["use_l1"]
+    has_chroma = not st["mono"]
+    N = pb_h * pb_w
+    qf = jnp.asarray(QPEL_FILTERS)
+    ef = jnp.asarray(EPEL_FILTERS)
+    cy = (jnp.arange(N) // pb_w) * 4
+    cx = (jnp.arange(N) % pb_w) * 4
+    shx = 3 if sub_x == 2 else 2
+    shy = 3 if sub_y == 2 else 2
+    cs = 4 // sub_x
+    csv = 4 // sub_y
+
+    preds_l, preds_cb, preds_cr = [], [], []
+    for l in (0, 1) if use_l1 else (0,):
+        mvx, mvy = cell[f"mv{l}x"], cell[f"mv{l}y"]
+        slot = cell[f"slot{l}"]
+        xint = cx + (mvx >> 2)
+        yint = cy + (mvy >> 2)
+        preds_l.append(_mc_plane(refs_y, slot, xint, yint, mvx & 3, mvy & 3,
+                                 qf, 8, 4, bd))
+        if has_chroma:
+            cxc = cx // sub_x + (mvx >> shx)
+            cyc = cy // sub_y + (mvy >> shy)
+            fcx = (mvx & 7) if sub_x == 2 else ((mvx & 3) << 1)
+            fcy = (mvy & 7) if sub_y == 2 else ((mvy & 3) << 1)
+            preds_cb.append(_mc_plane(refs_cb, slot, cxc, cyc, fcx, fcy, ef,
+                                      4, cs, bdc)[:, :csv, :cs])
+            preds_cr.append(_mc_plane(refs_cr, slot, cxc, cyc, fcx, fcy, ef,
+                                      4, cs, bdc)[:, :csv, :cs])
+
+    pf = cell["pf"]
+    bi = pf == 3
+    first = jnp.where((pf & 1) != 0, 0, 1)
+    if use_l1:
+        fsel = first[:, None, None] == 0
+        p0_l = jnp.where(fsel, preds_l[0], preds_l[1])
+        p1_l = preds_l[1]
+        w0 = jnp.where(first == 0, wg["lw0"], wg["lw1"])
+        o0 = jnp.where(first == 0, wg["lo0"], wg["lo1"])
+    else:
+        p0_l = p1_l = preds_l[0]
+        w0, o0 = wg["lw0"], wg["lo0"]
+    y_blk = _merge(p0_l, p1_l, bi, wg["weighted"], w0, o0, wg["lw1"],
+                   wg["lo1"], wg["denom_l"], bd)
+    y_plane = _cells_to_plane(y_blk, pb_h, pb_w, 4)[:H, :W]
+    if not has_chroma:
+        return y_plane, None, None
+
+    if use_l1:
+        fsel = first[:, None, None] == 0
+        pcb0 = jnp.where(fsel, preds_cb[0], preds_cb[1])
+        pcr0 = jnp.where(fsel, preds_cr[0], preds_cr[1])
+        pcb1, pcr1 = preds_cb[1], preds_cr[1]
+        cbw0 = jnp.where(first == 0, wg["cw00"], wg["cw10"])
+        cbo0 = jnp.where(first == 0, wg["co00"], wg["co10"])
+        crw0 = jnp.where(first == 0, wg["cw01"], wg["cw11"])
+        cro0 = jnp.where(first == 0, wg["co01"], wg["co11"])
+    else:
+        pcb0 = pcb1 = preds_cb[0]
+        pcr0 = pcr1 = preds_cr[0]
+        cbw0, cbo0 = wg["cw00"], wg["co00"]
+        crw0, cro0 = wg["cw01"], wg["co01"]
+    cb_blk = _merge(pcb0, pcb1, bi, wg["weighted"], cbw0, cbo0, wg["cw10"],
+                    wg["co10"], wg["denom_c"], bdc)
+    cr_blk = _merge(pcr0, pcr1, bi, wg["weighted"], crw0, cro0, wg["cw11"],
+                    wg["co11"], wg["denom_c"], bdc)
+    cb_plane = cb_blk.reshape(pb_h, pb_w, csv, cs).transpose(
+        0, 2, 1, 3).reshape(pb_h * csv, pb_w * cs)[:H // sub_y, :W // sub_x]
+    cr_plane = cr_blk.reshape(pb_h, pb_w, csv, cs).transpose(
+        0, 2, 1, 3).reshape(pb_h * csv, pb_w * cs)[:H // sub_y, :W // sub_x]
+    return y_plane, cb_plane, cr_plane
+
+
+@functools.partial(jax.jit, static_argnames=("st",))
+def _compiled(refs_y, refs_cb, refs_cr, feed, intra_xs, sf_tables, st):
+    """st: tuple of sorted (name, hashable value) pairs — the static config."""
+    return _frame_fn(refs_y, refs_cb, refs_cr, feed, intra_xs, sf_tables,
+                     dict(st))
+
+
+# ---------------------------------------------------------------------------
+# the decoder
+# ---------------------------------------------------------------------------
+
+class FusedDecoder:
+    """One fused jit dispatch per picture, with watermark-grown capacities.
+
+    Usage:
+        fd = FusedDecoder()
+        planes = fd.decode(prog)    # device arrays, also cached by POC
+    Use plan_stream(progs) first to pre-size the capacities (single compile).
+    """
+
+    def __init__(self, run_deblock=True, run_sao=True):
+        self.run_deblock = run_deblock
+        self.run_sao = run_sao
+        self.dpb = {}
+        self._order = []
+        self.caps = {"pu": 1, "slices": 1, "steps": 0}
+        for lg in (2, 3, 4, 5):
+            self.caps[f"tu{lg}"] = 0
+            self.caps[f"co{lg}"] = 0
+            for ch in ("y", "cb", "cr"):
+                self.caps[f"sc{lg}{ch}"] = 0
+        for c in range(3):
+            self.caps[f"pcm{c}"] = 0
+        self._intra_lgs = set()  # (plane_class, lg) seen
+        self._sf_tables = None
+
+    # -- capacity planning --
+
+    def _grow(self, key, n, pad_zero_ok=True):
+        if n > self.caps.get(key, 0):
+            self.caps[key] = _pow2(n)
+        return self.caps[key]
+
+    def plan_stream(self, progs):
+        """Pre-size every capacity from a list of FrameProgramData so the
+        whole stream decodes with a single compilation per (use_l1,...)."""
+        for prog in progs:
+            if self._exotic(prog):
+                continue
+            bins, tl, tr = _bin_tus(prog)
+            for lg, b in bins.items():
+                self._grow(f"tu{lg}", b["n"])
+                self._grow(f"co{lg}", len(b["cval"]))
+                for ch in ("y", "cb", "cr"):
+                    self._grow(f"sc{lg}{ch}", len(b[f"sc_{ch}"]))
+            self._grow("pu", len(prog.pus))
+            self._grow("slices", len(prog.slice_records))
+            xs, n_steps = _plan_intra(prog, tl, tr)
+            self._grow("steps", n_steps)
+            for key in xs:
+                self._intra_lgs.add(key)
+            sub_x = prog.width // prog.chroma_width if prog.chroma_width \
+                else 1
+            sub_y = prog.height // prog.chroma_height if prog.chroma_height \
+                else 1
+            pcm = _pack_pcm(prog, sub_x, sub_y)
+            for c in range(3):
+                self._grow(f"pcm{c}", len(pcm[c]))
+
+    # -- helpers --
+
+    @staticmethod
+    def _exotic(prog):
+        return (len(prog.tus) and
+                ((prog.tus["cross_comp_scale"] != 0).any() or
+                 ((prog.tus["flags"] & TU_RDPCM) != 0).any())) or \
+            len(prog.ref_pocs) > MAX_REFS
+
+    def _refs(self, prog):
+        pocs = list(prog.ref_pocs)
+        slot_map = {}
+        stack = [[], [], []]
+        H, W = prog.height, prog.width
+        cw = max(prog.chroma_width, 1)
+        ch = max(prog.chroma_height, 1)
+        for i, poc in enumerate(pocs[:MAX_REFS]):
+            if poc in self.dpb:
+                planes = self.dpb[poc]
+            elif (i < len(prog.ref_planes) and prog.ref_planes[i] and
+                  prog.ref_planes[i][0] is not None):
+                planes = [jnp.asarray(p.astype(np.int32))
+                          for p in prog.ref_planes[i] if p is not None]
+            else:
+                planes = [jnp.full((H, W), 1 << (prog.bit_depth[0] - 1),
+                                   jnp.int32)]
+                if prog.chroma_width:
+                    planes += [jnp.full((ch, cw),
+                                        1 << (prog.bit_depth[c] - 1),
+                                        jnp.int32) for c in (1, 2)]
+            slot_map[i] = len(stack[0])
+            for c in range(3):
+                stack[c].append(planes[c] if c < len(planes)
+                                else jnp.zeros((1, 1), jnp.int32))
+        z = jnp.zeros((H, W), jnp.int32)
+        zc = jnp.zeros((ch, cw), jnp.int32)
+        while len(stack[0]) < MAX_REFS:
+            stack[0].append(z)
+            stack[1].append(zc)
+            stack[2].append(zc)
+        return [jnp.stack(s) for s in stack], slot_map
+
+    def decode(self, prog: FrameProgramData):
+        if self._exotic(prog):
+            planes = pipeline.reconstruct(prog, self.run_deblock,
+                                          self.run_sao, device_intra=False)
+            out = tuple(jnp.asarray(np.asarray(p)) for p in planes)
+            self._store(prog.poc, out)
+            return out
+
+        H, W = prog.height, prog.width
+        has_chroma = prog.chroma_width > 0
+        sub_x = W // prog.chroma_width if has_chroma else 1
+        sub_y = H // prog.chroma_height if has_chroma else 1
+        bd = prog.bit_depth[0]
+        bdc = prog.bit_depth[1] if has_chroma else bd
+
+        refs, slot_map = self._refs(prog)
+
+        # --- PU SoA [Pcap, 10] ---
+        pcap = self._grow("pu", max(len(prog.pus), 1))
+        pu = np.zeros((pcap, 10), np.int32)
+        if len(prog.pus):
+            p = prog.pus
+            pu[:len(p), 0] = p["mv0x"]
+            pu[:len(p), 1] = p["mv0y"]
+            pu[:len(p), 2] = p["mv1x"]
+            pu[:len(p), 3] = p["mv1y"]
+            pu[:len(p), 4] = p["pred_flags"]
+            for l in (0, 1):
+                slot = np.array([slot_map.get(int(v), 0)
+                                 for v in p[f"ref_dpb{l}"]], np.int32)
+                pu[:len(p), 5 + l] = slot
+                pu[:len(p), 7 + l] = np.maximum(
+                    p[f"ref_idx{l}"].astype(np.int32), 0)
+            pu[:len(p), 9] = p["slice"]
+
+        # --- TU bins ---
+        bins, tl, tr = _bin_tus(prog)
+        feed = {}
+        lgs = []
+        for lg in (2, 3, 4, 5):
+            if self.caps[f"tu{lg}"] == 0 and lg not in bins:
+                continue
+            b = bins.get(lg)
+            tcap = self._grow(f"tu{lg}", b["n"] if b else 1)
+            ccap = self._grow(f"co{lg}", len(b["cval"]) if b else 1)
+            lgs.append(lg)
+            bf = {
+                "qp": _pad_rows(b["qp"] if b else np.zeros(0, np.int32), tcap),
+                "flags": _pad_rows(b["flags"] if b else
+                                   np.zeros(0, np.int32), tcap),
+                "mid": _pad_rows(b["mid"] if b else np.zeros(0, np.int32),
+                                 tcap),
+                "cval": _pad_rows(b["cval"] if b else np.zeros(0, np.int32),
+                                  ccap),
+                "cpos": _pad_rows(b["cpos"] if b else np.zeros(0, np.int32),
+                                  ccap),
+                "crow": _pad_rows(b["crow"] if b else np.zeros(0, np.int32),
+                                  ccap, fill=1 << 30),
+            }
+            for ch in ("y", "cb", "cr"):
+                sc = b[f"sc_{ch}"] if b else np.zeros((0, 3), np.int32)
+                cap = self._grow(f"sc{lg}{ch}", len(sc))
+                bf[f"sc_{ch}"] = _pad_rows(sc, cap, fill=-1)
+            feed[f"bin{lg}"] = {k: jnp.asarray(v) for k, v in bf.items()}
+
+        # --- intra super-waves ---
+        # scan length is bucketed per frame (pow2), not watermarked: a P
+        # frame with 3 intra blocks must not replay an I-frame-deep scan
+        xs, n_steps = _plan_intra(prog, tl, tr)
+        scap = _pow2(n_steps) if n_steps else 0
+        for key in xs:
+            self._intra_lgs.add(key)
+        intra_xs = {}
+        for key in sorted(self._intra_lgs):
+            pc, lg = key
+            K = WAVE_CAP[lg]
+            n = 4 * (1 << lg) + 1
+            v = xs.get(key)
+            pos = np.zeros((scap, K, n), np.int32)
+            sub = np.zeros((scap, K, n), np.int32)
+            meta = np.zeros((scap, K, 5), np.int32)
+            rrow = np.full((scap, K), -1, np.int32)
+            if v is not None:
+                C = v["pos"].shape[0]
+                pos[:C] = v["pos"]
+                sub[:C] = v["sub"]
+                meta[:C] = v["meta"]
+                rrow[:C] = v["rrow"]
+            intra_xs[f"{pc}_{lg}"] = {
+                "pos": jnp.asarray(pos), "sub": jnp.asarray(sub),
+                "meta": jnp.asarray(meta), "rrow": jnp.asarray(rrow)}
+
+        # intra residuals reference bin_res[lg]: make sure those bins exist
+        for (pcls, lg) in self._intra_lgs:
+            if lg not in lgs:
+                tcap = self._grow(f"tu{lg}", 1)
+                ccap = self._grow(f"co{lg}", 1)
+                lgs.append(lg)
+                z = np.zeros(0, np.int32)
+                bf = {"qp": _pad_rows(z, tcap), "flags": _pad_rows(z, tcap),
+                      "mid": _pad_rows(z, tcap), "cval": _pad_rows(z, ccap),
+                      "cpos": _pad_rows(z, ccap),
+                      "crow": _pad_rows(z, ccap, fill=1 << 30)}
+                for ch in ("y", "cb", "cr"):
+                    cap = self._grow(f"sc{lg}{ch}", 0) or 0
+                    bf[f"sc_{ch}"] = _pad_rows(np.zeros((0, 3), np.int32),
+                                               cap, fill=-1)
+                feed[f"bin{lg}"] = {k: jnp.asarray(v) for k, v in bf.items()}
+        lgs = sorted(lgs)
+
+        # --- PCM ---
+        pcm = _pack_pcm(prog, sub_x, sub_y)
+        for c in range(3):
+            cap = self._grow(f"pcm{c}", len(pcm[c]))
+            feed[f"pcm{c}"] = jnp.asarray(
+                _pad_rows(pcm[c], cap, fill=1 << 30)) if cap else \
+                jnp.zeros((0, 2), jnp.int32)
+
+        # --- grids + slice data ---
+        n_slices = self._grow("slices", max(len(prog.slice_records), 1))
+        recs = np.zeros((n_slices, 208), np.int32)
+        recs[:len(prog.slice_records)] = prog.slice_records
+        feed["slice_recs"] = jnp.asarray(recs)
+        feed["pu"] = jnp.asarray(pu)
+        feed["pu_idx"] = jnp.asarray(prog.pu_idx)
+        feed["ref_pocs"] = jnp.asarray(np.array(
+            [prog.ref_pocs[i] if i < len(prog.ref_pocs) else NOREF
+             for i in range(MAX_REFS)], np.int32))
+        feed["qp4"] = jnp.asarray(prog.qp_y.astype(np.int32))
+        feed["nzc4"] = jnp.asarray(prog.nonzero_coeff.astype(np.int32))
+        feed["dbf4"] = jnp.asarray(prog.deblock_flags.astype(np.int32))
+        feed["cu4"] = jnp.asarray(prog.cu_info.astype(np.int32))
+        feed["slice_idx"] = jnp.asarray(prog.slice_idx.astype(np.int32))
+        feed["slice_addr"] = jnp.asarray(prog.slice_addr.astype(np.int32))
+        feed["tile_id"] = jnp.asarray(prog.tile_id.astype(np.int32))
+        if prog.sao is not None and len(prog.sao):
+            sh = (prog.ctb_h, prog.ctb_w)
+            feed["sao_t"] = jnp.asarray(
+                prog.sao["type_idx"].astype(np.int32).reshape(*sh, 3))
+            feed["sao_eo"] = jnp.asarray(
+                prog.sao["eo_class"].astype(np.int32).reshape(*sh, 3))
+            feed["sao_band"] = jnp.asarray(
+                prog.sao["band_pos"].astype(np.int32).reshape(*sh, 3))
+            feed["sao_off"] = jnp.asarray(
+                prog.sao["offset"].astype(np.int32).reshape(*sh, 3, 4))
+        else:
+            sh = (prog.ctb_h, prog.ctb_w)
+            feed["sao_t"] = jnp.zeros((*sh, 3), jnp.int32)
+            feed["sao_eo"] = jnp.zeros((*sh, 3), jnp.int32)
+            feed["sao_band"] = jnp.zeros((*sh, 3), jnp.int32)
+            feed["sao_off"] = jnp.zeros((*sh, 3, 4), jnp.int32)
+
+        # --- scaling-factor tables (8 KiB; PPS may switch lists per frame) ---
+        scaling = prog.scaling_factors is not None
+        sft = None
+        if scaling:
+            sft = tuple(
+                jnp.asarray(prog.scaling_factors[lg].astype(np.int32))
+                if lg in prog.scaling_factors else jnp.zeros(
+                    (6, 1 << lg, 1 << lg), jnp.int32) for lg in (2, 3, 4, 5))
+
+        srec = prog.slice_records
+        multi = (len(srec) > 1 and not np.all(srec[:, 9])) or \
+            not prog.across_tiles
+        st = tuple(sorted({
+            "H": H, "W": W, "sub_x": sub_x, "sub_y": sub_y,
+            "cw": max(prog.chroma_width, 1), "ch": max(prog.chroma_height, 1),
+            "bd": bd, "bdc": bdc, "mono": not has_chroma,
+            "ctb_size": prog.ctb_size,
+            "n_slices": n_slices,
+            "use_l1": bool((prog.pus["pred_flags"] & 2).any())
+            if len(prog.pus) else False,
+            "has_inter": len(prog.pus) > 0,
+            "scaling": scaling,
+            "lgs": tuple(lgs),
+            "pcm_lf_disable": bool(prog.pcm_loop_filter_disable),
+            "across_tiles": bool(prog.across_tiles),
+            "multi_boundary": bool(multi),
+            "run_deblock": bool(self.run_deblock and len(srec) and
+                                not np.all(srec[:, 1])),
+            "run_sao": bool(self.run_sao and len(srec) and
+                            np.any(srec[:, 4] | srec[:, 5])),
+        }.items()))
+
+        out = _compiled(refs[0], refs[1], refs[2], feed, intra_xs, sft, st)
+        self._store(prog.poc, out)
+        return out
+
+    def _store(self, poc, planes):
+        self.dpb[poc] = planes
+        self._order.append(poc)
+        while len(self._order) > 2 * MAX_REFS:
+            old = self._order.pop(0)
+            if old in self.dpb and old not in self._order:
+                del self.dpb[old]

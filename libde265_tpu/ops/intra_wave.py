@@ -335,8 +335,9 @@ def intra_wave_kernel(plane, pos, subst, unavail, filt, strong, mode, edge,
 
     out = jnp.clip(pred + resid, 0, maxv)
 
-    rows = y0[:, None, None] + jnp.arange(s)[None, :, None]
+    # padded batch entries scatter out of bounds and are dropped (a padded
+    # entry writing back plane[0:s, 0:s] would race with a real block there)
+    rows = jnp.where(valid, y0, 1 << 28)[:, None, None] + \
+        jnp.arange(s)[None, :, None]
     cols = x0[:, None, None] + jnp.arange(s)[None, None, :]
-    # padded batch entries write back the existing samples unchanged
-    out = jnp.where(valid[:, None, None], out, plane[rows, cols])
-    return plane.at[rows, cols].set(out)
+    return plane.at[rows, cols].set(out, mode="drop", unique_indices=True)

@@ -183,3 +183,8 @@ def scatter_coeffs(tus: np.ndarray, coeff_val: np.ndarray,
 
 def qp_to_fact(qp: np.ndarray) -> np.ndarray:
     return (LEVEL_SCALE[qp % 6] << (qp // 6)).astype(np.int32)
+
+
+def qp_to_fact_jnp(qp):
+    """Traceable qp_to_fact (for in-jit dequant of the fused decode path)."""
+    return jnp.asarray(LEVEL_SCALE)[qp % 6] << (qp // 6)

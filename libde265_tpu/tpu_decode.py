@@ -347,11 +347,22 @@ def _mc_kernel(refs_y, refs_cb, refs_cr, cg, wg, H: int, W: int, sub_x: int,
 @functools.partial(jax.jit, static_argnames=("s",))
 def _scatter_add(plane, blocks, rows, xs, ys, s: int):
     """Scatter-add [K, s, s] residual blocks (rows select from the bin
-    output) into the plane; TUs are disjoint so adds never collide."""
-    blk = blocks[rows]
-    iy = ys[:, None, None] + jnp.arange(s)[None, :, None]
+    output) into the plane; TUs are disjoint so adds never collide.
+    Padded entries carry ys < 0 and are dropped by the OOB mode."""
+    blk = jnp.where((ys >= 0)[:, None, None], blocks[rows], 0)
+    iy = jnp.where(ys < 0, -(s + 1), ys)[:, None, None] + \
+        jnp.arange(s)[None, :, None]
     ix = xs[:, None, None] + jnp.arange(s)[None, None, :]
     return plane.at[iy, ix].add(blk, mode="drop", unique_indices=True)
+
+
+def _pad_pow2(a, fill=0):
+    """Pad a 1-D array to the next power-of-two length (trace reuse)."""
+    n = len(a)
+    cap = 1 << max(0, int(n - 1).bit_length())
+    if cap == n:
+        return a
+    return np.concatenate([a, np.full(cap - n, fill, a.dtype)])
 
 
 # --- deblock: jnp port of ops.deblock.derive_edge_params -------------------
@@ -673,10 +684,11 @@ class DeviceDecoder:
         for lg, b in bins.items():
             s = 1 << lg
             if len(b["sc_y_rows"]):
-                planes[0] = _scatter_add(planes[0], bin_res[lg],
-                                         jnp.asarray(b["sc_y_rows"]),
-                                         jnp.asarray(b["sc_y_x"]),
-                                         jnp.asarray(b["sc_y_y"]), s=s)
+                planes[0] = _scatter_add(
+                    planes[0], bin_res[lg],
+                    jnp.asarray(_pad_pow2(b["sc_y_rows"])),
+                    jnp.asarray(_pad_pow2(b["sc_y_x"])),
+                    jnp.asarray(_pad_pow2(b["sc_y_y"], fill=-1)), s=s)
             if has_chroma and len(b["sc_c_rows"]):
                 rows = b["sc_c_rows"]
                 for c in (1, 2):
@@ -684,9 +696,10 @@ class DeviceDecoder:
                     if not m.any():
                         continue
                     planes[c] = _scatter_add(
-                        planes[c], bin_res[lg], jnp.asarray(rows[m]),
-                        jnp.asarray(b["sc_c_x"][m]),
-                        jnp.asarray(b["sc_c_y"][m]), s=s)
+                        planes[c], bin_res[lg],
+                        jnp.asarray(_pad_pow2(rows[m])),
+                        jnp.asarray(_pad_pow2(b["sc_c_x"][m])),
+                        jnp.asarray(_pad_pow2(b["sc_c_y"][m], fill=-1)), s=s)
         planes[0] = jnp.clip(planes[0], 0, (1 << bd) - 1)
         if has_chroma:
             planes[1] = jnp.clip(planes[1], 0, (1 << bdc) - 1)
@@ -904,22 +917,22 @@ class _DeviceResiduals:
         return self[t]
 
     def stack(self, handles, s):
-        """[N, s, s] device residual batch: one gather per source bin."""
+        """[N, s, s] device residual batch: one padded gather + scatter per
+        source bin (fixed power-of-two shapes so traces are reused)."""
+        N = len(handles)
         idxs = [(-1, -1) if (h is None or h.key is None) else h.key
                 for h in handles]
-        lgs = sorted(set(lg for lg, _ in idxs if lg >= 0))
-        parts = {lg: self.bin_res[lg][jnp.asarray(
-            np.array([r for (l, r) in idxs if l == lg], np.int32))]
-            for lg in lgs}
-        counters = {lg: 0 for lg in lgs}
-        blocks = []
-        for (lg, r) in idxs:
-            if lg < 0:
-                blocks.append(jnp.zeros((s, s), jnp.int32))
-            else:
-                blocks.append(parts[lg][counters[lg]])
-                counters[lg] += 1
-        return jnp.stack(blocks)
+        out = jnp.zeros((N, s, s), jnp.int32)
+        for lg in sorted(set(lg for lg, _ in idxs if lg >= 0)):
+            sel = np.array([i for i, (l, _) in enumerate(idxs) if l == lg],
+                           np.int32)
+            rows = np.array([r for (l, r) in idxs if l == lg], np.int32)
+            # pad jointly; padded entries scatter out of bounds (dropped)
+            sel_p = jnp.asarray(_pad_pow2(sel, fill=1 << 30))
+            rows_p = jnp.asarray(_pad_pow2(rows))
+            blk = self.bin_res[lg][rows_p]
+            out = out.at[sel_p].set(blk, mode="drop")
+        return out
 
 
 class _ResidualHandle:

@@ -109,6 +109,10 @@ struct FrameProgram {
     int ctb_size = 64;
     std::vector<i8> qp_y;
     std::vector<u8> nonzero_coeff, deblock_flags, cu_info;
+    // per-4x4 cell index of the covering PU (-1 = no inter PU), painted at
+    // parse time so the device backend gathers MC parameters per cell
+    // without any host-side rectangle painting
+    std::vector<i32> pu_idx;
     std::vector<SaoParams> sao;
     std::vector<i32> ref_pocs;
     std::vector<std::vector<u8>> ref_planes;  // 3 per ref, flattened

@@ -528,6 +528,7 @@ struct tde265_program_view {
   int32_t n_pcm_data;
   int32_t pcm_bit_depth[2];       // luma, chroma
   int32_t pcm_loop_filter_disable;
+  const int32_t* pu_idx;          // per-4x4 covering-PU index (-1 = none)
 };
 
 LIBDE265_API void tde265_set_keep_programs(de265_decoder_context* ctx, int keep) {
@@ -618,6 +619,7 @@ LIBDE265_API int tde265_get_program(de265_decoder_context* ctx, int idx,
   out->pcm_bit_depth[0] = s.pcm_bit_depth[0];
   out->pcm_bit_depth[1] = s.pcm_bit_depth[1];
   out->pcm_loop_filter_disable = s.pcm_loop_filter_disable ? 1 : 0;
+  out->pu_idx = s.pu_idx.empty() ? nullptr : s.pu_idx.data();
   return 0;
 }
 

@@ -735,6 +735,16 @@ Err Decoder::finish_picture() {
     snap->deblock_flags = f->deblock_flags;
     snap->cu_info = f->cu_info;
     snap->sao = f->sao;
+    snap->pu_idx.assign((size_t)f->pb_w * f->pb_h, -1);
+    for (size_t i = 0; i < cur_program_.pus.size(); i++) {
+      const PuRec& pu = cur_program_.pus[i];
+      int x4 = pu.x >> 2, y4 = pu.y >> 2;
+      int x1 = std::min((pu.x + std::max<int>(pu.w, 4)) >> 2, f->pb_w);
+      int y1 = std::min((pu.y + std::max<int>(pu.h, 4)) >> 2, f->pb_h);
+      for (int yy = y4; yy < y1; yy++)
+        for (int xx = x4; xx < x1; xx++)
+          snap->pu_idx[(size_t)yy * f->pb_w + xx] = (i32)i;
+    }
     for (Frame* r : cur_program_.ref_frames) {
       snap->ref_pocs.push_back(r->poc);
       if (!parse_only)
