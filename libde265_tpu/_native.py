@@ -83,6 +83,15 @@ class ProgramView(ct.Structure):
         ("pcm_bit_depth", ct.c_int32 * 2),
         ("pcm_loop_filter_disable", ct.c_int32),
         ("pu_idx", ct.c_void_p),
+        ("ip_step", ct.c_void_p),
+        ("ip_slot", ct.c_void_p),
+        ("ip_rrow", ct.c_void_p),
+        ("ip_flags", ct.c_void_p),
+        ("ip_edge", ct.c_void_p),
+        ("ip_border_pos", ct.c_void_p),
+        ("ip_border_sub", ct.c_void_p),
+        ("ip_border_off", ct.c_void_p),
+        ("ip_n_border", ct.c_int32),
     ]
 
 

@@ -123,6 +123,9 @@ class FrameProgramData:
     # per-4x4 covering-PU index (-1 = no inter PU), painted natively at
     # parse time (program.h Snapshot::pu_idx)
     pu_idx: np.ndarray = None
+    # native device intra plan (intraplan.cc): step/slot scheduling, border
+    # gather plans, smoothing flags, residual-bin rows
+    ip: dict = None
 
 
 class Decoder:
@@ -279,6 +282,24 @@ class Decoder:
             pcm_loop_filter_disable=bool(view.pcm_loop_filter_disable),
             pu_idx=_np_from(view.pu_idx, pbn, np.dtype(np.int32)).reshape(
                 view.pb_h, view.pb_w),
+            ip={
+                "step": _np_from(view.ip_step, view.n_intras,
+                                 np.dtype(np.int32)),
+                "slot": _np_from(view.ip_slot, view.n_intras,
+                                 np.dtype(np.int32)),
+                "rrow": _np_from(view.ip_rrow, view.n_intras,
+                                 np.dtype(np.int32)),
+                "flags": _np_from(view.ip_flags, view.n_intras,
+                                  np.dtype(np.uint8)),
+                "edge": _np_from(view.ip_edge, view.n_intras,
+                                 np.dtype(np.uint8)),
+                "bpos": _np_from(view.ip_border_pos, view.ip_n_border,
+                                 np.dtype(np.int32)),
+                "bsub": _np_from(view.ip_border_sub, view.ip_n_border,
+                                 np.dtype(np.int32)),
+                "boff": _np_from(view.ip_border_off, view.n_intras + 1,
+                                 np.dtype(np.uint32)),
+            } if view.n_intras else None,
         )
 
     @staticmethod

@@ -135,6 +135,46 @@ def _bin_tus(prog: FrameProgramData):
 _PLANE_CLASS = {0: "y", 1: "cb", 2: "cr"}
 
 
+def _plan_intra_native(prog: FrameProgramData):
+    """Vectorized regrouping of the native intra plan (intraplan.cc) into
+    the [C, K, ...] super-wave scan arrays — no per-block Python work."""
+    ip = prog.ip
+    recs = prog.intras
+    steps = ip["step"]
+    slots = ip["slot"]
+    n_steps = int(steps.max(initial=-1)) + 1
+    out = {}
+    cidx = recs["cidx"].astype(np.int32)
+    lg_all = recs["log2_size"].astype(np.int32)
+    # flags: native 1 unavail / 2 filt / 4 strong -> kernel adds valid bit 8
+    fl = ip["flags"].astype(np.int32) | 8
+    boff = ip["boff"].astype(np.int64)
+    for c in (0, 1, 2):
+        for lg in (2, 3, 4, 5):
+            sel = np.nonzero((cidx == c) & (lg_all == lg))[0]
+            if not len(sel):
+                continue
+            K = WAVE_CAP[lg]
+            nb = 4 * (1 << lg) + 1
+            C = int(steps[sel].max()) + 1
+            bidx = boff[sel][:, None] + np.arange(nb)
+            pos = np.zeros((C, K, nb), np.int32)
+            sub = np.zeros((C, K, nb), np.int32)
+            meta = np.zeros((C, K, 5), np.int32)
+            rrow = np.full((C, K), -1, np.int32)
+            s_i, k_i = steps[sel], slots[sel]
+            pos[s_i, k_i] = ip["bpos"][bidx]
+            sub[s_i, k_i] = ip["bsub"][bidx]
+            meta[s_i, k_i] = np.stack(
+                [recs["mode"][sel], ip["edge"][sel],
+                 recs["y"][sel], recs["x"][sel], fl[sel]],
+                axis=1).astype(np.int32)
+            rrow[s_i, k_i] = ip["rrow"][sel]
+            out[(_PLANE_CLASS[c], lg)] = {"pos": pos, "sub": sub,
+                                          "meta": meta, "rrow": rrow}
+    return out, n_steps
+
+
 def _plan_intra(prog: FrameProgramData, tu_bin_lg, tu_bin_row):
     """List-schedule the intra blocks into capacity-limited super-waves.
 
@@ -798,9 +838,22 @@ def _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st, pb_h, pb_w):
     return y_plane, cb_plane, cr_plane
 
 
-@functools.partial(jax.jit, static_argnames=("st",))
-def _compiled(refs_y, refs_cb, refs_cr, feed, intra_xs, sf_tables, st):
-    """st: tuple of sorted (name, hashable value) pairs — the static config."""
+@functools.partial(jax.jit, static_argnames=("st", "layout"))
+def _compiled(refs_y, refs_cb, refs_cr, buf, sf_tables, st, layout):
+    """st: tuple of sorted (name, value) pairs — the static config.
+    layout: tuple of (dotted-name, offset, shape) into the packed buffer."""
+    feed = {}
+    intra_xs = {}
+    for (k, off, shp) in layout:
+        n = int(np.prod(shp))
+        a = buf[off:off + n].reshape(shp)
+        parts = k.split(".")
+        if parts[0] == "ia":
+            intra_xs.setdefault(parts[1], {})[parts[2]] = a
+        elif parts[0].startswith("bin"):
+            feed.setdefault(parts[0], {})[parts[1]] = a
+        else:
+            feed[k] = a
     return _frame_fn(refs_y, refs_cb, refs_cr, feed, intra_xs, sf_tables,
                      dict(st))
 
@@ -833,6 +886,10 @@ class FusedDecoder:
             self.caps[f"pcm{c}"] = 0
         self._intra_lgs = set()  # (plane_class, lg) seen
         self._sf_tables = None
+        # sticky trace-variant latches (see decode())
+        self._use_l1 = False
+        self._has_inter = False
+        self._multi = False
 
     # -- capacity planning --
 
@@ -855,10 +912,27 @@ class FusedDecoder:
                     self._grow(f"sc{lg}{ch}", len(b[f"sc_{ch}"]))
             self._grow("pu", len(prog.pus))
             self._grow("slices", len(prog.slice_records))
-            xs, n_steps = _plan_intra(prog, tl, tr)
+            self._use_l1 = self._use_l1 or (
+                bool((prog.pus["pred_flags"] & 2).any()) if len(prog.pus)
+                else False)
+            self._has_inter = self._has_inter or len(prog.pus) > 0
+            self._multi = self._multi or bool(
+                (len(prog.slice_records) > 1 and
+                 not np.all(prog.slice_records[:, 9])) or
+                not prog.across_tiles)
+            if prog.ip is not None:
+                # keys + step count only (skip building the scan arrays)
+                n_steps = int(prog.ip["step"].max(initial=-1)) + 1
+                for c, lg in set(zip(prog.intras["cidx"].tolist(),
+                                     prog.intras["log2_size"].tolist())):
+                    self._intra_lgs.add((_PLANE_CLASS[c], int(lg)))
+            elif len(prog.intras):
+                xs, n_steps = _plan_intra(prog, tl, tr)
+                for key in xs:
+                    self._intra_lgs.add(key)
+            else:
+                n_steps = 0
             self._grow("steps", n_steps)
-            for key in xs:
-                self._intra_lgs.add(key)
             sub_x = prog.width // prog.chroma_width if prog.chroma_width \
                 else 1
             sub_y = prog.height // prog.chroma_height if prog.chroma_height \
@@ -946,8 +1020,9 @@ class FusedDecoder:
 
         # --- TU bins ---
         bins, tl, tr = _bin_tus(prog)
-        feed = {}
+        host = {}
         lgs = []
+        z0 = np.zeros(0, np.int32)
         for lg in (2, 3, 4, 5):
             if self.caps[f"tu{lg}"] == 0 and lg not in bins:
                 continue
@@ -955,33 +1030,35 @@ class FusedDecoder:
             tcap = self._grow(f"tu{lg}", b["n"] if b else 1)
             ccap = self._grow(f"co{lg}", len(b["cval"]) if b else 1)
             lgs.append(lg)
-            bf = {
-                "qp": _pad_rows(b["qp"] if b else np.zeros(0, np.int32), tcap),
-                "flags": _pad_rows(b["flags"] if b else
-                                   np.zeros(0, np.int32), tcap),
-                "mid": _pad_rows(b["mid"] if b else np.zeros(0, np.int32),
-                                 tcap),
-                "cval": _pad_rows(b["cval"] if b else np.zeros(0, np.int32),
-                                  ccap),
-                "cpos": _pad_rows(b["cpos"] if b else np.zeros(0, np.int32),
-                                  ccap),
-                "crow": _pad_rows(b["crow"] if b else np.zeros(0, np.int32),
-                                  ccap, fill=1 << 30),
-            }
+            host[f"bin{lg}.qp"] = _pad_rows(b["qp"] if b else z0, tcap)
+            host[f"bin{lg}.flags"] = _pad_rows(b["flags"] if b else z0, tcap)
+            host[f"bin{lg}.mid"] = _pad_rows(b["mid"] if b else z0, tcap)
+            host[f"bin{lg}.cval"] = _pad_rows(b["cval"] if b else z0, ccap)
+            host[f"bin{lg}.cpos"] = _pad_rows(b["cpos"] if b else z0, ccap)
+            host[f"bin{lg}.crow"] = _pad_rows(b["crow"] if b else z0, ccap,
+                                              fill=1 << 30)
             for ch in ("y", "cb", "cr"):
                 sc = b[f"sc_{ch}"] if b else np.zeros((0, 3), np.int32)
                 cap = self._grow(f"sc{lg}{ch}", len(sc))
-                bf[f"sc_{ch}"] = _pad_rows(sc, cap, fill=-1)
-            feed[f"bin{lg}"] = {k: jnp.asarray(v) for k, v in bf.items()}
+                host[f"bin{lg}.sc_{ch}"] = _pad_rows(sc, cap, fill=-1)
 
         # --- intra super-waves ---
-        # scan length is bucketed per frame (pow2), not watermarked: a P
-        # frame with 3 intra blocks must not replay an I-frame-deep scan
-        xs, n_steps = _plan_intra(prog, tl, tr)
-        scap = _pow2(n_steps) if n_steps else 0
+        # The scan depth is WATERMARKED, not per-frame: the axon runtime pays
+        # a large executable-switch cost whenever consecutive frames hit
+        # different compiled programs, so the whole stream must decode
+        # through ONE program.  A P frame replays the I-frame-deep scan with
+        # empty steps; measured at ~40us/step this costs ~10ms for a 256-step
+        # watermark — far cheaper than a program switch (~300ms).
+        if prog.ip is not None:
+            xs, n_steps = _plan_intra_native(prog)
+        elif len(prog.intras):
+            xs, n_steps = _plan_intra(prog, tl, tr)
+        else:
+            xs, n_steps = {}, 0
+        scap = self.caps["steps"] = max(self.caps["steps"],
+                                        _pow2(n_steps) if n_steps else 0)
         for key in xs:
             self._intra_lgs.add(key)
-        intra_xs = {}
         for key in sorted(self._intra_lgs):
             pc, lg = key
             K = WAVE_CAP[lg]
@@ -997,9 +1074,10 @@ class FusedDecoder:
                 sub[:C] = v["sub"]
                 meta[:C] = v["meta"]
                 rrow[:C] = v["rrow"]
-            intra_xs[f"{pc}_{lg}"] = {
-                "pos": jnp.asarray(pos), "sub": jnp.asarray(sub),
-                "meta": jnp.asarray(meta), "rrow": jnp.asarray(rrow)}
+            host[f"ia.{pc}_{lg}.pos"] = pos
+            host[f"ia.{pc}_{lg}.sub"] = sub
+            host[f"ia.{pc}_{lg}.meta"] = meta
+            host[f"ia.{pc}_{lg}.rrow"] = rrow
 
         # intra residuals reference bin_res[lg]: make sure those bins exist
         for (pcls, lg) in self._intra_lgs:
@@ -1007,59 +1085,70 @@ class FusedDecoder:
                 tcap = self._grow(f"tu{lg}", 1)
                 ccap = self._grow(f"co{lg}", 1)
                 lgs.append(lg)
-                z = np.zeros(0, np.int32)
-                bf = {"qp": _pad_rows(z, tcap), "flags": _pad_rows(z, tcap),
-                      "mid": _pad_rows(z, tcap), "cval": _pad_rows(z, ccap),
-                      "cpos": _pad_rows(z, ccap),
-                      "crow": _pad_rows(z, ccap, fill=1 << 30)}
+                host[f"bin{lg}.qp"] = _pad_rows(z0, tcap)
+                host[f"bin{lg}.flags"] = _pad_rows(z0, tcap)
+                host[f"bin{lg}.mid"] = _pad_rows(z0, tcap)
+                host[f"bin{lg}.cval"] = _pad_rows(z0, ccap)
+                host[f"bin{lg}.cpos"] = _pad_rows(z0, ccap)
+                host[f"bin{lg}.crow"] = _pad_rows(z0, ccap, fill=1 << 30)
                 for ch in ("y", "cb", "cr"):
                     cap = self._grow(f"sc{lg}{ch}", 0) or 0
-                    bf[f"sc_{ch}"] = _pad_rows(np.zeros((0, 3), np.int32),
-                                               cap, fill=-1)
-                feed[f"bin{lg}"] = {k: jnp.asarray(v) for k, v in bf.items()}
+                    host[f"bin{lg}.sc_{ch}"] = _pad_rows(
+                        np.zeros((0, 3), np.int32), cap, fill=-1)
         lgs = sorted(lgs)
 
         # --- PCM ---
         pcm = _pack_pcm(prog, sub_x, sub_y)
         for c in range(3):
             cap = self._grow(f"pcm{c}", len(pcm[c]))
-            feed[f"pcm{c}"] = jnp.asarray(
-                _pad_rows(pcm[c], cap, fill=1 << 30)) if cap else \
-                jnp.zeros((0, 2), jnp.int32)
+            host[f"pcm{c}"] = _pad_rows(pcm[c], cap, fill=1 << 30) if cap \
+                else np.zeros((0, 2), np.int32)
 
         # --- grids + slice data ---
         n_slices = self._grow("slices", max(len(prog.slice_records), 1))
         recs = np.zeros((n_slices, 208), np.int32)
         recs[:len(prog.slice_records)] = prog.slice_records
-        feed["slice_recs"] = jnp.asarray(recs)
-        feed["pu"] = jnp.asarray(pu)
-        feed["pu_idx"] = jnp.asarray(prog.pu_idx)
-        feed["ref_pocs"] = jnp.asarray(np.array(
+        host["slice_recs"] = recs
+        host["pu"] = pu
+        host["pu_idx"] = prog.pu_idx
+        host["ref_pocs"] = np.array(
             [prog.ref_pocs[i] if i < len(prog.ref_pocs) else NOREF
-             for i in range(MAX_REFS)], np.int32))
-        feed["qp4"] = jnp.asarray(prog.qp_y.astype(np.int32))
-        feed["nzc4"] = jnp.asarray(prog.nonzero_coeff.astype(np.int32))
-        feed["dbf4"] = jnp.asarray(prog.deblock_flags.astype(np.int32))
-        feed["cu4"] = jnp.asarray(prog.cu_info.astype(np.int32))
-        feed["slice_idx"] = jnp.asarray(prog.slice_idx.astype(np.int32))
-        feed["slice_addr"] = jnp.asarray(prog.slice_addr.astype(np.int32))
-        feed["tile_id"] = jnp.asarray(prog.tile_id.astype(np.int32))
+             for i in range(MAX_REFS)], np.int32)
+        host["qp4"] = prog.qp_y.astype(np.int32)
+        host["nzc4"] = prog.nonzero_coeff.astype(np.int32)
+        host["dbf4"] = prog.deblock_flags.astype(np.int32)
+        host["cu4"] = prog.cu_info.astype(np.int32)
+        host["slice_idx"] = prog.slice_idx.astype(np.int32)
+        host["slice_addr"] = prog.slice_addr.astype(np.int32)
+        host["tile_id"] = prog.tile_id.astype(np.int32)
+        sh = (prog.ctb_h, prog.ctb_w)
         if prog.sao is not None and len(prog.sao):
-            sh = (prog.ctb_h, prog.ctb_w)
-            feed["sao_t"] = jnp.asarray(
-                prog.sao["type_idx"].astype(np.int32).reshape(*sh, 3))
-            feed["sao_eo"] = jnp.asarray(
-                prog.sao["eo_class"].astype(np.int32).reshape(*sh, 3))
-            feed["sao_band"] = jnp.asarray(
-                prog.sao["band_pos"].astype(np.int32).reshape(*sh, 3))
-            feed["sao_off"] = jnp.asarray(
-                prog.sao["offset"].astype(np.int32).reshape(*sh, 3, 4))
+            host["sao_t"] = prog.sao["type_idx"].astype(np.int32).reshape(
+                *sh, 3)
+            host["sao_eo"] = prog.sao["eo_class"].astype(np.int32).reshape(
+                *sh, 3)
+            host["sao_band"] = prog.sao["band_pos"].astype(np.int32).reshape(
+                *sh, 3)
+            host["sao_off"] = prog.sao["offset"].astype(np.int32).reshape(
+                *sh, 3, 4)
         else:
-            sh = (prog.ctb_h, prog.ctb_w)
-            feed["sao_t"] = jnp.zeros((*sh, 3), jnp.int32)
-            feed["sao_eo"] = jnp.zeros((*sh, 3), jnp.int32)
-            feed["sao_band"] = jnp.zeros((*sh, 3), jnp.int32)
-            feed["sao_off"] = jnp.zeros((*sh, 3, 4), jnp.int32)
+            host["sao_t"] = np.zeros((*sh, 3), np.int32)
+            host["sao_eo"] = np.zeros((*sh, 3), np.int32)
+            host["sao_band"] = np.zeros((*sh, 3), np.int32)
+            host["sao_off"] = np.zeros((*sh, 3, 4), np.int32)
+
+        # --- pack: ONE host->device upload per frame ---
+        layout = []
+        total = 0
+        for k in sorted(host):
+            a = host[k]
+            layout.append((k, total, tuple(a.shape)))
+            total += a.size
+        buf = np.empty(max(total, 1), np.int32)
+        for (k, off, shp) in layout:
+            a = host[k]
+            buf[off:off + a.size] = a.ravel()
+        layout = tuple(layout)
 
         # --- scaling-factor tables (8 KiB; PPS may switch lists per frame) ---
         scaling = prog.scaling_factors is not None
@@ -1073,27 +1162,33 @@ class FusedDecoder:
         srec = prog.slice_records
         multi = (len(srec) > 1 and not np.all(srec[:, 9])) or \
             not prog.across_tiles
+        # sticky statics: once a frame needs L1 / inter / a filter, every
+        # later frame keeps that trace variant (per-slice dynamic gates make
+        # the extra work a no-op) so the stream stays on one program
+        self._use_l1 = self._use_l1 or (
+            bool((prog.pus["pred_flags"] & 2).any()) if len(prog.pus)
+            else False)
+        self._has_inter = self._has_inter or len(prog.pus) > 0
+        self._multi = self._multi or bool(multi)
         st = tuple(sorted({
             "H": H, "W": W, "sub_x": sub_x, "sub_y": sub_y,
             "cw": max(prog.chroma_width, 1), "ch": max(prog.chroma_height, 1),
             "bd": bd, "bdc": bdc, "mono": not has_chroma,
             "ctb_size": prog.ctb_size,
             "n_slices": n_slices,
-            "use_l1": bool((prog.pus["pred_flags"] & 2).any())
-            if len(prog.pus) else False,
-            "has_inter": len(prog.pus) > 0,
+            "use_l1": self._use_l1,
+            "has_inter": self._has_inter,
             "scaling": scaling,
             "lgs": tuple(lgs),
             "pcm_lf_disable": bool(prog.pcm_loop_filter_disable),
             "across_tiles": bool(prog.across_tiles),
-            "multi_boundary": bool(multi),
-            "run_deblock": bool(self.run_deblock and len(srec) and
-                                not np.all(srec[:, 1])),
-            "run_sao": bool(self.run_sao and len(srec) and
-                            np.any(srec[:, 4] | srec[:, 5])),
+            "multi_boundary": self._multi,
+            "run_deblock": bool(self.run_deblock),
+            "run_sao": bool(self.run_sao),
         }.items()))
 
-        out = _compiled(refs[0], refs[1], refs[2], feed, intra_xs, sft, st)
+        out = _compiled(refs[0], refs[1], refs[2], jnp.asarray(buf), sft, st,
+                        layout)
         self._store(prog.poc, out)
         return out
 

@@ -113,6 +113,13 @@ struct FrameProgram {
     // parse time so the device backend gathers MC parameters per cell
     // without any host-side rectangle painting
     std::vector<i32> pu_idx;
+    // device intra plan (intraplan.cc): per-IntraRec scheduling + border
+    // gather plans for the fused backend's super-wave scan
+    std::vector<i32> ip_step, ip_slot, ip_rrow;
+    std::vector<u8> ip_flags;   // 1 unavail, 2 filt, 4 strong
+    std::vector<u8> ip_edge;    // 0 none, 1 DC, 2 v26, 3 h10
+    std::vector<i32> ip_border_pos, ip_border_sub;  // flat, ragged
+    std::vector<u32> ip_border_off;                 // n_intras + 1 offsets
     std::vector<SaoParams> sao;
     std::vector<i32> ref_pocs;
     std::vector<std::vector<u8>> ref_planes;  // 3 per ref, flattened

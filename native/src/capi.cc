@@ -529,6 +529,16 @@ struct tde265_program_view {
   int32_t pcm_bit_depth[2];       // luma, chroma
   int32_t pcm_loop_filter_disable;
   const int32_t* pu_idx;          // per-4x4 covering-PU index (-1 = none)
+  // device intra plan (intraplan.cc), all length n_intras unless noted
+  const int32_t* ip_step;
+  const int32_t* ip_slot;
+  const int32_t* ip_rrow;
+  const uint8_t* ip_flags;
+  const uint8_t* ip_edge;
+  const int32_t* ip_border_pos;   // ip_n_border entries
+  const int32_t* ip_border_sub;
+  const uint32_t* ip_border_off;  // n_intras + 1
+  int32_t ip_n_border;
 };
 
 LIBDE265_API void tde265_set_keep_programs(de265_decoder_context* ctx, int keep) {
@@ -620,6 +630,15 @@ LIBDE265_API int tde265_get_program(de265_decoder_context* ctx, int idx,
   out->pcm_bit_depth[1] = s.pcm_bit_depth[1];
   out->pcm_loop_filter_disable = s.pcm_loop_filter_disable ? 1 : 0;
   out->pu_idx = s.pu_idx.empty() ? nullptr : s.pu_idx.data();
+  out->ip_step = s.ip_step.data();
+  out->ip_slot = s.ip_slot.data();
+  out->ip_rrow = s.ip_rrow.data();
+  out->ip_flags = s.ip_flags.data();
+  out->ip_edge = s.ip_edge.data();
+  out->ip_border_pos = s.ip_border_pos.data();
+  out->ip_border_sub = s.ip_border_sub.data();
+  out->ip_border_off = s.ip_border_off.data();
+  out->ip_n_border = (int32_t)s.ip_border_pos.size();
   return 0;
 }
 

@@ -9,6 +9,12 @@
 #include "tde265/sei.h"
 
 namespace tde265 {
+// intraplan.cc — device intra plan for the fused backend
+void build_intra_plan(const FrameProgram& prog, const Frame& f,
+                      FrameProgram::Snapshot& snap);
+}  // namespace tde265
+
+namespace tde265 {
 
 constexpr int kDpbPoolSize = 32;
 
@@ -735,6 +741,7 @@ Err Decoder::finish_picture() {
     snap->deblock_flags = f->deblock_flags;
     snap->cu_info = f->cu_info;
     snap->sao = f->sao;
+    build_intra_plan(cur_program_, *f, *snap);
     snap->pu_idx.assign((size_t)f->pb_w * f->pb_h, -1);
     for (size_t i = 0; i < cur_program_.pus.size(); i++) {
       const PuRec& pu = cur_program_.pus[i];
