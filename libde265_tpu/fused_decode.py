@@ -53,6 +53,7 @@ from .ops import transform as tx
 from .ops.intra import IntraContext
 from .ops.intra_wave import border_plan, build_mode_tables
 from .ops.mc import EPEL_FILTERS, QPEL_FILTERS
+from .ops import mc_pallas as mcp
 from .ops.sao import EDGE_CAT, EO_D
 from .tpu_decode import (_chroma_qp_map, _edge_params_jnp, _mc_plane, _merge,
                          _cells_to_plane, _pad_edge0_cols)
@@ -337,24 +338,32 @@ def _pad_rows(a: np.ndarray, cap: int, fill=0) -> np.ndarray:
 # device: fused whole-picture kernel
 # ---------------------------------------------------------------------------
 
-def _intra_scan(plane, xs, bin_res, bit_depth: int):
-    """Scan the super-wave steps of one plane.  xs: {lg: arrays [C,K,...]}."""
+def _intra_scan(plane, xs, bin_res, bit_depth: int, n_steps=None):
+    """Run the super-wave steps of one plane.  xs: {lg: arrays [C,K,...]}.
+
+    The step arrays are watermark-deep (the whole stream shares ONE compiled
+    program), but the trip count is dynamic: a P frame with a 5-step plan
+    runs 5 iterations of the while loop, not the I-frame watermark.
+    """
     lgs = sorted(xs.keys())
     tables = {lg: tuple(jnp.asarray(t) for t in build_mode_tables(1 << lg))
               for lg in lgs}
 
-    def step(pl, x):
+    def step_at(pl, i):
         for lg in lgs:
-            b = x[lg]
+            b = {k: lax.dynamic_index_in_dim(v, i, 0, keepdims=False)
+                 for k, v in xs[lg].items()}
             resid = jnp.where(
                 (b["rrow"] >= 0)[:, None, None],
                 bin_res[lg][jnp.clip(b["rrow"], 0)], 0)
             pl = _wave_body(pl, b["pos"], b["sub"], b["meta"], resid,
                             *tables[lg], s=1 << lg, bit_depth=bit_depth)
-        return pl, None
+        return pl
 
-    plane, _ = lax.scan(step, plane, xs)
-    return plane
+    if n_steps is None:
+        cap = next(iter(xs.values()))["rrow"].shape[0]
+        return lax.fori_loop(0, cap, lambda i, pl: step_at(pl, i), plane)
+    return lax.fori_loop(0, n_steps, lambda i, pl: step_at(pl, i), plane)
 
 
 def _wave_body(plane, pos, subst, meta, resid, P0, P1, WT, s: int,
@@ -671,7 +680,7 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, intra_xs, sf_tables, st):
     # ---- inter prediction over the cell grid ----
     if st["has_inter"]:
         y, cbp, crp = _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st,
-                                  pb_h, pb_w)
+                                  pb_h, pb_w, feed)
         m = jnp.repeat(jnp.repeat(covered.reshape(pb_h, pb_w), 4, 0),
                        4, 1)[:H, :W]
         y = jnp.where(m, y, 0)
@@ -748,7 +757,8 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, intra_xs, sf_tables, st):
               if k.rsplit("_", 1)[0] == pcls}
         if xs:
             planes[c] = _intra_scan(planes[c], xs, bin_res,
-                                    bd if c == 0 else bdc)
+                                    bd if c == 0 else bdc,
+                                    feed["nsteps"][c])
 
     # ---- loop filters ----
     skip4 = (feed["cu4"] & 4) != 0
@@ -761,7 +771,8 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, intra_xs, sf_tables, st):
     return tuple(planes)
 
 
-def _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st, pb_h, pb_w):
+def _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st, pb_h, pb_w,
+                feed=None):
     H, W = st["H"], st["W"]
     sub_x, sub_y = max(st["sub_x"], 1), max(st["sub_y"], 1)
     bd, bdc = st["bd"], st["bdc"]
@@ -778,22 +789,55 @@ def _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st, pb_h, pb_w):
     csv = 4 // sub_y
 
     preds_l, preds_cb, preds_cr = [], [], []
-    for l in (0, 1) if use_l1 else (0,):
-        mvx, mvy = cell[f"mv{l}x"], cell[f"mv{l}y"]
-        slot = cell[f"slot{l}"]
-        xint = cx + (mvx >> 2)
-        yint = cy + (mvy >> 2)
-        preds_l.append(_mc_plane(refs_y, slot, xint, yint, mvx & 3, mvy & 3,
-                                 qf, 8, 4, bd))
-        if has_chroma:
-            cxc = cx // sub_x + (mvx >> shx)
-            cyc = cy // sub_y + (mvy >> shy)
-            fcx = (mvx & 7) if sub_x == 2 else ((mvx & 3) << 1)
-            fcy = (mvy & 7) if sub_y == 2 else ((mvy & 3) << 1)
-            preds_cb.append(_mc_plane(refs_cb, slot, cxc, cyc, fcx, fcy, ef,
-                                      4, cs, bdc)[:, :csv, :cs])
-            preds_cr.append(_mc_plane(refs_cr, slot, cxc, cyc, fcx, fcy, ef,
-                                      4, cs, bdc)[:, :csv, :cs])
+    if st["pallas_mc"]:
+        # segment kernel: refs_* are the padded [R*Hpad, Wpad] stacks
+        Hc, Wc = max(st["ch"], 1), max(st["cw"], 1)
+        hp, wp = mcp.pad_sizes(H, W)
+        hpc, wpc = mcp.pad_sizes(Hc, Wc)
+        wout_l = max(256, (W + 127) & ~127)
+        wout_c = max(256, (Wc + 127) & ~127)
+        kk = st["segk"]
+        interp = jax.default_backend() not in ("tpu", "axon")
+
+        def seg_args(l, pc):
+            return [feed[f"sg{l}n"]] + [feed[f"sg{l}{pc}.{f}"] for f in
+                                        ("slot", "wy", "wx", "fy", "fx",
+                                         "x0", "w")]
+
+        for l in (0, 1) if use_l1 else (0,):
+            sy = mcp.mc_stripes(refs_y, *seg_args(l, "l"), OR=4, T=8,
+                                Hpad=hp, Wout=wout_l, n_bands=pb_h,
+                                KMAX=kk, bd=bd, interpret=interp)
+            blk = sy[:, :, :W].reshape(pb_h, 4, pb_w, 4).transpose(
+                0, 2, 1, 3).reshape(N, 4, 4)
+            preds_l.append(blk)
+            if has_chroma:
+                for refs_c, acc in ((refs_cb, preds_cb),
+                                    (refs_cr, preds_cr)):
+                    sc = mcp.mc_stripes(refs_c, *seg_args(l, "c"), OR=csv,
+                                        T=4, Hpad=hpc, Wout=wout_c,
+                                        n_bands=pb_h, KMAX=kk, bd=bdc,
+                                        interpret=interp)
+                    acc.append(sc[:, :, :Wc].reshape(
+                        pb_h, csv, pb_w, cs).transpose(
+                        0, 2, 1, 3).reshape(N, csv, cs))
+    else:
+        for l in (0, 1) if use_l1 else (0,):
+            mvx, mvy = cell[f"mv{l}x"], cell[f"mv{l}y"]
+            slot = cell[f"slot{l}"]
+            xint = cx + (mvx >> 2)
+            yint = cy + (mvy >> 2)
+            preds_l.append(_mc_plane(refs_y, slot, xint, yint, mvx & 3,
+                                     mvy & 3, qf, 8, 4, bd))
+            if has_chroma:
+                cxc = cx // sub_x + (mvx >> shx)
+                cyc = cy // sub_y + (mvy >> shy)
+                fcx = (mvx & 7) if sub_x == 2 else ((mvx & 3) << 1)
+                fcy = (mvy & 7) if sub_y == 2 else ((mvy & 3) << 1)
+                preds_cb.append(_mc_plane(refs_cb, slot, cxc, cyc, fcx, fcy,
+                                          ef, 4, cs, bdc)[:, :csv, :cs])
+                preds_cr.append(_mc_plane(refs_cr, slot, cxc, cyc, fcx, fcy,
+                                          ef, 4, cs, bdc)[:, :csv, :cs])
 
     pf = cell["pf"]
     bi = pf == 3
@@ -890,6 +934,10 @@ class FusedDecoder:
         self._use_l1 = False
         self._has_inter = False
         self._multi = False
+        # Pallas segment-MC path: on for real TPU backends; the XLA gather
+        # path stays for CPU tests (interpret mode is far too slow there)
+        self.use_pallas_mc = jax.default_backend() in ("tpu", "axon")
+        self.caps["segk"] = 0
 
     # -- capacity planning --
 
@@ -940,6 +988,11 @@ class FusedDecoder:
             pcm = _pack_pcm(prog, sub_x, sub_y)
             for c in range(3):
                 self._grow(f"pcm{c}", len(pcm[c]))
+            if self.use_pallas_mc and len(prog.pus):
+                for l in (0, 1):
+                    _, _, _, K = mcp.plan_segments(
+                        prog.pus, l, prog.height, prog.width, sub_x, sub_y)
+                    self._grow("segk", K)
 
     # -- helpers --
 
@@ -981,6 +1034,16 @@ class FusedDecoder:
             stack[0].append(z)
             stack[1].append(zc)
             stack[2].append(zc)
+        if self.use_pallas_mc:
+            # replicate-padded [R*Hpad, Wpad] stacks for the segment-MC DMA
+            hp, wp = mcp.pad_sizes(H, W)
+            hpc, wpc = mcp.pad_sizes(ch, cw)
+            out = []
+            for c, (hh, ww) in ((0, (hp, wp)), (1, (hpc, wpc)),
+                                (2, (hpc, wpc))):
+                padded = [mcp.pad_plane(p, hh, ww) for p in stack[c]]
+                out.append(jnp.stack(padded).reshape(MAX_REFS * hh, ww))
+            return out, slot_map
         return [jnp.stack(s) for s in stack], slot_map
 
     def decode(self, prog: FrameProgramData):
@@ -1017,6 +1080,28 @@ class FusedDecoder:
                 pu[:len(p), 7 + l] = np.maximum(
                     p[f"ref_idx{l}"].astype(np.int32), 0)
             pu[:len(p), 9] = p["slice"]
+
+        # --- MC segments (Pallas path): PU x cell-band work units ---
+        seg_host = {}
+        if self.use_pallas_mc:
+            remap = np.array([slot_map.get(i, 0) for i in range(MAX_REFS)],
+                             np.int32)
+            n_bands = (H + 3) // 4
+            lists = (0, 1) if self._use_l1 or (
+                len(prog.pus) and bool((prog.pus["pred_flags"] & 2).any())) \
+                else (0,)
+            for l in lists:
+                if l == 1:
+                    self._use_l1 = True
+                luma, chrom, counts, K = mcp.plan_segments(
+                    prog.pus, l, H, W, sub_x, sub_y, remap)
+                kcap = self._grow("segk", max(K, 1))
+                for pc, d in (("l", luma), ("c", chrom)):
+                    for f in ("slot", "wy", "wx", "fy", "fx", "x0", "w"):
+                        a = np.zeros((n_bands, kcap), np.int32)
+                        a[:, :d[f].shape[1]] = d[f]
+                        seg_host[f"sg{l}{pc}.{f}"] = a
+                seg_host[f"sg{l}n"] = counts.astype(np.int32)
 
         # --- TU bins ---
         bins, tl, tr = _bin_tus(prog)
@@ -1059,6 +1144,11 @@ class FusedDecoder:
                                         _pow2(n_steps) if n_steps else 0)
         for key in xs:
             self._intra_lgs.add(key)
+        # dynamic trip counts: actual super-wave depth per plane this frame
+        npc = {"y": 0, "cb": 0, "cr": 0}
+        for (pc, lg), v in xs.items():
+            npc[pc] = max(npc[pc], v["pos"].shape[0])
+        host["nsteps"] = np.array([npc["y"], npc["cb"], npc["cr"]], np.int32)
         for key in sorted(self._intra_lgs):
             pc, lg = key
             K = WAVE_CAP[lg]
@@ -1138,6 +1228,7 @@ class FusedDecoder:
             host["sao_off"] = np.zeros((*sh, 3, 4), np.int32)
 
         # --- pack: ONE host->device upload per frame ---
+        host.update(seg_host)
         layout = []
         total = 0
         for k in sorted(host):
@@ -1185,6 +1276,8 @@ class FusedDecoder:
             "multi_boundary": self._multi,
             "run_deblock": bool(self.run_deblock),
             "run_sao": bool(self.run_sao),
+            "pallas_mc": bool(self.use_pallas_mc),
+            "segk": self.caps["segk"] or 1,
         }.items()))
 
         out = _compiled(refs[0], refs[1], refs[2], jnp.asarray(buf), sft, st,

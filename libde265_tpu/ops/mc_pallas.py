@@ -1,0 +1,268 @@
+"""Pallas TPU motion-compensation kernel: per-segment DMA windows + fused
+separable interpolation.
+
+XLA's generic gather lowers catastrophically on TPU for the per-cell MC
+window fetch (measured ~70KB of HBM traffic per gathered element on the
+fused-decode path), so this kernel reformulates inter prediction the way the
+hardware wants it:
+
+  * A *segment* is the intersection of one inter PU with one 4-luma-row cell
+    band: all samples in a segment share one motion vector, one reference
+    slot and one filter phase, so the reference window of a whole segment is
+    a single contiguous rectangle (<= [11, 71] for luma).
+  * Reference pictures live in HBM as one replicate-padded stack
+    [R * Hpad, Wpad]; each segment issues ONE aligned async copy (rounded
+    down to the (8, 128) tile grid) and the sub-tile offset is fixed up in
+    VMEM with static roll ladders.
+  * The 8-tap qpel / 4-tap epel separable filters run on [FH, 256] VMEM
+    tiles as static shifted multiply-adds (the filter-always formulation:
+    the phase-0 filter row [.., 64, ..] makes the copy path bit-exact, so
+    there is no branch between copy/h/v/hv).
+  * The grid walks cell bands; each program double-buffers segment DMAs and
+    read-modify-writes its [OR, Wpad] output stripe (segments of one band
+    never overlap, bands never share a stripe: no write races).
+
+Outputs are at the spec's intermediate scale (<< (14 - bd)); the weighted /
+bi-prediction merge stays in XLA where it fuses into the rest of the frame
+program.  Bit-exact counterpart of ops/mc.py (spec 8.5.4.2.2/8.5.4.2.3) and
+of the scalar oracle native/src/recon.cc:309-420.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mc import EPEL_FILTERS, QPEL_FILTERS
+
+# replicate padding of each reference plane inside the HBM stack.
+# left pad: a window origin is clamped to >= -(w + taps - 2) >= -70 (w<=64,
+# taps<=8); 128 also keeps unpadded x -> padded x+128 lane-aligned.
+PADL = 128
+PADR = 256          # window reach right of the last column: <= 255 lanes
+PADT = 16           # origin clamp >= -(OR + taps - 2) >= -10
+FW = 256            # fetched lanes per segment DMA
+_SEG_FIELDS = 7     # nseg-indexed scalar fields per segment
+
+
+def pad_sizes(h: int, w: int):
+    """Padded plane size for the HBM reference stack."""
+    hp = h + PADT + 48          # bottom: origin<=h-1, +FH rows, align slack
+    hp = (hp + 7) & ~7
+    wp = (w + PADL + PADR + 127) & ~127
+    return hp, wp
+
+
+@functools.partial(jax.jit, static_argnames=("hp", "wp"))
+def pad_plane(plane, hp: int, wp: int):
+    """Edge-replicate a decoded plane into its padded DPB layout."""
+    h, w = plane.shape
+    return jnp.pad(plane, ((PADT, hp - h - PADT), (PADL, wp - w - PADL)),
+                   mode="edge")
+
+
+def plan_segments(pus: np.ndarray, list_idx: int, H: int, W: int,
+                  sub_x: int, sub_y: int, slot_remap: np.ndarray = None):
+    """Explode the PUs of one reference list into per-cell-band segments.
+
+    Returns (luma, chroma) dicts of [n_bands, K] int32 arrays:
+      slot, wy, wx (padded-plane window origins, pre-clamped), fy, fx,
+      x0 (output column), w (output width); plus per-band counts n[band].
+    K is the max segments per band (caller watermarks it).
+    """
+    n_bands = (H + 3) // 4
+    sel = np.nonzero((pus["pred_flags"] & (1 << list_idx)) != 0)[0]
+    empty = {k: np.zeros((n_bands, 1), np.int32) for k in
+             ("slot", "wy", "wx", "fy", "fx", "x0", "w")}
+    if not len(sel):
+        z = np.zeros(n_bands, np.int32)
+        return empty, dict(empty), z, 1
+
+    p = pus[sel]
+    mvx = p[f"mv{list_idx}x"].astype(np.int32)
+    mvy = p[f"mv{list_idx}y"].astype(np.int32)
+    slot = np.maximum(p[f"ref_dpb{list_idx}"].astype(np.int32), 0)
+    if slot_remap is not None:
+        slot = slot_remap[np.clip(slot, 0, len(slot_remap) - 1)]
+    x, y = p["x"].astype(np.int32), p["y"].astype(np.int32)
+    w, h = p["w"].astype(np.int32), p["h"].astype(np.int32)
+
+    rows = h >> 2
+    tot = int(rows.sum())
+    idx = np.repeat(np.arange(len(p)), rows)
+    within = np.arange(tot) - np.repeat(np.cumsum(rows) - rows, rows)
+    band = (y[idx] >> 2) + within
+
+    # per-band slot assignment (segments stay in PU emission order)
+    order = np.argsort(band, kind="stable")
+    bs = band[order]
+    first = np.searchsorted(bs, bs)
+    k_of = np.arange(tot) - first
+    K = int(k_of.max()) + 1 if tot else 1
+    counts = np.zeros(n_bands, np.int32)
+    np.add.at(counts, band, 1)
+
+    def pack(values):
+        a = np.zeros((n_bands, K), np.int32)
+        a[bs, k_of] = values[order]
+        return a
+
+    il, iw = idx, within
+    # luma: window origin (padded coords), clamped so the replicate padding
+    # reproduces per-sample edge clamping (all-outside windows saturate)
+    oy = (y[il] + 4 * iw) + (mvy[il] >> 2) - 3
+    ox = x[il] + (mvx[il] >> 2) - 3
+    oy = np.clip(oy, -(4 + 8 - 2), H - 1) + PADT
+    ox = np.clip(ox, -(w[il] + 8 - 2), W - 1) + PADL
+    luma = {
+        "slot": pack(slot[il]), "wy": pack(oy), "wx": pack(ox),
+        "fy": pack(mvy[il] & 3), "fx": pack(mvx[il] & 3),
+        "x0": pack(x[il]), "w": pack(w[il]),
+    }
+
+    # chroma: fractional precision depends on subsampling (8.5.4.2.3)
+    shx = 3 if sub_x == 2 else 2
+    shy = 3 if sub_y == 2 else 2
+    fcx = (mvx[il] & 7) if sub_x == 2 else ((mvx[il] & 3) << 1)
+    fcy = (mvy[il] & 7) if sub_y == 2 else ((mvy[il] & 3) << 1)
+    cw = w[il] // sub_x
+    cyb = (y[il] + 4 * iw) // sub_y          # chroma rows of this band
+    ocy = cyb + (mvy[il] >> shy) - 1
+    ocx = x[il] // sub_x + (mvx[il] >> shx) - 1
+    Hc, Wc = H // sub_y, W // sub_x
+    ocy = np.clip(ocy, -((4 // sub_y) + 4 - 2), Hc - 1) + PADT
+    ocx = np.clip(ocx, -(cw + 4 - 2), Wc - 1) + PADL
+    chroma = {
+        "slot": pack(slot[il]), "wy": pack(ocy), "wx": pack(ocx),
+        "fy": pack(fcy), "fx": pack(fcx),
+        "x0": pack(x[il] // sub_x), "w": pack(cw),
+    }
+    return luma, chroma, counts, K
+
+
+def _scalar_coef(frac, table, k):
+    """Select filter tap k by the traced fraction via a where-chain."""
+    c = table[0][k]
+    for f in range(1, len(table)):
+        c = jnp.where(frac == f, table[f][k], c)
+    return c
+
+
+def _roll_ladder(win, rem, nbits, axis, size):
+    """Shift `win` up by the traced remainder via static power-of-2 rolls."""
+    for b in range(nbits):
+        sh = 1 << b
+        rolled = pltpu.roll(win, shift=size - sh, axis=axis)
+        win = jnp.where((rem & sh) != 0, rolled, win)
+    return win
+
+
+def _mc_kernel(nseg, slot, wy, wx, fy, fx, x0, wv, refs, out, scratch, sem,
+               *, OR, T, FH, Hpad, Wout, bd, KMAX, table):
+    band = pl.program_id(0)
+    out[0] = jnp.zeros((OR, Wout), jnp.int32)
+    n = nseg[band]
+    shift1 = bd - 8
+    lane = jax.lax.broadcasted_iota(jnp.int32, (OR, FW), 1)
+
+    def win_origin(k):
+        row = slot[band, k] * Hpad + wy[band, k]
+        col = wx[band, k]
+        r8 = pl.multiple_of((row // 8) * 8, 8)
+        c128 = pl.multiple_of((col // 128) * 128, 128)
+        return row, col, r8, c128
+
+    def start_dma(sl, k):
+        _, _, r8, c128 = win_origin(k)
+        return pltpu.make_async_copy(
+            refs.at[pl.ds(r8, FH), pl.ds(c128, FW)], scratch.at[sl],
+            sem.at[sl])
+
+    @pl.when(n > 0)
+    def _():
+        start_dma(0, 0).start()
+
+    def body(k, _):
+        sl = k % 2
+
+        @pl.when(k + 1 < n)
+        def _():
+            start_dma((k + 1) % 2, k + 1).start()
+
+        start_dma(sl, k).wait()
+        row, col, r8, c128 = win_origin(k)
+        win = _roll_ladder(scratch[sl], row - r8, 3, 0, FH)
+        win = _roll_ladder(win, col - c128, 7, 1, FW)
+
+        # horizontal filter on all rows (filter-always: phase 0 is the
+        # [.., 64, ..] copy row, so no copy/h/v/hv branching is needed)
+        fxk = fx[band, k]
+        th = _scalar_coef(fxk, table, 0) * win
+        sh = win
+        for k_tap in range(1, T):
+            sh = pltpu.roll(sh, shift=FW - 1, axis=1)
+            th = th + _scalar_coef(fxk, table, k_tap) * sh
+        th = _wrap16(th >> shift1) if shift1 else _wrap16(th)
+
+        # vertical filter: OR output rows from static row slices
+        fyk = fy[band, k]
+        tv = _scalar_coef(fyk, table, 0) * th[0:OR]
+        for k_tap in range(1, T):
+            tv = tv + _scalar_coef(fyk, table, k_tap) * th[k_tap:k_tap + OR]
+        pred = _wrap16(tv >> 6)
+
+        # place at the output column: roll to the lane offset and RMW-merge
+        xs = x0[band, k]
+        base = jnp.minimum((xs // 128) * 128, Wout - FW)
+        off = xs - base
+        pred = _roll_ladder(pred, (FW - off) & (FW - 1), 8, 1, FW)
+        mask = (lane >= off) & (lane < off + wv[band, k])
+        base = pl.multiple_of(base, 128)
+        cur = out[0, :, pl.ds(base, FW)]
+        out[0, :, pl.ds(base, FW)] = jnp.where(mask, pred, cur)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _wrap16(x):
+    """Wrap to int16 range (the spec's 16-bit intermediate storage)."""
+    return ((x + (1 << 15)) & 0xFFFF) - (1 << 15)
+
+
+@functools.partial(jax.jit, static_argnames=("OR", "T", "Hpad", "Wout",
+                                             "n_bands", "KMAX", "bd",
+                                             "interpret"))
+def mc_stripes(refs2d, nseg, slot, wy, wx, fy, fx, x0, wv, *, OR: int,
+               T: int, Hpad: int, Wout: int, n_bands: int, KMAX: int,
+               bd: int, interpret: bool = False):
+    """Run the segment MC kernel; returns [n_bands, OR, Wout] stripes at
+    intermediate scale."""
+    FH = 24 if T == 8 else 16
+    table = tuple(tuple(int(v) for v in row)
+                  for row in (QPEL_FILTERS if T == 8 else EPEL_FILTERS))
+    kern = functools.partial(_mc_kernel, OR=OR, T=T, FH=FH, Hpad=Hpad,
+                             Wout=Wout, bd=bd, KMAX=KMAX, table=table)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(n_bands,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, OR, Wout), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, FH, FW), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_bands, OR, Wout), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(nseg, slot, wy, wx, fy, fx, x0, wv, refs2d)
+
+
+def default_interpret():
+    return jax.default_backend() not in ("tpu", "axon")

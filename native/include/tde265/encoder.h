@@ -51,6 +51,7 @@ struct EncoderConfig {
   // entropy-coding structure (one slice per picture when either is set):
   bool wpp = false;            // entropy_coding_sync (one substream per row)
   int tile_cols = 1, tile_rows = 1;  // uniform tiles
+  bool across_tiles = true;          // loop_filter_across_tiles
   // GOP structure: 0/1 = all-intra; N>1 = IDR every N pictures, P pictures
   // (one L0 reference, the previous picture) in between — the low-delay-P
   // counterpart of the reference's sop-structure

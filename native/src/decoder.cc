@@ -8,6 +8,8 @@
 
 #include "tde265/sei.h"
 
+#include "tde265/perf.h"
+
 namespace tde265 {
 // intraplan.cc — device intra plan for the fused backend
 void build_intra_plan(const FrameProgram& prog, const Frame& f,
@@ -26,6 +28,7 @@ Decoder::Decoder() {
 Decoder::~Decoder() {
   if (pipelined_) pipeline_.drain();
   pipeline_.stop();
+  perf::report();
 }
 
 void Decoder::reset() {
@@ -305,7 +308,11 @@ Err Decoder::read_slice(std::unique_ptr<NalUnit> nal) {
 
   // --- decode slice data into the frame program ---
   SliceParser parser(this, &cur_program_, cur_frame_, sh);
-  Err e = parser.decode(slice_data, slice_size);
+  Err e;
+  {
+    perf::Scope ps(perf::kParse);
+    e = parser.decode(slice_data, slice_size);
+  }
   if (e != Err::OK) {
     add_warning(Warning::InvalidCabacData);
     cur_frame_->integrity_ok = false;

@@ -135,6 +135,7 @@ de265_error en265_set_parameter_bool(en265_encoder_context* ctx,
   if (p == "transform-skip") C(ctx)->cfg.transform_skip = (value != 0);
   if (p == "constrained-intra") C(ctx)->cfg.constrained_intra = (value != 0);
   if (p == "ccp") C(ctx)->cfg.ccp = (value != 0);
+  if (p == "across-tiles") C(ctx)->cfg.across_tiles = (value != 0);
   return DE265_OK;
 }
 

@@ -155,7 +155,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
     p.num_tile_columns = cfg.tile_cols;
     p.num_tile_rows = cfg.tile_rows;
     p.uniform_spacing = true;
-    p.loop_filter_across_tiles = true;
+    p.loop_filter_across_tiles = cfg.across_tiles;
   }
   p.compute_derived();
 

@@ -6,6 +6,7 @@
 #include <cstring>
 
 #include "tde265/decoder.h"
+#include "tde265/perf.h"
 #include "tde265/syntax.h"
 
 namespace tde265 {
@@ -466,26 +467,38 @@ Err execute_program_scalar(FrameProgram& prog, bool run_deblock, bool run_sao) {
 
   for (const Op& op : prog.ops) {
     switch (op.kind) {
-      case Op::kIntraPred:
+      case Op::kIntraPred: {
+        perf::Scope ps(perf::kIntra);
         execute_intra_scalar(prog, prog.intras[op.idx]);
         break;
-      case Op::kAddResidual:
+      }
+      case Op::kAddResidual: {
+        perf::Scope ps(perf::kTransform);
         execute_tu_scalar(prog, prog.tus[op.idx], ccp_cache);
         break;
-      case Op::kInterPred:
+      }
+      case Op::kInterPred: {
+        perf::Scope ps(perf::kInter);
         if (prog.frame->bytes_pp == 1)
           execute_pu_t<u8>(prog, prog.pus[op.idx]);
         else
           execute_pu_t<u16>(prog, prog.pus[op.idx]);
         break;
+      }
       case Op::kPcm:
         execute_pcm(prog, prog.pcms[op.idx]);
         break;
     }
   }
 
-  if (run_deblock) apply_deblocking(prog);
-  if (run_sao) apply_sao(prog);
+  if (run_deblock) {
+    perf::Scope ps(perf::kDeblock);
+    apply_deblocking(prog);
+  }
+  if (run_sao) {
+    perf::Scope ps(perf::kSao);
+    apply_sao(prog);
+  }
   return Err::OK;
 }
 
