@@ -1,0 +1,451 @@
+"""Tile-sharded frame decode over a device mesh (the TPU analogue of the
+reference's tile worker threads, /root/reference/libde265/decctx.cc:963-1061).
+
+HEVC tiles partition a picture into independently-parseable rectangles: no
+intra prediction, MV prediction or CABAC state crosses a tile boundary.  On
+a TPU mesh that independence becomes *sharding*: each device reconstructs
+one tile column from its own per-tile record batches (TUs, PUs, intra
+super-waves), with the DPB replicated.
+
+Loop filters are the only cross-tile coupling:
+
+- ``loop_filter_across_tiles == False``: filters are gated at tile
+  boundaries by the bitstream itself, so the whole decode is embarrassingly
+  parallel — each shard runs the ordinary whole-frame program on its tile.
+- ``loop_filter_across_tiles == True``: after per-tile reconstruction each
+  shard exchanges an 8-pixel halo (plus filter-metadata grids) with its
+  neighbours via ``lax.ppermute`` — one ICI hop — and then runs deblock +
+  SAO on the halo-padded tile with *redundant boundary compute*: edges
+  within 3 samples of the boundary are computed identically on both
+  neighbours, so no mid-filter communication is needed.
+
+The heavy lifting reuses the fused whole-picture program (`_frame_fn`): a
+per-tile feed is constructed so that each tile decodes as if it were a small
+picture, with motion vectors pre-biased by ``4 * tile_x0`` so frame-global
+reference windows come out of tile-local cell coordinates.
+"""
+from __future__ import annotations
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import fused_decode as fd
+from ..decoder import FrameProgramData
+from ..ops import transform as tx
+
+HALO = 8  # pixels each side: covers deblock reach (edge +-3, reads +-4)
+
+
+def tile_columns(prog: FrameProgramData):
+    """Tile x-ranges (luma pixels) from the per-CTB tile-id grid.
+
+    Returns a list of (x0, x1).  Requires a single row of tiles.
+    """
+    tid = prog.tile_id
+    if tid is None or tid.size == 0:
+        return [(0, prog.width)]
+    if not np.all(tid[:1, :] == tid):
+        raise ValueError("tile rows not supported (need 1 tile row)")
+    row = tid[0]
+    ctb = prog.ctb_size
+    bounds = [0]
+    for i in range(1, len(row)):
+        if row[i] != row[i - 1]:
+            bounds.append(i * ctb)
+    bounds.append(prog.width)
+    return [(bounds[i], min(bounds[i + 1], prog.width))
+            for i in range(len(bounds) - 1)]
+
+
+class _TileView:
+    """prog-shaped shim over per-tile filtered record arrays for _bin_tus."""
+
+    def __init__(self, tus, coeff_val, coeff_pos):
+        self.tus = tus
+        self.coeff_val = coeff_val
+        self.coeff_pos = coeff_pos
+
+
+def _bin_tus_tile(prog, sel, x_off_l, sub_x):
+    """Per-tile TU binning with tile-local coordinates."""
+    tus = prog.tus[sel].copy()
+    if len(tus):
+        off = np.where(tus["cidx"] == 0, x_off_l, x_off_l // sub_x)
+        tus["x"] = tus["x"] - off
+    view = _TileView(tus, prog.coeff_val, prog.coeff_pos)
+    view.width = prog.width
+    view.scaling_factors = prog.scaling_factors
+    return fd._bin_tus(view)
+
+
+def _localize_intra(xs, tile_of_entry, t, tx0, sub_x, widths, rrow_map):
+    """Slice one tile's entries out of the whole-frame super-wave plan.
+
+    xs: {(pc, lg): [C, K, ...]} whole-frame plan.  Entries of other tiles
+    are invalidated; positions/coordinates are rebased to tile-local ones.
+    """
+    out = {}
+    for key, v in xs.items():
+        pc, lg = key
+        c = 0 if pc == "y" else 1
+        Wd, Wl = widths[c]          # (frame width, tile-local width)
+        sub = 1 if c == 0 else sub_x
+        txc = tx0 // sub
+        mine = tile_of_entry[key] == t
+        meta = v["meta"].copy()
+        valid = (meta[:, :, 4] & 8) != 0
+        keep = mine & valid
+        meta[:, :, 4] = np.where(keep, meta[:, :, 4], 0)
+        meta[:, :, 3] = np.where(keep, meta[:, :, 3] - txc, 0)
+        rows = v["pos"] // Wd
+        cols = v["pos"] % Wd - txc
+        pos = np.clip(rows * Wl + np.clip(cols, 0, Wl - 1), 0, None)
+        pos = np.where(keep[:, :, None], pos, 0)
+        rrow = np.where(keep, rrow_map[key], -1)
+        out[key] = {"pos": pos.astype(np.int32), "sub": v["sub"],
+                    "meta": meta.astype(np.int32),
+                    "rrow": rrow.astype(np.int32)}
+    return out
+
+
+class ShardedTileDecoder:
+    """Decode tiled frames with one tile column per mesh device.
+
+    Usage::
+        mesh = make_mesh(4)
+        sd = ShardedTileDecoder(mesh)
+        planes = sd.decode(prog)          # bit-exact vs the scalar oracle
+    """
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n_dev = mesh.devices.size
+        self.dpb = {}
+        self._order = []
+
+    # ---- host-side per-tile partitioning -------------------------------
+
+    def _partition(self, prog):
+        cols = tile_columns(prog)
+        T = len(cols)
+        if T != self.n_dev:
+            raise ValueError(f"{T} tiles vs {self.n_dev} devices")
+        tw = cols[0][1] - cols[0][0]
+        if any(x1 - x0 != tw for x0, x1 in cols):
+            raise ValueError("non-uniform tile widths unsupported")
+
+        H, W = prog.height, prog.width
+        has_chroma = prog.chroma_width > 0
+        sub_x = W // prog.chroma_width if has_chroma else 1
+        sub_y = H // prog.chroma_height if has_chroma else 1
+
+        # whole-frame TU binning (for intra rrow mapping)
+        bins_w, tl_w, tr_w = fd._bin_tus(prog)
+        xs_w, n_steps = fd._plan_intra(prog, tl_w, tr_w)
+
+        # map whole-frame (lg, bin row) -> global tu index
+        tu_of = {}
+        for lg in bins_w:
+            sel = np.nonzero(prog.tus["log2_size"] == lg)[0]
+            tu_of[lg] = sel
+
+        # tile of each TU / each intra plan entry
+        tu_x_l = np.where(prog.tus["cidx"] == 0, prog.tus["x"],
+                          prog.tus["x"] * sub_x) if len(prog.tus) else \
+            np.zeros(0, np.int32)
+        tu_tile = np.clip(tu_x_l // tw, 0, T - 1)
+
+        tile_of_entry = {}
+        rrow_maps = [dict() for _ in range(T)]
+        # per-tile, per-lg local bin row of each global TU
+        tu_local_row = np.full(len(prog.tus), -1, np.int32)
+        for lg in (2, 3, 4, 5):
+            for t in range(T):
+                sel = np.nonzero((prog.tus["log2_size"] == lg) &
+                                 (tu_tile == t))[0]
+                tu_local_row[sel] = np.arange(len(sel))
+        for key, v in xs_w.items():
+            pc, lg = key
+            sub = 1 if pc == "y" else sub_x
+            gx = v["meta"][:, :, 3] * sub
+            tile_of_entry[key] = np.clip(gx // tw, 0, T - 1)
+            # whole-frame rrow -> global tu -> tile-local row
+            rrow = v["rrow"]
+            lmap = np.full(rrow.shape, -1, np.int32)
+            ok = rrow >= 0
+            if lg in tu_of and ok.any():
+                gtu = tu_of[lg][np.clip(rrow, 0, len(tu_of.get(lg, [0])) - 1)]
+                lmap = np.where(ok, tu_local_row[gtu], -1)
+            for t in range(T):
+                rrow_maps[t][key] = lmap
+
+        per_tile = []
+        for t, (x0, x1) in enumerate(cols):
+            sel = np.nonzero(tu_tile == t)[0] if len(prog.tus) else \
+                np.zeros(0, np.int64)
+            bins, _, _ = _bin_tus_tile(prog, sel, x0, sub_x)
+            widths = {0: (W, tw), 1: (max(prog.chroma_width, 1), tw // sub_x)}
+            xs = _localize_intra(xs_w, tile_of_entry, t, x0, sub_x, widths,
+                                 rrow_maps[t])
+            pus = prog.pus.copy()
+            if len(pus):
+                for l in (0, 1):
+                    pus[f"mv{l}x"] = pus[f"mv{l}x"] + 4 * x0
+            per_tile.append({"bins": bins, "xs": xs, "pus": pus,
+                             "x0": x0, "x1": x1})
+        return per_tile, cols, tw, sub_x, sub_y, n_steps, xs_w
+
+    # ---- device feeds ---------------------------------------------------
+
+    def decode(self, prog: FrameProgramData):
+        per_tile, cols, tw, sub_x, sub_y, n_steps, xs_w = \
+            self._partition(prog)
+        T = len(per_tile)
+        H, W = prog.height, prog.width
+        has_chroma = prog.chroma_width > 0
+        bd = prog.bit_depth[0]
+        bdc = prog.bit_depth[1] if has_chroma else bd
+        twc = tw // sub_x
+
+        # replicated reference stacks (unpadded: XLA gather path)
+        refs, slot_map = self._refs(prog)
+
+        # --- stacked per-tile feeds [T, ...] ---
+        caps = {}
+        for pt in per_tile:
+            for lg, b in pt["bins"].items():
+                caps[f"tu{lg}"] = max(caps.get(f"tu{lg}", 1), b["n"])
+                caps[f"co{lg}"] = max(caps.get(f"co{lg}", 1), len(b["cval"]))
+                for ch in ("y", "cb", "cr"):
+                    caps[f"sc{lg}{ch}"] = max(caps.get(f"sc{lg}{ch}", 0),
+                                              len(b[f"sc_{ch}"]))
+        lgs = sorted({lg for pt in per_tile for lg in pt["bins"]})
+        intra_keys = sorted({k for pt in per_tile for k in pt["xs"]})
+
+        feed = {}
+
+        def stack(name, arrs):
+            feed[name] = jnp.asarray(np.stack(arrs))
+
+        z0 = np.zeros(0, np.int32)
+        for lg in lgs:
+            tcap, ccap = caps[f"tu{lg}"], caps[f"co{lg}"]
+            for fld, cap, fill in (("qp", tcap, 0), ("flags", tcap, 0),
+                                   ("mid", tcap, 0), ("cval", ccap, 0),
+                                   ("cpos", ccap, 0),
+                                   ("crow", ccap, 1 << 30)):
+                stack(f"bin{lg}.{fld}", [
+                    fd._pad_rows(pt["bins"][lg][fld] if lg in pt["bins"]
+                                 else z0, cap, fill=fill)
+                    for pt in per_tile])
+            for ch in ("y", "cb", "cr"):
+                cap = caps[f"sc{lg}{ch}"]
+                stack(f"bin{lg}.sc_{ch}", [
+                    fd._pad_rows(pt["bins"][lg][f"sc_{ch}"] if lg in
+                                 pt["bins"] else np.zeros((0, 3), np.int32),
+                                 cap, fill=-1) for pt in per_tile])
+
+        for key in intra_keys:
+            pc, lg = key
+            K = fd.WAVE_CAP[lg]
+            nb = 4 * (1 << lg) + 1
+            for fld, shape, fill in (("pos", (n_steps, K, nb), 0),
+                                     ("sub", (n_steps, K, nb), 0),
+                                     ("meta", (n_steps, K, 5), 0),
+                                     ("rrow", (n_steps, K), -1)):
+                arrs = []
+                for pt in per_tile:
+                    a = np.full(shape, fill, np.int32)
+                    if key in pt["xs"]:
+                        v = pt["xs"][key][fld]
+                        a[:v.shape[0]] = v
+                    arrs.append(a)
+                stack(f"ia.{pc}_{lg}.{fld}", arrs)
+
+        # PU/cell data
+        pcap = max(max((len(pt["pus"]) for pt in per_tile), default=1), 1)
+        pu_arrs = []
+        for pt in per_tile:
+            pu = np.zeros((pcap, 10), np.int32)
+            p = pt["pus"]
+            if len(p):
+                pu[:len(p), 0] = p["mv0x"]
+                pu[:len(p), 1] = p["mv0y"]
+                pu[:len(p), 2] = p["mv1x"]
+                pu[:len(p), 3] = p["mv1y"]
+                pu[:len(p), 4] = p["pred_flags"]
+                for l in (0, 1):
+                    slot = np.array([slot_map.get(int(v), 0)
+                                     for v in p[f"ref_dpb{l}"]], np.int32)
+                    pu[:len(p), 5 + l] = slot
+                    pu[:len(p), 7 + l] = np.maximum(
+                        p[f"ref_idx{l}"].astype(np.int32), 0)
+                pu[:len(p), 9] = p["slice"]
+            pu_arrs.append(pu)
+        feed["pu"] = jnp.asarray(np.stack(pu_arrs))
+
+        pb_h = prog.pu_idx.shape[0]
+        tw4 = tw // 4
+        stack("pu_idx", [prog.pu_idx[:, pt["x0"] // 4:pt["x0"] // 4 + tw4]
+                         for pt in per_tile])
+        feed["ref_pocs"] = jnp.asarray(np.broadcast_to(np.array(
+            [prog.ref_pocs[i] if i < len(prog.ref_pocs) else fd.NOREF
+             for i in range(fd.MAX_REFS)], np.int32), (T, fd.MAX_REFS)))
+
+        # grids (per-4x4 and per-CTB), sliced per tile
+        g4 = {"qp4": prog.qp_y, "nzc4": prog.nonzero_coeff,
+              "dbf4": prog.deblock_flags, "cu4": prog.cu_info}
+        for name, g in g4.items():
+            stack(name, [g.astype(np.int32)[:, pt["x0"] // 4:
+                                            pt["x0"] // 4 + tw4]
+                         for pt in per_tile])
+        ctb = prog.ctb_size
+        twc_ctb = tw // ctb
+        for name, g in (("slice_idx", prog.slice_idx),
+                        ("slice_addr", prog.slice_addr),
+                        ("tile_id", prog.tile_id)):
+            stack(name, [g.astype(np.int32)[:, pt["x0"] // ctb:
+                                            pt["x0"] // ctb + twc_ctb]
+                         for pt in per_tile])
+        ctb_h = prog.slice_idx.shape[0]
+        if prog.sao is not None and len(prog.sao):
+            sh = (ctb_h, prog.slice_idx.shape[1])
+            for name, fld, extra in (("sao_t", "type_idx", ()),
+                                     ("sao_eo", "eo_class", ()),
+                                     ("sao_band", "band_pos", ()),
+                                     ("sao_off", "offset", (4,))):
+                g = prog.sao[fld].astype(np.int32).reshape(*sh, 3, *extra)
+                stack(name, [g[:, pt["x0"] // ctb:pt["x0"] // ctb + twc_ctb]
+                             for pt in per_tile])
+        else:
+            sh = (ctb_h, twc_ctb)
+            for name, extra in (("sao_t", ()), ("sao_eo", ()),
+                                ("sao_band", ()), ("sao_off", (4,))):
+                feed[name] = jnp.zeros((T, *sh, 3, *extra), jnp.int32)
+
+        for c in range(3):
+            feed[f"pcm{c}"] = jnp.zeros((T, 0, 2), jnp.int32)
+        if prog.pcms is not None and len(prog.pcms):
+            raise NotImplementedError("PCM blocks in sharded decode")
+
+        n_slices = max(len(prog.slice_records), 1)
+        recs = np.zeros((n_slices, 208), np.int32)
+        recs[:len(prog.slice_records)] = prog.slice_records
+        feed["slice_recs"] = jnp.asarray(np.broadcast_to(
+            recs, (T, *recs.shape)))
+        npc = {"y": 0, "cb": 0, "cr": 0}
+        for (pc, lg), v in xs_w.items():
+            npc[pc] = max(npc[pc], v["pos"].shape[0])
+        feed["nsteps"] = jnp.asarray(np.broadcast_to(np.array(
+            [npc["y"], npc["cb"], npc["cr"]], np.int32), (T, 3)))
+
+        st = tuple(sorted({
+            "H": H, "W": tw, "sub_x": sub_x, "sub_y": sub_y,
+            "cw": max(twc, 1), "ch": max(prog.chroma_height, 1),
+            "bd": bd, "bdc": bdc, "mono": not has_chroma,
+            "ctb_size": ctb, "n_slices": n_slices,
+            "use_l1": bool((prog.pus["pred_flags"] & 2).any())
+            if len(prog.pus) else False,
+            "has_inter": len(prog.pus) > 0,
+            "scaling": False, "lgs": tuple(lgs),
+            "pcm_lf_disable": bool(prog.pcm_loop_filter_disable),
+            "across_tiles": bool(prog.across_tiles),
+            "multi_boundary": True,
+            "run_deblock": bool(len(prog.slice_records) and
+                                not np.all(prog.slice_records[:, 1])),
+            "run_sao": bool(len(prog.slice_records) and
+                            np.any(prog.slice_records[:, 4] |
+                                   prog.slice_records[:, 5])),
+            "pallas_mc": False, "segk": 1,
+        }.items()))
+
+        if prog.across_tiles and (dict(st)["run_deblock"] or
+                                  dict(st)["run_sao"]):
+            raise NotImplementedError(
+                "across-tiles filtering needs the halo path (mode B)")
+
+        planes = self._run_sharded(refs, feed, st, intra_keys)
+        out = tuple(jnp.concatenate([p[t] for t in range(T)], axis=-1)
+                    for p in planes)
+        self._store(prog.poc, out)
+        return out
+
+    def _run_sharded(self, refs, feed, st, intra_keys):
+        mesh, axis = self.mesh, self.axis
+        shard = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+        feed = {k: jax.device_put(v, shard) for k, v in feed.items()}
+        refs = [jax.device_put(r, repl) for r in refs]
+
+        @jax.jit
+        def run(refs_y, refs_cb, refs_cr, feed):
+            def body(ry, rcb, rcr, tile_feed):
+                tf = {k: v[0] for k, v in tile_feed.items()}
+                f = {}
+                intra_xs = {}
+                for k, v in tf.items():
+                    parts = k.split(".")
+                    if parts[0] == "ia":
+                        intra_xs.setdefault(parts[1], {})[parts[2]] = v
+                    elif parts[0].startswith("bin"):
+                        f.setdefault(parts[0], {})[parts[1]] = v
+                    else:
+                        f[k] = v
+                planes = fd._frame_fn(ry, rcb, rcr, f, intra_xs, None,
+                                      dict(st))
+                return tuple(p[None] for p in planes)
+
+            from jax.experimental.shard_map import shard_map
+            specs = jax.tree.map(lambda _: P(axis), feed)
+            return shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(), P(), specs),
+                out_specs=P(axis),
+                check_rep=False)(refs_y, refs_cb, refs_cr, feed)
+
+        return run(refs[0], refs[1], refs[2], feed)
+
+    # ---- DPB ------------------------------------------------------------
+
+    def _refs(self, prog):
+        pocs = list(prog.ref_pocs)
+        slot_map = {}
+        stack = [[], [], []]
+        H, W = prog.height, prog.width
+        cw = max(prog.chroma_width, 1)
+        ch = max(prog.chroma_height, 1)
+        for i, poc in enumerate(pocs[:fd.MAX_REFS]):
+            if poc in self.dpb:
+                planes = self.dpb[poc]
+            else:
+                planes = [jnp.full((H, W), 1 << (prog.bit_depth[0] - 1),
+                                   jnp.int32)]
+                if prog.chroma_width:
+                    planes = planes + [
+                        jnp.full((ch, cw), 1 << (prog.bit_depth[c] - 1),
+                                 jnp.int32) for c in (1, 2)]
+            slot_map[i] = len(stack[0])
+            for c in range(3):
+                stack[c].append(planes[c] if c < len(planes)
+                                else jnp.zeros((1, 1), jnp.int32))
+        z = jnp.zeros((H, W), jnp.int32)
+        zc = jnp.zeros((ch, cw), jnp.int32)
+        while len(stack[0]) < fd.MAX_REFS:
+            stack[0].append(z)
+            stack[1].append(zc)
+            stack[2].append(zc)
+        return [jnp.stack(s) for s in stack], slot_map
+
+    def _store(self, poc, planes):
+        self.dpb[poc] = planes
+        self._order.append(poc)
+        if len(self._order) > 17:
+            old = self._order.pop(0)
+            if old in self.dpb and old not in self._order:
+                del self.dpb[old]
