@@ -8,6 +8,7 @@
 // any conformant decoder's by construction.
 #pragma once
 
+#include <climits>
 #include <memory>
 #include <vector>
 
@@ -51,6 +52,7 @@ struct EncoderConfig {
   // entropy-coding structure (one slice per picture when either is set):
   bool wpp = false;            // entropy_coding_sync (one substream per row)
   int tile_cols = 1, tile_rows = 1;  // uniform tiles
+  bool rect_parts = true;            // 2NxN/Nx2N inter partitions
   bool across_tiles = true;          // loop_filter_across_tiles
   // GOP structure: 0/1 = all-intra; N>1 = IDR every N pictures, P pictures
   // (one L0 reference, the previous picture) in between — the low-delay-P
@@ -134,8 +136,18 @@ class Encoder {
   void write_ref_idx(int idx, int num_active);
   void apply_sign_hiding(i32* levels, int log2, int scan_idx);
   int sad_luma(int x0, int y0, int n) const;
+  int sad_luma_rect(int x0, int y0, int w, int h) const;
   PbMotion predict_inter(int x0, int y0, int n, const PbMotion& m,
                          bool emit_op);
+  PbMotion predict_inter_pu(int x0, int y0, int w, int h, const PbMotion& m,
+                            bool emit_op);
+  struct PuChoice {
+    PuMotionSyntax syn;
+    int cost = INT32_MAX;
+  };
+  PuChoice choose_pu(int cb_x0, int cb_y0, int log2_cb, int xP, int yP,
+                     int w, int h, int part_idx, int part_mode);
+  void write_pu_syntax(const PuMotionSyntax& syn, int x0, int y0);
   void write_intra_luma_mode(int x0, int y0, int mode);
   void write_residual(int x0c, int y0c, int log2_size, int cidx,
                       const i32* levels, int scan_idx, bool tskip = false);

@@ -32,7 +32,8 @@ PbMotion derive_pu_motion(Frame& frame, const SliceHeader& sh, int xC, int yC,
 void derive_merge_list(Frame& frame, const SliceHeader& sh, int xC, int yC,
                        int log2_cb, int xP, int yP, int nPbW, int nPbH,
                        int part_idx, int part_mode, PbMotion list[5]);
-void derive_mvp_list(Frame& frame, const SliceHeader& sh, int xP, int yP,
+void derive_mvp_list(Frame& frame, const SliceHeader& sh, int xC, int yC,
+                     int log2_cb, int part_idx, int xP, int yP,
                      int nPbW, int nPbH, int l, int ref_idx,
                      MotionVector mvp[2]);
 

@@ -110,7 +110,9 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   s.log2_diff_max_min_cb_size = cfg.ctb_log2 - cfg.min_cb_log2;
   s.log2_min_tb_size = 2;
   s.log2_diff_max_min_tb_size = 2;  // max TB 16
-  s.max_transform_hierarchy_depth_inter = 0;
+  // depth 1 lets a rect-partitioned CU keep its single CU-sized TU
+  // (split_transform_flag coded as 0 instead of inferred 1)
+  s.max_transform_hierarchy_depth_inter = cfg.rect_parts ? 1 : 0;
   s.max_transform_hierarchy_depth_intra = 0;
   s.scaling_list_enabled = cfg.scaling_lists;
   if (cfg.scaling_lists) s.scaling_lists.set_default();
@@ -231,7 +233,7 @@ void Encoder::write_headers(std::vector<u8>* out) {
   sp.write_uvlc((u32)s.log2_diff_max_min_cb_size);
   sp.write_uvlc((u32)(s.log2_min_tb_size - 2));
   sp.write_uvlc((u32)s.log2_diff_max_min_tb_size);
-  sp.write_uvlc(0);  // max_transform_hierarchy_depth_inter
+  sp.write_uvlc(s.max_transform_hierarchy_depth_inter);
   sp.write_uvlc(0);  // ..._intra
   sp.write_flag(s.scaling_list_enabled);
   if (s.scaling_list_enabled)
@@ -1663,19 +1665,29 @@ void Encoder::write_mvd(i32 mvd_x, i32 mvd_y) {
 }
 
 int Encoder::sad_luma(int x0, int y0, int n) const {
+  return sad_luma_rect(x0, y0, n, n);
+}
+
+int Encoder::sad_luma_rect(int x0, int y0, int w, int h) const {
   int sad = 0;
-  for (int yy = 0; yy < n; yy++)
-    for (int xx = 0; xx < n; xx++)
+  for (int yy = 0; yy < h; yy++)
+    for (int xx = 0; xx < w; xx++)
       sad += abs_i(src_px(0, x0 + xx, y0 + yy) - rec_px(0, x0 + xx, y0 + yy));
   return sad;
 }
 
 PbMotion Encoder::predict_inter(int x0, int y0, int n, const PbMotion& m,
                                 bool emit_op) {
+  return predict_inter_pu(x0, y0, n, n, m, emit_op);
+}
+
+PbMotion Encoder::predict_inter_pu(int x0, int y0, int w, int h,
+                                   const PbMotion& m, bool emit_op) {
   PuRec pu;
   pu.x = (u16)x0;
   pu.y = (u16)y0;
-  pu.w = pu.h = (u16)n;
+  pu.w = (u16)w;
+  pu.h = (u16)h;
   pu.mv[0] = m.mv[0];
   pu.mv[1] = m.mv[1];
   pu.ref_idx[0] = m.ref_idx[0];
@@ -1781,20 +1793,25 @@ void Encoder::encode_large_skip(int x0, int y0, int log2_size) {
   set_cu_qp_grid(x0, y0, log2_size);
 }
 
-void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
+// Evaluate merge + AMVP for one PU rectangle; returns the best syntax and
+// its SAD+bits cost.  Leaves a prediction in the recon planes (eval only,
+// no motion stored) — the caller re-derives through derive_pu_motion at
+// commit time so the emitted syntax always matches the decoder's candidate
+// lists.
+Encoder::PuChoice Encoder::choose_pu(int cb_x0, int cb_y0, int log2_cb,
+                                     int xP, int yP, int w, int h,
+                                     int part_idx, int part_mode) {
   Frame& f = *recon_;
-  int n = 1 << log2_size;
-  int n4 = n >> 2;
+  PuChoice out;
 
-  // --- candidate evaluation -------------------------------------------
   PbMotion merge_cand[5];
-  derive_merge_list(f, *sh_, x0, y0, log2_size, x0, y0, n, n, 0, PART_2Nx2N,
-                    merge_cand);
-  int best_merge = 0, best_merge_cost = INT32_MAX;
+  derive_merge_list(f, *sh_, cb_x0, cb_y0, log2_cb, xP, yP, w, h, part_idx,
+                    part_mode, merge_cand);
+  int best_merge = -1, best_merge_cost = INT32_MAX;
   for (int k = 0; k < sh_->max_num_merge_cand; k++) {
     if (!merge_cand[k].pred_flags) continue;
-    predict_inter(x0, y0, n, merge_cand[k], false);
-    int cost = sad_luma(x0, y0, n) + 4 * k;
+    predict_inter_pu(xP, yP, w, h, merge_cand[k], false);
+    int cost = sad_luma_rect(xP, yP, w, h) + 4 * k;
     if (cost < best_merge_cost) {
       best_merge_cost = cost;
       best_merge = k;
@@ -1808,14 +1825,15 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
   for (int r = 0; r < n_active; r++) {
     const Frame& rf = *sh_->ref_list[0][r];
     MotionVector mvp_r[2];
-    derive_mvp_list(f, *sh_, x0, y0, n, n, 0, r, mvp_r);
+    derive_mvp_list(f, *sh_, cb_x0, cb_y0, log2_cb, part_idx, xP, yP, w, h,
+                    0, r, mvp_r);
     auto sad_fullpel = [&](int dx, int dy) {
       int sad = 0;
-      for (int yy = 0; yy < n; yy++) {
-        int ry = clip3(0, rf.height - 1, y0 + yy + dy);
-        for (int xx = 0; xx < n; xx++) {
-          int rx = clip3(0, rf.width - 1, x0 + xx + dx);
-          sad += abs_i(src_px(0, x0 + xx, y0 + yy) -
+      for (int yy = 0; yy < h; yy++) {
+        int ry = clip3(0, rf.height - 1, yP + yy + dy);
+        for (int xx = 0; xx < w; xx++) {
+          int rx = clip3(0, rf.width - 1, xP + xx + dx);
+          sad += abs_i(src_px(0, xP + xx, yP + yy) -
                        (rf.bytes_pp == 1 ? *rf.px8(0, rx, ry)
                                          : *rf.px16(0, rx, ry)));
         }
@@ -1863,8 +1881,8 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
   // sub-pel refinement: half- then quarter-pel, SAD on the real
   // interpolated prediction (the decoder's MC kernels)
   {
-    predict_inter(x0, y0, n, amvp_m, false);
-    int best = sad_luma(x0, y0, n);
+    predict_inter_pu(xP, yP, w, h, amvp_m, false);
+    int best = sad_luma_rect(xP, yP, w, h);
     for (int step : {2, 1}) {
       bool improved = true;
       while (improved) {
@@ -1875,8 +1893,8 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
           PbMotion t = amvp_m;
           t.mv[0].x = (i16)(amvp_m.mv[0].x + dxs[d] * step);
           t.mv[0].y = (i16)(amvp_m.mv[0].y + dys[d] * step);
-          predict_inter(x0, y0, n, t, false);
-          int sd = sad_luma(x0, y0, n);
+          predict_inter_pu(xP, yP, w, h, t, false);
+          int sd = sad_luma_rect(xP, yP, w, h);
           if (sd < best) {
             best = sd;
             amvp_m = t;
@@ -1887,49 +1905,142 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
     }
     bsad = best;
   }
-  // choose the cheaper predictor
   int mvp_flag = 0;
   {
-    i64 c0 = (i64)abs_i(amvp_m.mv[0].x - mvp[0].x) + abs_i(amvp_m.mv[0].y - mvp[0].y);
-    i64 c1 = (i64)abs_i(amvp_m.mv[0].x - mvp[1].x) + abs_i(amvp_m.mv[0].y - mvp[1].y);
+    i64 c0 = (i64)abs_i(amvp_m.mv[0].x - mvp[0].x) +
+             abs_i(amvp_m.mv[0].y - mvp[0].y);
+    i64 c1 = (i64)abs_i(amvp_m.mv[0].x - mvp[1].x) +
+             abs_i(amvp_m.mv[0].y - mvp[1].y);
     if (c1 < c0) mvp_flag = 1;
   }
   int amvp_cost = bsad + 8 +
                   2 * (abs_i(amvp_m.mv[0].x - mvp[mvp_flag].x) +
                        abs_i(amvp_m.mv[0].y - mvp[mvp_flag].y));
 
+  if (best_merge >= 0 && best_merge_cost <= amvp_cost) {
+    out.syn.merge_flag = true;
+    out.syn.merge_idx = best_merge;
+    out.cost = best_merge_cost;
+  } else {
+    out.syn.merge_flag = false;
+    out.syn.inter_pred_idc = 0;  // L0
+    out.syn.ref_idx[0] = best_ref;
+    out.syn.mvp_flag[0] = mvp_flag;
+    out.syn.mvd[0][0] = amvp_m.mv[0].x - mvp[mvp_flag].x;
+    out.syn.mvd[0][1] = amvp_m.mv[0].y - mvp[mvp_flag].y;
+    out.cost = amvp_cost;
+  }
+  return out;
+}
+
+// Motion syntax of one PU (merge, or L0 AMVP with explicit mvd).
+void Encoder::write_pu_syntax(const PuMotionSyntax& syn, int x0, int y0) {
+  Frame& f = *recon_;
+  cabac_->encode_bin(&ctx_[CTX_MERGE_FLAG], syn.merge_flag ? 1 : 0);
+  if (syn.merge_flag) {
+    write_merge_idx(syn.merge_idx);
+    return;
+  }
+  if (sh_->slice_type == SLICE_B) {
+    // inter_pred_idc = PRED_L0 (spec 9.3.4.2.2)
+    int ct_depth = f.ct_depth[(y0 >> 2) * f.pb_w + (x0 >> 2)];
+    cabac_->encode_bin(&ctx_[CTX_INTER_PRED_IDC + ct_depth], 0);
+    cabac_->encode_bin(&ctx_[CTX_INTER_PRED_IDC + 4], 0);
+  }
+  write_ref_idx(syn.ref_idx[0], sh_->num_ref_idx[0]);
+  write_mvd(syn.mvd[0][0], syn.mvd[0][1]);
+  cabac_->encode_bin(&ctx_[CTX_MVP_LX_FLAG], syn.mvp_flag[0]);
+}
+
+void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
+  Frame& f = *recon_;
+  int n = 1 << log2_size;
+  int n4 = n >> 2;
+
+  // --- candidate evaluation -------------------------------------------
+  PuChoice full = choose_pu(x0, y0, log2_size, x0, y0, n, n, 0, PART_2Nx2N);
+
+  // rect partitions (2NxN / Nx2N): greedy per-half estimate.  PU1's
+  // candidate lists here see the pre-CU motion grid; the commit below
+  // re-chooses PU1 after PU0 is stored so syntax matches the decoder.
+  int part_mode = PART_2Nx2N;
+  i64 best_inter = full.cost;
+  PuChoice h0;
+  if (cfg_.rect_parts && log2_size > sps_->log2_min_cb_size &&
+      !cfg_.lossless) {
+    PuChoice a0 = choose_pu(x0, y0, log2_size, x0, y0, n, n / 2, 0,
+                            PART_2NxN);
+    PuChoice a1 = choose_pu(x0, y0, log2_size, x0, y0 + n / 2, n, n / 2, 1,
+                            PART_2NxN);
+    if ((i64)a0.cost + a1.cost + 48 < best_inter) {
+      best_inter = (i64)a0.cost + a1.cost + 48;
+      part_mode = PART_2NxN;
+      h0 = a0;
+    }
+    PuChoice b0 = choose_pu(x0, y0, log2_size, x0, y0, n / 2, n, 0,
+                            PART_Nx2N);
+    PuChoice b1 = choose_pu(x0, y0, log2_size, x0 + n / 2, y0, n / 2, n, 1,
+                            PART_Nx2N);
+    if ((i64)b0.cost + b1.cost + 48 < best_inter) {
+      best_inter = (i64)b0.cost + b1.cost + 48;
+      part_mode = PART_Nx2N;
+      h0 = b0;
+    }
+  }
+
   // intra estimate (prediction left in recon planes)
   int intra_mode = choose_luma_mode(x0, y0, log2_size);
   int intra_cost = sad_luma(x0, y0, n) + 16;
   (void)intra_mode;
-
   // slight intra bias: at equal SAD an intra CU reconstructs better per
   // bit at these operating points (deadzone asymmetry)
-  i64 inter_best = min_i(best_merge_cost, amvp_cost);
-  bool use_intra = (i64)intra_cost * 8 < inter_best * 9;
+  bool use_intra = (i64)intra_cost * 8 < best_inter * 9;
   if (use_intra) {
     encode_cu_intra(x0, y0, log2_size);
     return;
   }
 
-  bool use_merge = best_merge_cost <= amvp_cost;
-
   // --- final motion + prediction (through the decoder path) ------------
-  PuMotionSyntax syn;
-  if (use_merge) {
-    syn.merge_flag = true;
-    syn.merge_idx = best_merge;
+  bool use_merge = false;
+  PuMotionSyntax syn0, syn1;
+  if (part_mode == PART_2Nx2N) {
+    syn0 = full.syn;
+    use_merge = syn0.merge_flag;
+    PbMotion m = derive_pu_motion(f, *sh_, x0, y0, log2_size, x0, y0, n, n,
+                                  0, PART_2Nx2N, syn0);
+    predict_inter(x0, y0, n, m, true);
   } else {
-    syn.merge_flag = false;
-    syn.inter_pred_idc = 0;  // L0
-    syn.ref_idx[0] = best_ref;
-    syn.mvp_flag[0] = mvp_flag;
-    syn.mvd[0][0] = amvp_m.mv[0].x - mvp[mvp_flag].x;
-    syn.mvd[0][1] = amvp_m.mv[0].y - mvp[mvp_flag].y;
+    const int wP = (part_mode == PART_2NxN) ? n : n / 2;
+    const int hP = (part_mode == PART_2NxN) ? n / 2 : n;
+    const int x1 = (part_mode == PART_2NxN) ? x0 : x0 + n / 2;
+    const int y1 = (part_mode == PART_2NxN) ? y0 + n / 2 : y0;
+    syn0 = h0.syn;
+    PbMotion m0 = derive_pu_motion(f, *sh_, x0, y0, log2_size, x0, y0, wP,
+                                   hP, 0, part_mode, syn0);
+    predict_inter_pu(x0, y0, wP, hP, m0, true);
+    // PU0 is committed: re-choose PU1 against the real candidate lists
+    PuChoice h1 = choose_pu(x0, y0, log2_size, x1, y1, wP, hP, 1, part_mode);
+    syn1 = h1.syn;
+    PbMotion m1 = derive_pu_motion(f, *sh_, x0, y0, log2_size, x1, y1, wP,
+                                   hP, 1, part_mode, syn1);
+    predict_inter_pu(x1, y1, wP, hP, m1, true);
+    // internal PU deblock edge
+    if (part_mode == PART_2NxN) {
+      int yy4 = (y0 + n / 2) >> 2;
+      for (int i = 0; i < n4; i++) {
+        int px = (x0 >> 2) + i;
+        if (px < f.pb_w && yy4 < f.pb_h)
+          f.deblock_flags[yy4 * f.pb_w + px] |= 8;
+      }
+    } else {
+      int xx4 = (x0 + n / 2) >> 2;
+      for (int i = 0; i < n4; i++) {
+        int py = (y0 >> 2) + i;
+        if (py < f.pb_h && xx4 < f.pb_w)
+          f.deblock_flags[py * f.pb_w + xx4] |= 4;
+      }
+    }
   }
-  PbMotion m = derive_pu_motion(f, *sh_, x0, y0, log2_size, x0, y0, n, n, 0,
-                                PART_2Nx2N, syn);
-  predict_inter(x0, y0, n, m, true);
 
   // --- residuals for all channels -------------------------------------
   struct Ch {
@@ -2004,32 +2115,32 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
   // --- syntax ----------------------------------------------------------
   if (pps_->transquant_bypass_enabled)
     cabac_->encode_bin(&ctx_[CTX_CU_TRANSQUANT_BYPASS], 1);  // all-lossless
-  if (use_merge && !any_cbf) {
+  if (part_mode == PART_2Nx2N && use_merge && !any_cbf) {
     // skip CU: prediction is the reconstruction
     write_cu_skip_flag(x0, y0, 1);
-    write_merge_idx(best_merge);
+    write_merge_idx(syn0.merge_idx);
     set_cu_qp_grid(x0, y0, log2_size);
     return;
   }
 
   write_cu_skip_flag(x0, y0, 0);
   cabac_->encode_bin(&ctx_[CTX_PRED_MODE_FLAG], 0);  // inter
-  cabac_->encode_bin(&ctx_[CTX_PART_MODE + 0], 1);   // 2Nx2N
-  cabac_->encode_bin(&ctx_[CTX_MERGE_FLAG], use_merge ? 1 : 0);
-  if (use_merge) {
-    write_merge_idx(best_merge);
-    // rqt_root_cbf inferred 1 for 2Nx2N merge (syntax.cc:790)
+  if (part_mode == PART_2Nx2N) {
+    cabac_->encode_bin(&ctx_[CTX_PART_MODE + 0], 1);
   } else {
-    if (sh_->slice_type == SLICE_B) {
-      // inter_pred_idc = PRED_L0 (spec 9.3.4.2.2: bit0 ctx[ct_depth]=0,
-      // bit1 ctx[4]=0); our explicit-MV path is always uni-L0
-      int ct_depth = f.ct_depth[(y0 >> 2) * f.pb_w + (x0 >> 2)];
-      cabac_->encode_bin(&ctx_[CTX_INTER_PRED_IDC + ct_depth], 0);
-      cabac_->encode_bin(&ctx_[CTX_INTER_PRED_IDC + 4], 0);
-    }
-    write_ref_idx(syn.ref_idx[0], sh_->num_ref_idx[0]);
-    write_mvd(syn.mvd[0][0], syn.mvd[0][1]);
-    cabac_->encode_bin(&ctx_[CTX_MVP_LX_FLAG], syn.mvp_flag[0]);
+    // amp off, log2 > min_cb: two context bins decide (9.3.3.7)
+    cabac_->encode_bin(&ctx_[CTX_PART_MODE + 0], 0);
+    cabac_->encode_bin(&ctx_[CTX_PART_MODE + 1],
+                       part_mode == PART_2NxN ? 1 : 0);
+  }
+  write_pu_syntax(syn0, x0, y0);
+  if (part_mode != PART_2Nx2N) {
+    const int x1 = (part_mode == PART_2NxN) ? x0 : x0 + n / 2;
+    const int y1 = (part_mode == PART_2NxN) ? y0 + n / 2 : y0;
+    write_pu_syntax(syn1, x1, y1);
+  }
+  if (!(part_mode == PART_2Nx2N && use_merge)) {
+    // rqt_root_cbf (inferred 1 only for 2Nx2N merge, syntax.cc:790)
     cabac_->encode_bin(&ctx_[CTX_RQT_ROOT_CBF], any_cbf ? 1 : 0);
     if (!any_cbf) {
       set_cu_qp_grid(x0, y0, log2_size);
@@ -2037,7 +2148,12 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
     }
   }
 
-  // transform tree (single TU = CU): chroma cbfs, then cbf_luma
+  // transform tree (single TU = CU): split flag when MaxTrafoDepth > 0,
+  // then chroma cbfs, then cbf_luma
+  if (sps_->max_transform_hierarchy_depth_inter > 0 &&
+      log2_size <= sps_->log2_max_tb_size &&
+      log2_size > sps_->log2_min_tb_size)
+    cabac_->encode_bin(&ctx_[CTX_SPLIT_TRANSFORM_FLAG + 5 - log2_size], 0);
   if (cat != 0) {
     cabac_->encode_bin(&ctx_[CTX_CBF_CHROMA + 0], ch[1].cbf ? 1 : 0);
     if (c422i)

@@ -298,15 +298,28 @@ void derive_merge_list(Frame& frame, const SliceHeader& sh, int xC,
 // ---------------------------------------------------------------------------
 // AMVP (spec 8.5.3.2.6)
 // ---------------------------------------------------------------------------
-void derive_mvp_list(Frame& frame, const SliceHeader& sh, int xP, int yP,
+void derive_mvp_list(Frame& frame, const SliceHeader& sh, int xC, int yC,
+                            int log2_cb, int part_idx, int xP, int yP,
                             int nPbW, int nPbH, int X, int ref_idx,
                             MotionVector mvp[2]) {
   i32 target_poc = sh.ref_poc[X][ref_idx];
   bool target_lt = sh.ref_longterm[X][ref_idx];
   int Y = 1 - X;
+  int nCbS = 1 << log2_cb;
 
+  // spec 6.4.2 prediction-block availability: a neighbor inside the SAME
+  // coding block is available (its PU precedes this one in decode order)
+  // except for the NxN part-1 special case; outside, plain z-scan order
   auto neighbor = [&](int xN, int yN) -> const PbMotion* {
-    if (!z_available(frame, xP, yP, xN, yN)) return nullptr;
+    bool same_cb = (xC <= xN && xN < xC + nCbS && yC <= yN && yN < yC + nCbS);
+    bool avail;
+    if (!same_cb) {
+      avail = z_available(frame, xP, yP, xN, yN);
+    } else {
+      avail = !((nPbW << 1) == nCbS && (nPbH << 1) == nCbS && part_idx == 1 &&
+                yN >= yC + nPbH && xN < xC + nPbW);
+    }
+    if (!avail) return nullptr;
     const PbMotion& m = frame.pb_at(xN, yN);
     if (m.intra) return nullptr;
     return &m;
@@ -486,7 +499,8 @@ PbMotion derive_pu_motion(Frame& frame, const SliceHeader& sh, int xC, int yC,
       m.ref_poc[l] = sh.ref_poc[l][ref];
       if (sh.ref_longterm[l][ref]) m.ref_longterm |= (u8)(1 << l);
       MotionVector mvp[2];
-      derive_mvp_list(frame, sh, xP, yP, nPbW, nPbH, l, ref, mvp);
+      derive_mvp_list(frame, sh, xC, yC, log2_cb, part_idx, xP, yP, nPbW,
+                      nPbH, l, ref, mvp);
       MotionVector p = mvp[syn.mvp_flag[l]];
       m.mv[l].x = (i16)(u16)((u32)(p.x + syn.mvd[l][0]) & 0xFFFF);
       m.mv[l].y = (i16)(u16)((u32)(p.y + syn.mvd[l][1]) & 0xFFFF);

@@ -123,10 +123,113 @@ static void mc_luma_core_t(const pixel_t* c, int cs, i16* out, int out_stride,
   }
 }
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+
+// 16-bit SIMD qpel filters for the 8-bit path (counterpart of the
+// reference's SSE tier, /root/reference/libde265/x86/sse-motion.cc).  All
+// intermediate sums fit int16 for 8-bit sources (|sum| <= 20400), so the
+// horizontal/vertical passes run at twice the lane width of the compiler's
+// 32-bit autovectorization.  Requires w >= 16 (the last chunk overlaps).
+static inline void mc_h8_avx2(const u8* src, int cs, i16* out, int os,
+                              int w, int h, const int* f) {
+  __m256i fk[8];
+  for (int k = 0; k < 8; k++) fk[k] = _mm256_set1_epi16((short)f[k]);
+  for (int y = 0; y < h; y++) {
+    const u8* row = src + (size_t)y * cs - 3;
+    i16* orow = out + (size_t)y * os;
+    for (int x = 0; x < w; x += 16) {
+      if (x + 16 > w) x = w - 16;
+      __m256i acc = _mm256_setzero_si256();
+      for (int k = 0; k < 8; k++) {
+        if (!f[k]) continue;
+        __m256i v = _mm256_cvtepu8_epi16(
+            _mm_loadu_si128((const __m128i*)(row + x + k)));
+        acc = _mm256_add_epi16(acc, _mm256_mullo_epi16(v, fk[k]));
+      }
+      _mm256_storeu_si256((__m256i*)(orow + x), acc);
+    }
+  }
+}
+
+static inline void mc_v8_avx2(const u8* src, int cs, i16* out, int os,
+                              int w, int h, const int* f) {
+  __m256i fk[8];
+  for (int k = 0; k < 8; k++) fk[k] = _mm256_set1_epi16((short)f[k]);
+  for (int y = 0; y < h; y++) {
+    const u8* col = src + (size_t)(y - 3) * cs;
+    i16* orow = out + (size_t)y * os;
+    for (int x = 0; x < w; x += 16) {
+      if (x + 16 > w) x = w - 16;
+      __m256i acc = _mm256_setzero_si256();
+      for (int k = 0; k < 8; k++) {
+        if (!f[k]) continue;
+        __m256i v = _mm256_cvtepu8_epi16(
+            _mm_loadu_si128((const __m128i*)(col + (size_t)k * cs + x)));
+        acc = _mm256_add_epi16(acc, _mm256_mullo_epi16(v, fk[k]));
+      }
+      _mm256_storeu_si256((__m256i*)(orow + x), acc);
+    }
+  }
+}
+
+// vertical pass over int16 horizontal intermediates: 32-bit accumulation
+// via pairwise madd, then >> 6 back to int16
+static inline void mc_v16_avx2(const i16* tmp, int ts, i16* out, int os,
+                               int w, int h, const int* f) {
+  __m256i fp[4];
+  for (int k = 0; k < 4; k++) {
+    u32 pair = (u16)(short)f[2 * k] | ((u32)(u16)(short)f[2 * k + 1] << 16);
+    fp[k] = _mm256_set1_epi32((int)pair);
+  }
+  for (int y = 0; y < h; y++) {
+    const i16* base = tmp + (size_t)y * ts;
+    i16* orow = out + (size_t)y * os;
+    for (int x = 0; x < w; x += 16) {
+      if (x + 16 > w) x = w - 16;
+      __m256i lo = _mm256_setzero_si256(), hi = _mm256_setzero_si256();
+      for (int k = 0; k < 4; k++) {
+        __m256i a = _mm256_loadu_si256(
+            (const __m256i*)(base + (size_t)(2 * k) * ts + x));
+        __m256i b = _mm256_loadu_si256(
+            (const __m256i*)(base + (size_t)(2 * k + 1) * ts + x));
+        __m256i l = _mm256_unpacklo_epi16(a, b);
+        __m256i hh = _mm256_unpackhi_epi16(a, b);
+        lo = _mm256_add_epi32(lo, _mm256_madd_epi16(l, fp[k]));
+        hi = _mm256_add_epi32(hi, _mm256_madd_epi16(hh, fp[k]));
+      }
+      lo = _mm256_srai_epi32(lo, 6);
+      hi = _mm256_srai_epi32(hi, 6);
+      _mm256_storeu_si256((__m256i*)(orow + x),
+                          _mm256_packs_epi32(lo, hi));
+    }
+  }
+}
+#endif  // __AVX2__
+
 template <typename pixel_t>
 static inline void mc_luma_core(const pixel_t* c, int cs, int frac_x,
                                 int frac_y, i16* out, int out_stride, int w,
                                 int h, int shift1, int shift3) {
+#if defined(__AVX2__)
+  if constexpr (sizeof(pixel_t) == 1) {
+    if (shift1 == 0 && w >= 16 && ((frac_x | frac_y) != 0)) {
+      const u8* src = reinterpret_cast<const u8*>(c);
+      if (frac_y == 0) {
+        mc_h8_avx2(src, cs, out, out_stride, w, h, kQpelFilter[frac_x]);
+        return;
+      }
+      if (frac_x == 0) {
+        mc_v8_avx2(src, cs, out, out_stride, w, h, kQpelFilter[frac_y]);
+        return;
+      }
+      i16 tmp[(64 + 7) * 64];
+      mc_h8_avx2(src - 3 * cs, cs, tmp, 64, w, h + 7, kQpelFilter[frac_x]);
+      mc_v16_avx2(tmp, 64, out, out_stride, w, h, kQpelFilter[frac_y]);
+      return;
+    }
+  }
+#endif
   using Fn = void (*)(const pixel_t*, int, i16*, int, int, int, int, int);
   static constexpr Fn kDispatch[16] = {
       &mc_luma_core_t<pixel_t, 0, 0>, &mc_luma_core_t<pixel_t, 0, 1>,

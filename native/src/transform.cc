@@ -129,6 +129,146 @@ static inline void idct_1d_raw(i32* dst, const i32* src, int lim) {
   }
 }
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+
+// Vector IDCT 4x4 / 8x8 for the 8/10-bit path (counterpart of the
+// reference's sse-dct.cc): stage butterflies run across all columns at
+// once in 32-bit lanes, with an in-register transpose between stages.
+
+static inline void idct4_avx2(i32* dst, const i16* coeffs, int bd_shift) {
+  const __m128i rnd1 = _mm_set1_epi32(64);
+  const __m128i rnd2 = _mm_set1_epi32(1 << (bd_shift - 1));
+  const __m128i lo = _mm_set1_epi32(-32768), hi = _mm_set1_epi32(32767);
+  __m128i r[4];
+  for (int j = 0; j < 4; j++)
+    r[j] = _mm_cvtepi16_epi32(_mm_loadl_epi64(
+        (const __m128i*)(coeffs + 4 * j)));
+
+  auto bf = [&](__m128i v0, __m128i v1, __m128i v2, __m128i v3,
+                __m128i* o) {
+    __m128i e0 = _mm_slli_epi32(_mm_add_epi32(v0, v2), 6);
+    __m128i e1 = _mm_slli_epi32(_mm_sub_epi32(v0, v2), 6);
+    __m128i o0 = _mm_add_epi32(_mm_mullo_epi32(v1, _mm_set1_epi32(83)),
+                               _mm_mullo_epi32(v3, _mm_set1_epi32(36)));
+    __m128i o1 = _mm_sub_epi32(_mm_mullo_epi32(v1, _mm_set1_epi32(36)),
+                               _mm_mullo_epi32(v3, _mm_set1_epi32(83)));
+    o[0] = _mm_add_epi32(e0, o0);
+    o[1] = _mm_add_epi32(e1, o1);
+    o[2] = _mm_sub_epi32(e1, o1);
+    o[3] = _mm_sub_epi32(e0, o0);
+  };
+
+  __m128i g[4];
+  bf(r[0], r[1], r[2], r[3], g);
+  for (int i = 0; i < 4; i++) {
+    g[i] = _mm_srai_epi32(_mm_add_epi32(g[i], rnd1), 7);
+    g[i] = _mm_min_epi32(_mm_max_epi32(g[i], lo), hi);
+  }
+  // transpose 4x4 (i32)
+  __m128i t0 = _mm_unpacklo_epi32(g[0], g[1]);
+  __m128i t1 = _mm_unpacklo_epi32(g[2], g[3]);
+  __m128i t2 = _mm_unpackhi_epi32(g[0], g[1]);
+  __m128i t3 = _mm_unpackhi_epi32(g[2], g[3]);
+  __m128i c0 = _mm_unpacklo_epi64(t0, t1);
+  __m128i c1 = _mm_unpackhi_epi64(t0, t1);
+  __m128i c2 = _mm_unpacklo_epi64(t2, t3);
+  __m128i c3 = _mm_unpackhi_epi64(t2, t3);
+  __m128i o[4];
+  bf(c0, c1, c2, c3, o);
+  for (int i = 0; i < 4; i++)
+    o[i] = _mm_srai_epi32(_mm_add_epi32(o[i], rnd2), bd_shift);
+  // lanes are y; transpose back to row-major dst[y][i]
+  __m128i s0 = _mm_unpacklo_epi32(o[0], o[1]);
+  __m128i s1 = _mm_unpacklo_epi32(o[2], o[3]);
+  __m128i s2 = _mm_unpackhi_epi32(o[0], o[1]);
+  __m128i s3 = _mm_unpackhi_epi32(o[2], o[3]);
+  _mm_storeu_si128((__m128i*)(dst + 0), _mm_unpacklo_epi64(s0, s1));
+  _mm_storeu_si128((__m128i*)(dst + 4), _mm_unpackhi_epi64(s0, s1));
+  _mm_storeu_si128((__m128i*)(dst + 8), _mm_unpacklo_epi64(s2, s3));
+  _mm_storeu_si128((__m128i*)(dst + 12), _mm_unpackhi_epi64(s2, s3));
+}
+
+static inline void transpose8_avx2(__m256i v[8]) {
+  __m256i t[8], u[8];
+  for (int i = 0; i < 4; i++) {
+    t[2 * i] = _mm256_unpacklo_epi32(v[2 * i], v[2 * i + 1]);
+    t[2 * i + 1] = _mm256_unpackhi_epi32(v[2 * i], v[2 * i + 1]);
+  }
+  u[0] = _mm256_unpacklo_epi64(t[0], t[2]);
+  u[1] = _mm256_unpackhi_epi64(t[0], t[2]);
+  u[2] = _mm256_unpacklo_epi64(t[1], t[3]);
+  u[3] = _mm256_unpackhi_epi64(t[1], t[3]);
+  u[4] = _mm256_unpacklo_epi64(t[4], t[6]);
+  u[5] = _mm256_unpackhi_epi64(t[4], t[6]);
+  u[6] = _mm256_unpacklo_epi64(t[5], t[7]);
+  u[7] = _mm256_unpackhi_epi64(t[5], t[7]);
+  for (int i = 0; i < 4; i++) {
+    v[i] = _mm256_permute2x128_si256(u[i], u[i + 4], 0x20);
+    v[i + 4] = _mm256_permute2x128_si256(u[i], u[i + 4], 0x31);
+  }
+}
+
+static inline void idct8_bf_avx2(const __m256i r[8], __m256i out[8]) {
+  // even half: idct4 on rows 0,2,4,6
+  __m256i e0 = _mm256_slli_epi32(_mm256_add_epi32(r[0], r[4]), 6);
+  __m256i e1 = _mm256_slli_epi32(_mm256_sub_epi32(r[0], r[4]), 6);
+  __m256i eo0 = _mm256_add_epi32(
+      _mm256_mullo_epi32(r[2], _mm256_set1_epi32(83)),
+      _mm256_mullo_epi32(r[6], _mm256_set1_epi32(36)));
+  __m256i eo1 = _mm256_sub_epi32(
+      _mm256_mullo_epi32(r[2], _mm256_set1_epi32(36)),
+      _mm256_mullo_epi32(r[6], _mm256_set1_epi32(83)));
+  __m256i E[4] = {_mm256_add_epi32(e0, eo0), _mm256_add_epi32(e1, eo1),
+                  _mm256_sub_epi32(e1, eo1), _mm256_sub_epi32(e0, eo0)};
+  // odd half: rows 1,3,5,7 x the odd 8-point basis
+  static const int kO[4][4] = {{89, 75, 50, 18},
+                               {75, -18, -89, -50},
+                               {50, -89, 18, 75},
+                               {18, -50, 75, -89}};
+  __m256i O[4];
+  for (int i = 0; i < 4; i++) {
+    __m256i sum = _mm256_mullo_epi32(r[1], _mm256_set1_epi32(kO[i][0]));
+    sum = _mm256_add_epi32(sum, _mm256_mullo_epi32(
+        r[3], _mm256_set1_epi32(kO[i][1])));
+    sum = _mm256_add_epi32(sum, _mm256_mullo_epi32(
+        r[5], _mm256_set1_epi32(kO[i][2])));
+    sum = _mm256_add_epi32(sum, _mm256_mullo_epi32(
+        r[7], _mm256_set1_epi32(kO[i][3])));
+    O[i] = sum;
+  }
+  for (int i = 0; i < 4; i++) {
+    out[i] = _mm256_add_epi32(E[i], O[i]);
+    out[7 - i] = _mm256_sub_epi32(E[i], O[i]);
+  }
+}
+
+static inline void idct8_avx2(i32* dst, const i16* coeffs, int bd_shift) {
+  const __m256i rnd1 = _mm256_set1_epi32(64);
+  const __m256i rnd2 = _mm256_set1_epi32(1 << (bd_shift - 1));
+  const __m256i lo = _mm256_set1_epi32(-32768);
+  const __m256i hi = _mm256_set1_epi32(32767);
+  __m256i r[8];
+  for (int j = 0; j < 8; j++)
+    r[j] = _mm256_cvtepi16_epi32(
+        _mm_loadu_si128((const __m128i*)(coeffs + 8 * j)));
+  __m256i g[8];
+  idct8_bf_avx2(r, g);
+  for (int i = 0; i < 8; i++) {
+    g[i] = _mm256_srai_epi32(_mm256_add_epi32(g[i], rnd1), 7);
+    g[i] = _mm256_min_epi32(_mm256_max_epi32(g[i], lo), hi);
+  }
+  transpose8_avx2(g);
+  __m256i o[8];
+  idct8_bf_avx2(g, o);
+  for (int i = 0; i < 8; i++)
+    o[i] = _mm256_srai_epi32(_mm256_add_epi32(o[i], rnd2), bd_shift);
+  transpose8_avx2(o);  // lanes are y; back to row-major
+  for (int y = 0; y < 8; y++)
+    _mm256_storeu_si256((__m256i*)(dst + 8 * y), o[y]);
+}
+#endif  // __AVX2__
+
 template <int N>
 static void idct_2d_t(i32* dst, const i16* coeffs, int bd_shift, int row_lim,
                       int col_lim) {
@@ -198,8 +338,22 @@ void idct_2d_ext(i32* dst, const i16* coeffs, int nT, int bd_shift,
   }
 
   switch (nT) {
-    case 4: idct_2d_t<4>(dst, coeffs, bd_shift, row_lim, col_lim); break;
-    case 8: idct_2d_t<8>(dst, coeffs, bd_shift, row_lim, col_lim); break;
+    case 4:
+#if defined(__AVX2__)
+      idct4_avx2(dst, coeffs, bd_shift);
+      break;
+#else
+      idct_2d_t<4>(dst, coeffs, bd_shift, row_lim, col_lim);
+      break;
+#endif
+    case 8:
+#if defined(__AVX2__)
+      idct8_avx2(dst, coeffs, bd_shift);
+      break;
+#else
+      idct_2d_t<8>(dst, coeffs, bd_shift, row_lim, col_lim);
+      break;
+#endif
     case 16: idct_2d_t<16>(dst, coeffs, bd_shift, row_lim, col_lim); break;
     default: idct_2d_t<32>(dst, coeffs, bd_shift, row_lim, col_lim); break;
   }

@@ -11,6 +11,7 @@ int main(int argc, char** argv) {
   const char* in_path = nullptr;
   const char* out_path = "out.h265";
   int width = 0, height = 0, qp = 27, max_frames = -1, bit_depth = 8;
+  int intra_period = 0, tile_cols = 1;
 
   for (int i = 1; i < argc; i++) {
     if (!strcmp(argv[i], "-o") && i + 1 < argc) out_path = argv[++i];
@@ -19,11 +20,13 @@ int main(int argc, char** argv) {
     else if (!strcmp(argv[i], "-q") && i + 1 < argc) qp = atoi(argv[++i]);
     else if (!strcmp(argv[i], "-f") && i + 1 < argc) max_frames = atoi(argv[++i]);
     else if (!strcmp(argv[i], "-b") && i + 1 < argc) bit_depth = atoi(argv[++i]);
+    else if (!strcmp(argv[i], "-g") && i + 1 < argc) intra_period = atoi(argv[++i]);
+    else if (!strcmp(argv[i], "-T") && i + 1 < argc) tile_cols = atoi(argv[++i]);
     else in_path = argv[i];
   }
   if (!in_path || !width || !height) {
     fprintf(stderr,
-            "usage: tenc265 -w W -h H [-q qp] [-b 8|10] [-f frames] [-o out.h265] in.yuv\n");
+            "usage: tenc265 -w W -h H [-q qp] [-b 8|10] [-g gop] [-T tile-cols] [-f frames] [-o out.h265] in.yuv\n");
     return 1;
   }
 
@@ -34,6 +37,8 @@ int main(int argc, char** argv) {
   en265_encoder_context* ctx = en265_new_encoder();
   en265_set_parameter_int(ctx, "qp", qp);
   en265_set_parameter_int(ctx, "bit-depth", bit_depth);
+  if (intra_period > 0) en265_set_parameter_int(ctx, "intra-period", intra_period);
+  if (tile_cols > 1) en265_set_parameter_int(ctx, "tile-cols", tile_cols);
   en265_start_encoder(ctx, 0);
 
   // 10-bit input is little-endian 16-bit samples (2 bytes per sample)
