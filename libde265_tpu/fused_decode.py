@@ -564,8 +564,11 @@ def _deblock_section(planes, feed, recs, cell, skip4, st):
         "cqo0": recs[sidx4, 10],
         "cqo1": recs[sidx4, 11],
         "unfilt": skip4.astype(jnp.int32),
-        "allow_v": gate(1),
-        "allow_h": gate(0),
+        # optional positional masks (halo-padded tile shards: kill edges at
+        # or beyond the real picture bounds, which are interior columns of
+        # the padded array and so invisible to the edge-0 drop below)
+        "allow_v": gate(1) * feed.get("allow_xv", 1),
+        "allow_h": gate(0) * feed.get("allow_xh", 1),
     }
 
     y = planes[0]
@@ -721,23 +724,48 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, intra_xs, sf_tables, st):
         bin_res[lg] = jnp.where(bypass[:, None, None], levels, res)
 
     # ---- inter residual scatter-add + clip ----
-    for lg in st["lgs"]:
-        s = 1 << lg
-        bf = feed[f"bin{lg}"]
+    if st["pallas_mc"]:
+        # segment kernel: band stripes per (bin, channel), dense add
+        pb_h2 = (H + 3) // 4
+        interp_r = jax.default_backend() not in ("tpu", "axon")
         for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
             if c > 0 and not has_chroma:
                 continue
-            sc = bf[f"sc_{ch}"]  # [cap, 3] rows/x/y ; pad rows = -1
-            if sc.shape[0] == 0:
-                continue
-            rows, xs, ys = sc[:, 0], sc[:, 1], sc[:, 2]
-            blk = jnp.where((rows >= 0)[:, None, None],
-                            bin_res[lg][jnp.clip(rows, 0)], 0)
-            iy = jnp.where(rows < 0, -(s + 1), ys)[:, None, None] + \
-                jnp.arange(s)[None, :, None]
-            ix = xs[:, None, None] + jnp.arange(s)[None, None, :]
-            planes[c] = planes[c].at[iy, ix].add(blk, mode="drop",
-                                                 unique_indices=True)
+            Hc = H if c == 0 else st["ch"]
+            Wc = W if c == 0 else st["cw"]
+            ORc = 4 if c == 0 else 4 // sub_y
+            wout = max(256, (Wc + 127) & ~127)
+            acc = None
+            for lg in st["lgs"]:
+                key = f"rs{lg}{ch}"
+                if f"{key}.n" not in feed:
+                    continue
+                stripes = mcp.residual_stripes(
+                    bin_res[lg], feed[f"{key}.n"], feed[f"{key}.srow"],
+                    feed[f"{key}.x0"], OR=ORc, S=1 << lg, Wout=wout,
+                    n_bands=pb_h2, interpret=interp_r)
+                acc = stripes if acc is None else acc + stripes
+            if acc is not None:
+                res = acc.reshape(pb_h2 * ORc, wout)[:Hc, :Wc]
+                planes[c] = planes[c] + res
+    else:
+        for lg in st["lgs"]:
+            s = 1 << lg
+            bf = feed[f"bin{lg}"]
+            for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
+                if c > 0 and not has_chroma:
+                    continue
+                sc = bf[f"sc_{ch}"]  # [cap, 3] rows/x/y ; pad rows = -1
+                if sc.shape[0] == 0:
+                    continue
+                rows, xs, ys = sc[:, 0], sc[:, 1], sc[:, 2]
+                blk = jnp.where((rows >= 0)[:, None, None],
+                                bin_res[lg][jnp.clip(rows, 0)], 0)
+                iy = jnp.where(rows < 0, -(s + 1), ys)[:, None, None] + \
+                    jnp.arange(s)[None, :, None]
+                ix = xs[:, None, None] + jnp.arange(s)[None, None, :]
+                planes[c] = planes[c].at[iy, ix].add(blk, mode="drop",
+                                                     unique_indices=True)
     planes[0] = jnp.clip(planes[0], 0, (1 << bd) - 1)
     if has_chroma:
         planes[1] = jnp.clip(planes[1], 0, (1 << bdc) - 1)
@@ -953,11 +981,20 @@ class FusedDecoder:
             if self._exotic(prog):
                 continue
             bins, tl, tr = _bin_tus(prog)
+            sub_y0 = prog.height // prog.chroma_height \
+                if prog.chroma_height else 1
             for lg, b in bins.items():
                 self._grow(f"tu{lg}", b["n"])
                 self._grow(f"co{lg}", len(b["cval"]))
-                for ch in ("y", "cb", "cr"):
+                for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
                     self._grow(f"sc{lg}{ch}", len(b[f"sc_{ch}"]))
+                    if self.use_pallas_mc and len(b[f"sc_{ch}"]):
+                        ORc = 4 if c == 0 else 4 // max(sub_y0, 1)
+                        band, srow, x0s = mcp.plan_residual_segments(
+                            b[f"sc_{ch}"], 1 << lg, ORc)
+                        _, _, _, K = mcp.pack_band_segments(
+                            band, srow, x0s, (prog.height + 3) // 4)
+                        self._grow(f"rk{lg}{ch}", K)
             self._grow("pu", len(prog.pus))
             self._grow("slices", len(prog.slice_records))
             self._use_l1 = self._use_l1 or (
@@ -1122,10 +1159,28 @@ class FusedDecoder:
             host[f"bin{lg}.cpos"] = _pad_rows(b["cpos"] if b else z0, ccap)
             host[f"bin{lg}.crow"] = _pad_rows(b["crow"] if b else z0, ccap,
                                               fill=1 << 30)
-            for ch in ("y", "cb", "cr"):
+            for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
                 sc = b[f"sc_{ch}"] if b else np.zeros((0, 3), np.int32)
                 cap = self._grow(f"sc{lg}{ch}", len(sc))
-                host[f"bin{lg}.sc_{ch}"] = _pad_rows(sc, cap, fill=-1)
+                if self.use_pallas_mc:
+                    if cap == 0:
+                        continue
+                    ORc = 4 if c == 0 else 4 // max(sub_y, 1)
+                    band, srow, x0s = mcp.plan_residual_segments(
+                        sc, 1 << lg, ORc)
+                    n_bands = (H + 3) // 4
+                    cnt, sr, xr, K = mcp.pack_band_segments(
+                        band, srow, x0s, n_bands)
+                    kcap = self._grow(f"rk{lg}{ch}", K)
+                    srp = np.zeros((n_bands, kcap), np.int32)
+                    xrp = np.zeros((n_bands, kcap), np.int32)
+                    srp[:, :sr.shape[1]] = sr
+                    xrp[:, :xr.shape[1]] = xr
+                    host[f"rs{lg}{ch}.n"] = cnt
+                    host[f"rs{lg}{ch}.srow"] = srp
+                    host[f"rs{lg}{ch}.x0"] = xrp
+                else:
+                    host[f"bin{lg}.sc_{ch}"] = _pad_rows(sc, cap, fill=-1)
 
         # --- intra super-waves ---
         # The scan depth is WATERMARKED, not per-frame: the axon runtime pays
@@ -1181,10 +1236,21 @@ class FusedDecoder:
                 host[f"bin{lg}.cval"] = _pad_rows(z0, ccap)
                 host[f"bin{lg}.cpos"] = _pad_rows(z0, ccap)
                 host[f"bin{lg}.crow"] = _pad_rows(z0, ccap, fill=1 << 30)
-                for ch in ("y", "cb", "cr"):
+                for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
                     cap = self._grow(f"sc{lg}{ch}", 0) or 0
-                    host[f"bin{lg}.sc_{ch}"] = _pad_rows(
-                        np.zeros((0, 3), np.int32), cap, fill=-1)
+                    if self.use_pallas_mc:
+                        if cap:
+                            n_bands = (H + 3) // 4
+                            kcap = self.caps.get(f"rk{lg}{ch}", 1) or 1
+                            host[f"rs{lg}{ch}.n"] = np.zeros(n_bands,
+                                                             np.int32)
+                            host[f"rs{lg}{ch}.srow"] = np.zeros(
+                                (n_bands, kcap), np.int32)
+                            host[f"rs{lg}{ch}.x0"] = np.zeros(
+                                (n_bands, kcap), np.int32)
+                    else:
+                        host[f"bin{lg}.sc_{ch}"] = _pad_rows(
+                            np.zeros((0, 3), np.int32), cap, fill=-1)
         lgs = sorted(lgs)
 
         # --- PCM ---

@@ -266,3 +266,125 @@ def mc_stripes(refs2d, nseg, slot, wy, wx, fy, fx, x0, wv, *, OR: int,
 
 def default_interpret():
     return jax.default_backend() not in ("tpu", "axon")
+
+
+# ---------------------------------------------------------------------------
+# residual scatter: TU blocks -> band stripes (the same segment pattern)
+# ---------------------------------------------------------------------------
+#
+# XLA lowers the inter-residual scatter-add (`plane.at[iy, ix].add(blocks)`)
+# as a generic scatter with the same pathological cost as the MC gathers, so
+# the fused decoder routes it through this kernel instead: residual blocks
+# are rearranged (dense reshape+pad, cheap) into one 128-lane row per
+# (TU x output-band) slice, and each band program RMW-merges its slices into
+# a [OR, Wout] stripe.  The caller adds the stripes onto the prediction
+# planes with a dense elementwise add.
+
+def plan_residual_segments(sc: np.ndarray, s: int, OR: int):
+    """Explode one bin's scatter list [n, 3] (row, x, y) into per-band
+    segments.  Returns (srow, x0) arrays [n_seg] plus band ids — the caller
+    packs them per band."""
+    if len(sc) == 0:
+        return (np.zeros(0, np.int32),) * 3
+    rows, xs, ys = sc[:, 0], sc[:, 1], sc[:, 2]
+    keep = rows >= 0
+    rows, xs, ys = rows[keep], xs[keep], ys[keep]
+    per = s // OR                     # bands spanned by one TU
+    n = len(rows)
+    band = (ys[:, None] // OR + np.arange(per)[None, :]).ravel()
+    srow = (rows[:, None] * per + np.arange(per)[None, :]).ravel()
+    x0 = np.repeat(xs, per)
+    return band.astype(np.int32), srow.astype(np.int32), x0.astype(np.int32)
+
+
+def pack_band_segments(band, srow, x0, n_bands: int):
+    """Group segments by band into [n_bands, K] arrays + counts."""
+    order = np.argsort(band, kind="stable")
+    bs = band[order]
+    first = np.searchsorted(bs, bs)
+    k_of = np.arange(len(bs)) - first
+    K = int(k_of.max()) + 1 if len(bs) else 1
+    counts = np.zeros(n_bands, np.int32)
+    if len(bs):
+        np.add.at(counts, bs, 1)
+    out_s = np.zeros((n_bands, K), np.int32)
+    out_x = np.zeros((n_bands, K), np.int32)
+    out_s[bs, k_of] = srow[order]
+    out_x[bs, k_of] = x0[order]
+    return counts, out_s, out_x, K
+
+
+def _res_kernel(nseg, srow, x0, rows_hbm, out, scratch, sem, *, OR, S, Wout):
+    band = pl.program_id(0)
+    out[0] = jnp.zeros((OR, Wout), jnp.int32)
+    n = nseg[band]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (OR, FW), 1)
+
+    def start_dma(sl, k):
+        row0 = srow[band, k] * OR
+        r8 = pl.multiple_of((row0 // 8) * 8, 8)
+        return pltpu.make_async_copy(rows_hbm.at[pl.ds(r8, 16), :],
+                                     scratch.at[sl], sem.at[sl])
+
+    @pl.when(n > 0)
+    def _():
+        start_dma(0, 0).start()
+
+    def body(k, _):
+        sl = k % 2
+
+        @pl.when(k + 1 < n)
+        def _():
+            start_dma((k + 1) % 2, k + 1).start()
+
+        start_dma(sl, k).wait()
+        row0 = srow[band, k] * OR
+        win = _roll_ladder(scratch[sl], row0 - (row0 // 8) * 8, 3, 0, 16)
+        # rows 0..OR-1 hold the [OR, 128-lane-padded] residual slice
+        blk = jnp.concatenate(
+            [win[:OR, :], jnp.zeros((OR, FW - 128), jnp.int32)], axis=1)
+        xs = x0[band, k]
+        base = jnp.minimum((xs // 128) * 128, Wout - FW)
+        off = xs - base
+        blk = _roll_ladder(blk, (FW - off) & (FW - 1), 8, 1, FW)
+        mask = (lane >= off) & (lane < off + S)
+        base = pl.multiple_of(base, 128)
+        cur = out[0, :, pl.ds(base, FW)]
+        out[0, :, pl.ds(base, FW)] = jnp.where(mask, blk, cur)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("OR", "S", "Wout", "n_bands",
+                                             "interpret"))
+def residual_stripes(bin_res, nseg, srow, x0, *, OR: int, S: int, Wout: int,
+                     n_bands: int, interpret: bool = False):
+    """Scatter one size-bin's TU residuals into [n_bands, OR, Wout] stripes.
+
+    bin_res: [N, S, S] int32 residual blocks (this bin).  The blocks are
+    rearranged (dense reshape+pad) to one 128-lane row per residual ROW so
+    the kernel needs no sub-lane shuffles: slice j of TU t lives at rows
+    [(t*per + j) * OR, ... + OR) of the [M*OR, 128] feed.
+    """
+    N = bin_res.shape[0]
+    per = S // OR
+    rows = jnp.pad(bin_res.reshape(N * per, OR, S),
+                   ((0, 8), (0, 0), (0, 128 - S)))
+    rows = rows.reshape((N * per + 8) * OR, 128)
+    kern = functools.partial(_res_kernel, OR=OR, S=S, Wout=Wout)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_bands,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, OR, Wout), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, 16, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_bands, OR, Wout), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(nseg, srow, x0, rows)

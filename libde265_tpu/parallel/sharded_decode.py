@@ -38,7 +38,11 @@ from .. import fused_decode as fd
 from ..decoder import FrameProgramData
 from ..ops import transform as tx
 
-HALO = 8  # pixels each side: covers deblock reach (edge +-3, reads +-4)
+# Halo width in luma pixels each side.  16 (two 8-px edge columns) keeps
+# BOTH the luma and the 4:2:0 chroma deblock edge grids phase-aligned in the
+# padded tile (chroma pad = 8 chroma px = one chroma edge column), and far
+# exceeds the deblock reach (edge +-3 writes, +-4 reads).
+HALO = 16
 
 
 def tile_columns(prog: FrameProgramData):
@@ -111,6 +115,135 @@ def _localize_intra(xs, tile_of_entry, t, tx0, sub_x, widths, rrow_map):
                     "meta": meta.astype(np.int32),
                     "rrow": rrow.astype(np.int32)}
     return out
+
+
+def _exchange(x, h, axis_name, T, axis=-1):
+    """Halo exchange along `axis`: [left-neighbor tail | x | right head].
+
+    Devices without a neighbour receive zeros from ppermute, which the
+    positional edge masks and bs=0 metadata then keep inert.
+    """
+    nd = x.ndim
+    ax = axis % nd
+    left = lax.slice_in_dim(x, 0, h, axis=ax)
+    right = lax.slice_in_dim(x, x.shape[ax] - h, x.shape[ax], axis=ax)
+    fwd = [(i, i + 1) for i in range(T - 1)]
+    bwd = [(i, i - 1) for i in range(1, T)]
+    from_left = lax.ppermute(right, axis_name, fwd)
+    from_right = lax.ppermute(left, axis_name, bwd)
+    return jnp.concatenate([from_left, x, from_right], axis=ax)
+
+
+def _halo_filter(planes, tf, std, axis_name, T):
+    """Deblock + SAO on the halo-padded tile (redundant boundary compute).
+
+    Runs inside shard_map after per-tile reconstruction when
+    loop_filter_across_tiles is on: one 8-pixel halo exchange, then the
+    ordinary whole-picture filter sections on the padded tile, then crop.
+    """
+    H, tw = std["H"], std["W"]
+    W_frame = tw * T
+    sub_x = max(std["sub_x"], 1)
+    sub_y = max(std["sub_y"], 1)
+    has_chroma = not std["mono"]
+    hx, h4 = HALO, HALO // 4
+    hc = HALO // sub_x
+    twc = max(std["cw"], 1)
+
+    def ex(x, h, axis=-1):
+        return _exchange(x, h, axis_name, T, axis)
+
+    y = ex(planes[0], hx)
+    if has_chroma:
+        cb, cr = ex(planes[1], hc), ex(planes[2], hc)
+
+    g = {k: ex(tf[k], h4) for k in ("qp4", "nzc4", "dbf4", "cu4", "si4",
+                                    "sa4", "ti4")}
+    pu_idx = ex(tf["pu_idx"], h4)
+    sao_m = {k: ex(tf[k], h4, axis=1) for k in ("st4", "se4", "sb4", "so4")}
+
+    pb_h, pbw = pu_idx.shape
+    recs = tf["slice_recs"]
+    gx0 = tf["gx0"][0]
+
+    # per-cell PU params from the halo'd index grid + unbiased PU table
+    pidx = pu_idx.reshape(-1)
+    covered = pidx >= 0
+    pc = jnp.clip(pidx, 0)
+    pu = tf["pu_raw"]
+    cell = {"pf": jnp.where(covered, pu[pc, 4], 0)}
+    for l in (0, 1):
+        has = ((cell["pf"] >> l) & 1).astype(bool)
+        cell[f"mv{l}x"] = jnp.where(has, pu[pc, 0 + 2 * l], 0)
+        cell[f"mv{l}y"] = jnp.where(has, pu[pc, 1 + 2 * l], 0)
+        cell[f"poc{l}"] = jnp.where(
+            has, tf["ref_pocs"][jnp.clip(pu[pc, 5 + l], 0)], fd.NOREF)
+    cell["slice"] = jnp.clip(pu[pc, 9], 0, std["n_slices"] - 1)
+
+    # positional edge masks: the picture bounds are interior columns here
+    gxv = gx0 - hx + 4 * jnp.arange(pbw)
+    allow_xv = jnp.broadcast_to(((gxv > 0) & (gxv < W_frame)).astype(
+        jnp.int32)[None, :], (pb_h, pbw))
+    allow_xh = jnp.broadcast_to(((gxv >= 0) & (gxv < W_frame)).astype(
+        jnp.int32)[None, :], (pb_h, pbw))
+
+    st2 = dict(std)
+    st2.update(W=tw + 2 * hx, cw=twc + 2 * hc, ctb_size=4,
+               across_tiles=True, multi_boundary=True,
+               run_deblock=True, run_sao=True)
+    feed2 = {"qp4": g["qp4"], "nzc4": g["nzc4"], "dbf4": g["dbf4"],
+             "cu4": g["cu4"], "slice_idx": g["si4"],
+             "slice_addr": g["sa4"], "tile_id": g["ti4"],
+             "allow_xv": allow_xv, "allow_xh": allow_xh}
+
+    skip4 = (g["cu4"] & 4) != 0
+    if std["pcm_lf_disable"]:
+        skip4 = skip4 | ((g["cu4"] & 2) != 0)
+
+    planes2 = [y, cb, cr] if has_chroma else [y]
+    if std["run_deblock"]:
+        planes2 = fd._deblock_section(planes2, feed2, recs, cell, skip4, st2)
+
+    if std["run_sao"]:
+        from ..ops.sao import EO_D, sao_plane
+        sidx4 = jnp.clip(g["si4"], 0, std["n_slices"] - 1)
+        sao_on = [recs[sidx4, 4] != 0, recs[sidx4, 5] != 0]
+        out = []
+        for c in range(len(planes2)):
+            ry = 4 if c == 0 else 4 // sub_y
+            rx = 4 if c == 0 else 4 // sub_x
+            Hc = H if c == 0 else max(std["ch"], 1)
+            Wc_pad = planes2[c].shape[1]
+            Wc_frame = W_frame if c == 0 else W_frame // sub_x
+            bd = std["bd"] if c == 0 else std["bdc"]
+
+            def up(a):
+                return jnp.repeat(jnp.repeat(a, ry, 0), rx, 1)[:Hc, :Wc_pad]
+
+            on = sao_on[0 if c == 0 else 1].astype(jnp.int32)
+            tmap = up(sao_m["st4"][:, :, c] * on)
+            emap = up(sao_m["se4"][:, :, c])
+            bmap = up(sao_m["sb4"][:, :, c])
+            omap = jnp.repeat(jnp.repeat(sao_m["so4"][:, :, c], ry, 0),
+                              rx, 1)[:Hc, :Wc_pad]
+            skip = up(skip4.astype(jnp.int32)).astype(bool)
+            # picture-boundary validity on the (interior) global columns
+            gxc = (gx0 // (1 if c == 0 else sub_x) -
+                   (hx if c == 0 else hc) + jnp.arange(Wc_pad))
+            eok = jnp.ones((Hc, Wc_pad), bool)
+            for cls in range(4):
+                (dy0, dx0), (dy1, dx1) = EO_D[cls]
+                v = ((gxc + int(dx0) >= 0) & (gxc + int(dx0) < Wc_frame) &
+                     (gxc + int(dx1) >= 0) & (gxc + int(dx1) < Wc_frame))
+                eok = jnp.where(emap == cls, v[None, :], eok)
+            out.append(sao_plane(planes2[c], tmap, emap, bmap, omap, skip,
+                                 bit_depth=bd, edge_ok=eok))
+        planes2 = out
+
+    cropped = [planes2[0][:, hx:hx + tw]]
+    if has_chroma:
+        cropped += [p[:, hc:hc + twc] for p in planes2[1:]]
+    return tuple(cropped)
 
 
 class ShardedTileDecoder:
@@ -365,19 +498,90 @@ class ShardedTileDecoder:
             "pallas_mc": False, "segk": 1,
         }.items()))
 
-        if prog.across_tiles and (dict(st)["run_deblock"] or
-                                  dict(st)["run_sao"]):
-            raise NotImplementedError(
-                "across-tiles filtering needs the halo path (mode B)")
+        std = dict(st)
+        halo_mode = prog.across_tiles and (std["run_deblock"] or
+                                           std["run_sao"])
+        if halo_mode:
+            # mode B: reconstruct unfiltered per tile, then halo-exchange
+            # and filter with redundant boundary compute
+            st = tuple(sorted({**std, "run_deblock": False,
+                               "run_sao": False}.items()))
+            if len(prog.slice_records) and not np.all(
+                    prog.slice_records[:, 9]):
+                raise NotImplementedError(
+                    "across-tiles halo filtering with slice-gated filters")
+            self._add_filter_feed(feed, prog, per_tile, tw, sub_x, sub_y,
+                                  slot_map)
 
-        planes = self._run_sharded(refs, feed, st, intra_keys)
+        planes = self._run_sharded(refs, feed, st, intra_keys,
+                                   halo=halo_mode, std=std)
         out = tuple(jnp.concatenate([p[t] for t in range(T)], axis=-1)
                     for p in planes)
         self._store(prog.poc, out)
         return out
 
-    def _run_sharded(self, refs, feed, st, intra_keys):
+    def _add_filter_feed(self, feed, prog, per_tile, tw, sub_x, sub_y,
+                         slot_map):
+        """Extra per-tile feeds for the halo filter pass (cell-resolution
+        slice/tile grids, cell-resolution SAO maps, unbiased PU table,
+        per-tile global x offsets)."""
+        T = len(per_tile)
+        ctb = prog.ctb_size
+        cs4 = ctb // 4
+        tw4 = tw // 4
+
+        def up4(g):
+            return np.repeat(np.repeat(g.astype(np.int32), cs4, 0),
+                             cs4, 1)[:prog.pu_idx.shape[0]]
+
+        for name, g in (("sa4", prog.slice_addr), ("ti4", prog.tile_id),
+                        ("si4", prog.slice_idx)):
+            gu = up4(g)
+            feed[name] = jnp.asarray(np.stack(
+                [gu[:, pt["x0"] // 4:pt["x0"] // 4 + tw4]
+                 for pt in per_tile]))
+        ctb_h, ctb_w = prog.slice_idx.shape
+        if prog.sao is not None and len(prog.sao):
+            sh = (ctb_h, ctb_w)
+            for name, fld, extra in (("st4", "type_idx", ()),
+                                     ("se4", "eo_class", ()),
+                                     ("sb4", "band_pos", ()),
+                                     ("so4", "offset", (4,))):
+                g = prog.sao[fld].astype(np.int32).reshape(*sh, 3, *extra)
+                gu = np.repeat(np.repeat(g, cs4, 0), cs4, 1)[
+                    :prog.pu_idx.shape[0]]
+                feed[name] = jnp.asarray(np.stack(
+                    [gu[:, pt["x0"] // 4:pt["x0"] // 4 + tw4]
+                     for pt in per_tile]))
+        else:
+            ph = prog.pu_idx.shape[0]
+            for name, extra in (("st4", ()), ("se4", ()), ("sb4", ()),
+                                ("so4", (4,))):
+                feed[name] = jnp.zeros((T, ph, tw4, 3, *extra), jnp.int32)
+        # unbiased PU table (filters need frame-consistent MVs)
+        pcap = feed["pu"].shape[1]
+        pu = np.zeros((pcap, 10), np.int32)
+        p = prog.pus
+        if len(p):
+            pu[:len(p), 0] = p["mv0x"]
+            pu[:len(p), 1] = p["mv0y"]
+            pu[:len(p), 2] = p["mv1x"]
+            pu[:len(p), 3] = p["mv1y"]
+            pu[:len(p), 4] = p["pred_flags"]
+            for l in (0, 1):
+                slot = np.array([slot_map.get(int(v), 0)
+                                 for v in p[f"ref_dpb{l}"]], np.int32)
+                pu[:len(p), 5 + l] = slot
+                pu[:len(p), 7 + l] = np.maximum(
+                    p[f"ref_idx{l}"].astype(np.int32), 0)
+            pu[:len(p), 9] = p["slice"]
+        feed["pu_raw"] = jnp.asarray(np.broadcast_to(pu, (T, *pu.shape)))
+        feed["gx0"] = jnp.asarray(np.array(
+            [[pt["x0"]] for pt in per_tile], np.int32))
+
+    def _run_sharded(self, refs, feed, st, intra_keys, halo=False, std=None):
         mesh, axis = self.mesh, self.axis
+        T = self.n_dev
         shard = NamedSharding(mesh, P(axis))
         repl = NamedSharding(mesh, P())
         feed = {k: jax.device_put(v, shard) for k, v in feed.items()}
@@ -399,6 +603,8 @@ class ShardedTileDecoder:
                         f[k] = v
                 planes = fd._frame_fn(ry, rcb, rcr, f, intra_xs, None,
                                       dict(st))
+                if halo:
+                    planes = _halo_filter(planes, tf, std, axis, T)
                 return tuple(p[None] for p in planes)
 
             from jax.experimental.shard_map import shard_map

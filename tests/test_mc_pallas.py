@@ -140,3 +140,36 @@ def test_mc_pallas_matches_xla(seed, chroma):
 
     assert np.array_equal(got_plane[mask], exp_plane[mask]), (
         np.argwhere((got_plane != exp_plane) & mask)[:5])
+
+
+@pytest.mark.parametrize("lg,OR", [(2, 4), (3, 4), (4, 4), (5, 4),
+                                   (2, 2), (3, 2), (5, 2)])
+def test_residual_stripes_matches_scatter(lg, OR):
+    rng = np.random.default_rng(lg * 10 + OR)
+    s = 1 << lg
+    H, W = 64, 96 if OR == 4 else 48
+    n_bands = H // OR
+    N = 9
+    bin_res = rng.integers(-500, 500, (N, s, s)).astype(np.int32)
+    # disjoint TU placements on the s-grid
+    cells = [(x, y) for y in range(0, H - s + 1, s)
+             for x in range(0, W - s + 1, s)]
+    cells = [cells[i] for i in rng.permutation(len(cells))]
+    N = min(N, len(cells))
+    bin_res = bin_res[:N]
+    sc = np.array([[i, cells[i][0], cells[i][1]] for i in range(N)],
+                  np.int32)
+
+    exp = np.zeros((H, W), np.int64)
+    for i, x, y in sc:
+        exp[y:y + s, x:x + s] += bin_res[i]
+
+    band, srow, x0 = mp.plan_residual_segments(sc, s, OR)
+    cnt, sr, xr, K = mp.pack_band_segments(band, srow, x0, n_bands)
+    Wout = max(256, (W + 127) & ~127)
+    stripes = mp.residual_stripes(
+        jnp.asarray(bin_res), jnp.asarray(cnt), jnp.asarray(sr),
+        jnp.asarray(xr), OR=OR, S=s, Wout=Wout, n_bands=n_bands,
+        interpret=True)
+    got = np.asarray(stripes).reshape(n_bands * OR, Wout)[:H, :W]
+    assert np.array_equal(got, exp), np.argwhere(got != exp)[:5]
