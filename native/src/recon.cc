@@ -270,6 +270,113 @@ static void mc_luma(const Frame& ref, int x_int, int y_int, int frac_x,
 
 // Chroma epel core, fractional offsets as template parameters (constant
 // taps -> autovectorized constant-multiplier MACs), like mc_luma_core_t.
+#if defined(__AVX2__)
+// 8-lane AVX2 epel (4-tap) chroma filters for the 8-bit path; int16 sums
+// (|sum| <= 18k) at 16 lanes when w >= 16, 8 lanes otherwise.
+static inline void epel_h8_avx2(const u8* src, int cs, i16* out, int os,
+                                int w, int h, const int* f) {
+  __m128i fk4[4];
+  __m256i fk8[4];
+  for (int k = 0; k < 4; k++) {
+    fk4[k] = _mm_set1_epi16((short)f[k]);
+    fk8[k] = _mm256_set1_epi16((short)f[k]);
+  }
+  for (int y = 0; y < h; y++) {
+    const u8* row = src + (size_t)y * cs - 1;
+    i16* orow = out + (size_t)y * os;
+    int x = 0;
+    for (; x + 16 <= w; x += 16) {
+      __m256i acc = _mm256_setzero_si256();
+      for (int k = 0; k < 4; k++) {
+        if (!f[k]) continue;
+        __m256i v = _mm256_cvtepu8_epi16(
+            _mm_loadu_si128((const __m128i*)(row + x + k)));
+        acc = _mm256_add_epi16(acc, _mm256_mullo_epi16(v, fk8[k]));
+      }
+      _mm256_storeu_si256((__m256i*)(orow + x), acc);
+    }
+    for (; x < w; x += 8) {
+      if (x + 8 > w) x = w - 8;
+      __m128i acc = _mm_setzero_si128();
+      for (int k = 0; k < 4; k++) {
+        if (!f[k]) continue;
+        __m128i v = _mm_cvtepu8_epi16(
+            _mm_loadl_epi64((const __m128i*)(row + x + k)));
+        acc = _mm_add_epi16(acc, _mm_mullo_epi16(v, fk4[k]));
+      }
+      _mm_storeu_si128((__m128i*)(orow + x), acc);
+    }
+  }
+}
+
+static inline void epel_v8_avx2(const u8* src, int cs, i16* out, int os,
+                                int w, int h, const int* f) {
+  __m128i fk4[4];
+  __m256i fk8[4];
+  for (int k = 0; k < 4; k++) {
+    fk4[k] = _mm_set1_epi16((short)f[k]);
+    fk8[k] = _mm256_set1_epi16((short)f[k]);
+  }
+  for (int y = 0; y < h; y++) {
+    const u8* col = src + (size_t)(y - 1) * cs;
+    i16* orow = out + (size_t)y * os;
+    int x = 0;
+    for (; x + 16 <= w; x += 16) {
+      __m256i acc = _mm256_setzero_si256();
+      for (int k = 0; k < 4; k++) {
+        if (!f[k]) continue;
+        __m256i v = _mm256_cvtepu8_epi16(
+            _mm_loadu_si128((const __m128i*)(col + (size_t)k * cs + x)));
+        acc = _mm256_add_epi16(acc, _mm256_mullo_epi16(v, fk8[k]));
+      }
+      _mm256_storeu_si256((__m256i*)(orow + x), acc);
+    }
+    for (; x < w; x += 8) {
+      if (x + 8 > w) x = w - 8;
+      __m128i acc = _mm_setzero_si128();
+      for (int k = 0; k < 4; k++) {
+        if (!f[k]) continue;
+        __m128i v = _mm_cvtepu8_epi16(
+            _mm_loadl_epi64((const __m128i*)(col + (size_t)k * cs + x)));
+        acc = _mm_add_epi16(acc, _mm_mullo_epi16(v, fk4[k]));
+      }
+      _mm_storeu_si128((__m128i*)(orow + x), acc);
+    }
+  }
+}
+
+static inline void epel_v16_avx2(const i16* tmp, int ts, i16* out, int os,
+                                 int w, int h, const int* f) {
+  __m256i fp[2];
+  for (int k = 0; k < 2; k++) {
+    u32 pair = (u16)(short)f[2 * k] | ((u32)(u16)(short)f[2 * k + 1] << 16);
+    fp[k] = _mm256_set1_epi32((int)pair);
+  }
+  for (int y = 0; y < h; y++) {
+    const i16* base = tmp + (size_t)y * ts;
+    i16* orow = out + (size_t)y * os;
+    for (int x = 0; x < w; x += 16) {
+      if (x + 16 > w) x = max_i(0, w - 16);
+      __m256i lo = _mm256_setzero_si256(), hi = _mm256_setzero_si256();
+      for (int k = 0; k < 2; k++) {
+        __m256i a = _mm256_loadu_si256(
+            (const __m256i*)(base + (size_t)(2 * k) * ts + x));
+        __m256i b = _mm256_loadu_si256(
+            (const __m256i*)(base + (size_t)(2 * k + 1) * ts + x));
+        lo = _mm256_add_epi32(lo, _mm256_madd_epi16(
+            _mm256_unpacklo_epi16(a, b), fp[k]));
+        hi = _mm256_add_epi32(hi, _mm256_madd_epi16(
+            _mm256_unpackhi_epi16(a, b), fp[k]));
+      }
+      lo = _mm256_srai_epi32(lo, 6);
+      hi = _mm256_srai_epi32(hi, 6);
+      _mm256_storeu_si256((__m256i*)(orow + x),
+                          _mm256_packs_epi32(lo, hi));
+    }
+  }
+}
+#endif  // __AVX2__
+
 template <typename pixel_t, int FX, int FY>
 static void mc_chroma_core_t(const pixel_t* cc, int cs, i16* out,
                              int out_stride, int w, int h, int shift1,
@@ -337,6 +444,27 @@ template <typename pixel_t>
 static inline void mc_chroma_core(const pixel_t* cc, int cs, int frac_x,
                                   int frac_y, i16* out, int out_stride, int w,
                                   int h, int shift1, int shift3) {
+#if defined(__AVX2__)
+  if constexpr (sizeof(pixel_t) == 1) {
+    if (shift1 == 0 && w >= 8 && ((frac_x | frac_y) != 0)) {
+      const u8* src = reinterpret_cast<const u8*>(cc);
+      if (frac_y == 0) {
+        epel_h8_avx2(src, cs, out, out_stride, w, h, kEpelFilter[frac_x]);
+        return;
+      }
+      if (frac_x == 0) {
+        epel_v8_avx2(src, cs, out, out_stride, w, h, kEpelFilter[frac_y]);
+        return;
+      }
+      if (w >= 16) {
+        i16 tmp[(64 + 3) * 64];
+        epel_h8_avx2(src - cs, cs, tmp, 64, w, h + 3, kEpelFilter[frac_x]);
+        epel_v16_avx2(tmp, 64, out, out_stride, w, h, kEpelFilter[frac_y]);
+        return;
+      }
+    }
+  }
+#endif
   using Fn = void (*)(const pixel_t*, int, i16*, int, int, int, int, int);
   static constexpr const Fn* kRows[8] = {
       EpelRow<pixel_t, 0>::fns, EpelRow<pixel_t, 1>::fns,
@@ -436,16 +564,73 @@ static void pred_merge(pixel_t* dst, int stride, const i16* p0, const i16* p1,
   }
 }
 
+// Edge-clamped full-pel block copy (the uni/unweighted/integer-MV fast
+// path: prediction == reference samples, no filtering or merge needed).
+template <typename pixel_t>
+static inline void copy_block_clamped(const Frame& ref, int c, int x0,
+                                      int y0, int w, int h, pixel_t* dst,
+                                      int dstride) {
+  const pixel_t* img = reinterpret_cast<const pixel_t*>(ref.plane[c].data());
+  int stride = ref.stride[c];
+  int pw = ref.plane_width(c), ph = ref.plane_height(c);
+  if (x0 >= 0 && y0 >= 0 && x0 + w <= pw && y0 + h <= ph) {
+    const pixel_t* srow = img + (size_t)y0 * stride + x0;
+    for (int y = 0; y < h; y++)
+      memcpy(dst + (size_t)y * dstride, srow + (size_t)y * stride,
+             w * sizeof(pixel_t));
+    return;
+  }
+  for (int y = 0; y < h; y++) {
+    const pixel_t* srow = img + (size_t)clip3(0, ph - 1, y0 + y) * stride;
+    pixel_t* drow = dst + (size_t)y * dstride;
+    for (int x = 0; x < w; x++) drow[x] = srow[clip3(0, pw - 1, x0 + x)];
+  }
+}
+
 template <typename pixel_t>
 static void execute_pu_t(const FrameProgram& prog, const PuRec& pu) {
   Frame& frame = *prog.frame;
   const SliceHeader& sh = *prog.slices[pu.slice];
   const Sps& sps = *frame.sps;
 
-  i16 buf[2][3][64 * 64];  // [list][channel]
   bool bi = (pu.pred_flags == 3);
   int bd_y = frame.bit_depth[0];
   int bd_c = frame.bit_depth[1];
+
+  // full-pel uni unweighted fast path: straight copies from the reference
+  {
+    bool weighted_f = (sh.slice_type == SLICE_P) ? sh.pps->weighted_pred
+                                                 : sh.pps->weighted_bipred;
+    if (!bi && !weighted_f) {
+      int l = (pu.pred_flags & 1) ? 0 : 1;
+      int mvx = pu.mv[l].x, mvy = pu.mv[l].y;
+      int sw = sps.chroma_array_type ? sps.sub_width_c : 1;
+      int shc = sps.chroma_array_type ? sps.sub_height_c : 1;
+      int cmask = ((sw == 2 ? 7 : 3) | (shc == 2 ? 7 : 3));
+      if (((mvx | mvy) & 3) == 0 &&
+          (sps.chroma_array_type == 0 || ((mvx | mvy) & cmask) == 0)) {
+        const Frame* ref = prog.ref_frames[pu.ref_dpb[l]];
+        pixel_t* dst = reinterpret_cast<pixel_t*>(frame.plane[0].data()) +
+                       (size_t)pu.y * frame.stride[0] + pu.x;
+        copy_block_clamped<pixel_t>(*ref, 0, pu.x + (mvx >> 2),
+                                    pu.y + (mvy >> 2), pu.w, pu.h, dst,
+                                    frame.stride[0]);
+        if (sps.chroma_array_type != 0) {
+          int cx = (pu.x / sw) + (mvx >> (sw == 2 ? 3 : 2));
+          int cy = (pu.y / shc) + (mvy >> (shc == 2 ? 3 : 2));
+          for (int c = 1; c <= 2; c++) {
+            pixel_t* dc = reinterpret_cast<pixel_t*>(frame.plane[c].data()) +
+                          (size_t)(pu.y / shc) * frame.stride[c] + pu.x / sw;
+            copy_block_clamped<pixel_t>(*ref, c, cx, cy, pu.w / sw,
+                                        pu.h / shc, dc, frame.stride[c]);
+          }
+        }
+        return;
+      }
+    }
+  }
+
+  i16 buf[2][3][64 * 64];  // [list][channel]
 
   for (int l = 0; l < 2; l++) {
     if (!((pu.pred_flags >> l) & 1)) continue;
