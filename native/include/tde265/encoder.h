@@ -53,6 +53,8 @@ struct EncoderConfig {
   bool wpp = false;            // entropy_coding_sync (one substream per row)
   int tile_cols = 1, tile_rows = 1;  // uniform tiles
   bool rect_parts = true;            // 2NxN/Nx2N inter partitions
+  bool dependent_slices = false;     // ctbs-per-slice segments after the
+                                     // first become dependent segments
   bool across_tiles = true;          // loop_filter_across_tiles
   // GOP structure: 0/1 = all-intra; N>1 = IDR every N pictures, P pictures
   // (one L0 reference, the previous picture) in between — the low-delay-P
@@ -114,7 +116,8 @@ class Encoder {
                                       int stride_c);
   void write_headers(std::vector<u8>* out);
   void write_slice_header(BitWriter* bw, int ctb_rs,
-                          const std::vector<u32>* entry_sizes = nullptr);
+                          const std::vector<u32>* entry_sizes = nullptr,
+                          bool dependent = false);
   void encode_slice_substreams(std::vector<u8>* out);
   void encode_ctb(int ctb_x, int ctb_y);
   void encode_cq(int x0, int y0, int log2_size, int depth);

@@ -146,6 +146,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   p.diff_cu_qp_delta_depth = 0;  // QP group = CTB
   p.transquant_bypass_enabled = cfg.lossless;
   p.loop_filter_across_slices = true;
+  p.dependent_slice_segments_enabled = cfg.dependent_slices;
   p.log2_parallel_merge_level = 2;
   p.entropy_coding_sync_enabled = cfg.wpp;
   p.cross_component_prediction_enabled = cfg.ccp && cfg.chroma_format == 3;
@@ -262,7 +263,7 @@ void Encoder::write_headers(std::vector<u8>* out) {
   BitWriter pp;
   pp.write_uvlc(0);      // pps_id
   pp.write_uvlc(0);      // sps_id
-  pp.write_flag(false);  // dependent_slice_segments
+  pp.write_flag(pps_->dependent_slice_segments_enabled);
   pp.write_flag(false);  // output_flag_present
   pp.write_bits(0, 3);   // num_extra_slice_header_bits
   pp.write_flag(pps_->sign_data_hiding);
@@ -321,18 +322,25 @@ void Encoder::write_headers(std::vector<u8>* out) {
 }
 
 void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
-                                 const std::vector<u32>* entry_sizes) {
+                                 const std::vector<u32>* entry_sizes,
+                                 bool dependent) {
   bool first = (ctb_rs == 0);
   bool idr = cur_is_intra_pic_;
   bw->write_flag(first);  // first_slice_segment_in_pic_flag
   if (idr) bw->write_flag(false);  // no_output_of_prior_pics (IRAP only)
   bw->write_uvlc(0);      // pps_id
   if (!first) {
-    // (dependent slice segments disabled in the PPS -> no dependent flag)
+    if (pps_->dependent_slice_segments_enabled)
+      bw->write_flag(dependent);  // dependent_slice_segment_flag
     int n_ctbs = sps_->pic_size_in_ctbs;
     int bits = 0;
     while ((1 << bits) < n_ctbs) bits++;
     bw->write_bits((u32)ctb_rs, bits);  // slice_segment_address
+  }
+  if (dependent) {
+    // dependent segments inherit the whole header from the independent one
+    bw->trailing_bits();
+    return;
   }
   int stype = idr ? SLICE_I : (cfg_.use_b_slices ? SLICE_B : SLICE_P);
   bw->write_uvlc((u32)stype);
@@ -690,19 +698,30 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
     int n_ctbs = sps_->pic_size_in_ctbs;
     int per_slice = (cfg_.ctbs_per_slice > 0) ? cfg_.ctbs_per_slice : n_ctbs;
     int slice_start = 0;
+    int indep_start = 0;
     u16 slice_no = 0;
+    ContextTable dep_saved;
+    const bool dep = pps_->dependent_slice_segments_enabled;
     for (int rs = 0; rs < n_ctbs; rs++) {
       if (rs == slice_start) {
+        bool dependent = dep && rs > 0;
+        if (!dependent) indep_start = rs;
         slice_bw_.clear();
-        write_slice_header(&slice_bw_, rs);
+        write_slice_header(&slice_bw_, rs, nullptr, dependent);
         cabac_ = std::make_unique<CabacEncoder>(&slice_bw_);
-        ctx_.init(cur_is_intra_pic_ ? 0 : (cfg_.use_b_slices ? 2 : 1), cfg_.qp);
+        if (dependent) {
+          // CABAC contexts continue across dependent segments (9.3.1)
+          ctx_ = dep_saved;
+        } else {
+          ctx_.init(cur_is_intra_pic_ ? 0 : (cfg_.use_b_slices ? 2 : 1),
+                    cfg_.qp);
+        }
         qg_first_ = true;
         qg_prev_qp_ = last_cu_qp_ = cfg_.qp;
       }
       int cx = rs % sps_->pic_width_in_ctbs;
       int cy = rs / sps_->pic_width_in_ctbs;
-      recon_->slice_addr_rs[rs] = slice_start;
+      recon_->slice_addr_rs[rs] = indep_start;
       recon_->slice_idx[rs] = slice_no;
       if (sps_->sao_enabled) write_sao(cx, cy);
       encode_ctb(cx, cy);
@@ -710,10 +729,11 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
           (rs == n_ctbs - 1) || (rs + 1 - slice_start >= per_slice);
       cabac_->encode_terminate(last_in_slice ? 1 : 0);
       if (last_in_slice) {
+        dep_saved = ctx_;
         append_nal(outp, cur_is_intra_pic_ ? NAL_IDR_W_RADL : NAL_TRAIL_R,
                    0, slice_bw_.rbsp());
         slice_start = rs + 1;
-        slice_no++;
+        if (!dep) slice_no++;
       }
     }
   };

@@ -22,13 +22,12 @@ def _content(rng, W, H, t):
     return y, cb, cr
 
 
-@pytest.fixture(scope="module")
-def tiled_stream(native_build):
+def _make_stream(across: bool):
     rng = np.random.default_rng(7)
     W, H, T = 256, 64, 4
     enc = Encoder(qp=27, ctb_size=32)
     enc.set_parameter("tile-cols", T)
-    enc.set_parameter("across-tiles", False)
+    enc.set_parameter("across-tiles", across)
     enc.set_parameter("intra-period", 8)
     enc.set_parameter("sao", True)
     data = b""
@@ -39,15 +38,18 @@ def tiled_stream(native_build):
     return data
 
 
-def test_tile_columns_and_sharded_decode(tiled_stream):
+@pytest.mark.parametrize("across", [False, True],
+                         ids=["gated", "halo-exchange"])
+def test_sharded_tile_decode(native_build, across):
+    data = _make_stream(across)
     dec = Decoder(keep_programs=True)
-    list(dec.decode_all(tiled_stream))
+    list(dec.decode_all(data))
     progs = [dec.get_program(i) for i in range(dec.num_programs())]
     assert len(progs) == 6
     cols = tile_columns(progs[0])
     assert len(cols) == 4
     assert all(x1 - x0 == 64 for x0, x1 in cols)
-    assert not progs[0].across_tiles
+    assert progs[0].across_tiles == across
 
     mesh = make_mesh(4)
     sd = ShardedTileDecoder(mesh)
