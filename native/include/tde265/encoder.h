@@ -137,8 +137,12 @@ class Encoder {
   void append_hash_sei(std::vector<u8>* out);
   void write_mvd(i32 mvd_x, i32 mvd_y);
   void write_ref_idx(int idx, int num_active);
-  void apply_sign_hiding(i32* levels, int log2, int scan_idx);
+  void apply_sign_hiding(i32* levels, int log2, int scan_idx,
+                         const i32* coeffs = nullptr, int qpp = 0,
+                         int bd = 8);
   int sad_luma(int x0, int y0, int n) const;
+  i64 ssd_luma_rect(int x0, int y0, int w, int h) const;
+  double rd_lambda() const;
   int sad_luma_rect(int x0, int y0, int w, int h) const;
   PbMotion predict_inter(int x0, int y0, int n, const PbMotion& m,
                          bool emit_op);

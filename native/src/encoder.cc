@@ -1,6 +1,7 @@
 // Intra HEVC encoder (spec-conformant Main profile bitstreams).
 // Capability counterpart of /root/reference/libde265/encoder/*; see
 // encoder.h for the design notes.
+#include <cmath>
 #include "tde265/encoder.h"
 
 #include <algorithm>
@@ -913,15 +914,16 @@ int Encoder::choose_luma_mode(int x0, int y0, int log2_size) {
   rec.y = (u16)y0;
   rec.log2_size = (u8)log2_size;
   rec.cidx = 0;
+  double lam = rd_lambda();
   for (int mode : cfg_.intra_candidates) {
     rec.mode = (u8)mode;
     execute_intra_scalar(prog_, rec);
-    int sad = 0;
-    for (int yy = 0; yy < n; yy++)
-      for (int xx = 0; xx < n; xx++)
-        sad += abs_i(src_px(0, x0 + xx, y0 + yy) - rec_px(0, x0 + xx, y0 + yy));
-    if (sad < best_cost) {
-      best_cost = sad;
+    // mode rate: MPM ~2 bins, otherwise 1+5 fixed bins (9.3.3.6)
+    i64 bits = 6;
+    i64 j = ssd_luma_rect(x0, y0, n, n) + (i64)(lam * bits);
+    i64 jc = min_i((i64)INT32_MAX, j);
+    if (jc < best_cost) {
+      best_cost = (int)jc;
       best_mode = mode;
     }
   }
@@ -1190,9 +1192,22 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
           for (int i = 0; i < 16; i++) pc.levels[i] = ts_levels[i];
         }
       }
+      // scan from intra mode (residual.cc intra_scan_idx)
+      {
+        int scan = 0;
+        if (log2c == 2 ||
+            (log2c == 3 && (cidx == 0 || sps_->chroma_array_type == 3))) {
+          if (m >= 6 && m <= 14) scan = 2;
+          else if (m >= 22 && m <= 30) scan = 1;
+        }
+        pc.scan = scan;
+      }
+      if (pps_->sign_data_hiding)
+        apply_sign_hiding(pc.levels.data(), log2c, pc.scan,
+                          pc.tskip ? nullptr : coeffs, qpp, bd);
     }
-    // scan from intra mode (residual.cc intra_scan_idx)
-    {
+    if (pps_->transquant_bypass_enabled) {
+      // scan still needed for the bypass residual write
       int scan = 0;
       if (log2c == 2 ||
           (log2c == 3 && (cidx == 0 || sps_->chroma_array_type == 3))) {
@@ -1201,8 +1216,6 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
       }
       pc.scan = scan;
     }
-    if (pps_->sign_data_hiding && !pps_->transquant_bypass_enabled)
-      apply_sign_hiding(pc.levels.data(), log2c, pc.scan);
 
     pc.cbf = false;
     for (int i = 0; i < n * n; i++)
@@ -1585,11 +1598,15 @@ void Encoder::estimate_sao() {
 // sub-block whose first..last coded-scan distance exceeds 3, the DC-most
 // coefficient's sign is inferred from the level-sum parity; adjust that
 // coefficient's magnitude by +-1 when the parity disagrees.
-void Encoder::apply_sign_hiding(i32* levels, int log2, int scan_idx) {
+void Encoder::apply_sign_hiding(i32* levels, int log2, int scan_idx,
+                                const i32* coeffs, int qpp, int bd) {
   int n = 1 << log2;
   const ScanPos* scan_sub = scan_order(log2 - 2, scan_idx);
   const ScanPos* scan_pos = scan_order(2, scan_idx);
   int sbw = 1 << (log2 - 2);
+  // quantizer scale for the distortion-aware adjustment choice
+  const int qbits = 29 - bd - log2 + qpp / 6;
+  const i64 q = kQuantScale[qpp % 6];
   for (int i = sbw * sbw - 1; i >= 0; i--) {
     int xs = scan_sub[i].x, ys = scan_sub[i].y;
     int first = -1, last = -1;  // parse order: descending scan position
@@ -1611,19 +1628,51 @@ void Encoder::apply_sign_hiding(i32* levels, int log2, int scan_idx) {
     bool implied_neg = (s0 & 1) != 0;
     bool want_neg = levels[last_idx] < 0;
     if (implied_neg != want_neg) {
-      // flip parity by shrinking the largest-magnitude coefficient (cheapest
-      // in bits, bounded distortion); grow the DC-most one if all are +-1
-      int best = -1, best_abs = 1;
-      for (int p = 15; p >= 0; p--) {
-        int xc = (xs << 2) + scan_pos[p].x, yc = (ys << 2) + scan_pos[p].y;
-        int idx = yc * n + xc;
-        if (abs_i(levels[idx]) > best_abs) {
-          best_abs = abs_i(levels[idx]);
-          best = idx;
+      int best = -1, best_d = 0;
+      i64 best_derr = INT64_MAX;
+      if (coeffs) {
+        // distortion-aware parity fix: adjust the level whose +-1 change
+        // moves it least from its unquantized value (RDOQ-style)
+        for (int p = 15; p >= 0; p--) {
+          int xc = (xs << 2) + scan_pos[p].x, yc = (ys << 2) + scan_pos[p].y;
+          int idx = yc * n + xc;
+          i32 l = levels[idx];
+          if (!l) continue;
+          i64 a = (i64)abs_i(coeffs[idx]) * q;
+          i64 cur = a - ((i64)abs_i(l) << qbits);
+          i64 e0 = cur < 0 ? -cur : cur;
+          // rate-aware: growing a magnitude costs ~1.5 extra bins while
+          // shrinking saves them, so bias the error comparison by half a
+          // quantization step in favor of shrinking
+          for (int d : {1, -1}) {
+            if (d < 0 && abs_i(l) <= 1) continue;  // keep significance
+            i64 e1 = a - ((i64)(abs_i(l) + d) << qbits);
+            if (e1 < 0) e1 = -e1;
+            i64 dcost = e1 - e0 + ((d > 0) ? ((i64)1 << (qbits - 1))
+                                           : -((i64)1 << (qbits - 1)));
+            if (dcost < best_derr) {
+              best_derr = dcost;
+              best = idx;
+              best_d = (l > 0) ? d : -d;
+            }
+          }
+        }
+      }
+      if (best < 0) {
+        // fallback: shrink the largest-magnitude coefficient
+        int best_abs = 1;
+        for (int p = 15; p >= 0; p--) {
+          int xc = (xs << 2) + scan_pos[p].x, yc = (ys << 2) + scan_pos[p].y;
+          int idx = yc * n + xc;
+          if (abs_i(levels[idx]) > best_abs) {
+            best_abs = abs_i(levels[idx]);
+            best = idx;
+            best_d = (levels[idx] > 0) ? -1 : 1;
+          }
         }
       }
       if (best >= 0)
-        levels[best] += (levels[best] > 0) ? -1 : 1;
+        levels[best] += best_d;
       else
         levels[last_idx] += (levels[last_idx] > 0) ? 1 : -1;
     }
@@ -1686,6 +1735,43 @@ void Encoder::write_mvd(i32 mvd_x, i32 mvd_y) {
 
 int Encoder::sad_luma(int x0, int y0, int n) const {
   return sad_luma_rect(x0, y0, n, n);
+}
+
+// ---------------------------------------------------------------------------
+// RD cost model: lambda-weighted distortion+rate decisions (the estimation
+// counterpart of the reference's CABACEncoderEstim tier, encoder-core design;
+// decisions only — syntax and reconstruction are exact as before).
+// ---------------------------------------------------------------------------
+double Encoder::rd_lambda() const {
+  // HM-style: lambda = 0.57 * 2^((QP-12)/3) for SSD-based costs
+  return 0.57 * std::pow(2.0, (cur_qp_ - 12) / 3.0);
+}
+
+i64 Encoder::ssd_luma_rect(int x0, int y0, int w, int h) const {
+  i64 ssd = 0;
+  for (int yy = 0; yy < h; yy++)
+    for (int xx = 0; xx < w; xx++) {
+      int d = src_px(0, x0 + xx, y0 + yy) - rec_px(0, x0 + xx, y0 + yy);
+      ssd += (i64)d * d;
+    }
+  return ssd;
+}
+
+// exp-golomb bit length of one mvd component (abs_mvd_greater0/1 bins plus
+// the EG1 suffix), a close upper estimate of the CABAC cost
+static inline int mvd_bits(i32 v) {
+  u32 a = (u32)abs_i(v);
+  if (a == 0) return 1;
+  if (a == 1) return 3;
+  int k = 1;
+  u32 r = a - 2;
+  int len = 2;                 // greater0 + greater1 bins
+  while (r >= (1u << k)) {     // EG1 prefix/suffix
+    r -= 1u << k;
+    k++;
+    len += 2;
+  }
+  return len + k + 1;          // suffix bits + sign
 }
 
 int Encoder::sad_luma_rect(int x0, int y0, int w, int h) const {
@@ -1831,7 +1917,10 @@ Encoder::PuChoice Encoder::choose_pu(int cb_x0, int cb_y0, int log2_cb,
   for (int k = 0; k < sh_->max_num_merge_cand; k++) {
     if (!merge_cand[k].pred_flags) continue;
     predict_inter_pu(xP, yP, w, h, merge_cand[k], false);
-    int cost = sad_luma_rect(xP, yP, w, h) + 4 * k;
+    double lam = rd_lambda();
+    int cost = (int)min_i((i64)INT32_MAX,
+                          (i64)(ssd_luma_rect(xP, yP, w, h) +
+                                lam * (2 + k)));
     if (cost < best_merge_cost) {
       best_merge_cost = cost;
       best_merge = k;
@@ -1933,9 +2022,12 @@ Encoder::PuChoice Encoder::choose_pu(int cb_x0, int cb_y0, int log2_cb,
              abs_i(amvp_m.mv[0].y - mvp[1].y);
     if (c1 < c0) mvp_flag = 1;
   }
-  int amvp_cost = bsad + 8 +
-                  2 * (abs_i(amvp_m.mv[0].x - mvp[mvp_flag].x) +
-                       abs_i(amvp_m.mv[0].y - mvp[mvp_flag].y));
+  int rate = 3 + 2 * best_ref +
+             mvd_bits(amvp_m.mv[0].x - mvp[mvp_flag].x) +
+             mvd_bits(amvp_m.mv[0].y - mvp[mvp_flag].y);
+  int amvp_cost = (int)min_i(
+      (i64)INT32_MAX,
+      (i64)(ssd_luma_rect(xP, yP, w, h) + rd_lambda() * rate));
 
   if (best_merge >= 0 && best_merge_cost <= amvp_cost) {
     out.syn.merge_flag = true;
@@ -1992,8 +2084,8 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
                             PART_2NxN);
     PuChoice a1 = choose_pu(x0, y0, log2_size, x0, y0 + n / 2, n, n / 2, 1,
                             PART_2NxN);
-    if ((i64)a0.cost + a1.cost + 48 < best_inter) {
-      best_inter = (i64)a0.cost + a1.cost + 48;
+    if ((i64)a0.cost + a1.cost + (i64)(rd_lambda() * 4) < best_inter) {
+      best_inter = (i64)a0.cost + a1.cost + (i64)(rd_lambda() * 4);
       part_mode = PART_2NxN;
       h0 = a0;
     }
@@ -2001,20 +2093,19 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
                             PART_Nx2N);
     PuChoice b1 = choose_pu(x0, y0, log2_size, x0 + n / 2, y0, n / 2, n, 1,
                             PART_Nx2N);
-    if ((i64)b0.cost + b1.cost + 48 < best_inter) {
-      best_inter = (i64)b0.cost + b1.cost + 48;
+    if ((i64)b0.cost + b1.cost + (i64)(rd_lambda() * 4) < best_inter) {
+      best_inter = (i64)b0.cost + b1.cost + (i64)(rd_lambda() * 4);
       part_mode = PART_Nx2N;
       h0 = b0;
     }
   }
 
-  // intra estimate (prediction left in recon planes)
+  // intra estimate (prediction left in recon planes), same J = D + lam*R
   int intra_mode = choose_luma_mode(x0, y0, log2_size);
-  int intra_cost = sad_luma(x0, y0, n) + 16;
+  i64 intra_cost = ssd_luma_rect(x0, y0, n, n) +
+                   (i64)(rd_lambda() * 8);
   (void)intra_mode;
-  // slight intra bias: at equal SAD an intra CU reconstructs better per
-  // bit at these operating points (deadzone asymmetry)
-  bool use_intra = (i64)intra_cost * 8 < best_inter * 9;
+  bool use_intra = intra_cost < best_inter;
   if (use_intra) {
     encode_cu_intra(x0, y0, log2_size);
     return;
@@ -2094,7 +2185,7 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
       fwd_dct_2d(coeffs, res, log2c, bd);
       quantize(pc.levels.data(), coeffs, nn * nn, qpp, log2c, bd, false);
       if (pps_->sign_data_hiding)
-        apply_sign_hiding(pc.levels.data(), log2c, 0);
+        apply_sign_hiding(pc.levels.data(), log2c, 0, coeffs, qpp, bd);
     }
     pc.cbf = false;
     for (int i = 0; i < nn * nn; i++)
