@@ -966,6 +966,12 @@ class FusedDecoder:
         # path stays for CPU tests (interpret mode is far too slow there)
         self.use_pallas_mc = jax.default_backend() in ("tpu", "axon")
         self.caps["segk"] = 0
+        # persistent replicate-padded DPB ring (device-resident, in-place
+        # slot updates via buffer donation); slot MAX_REFS stays gray
+        self._stack = None
+        self._stack_dims = None
+        self._slot_of = {}
+        self._slot_lru = []
 
     # -- capacity planning --
 
@@ -1040,13 +1046,83 @@ class FusedDecoder:
                  ((prog.tus["flags"] & TU_RDPCM) != 0).any())) or \
             len(prog.ref_pocs) > MAX_REFS
 
-    def _refs(self, prog):
-        pocs = list(prog.ref_pocs)
-        slot_map = {}
-        stack = [[], [], []]
+    # -- persistent padded DPB ring (pallas path) --
+
+    @staticmethod
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("hp", "wp"))
+    def _upd_slot(stack, plane, row0, hp: int, wp: int):
+        """Write one decoded plane (replicate-padded) into its ring slot,
+        in place (donated HBM buffer)."""
+        h, w = plane.shape
+        padded = jnp.pad(plane, ((mcp.PADT, hp - h - mcp.PADT),
+                                 (mcp.PADL, wp - w - mcp.PADL)), mode="edge")
+        return lax.dynamic_update_slice(stack, padded, (row0, 0))
+
+    def _ensure_stack(self, prog):
         H, W = prog.height, prog.width
         cw = max(prog.chroma_width, 1)
         ch = max(prog.chroma_height, 1)
+        hp, wp = mcp.pad_sizes(H, W)
+        hpc, wpc = mcp.pad_sizes(ch, cw)
+        dims = ((hp, wp), (hpc, wpc), (hpc, wpc))
+        if self._stack is not None and self._stack_dims == dims:
+            return dims
+        self._stack = [
+            jnp.full(((2 * MAX_REFS + 1) * hh, ww),
+                     1 << (prog.bit_depth[min(c, 1)] - 1), jnp.int32)
+            for c, (hh, ww) in enumerate(dims)]
+        self._stack_dims = dims
+        self._slot_of = {}
+        self._slot_lru = []
+        return dims
+
+    def _alloc_slot(self, poc):
+        if poc in self._slot_of:
+            self._slot_lru.remove(poc)
+            self._slot_lru.append(poc)
+            return self._slot_of[poc]
+        if len(self._slot_lru) >= 2 * MAX_REFS:
+            old = self._slot_lru.pop(0)
+            slot = self._slot_of.pop(old)
+        else:
+            slot = len(self._slot_lru)
+            used = set(self._slot_of.values())
+            while slot in used:
+                slot += 1
+        self._slot_of[poc] = slot
+        self._slot_lru.append(poc)
+        return slot
+
+    def _store_stack(self, poc, planes, prog):
+        dims = self._ensure_stack(prog)
+        slot = self._alloc_slot(poc)
+        for c in range(min(3, len(planes))):
+            hh, ww = dims[c]
+            self._stack[c] = self._upd_slot(self._stack[c], planes[c],
+                                            slot * hh, hp=hh, wp=ww)
+
+    def _refs(self, prog):
+        pocs = list(prog.ref_pocs)
+        H, W = prog.height, prog.width
+        cw = max(prog.chroma_width, 1)
+        ch = max(prog.chroma_height, 1)
+        if self.use_pallas_mc:
+            self._ensure_stack(prog)
+            slot_map = {}
+            for i, poc in enumerate(pocs[:MAX_REFS]):
+                if poc not in self._slot_of and i < len(prog.ref_planes) \
+                        and prog.ref_planes[i] and \
+                        prog.ref_planes[i][0] is not None:
+                    # ref decoded outside this decoder (seek): seed the ring
+                    planes = [jnp.asarray(p.astype(np.int32))
+                              for p in prog.ref_planes[i] if p is not None]
+                    self._store_stack(poc, planes, prog)
+                slot_map[i] = self._slot_of.get(poc,
+                                                2 * MAX_REFS)  # gray
+            return self._stack, slot_map
+        slot_map = {}
+        stack = [[], [], []]
         for i, poc in enumerate(pocs[:MAX_REFS]):
             if poc in self.dpb:
                 planes = self.dpb[poc]
@@ -1071,16 +1147,6 @@ class FusedDecoder:
             stack[0].append(z)
             stack[1].append(zc)
             stack[2].append(zc)
-        if self.use_pallas_mc:
-            # replicate-padded [R*Hpad, Wpad] stacks for the segment-MC DMA
-            hp, wp = mcp.pad_sizes(H, W)
-            hpc, wpc = mcp.pad_sizes(ch, cw)
-            out = []
-            for c, (hh, ww) in ((0, (hp, wp)), (1, (hpc, wpc)),
-                                (2, (hpc, wpc))):
-                padded = [mcp.pad_plane(p, hh, ww) for p in stack[c]]
-                out.append(jnp.stack(padded).reshape(MAX_REFS * hh, ww))
-            return out, slot_map
         return [jnp.stack(s) for s in stack], slot_map
 
     def decode(self, prog: FrameProgramData):
@@ -1088,7 +1154,7 @@ class FusedDecoder:
             planes = pipeline.reconstruct(prog, self.run_deblock,
                                           self.run_sao, device_intra=False)
             out = tuple(jnp.asarray(np.asarray(p)) for p in planes)
-            self._store(prog.poc, out)
+            self._store(prog.poc, out, prog)
             return out
 
         H, W = prog.height, prog.width
@@ -1267,9 +1333,16 @@ class FusedDecoder:
         host["slice_recs"] = recs
         host["pu"] = pu
         host["pu_idx"] = prog.pu_idx
-        host["ref_pocs"] = np.array(
-            [prog.ref_pocs[i] if i < len(prog.ref_pocs) else NOREF
-             for i in range(MAX_REFS)], np.int32)
+        if self.use_pallas_mc:
+            # PU slot fields hold DPB-ring positions: index POCs by slot
+            pocs_by_slot = np.full(2 * MAX_REFS + 1, NOREF, np.int32)
+            for i, poc in enumerate(prog.ref_pocs[:MAX_REFS]):
+                pocs_by_slot[slot_map.get(i, 2 * MAX_REFS)] = poc
+            host["ref_pocs"] = pocs_by_slot
+        else:
+            host["ref_pocs"] = np.array(
+                [prog.ref_pocs[i] if i < len(prog.ref_pocs) else NOREF
+                 for i in range(MAX_REFS)], np.int32)
         host["qp4"] = prog.qp_y.astype(np.int32)
         host["nzc4"] = prog.nonzero_coeff.astype(np.int32)
         host["dbf4"] = prog.deblock_flags.astype(np.int32)
@@ -1348,10 +1421,13 @@ class FusedDecoder:
 
         out = _compiled(refs[0], refs[1], refs[2], jnp.asarray(buf), sft, st,
                         layout)
-        self._store(prog.poc, out)
+        self._store(prog.poc, out, prog)
         return out
 
-    def _store(self, poc, planes):
+    def _store(self, poc, planes, prog=None):
+        if self.use_pallas_mc and prog is not None:
+            self._store_stack(poc, planes, prog)
+            return
         self.dpb[poc] = planes
         self._order.append(poc)
         while len(self._order) > 2 * MAX_REFS:
