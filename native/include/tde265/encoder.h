@@ -53,6 +53,7 @@ struct EncoderConfig {
   bool wpp = false;            // entropy_coding_sync (one substream per row)
   int tile_cols = 1, tile_rows = 1;  // uniform tiles
   bool rect_parts = true;            // 2NxN/Nx2N inter partitions
+  bool amp = false;                  // asymmetric (nU/nD/nL/nR) partitions
   bool dependent_slices = false;     // ctbs-per-slice segments after the
                                      // first become dependent segments
   bool across_tiles = true;          // loop_filter_across_tiles

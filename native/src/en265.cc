@@ -138,6 +138,7 @@ de265_error en265_set_parameter_bool(en265_encoder_context* ctx,
   if (p == "across-tiles") C(ctx)->cfg.across_tiles = (value != 0);
   if (p == "rect-parts") C(ctx)->cfg.rect_parts = (value != 0);
   if (p == "dependent-slices") C(ctx)->cfg.dependent_slices = (value != 0);
+  if (p == "amp") C(ctx)->cfg.amp = (value != 0);
   return DE265_OK;
 }
 

@@ -117,7 +117,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   s.max_transform_hierarchy_depth_intra = 0;
   s.scaling_list_enabled = cfg.scaling_lists;
   if (cfg.scaling_lists) s.scaling_lists.set_default();
-  s.amp_enabled = false;
+  s.amp_enabled = cfg.amp;
   s.sao_enabled = cfg.sao;
   s.pcm_enabled = cfg.pcm;
   if (cfg.pcm) {
@@ -240,7 +240,7 @@ void Encoder::write_headers(std::vector<u8>* out) {
   sp.write_flag(s.scaling_list_enabled);
   if (s.scaling_list_enabled)
     sp.write_flag(false);  // sps_scaling_list_data_present (use defaults)
-  sp.write_flag(false);  // amp
+  sp.write_flag(s.amp_enabled);  // amp
   sp.write_flag(s.sao_enabled);
   sp.write_flag(s.pcm_enabled);
   if (s.pcm_enabled) {
@@ -2098,6 +2098,28 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
       part_mode = PART_Nx2N;
       h0 = b0;
     }
+    if (sps_->amp_enabled) {
+      const int q = n / 4;
+      struct AmpShape { int pm, w0, h0_, x1, y1, w1, h1; };
+      const AmpShape shapes[4] = {
+          {PART_2NxnU, n, q, x0, y0 + q, n, n - q},
+          {PART_2NxnD, n, n - q, x0, y0 + n - q, n, q},
+          {PART_nLx2N, q, n, x0 + q, y0, n - q, n},
+          {PART_nRx2N, n - q, n, x0 + n - q, y0, q, n},
+      };
+      for (const AmpShape& a : shapes) {
+        PuChoice c0 = choose_pu(x0, y0, log2_size, x0, y0, a.w0, a.h0_, 0,
+                                a.pm);
+        PuChoice c1 = choose_pu(x0, y0, log2_size, a.x1, a.y1, a.w1, a.h1,
+                                1, a.pm);
+        i64 j = (i64)c0.cost + c1.cost + (i64)(rd_lambda() * 5);
+        if (j < best_inter) {
+          best_inter = j;
+          part_mode = a.pm;
+          h0 = c0;
+        }
+      }
+    }
   }
 
   // intra estimate (prediction left in recon planes), same J = D + lam*R
@@ -2121,34 +2143,63 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
                                   0, PART_2Nx2N, syn0);
     predict_inter(x0, y0, n, m, true);
   } else {
-    const int wP = (part_mode == PART_2NxN) ? n : n / 2;
-    const int hP = (part_mode == PART_2NxN) ? n / 2 : n;
-    const int x1 = (part_mode == PART_2NxN) ? x0 : x0 + n / 2;
-    const int y1 = (part_mode == PART_2NxN) ? y0 + n / 2 : y0;
+    // PU geometry per part mode (spec Table: PartMode -> PU rectangles)
+    const int q = n / 4;
+    int w0p = n, h0p = n / 2, x1 = x0, y1 = y0 + n / 2, w1p = n,
+        h1p = n / 2;
+    bool horiz = true;
+    switch (part_mode) {
+      case PART_2NxN: break;
+      case PART_Nx2N:
+        w0p = n / 2; h0p = n; x1 = x0 + n / 2; y1 = y0; w1p = n / 2;
+        h1p = n; horiz = false;
+        break;
+      case PART_2NxnU:
+        h0p = q; y1 = y0 + q; h1p = n - q;
+        break;
+      case PART_2NxnD:
+        h0p = n - q; y1 = y0 + n - q; h1p = q;
+        break;
+      case PART_nLx2N:
+        w0p = q; h0p = n; x1 = x0 + q; y1 = y0; w1p = n - q; h1p = n;
+        horiz = false;
+        break;
+      case PART_nRx2N:
+        w0p = n - q; h0p = n; x1 = x0 + n - q; y1 = y0; w1p = q; h1p = n;
+        horiz = false;
+        break;
+    }
     syn0 = h0.syn;
-    PbMotion m0 = derive_pu_motion(f, *sh_, x0, y0, log2_size, x0, y0, wP,
-                                   hP, 0, part_mode, syn0);
-    predict_inter_pu(x0, y0, wP, hP, m0, true);
+    PbMotion m0 = derive_pu_motion(f, *sh_, x0, y0, log2_size, x0, y0, w0p,
+                                   h0p, 0, part_mode, syn0);
+    predict_inter_pu(x0, y0, w0p, h0p, m0, true);
     // PU0 is committed: re-choose PU1 against the real candidate lists
-    PuChoice h1 = choose_pu(x0, y0, log2_size, x1, y1, wP, hP, 1, part_mode);
+    PuChoice h1 = choose_pu(x0, y0, log2_size, x1, y1, w1p, h1p, 1,
+                            part_mode);
     syn1 = h1.syn;
-    PbMotion m1 = derive_pu_motion(f, *sh_, x0, y0, log2_size, x1, y1, wP,
-                                   hP, 1, part_mode, syn1);
-    predict_inter_pu(x1, y1, wP, hP, m1, true);
-    // internal PU deblock edge
-    if (part_mode == PART_2NxN) {
-      int yy4 = (y0 + n / 2) >> 2;
-      for (int i = 0; i < n4; i++) {
-        int px = (x0 >> 2) + i;
-        if (px < f.pb_w && yy4 < f.pb_h)
-          f.deblock_flags[yy4 * f.pb_w + px] |= 8;
+    PbMotion m1 = derive_pu_motion(f, *sh_, x0, y0, log2_size, x1, y1, w1p,
+                                   h1p, 1, part_mode, syn1);
+    predict_inter_pu(x1, y1, w1p, h1p, m1, true);
+    // internal PU deblock edge (8-sample grid only, spec 8.7.2.2)
+    if (horiz) {
+      int ey = y1;
+      if ((ey & 7) == 0) {
+        int yy4 = ey >> 2;
+        for (int i = 0; i < n4; i++) {
+          int px = (x0 >> 2) + i;
+          if (px < f.pb_w && yy4 < f.pb_h)
+            f.deblock_flags[yy4 * f.pb_w + px] |= 8;
+        }
       }
     } else {
-      int xx4 = (x0 + n / 2) >> 2;
-      for (int i = 0; i < n4; i++) {
-        int py = (y0 >> 2) + i;
-        if (py < f.pb_h && xx4 < f.pb_w)
-          f.deblock_flags[py * f.pb_w + xx4] |= 4;
+      int ex = x1;
+      if ((ex & 7) == 0) {
+        int xx4 = ex >> 2;
+        for (int i = 0; i < n4; i++) {
+          int py = (y0 >> 2) + i;
+          if (py < f.pb_h && xx4 < f.pb_w)
+            f.deblock_flags[py * f.pb_w + xx4] |= 4;
+        }
       }
     }
   }
@@ -2239,15 +2290,31 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
   if (part_mode == PART_2Nx2N) {
     cabac_->encode_bin(&ctx_[CTX_PART_MODE + 0], 1);
   } else {
-    // amp off, log2 > min_cb: two context bins decide (9.3.3.7)
+    // log2 > min_cb binarization (9.3.3.7), incl. the AMP bins
+    bool horiz_pm = (part_mode == PART_2NxN || part_mode == PART_2NxnU ||
+                     part_mode == PART_2NxnD);
     cabac_->encode_bin(&ctx_[CTX_PART_MODE + 0], 0);
-    cabac_->encode_bin(&ctx_[CTX_PART_MODE + 1],
-                       part_mode == PART_2NxN ? 1 : 0);
+    cabac_->encode_bin(&ctx_[CTX_PART_MODE + 1], horiz_pm ? 1 : 0);
+    if (sps_->amp_enabled) {
+      bool sym = (part_mode == PART_2NxN || part_mode == PART_Nx2N);
+      cabac_->encode_bin(&ctx_[CTX_PART_MODE + 3], sym ? 1 : 0);
+      if (!sym)
+        cabac_->encode_bypass(
+            (part_mode == PART_2NxnD || part_mode == PART_nRx2N) ? 1 : 0);
+    }
   }
   write_pu_syntax(syn0, x0, y0);
   if (part_mode != PART_2Nx2N) {
-    const int x1 = (part_mode == PART_2NxN) ? x0 : x0 + n / 2;
-    const int y1 = (part_mode == PART_2NxN) ? y0 + n / 2 : y0;
+    const int q = n / 4;
+    int x1 = x0, y1 = y0;
+    switch (part_mode) {
+      case PART_2NxN: y1 = y0 + n / 2; break;
+      case PART_Nx2N: x1 = x0 + n / 2; break;
+      case PART_2NxnU: y1 = y0 + q; break;
+      case PART_2NxnD: y1 = y0 + n - q; break;
+      case PART_nLx2N: x1 = x0 + q; break;
+      case PART_nRx2N: x1 = x0 + n - q; break;
+    }
     write_pu_syntax(syn1, x1, y1);
   }
   if (!(part_mode == PART_2Nx2N && use_merge)) {

@@ -15,30 +15,29 @@ from libde265_tpu import Decoder
 REF_DEC = Path("/tmp/refbuild/dec265/dec265")
 
 
-@pytest.fixture(scope="module")
-def rect_stream(native_build, tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("rect")
+@pytest.fixture(scope="module", params=[False, True],
+                ids=["sym", "amp"])
+def rect_stream(request, native_build, tmp_path_factory):
+    from libde265_tpu.encoder import Encoder
     W, H, N = 192, 96, 8
     rng = np.random.default_rng(3)
     yy, xx = np.mgrid[0:H, 0:W]
     base = rng.integers(0, 50, (H, W)).astype(np.int16)
-    yuv = tmp / "src.yuv"
-    with open(yuv, "wb") as f:
-        for t in range(N):
-            # top/bottom halves move opposite ways: 2NxN/Nx2N pay off
-            y = np.where(yy < H // 2, (xx + 3 * t) % 200,
-                         (xx - 3 * t) % 200) + base
-            y = np.clip(y, 0, 235).astype(np.uint8)
-            f.write(y.tobytes())
-            f.write(np.full((H // 2, W // 2), 120, np.uint8).tobytes())
-            f.write(np.full((H // 2, W // 2), 124, np.uint8).tobytes())
-    out = tmp / "rect.h265"
-    r = subprocess.run(
-        [str(native_build / "tenc265"), "-w", str(W), "-h", str(H),
-         "-q", "30", "-g", str(N), "-o", str(out), str(yuv)],
-        capture_output=True, text=True)
-    assert r.returncode == 0, r.stderr
-    return out.read_bytes()
+    enc = Encoder(qp=30, ctb_size=32 if request.param else 64)
+    enc.set_parameter("intra-period", N)
+    if request.param:
+        enc.set_parameter("amp", True)
+    data = b""
+    for t in range(N):
+        # top/bottom halves move opposite ways: rect partitions pay off
+        y = np.where(yy < H // 2, (xx + 3 * t) % 200,
+                     (xx - 3 * t) % 200) + base
+        y = np.clip(y, 0, 235).astype(np.uint8)
+        cb = np.full((H // 2, W // 2), 120, np.uint8)
+        cr = np.full((H // 2, W // 2), 124, np.uint8)
+        data += enc.encode(y, cb, cr, pts=t)
+    data += enc.finish()
+    return data
 
 
 def test_rect_pus_emitted_and_bitexact(native_build, rect_stream):
