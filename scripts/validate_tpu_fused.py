@@ -1,0 +1,39 @@
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+from libde265_tpu import Decoder
+from libde265_tpu.fused_decode import FusedDecoder
+
+stream = open("/root/reference/testdata/girlshy.h265", "rb").read()
+dec = Decoder(keep_programs=True)
+list(dec.decode_all(stream))
+progs = [dec.get_program(i) for i in range(dec.num_programs())]
+fd = FusedDecoder()
+print("pallas_mc:", fd.use_pallas_mc, flush=True)
+fd.plan_stream(progs)
+t0 = time.perf_counter()
+ok = True
+for i, prog in enumerate(progs):
+    planes = fd.decode(prog)
+    outs = [np.asarray(p) for p in planes]
+    for c in range(3):
+        if not np.array_equal(outs[c], prog.planes[c].astype(np.int32)):
+            d = np.argwhere(outs[c] != prog.planes[c].astype(np.int32))
+            print(f"frame {i} plane {c}: {len(d)} mismatches first {d[:3]}",
+                  flush=True)
+            ok = False
+    if not ok:
+        break
+    if i == 0:
+        print(f"frame0 (incl compile): {time.perf_counter()-t0:.1f}s",
+              flush=True)
+print("ALL OK" if ok else "FAILED", flush=True)
+if ok:
+    csum = jax.jit(lambda ps: sum(jnp.sum(p) for p in ps))
+    for r in range(3):
+        fd.dpb.clear(); fd._order.clear()
+        t0=time.perf_counter()
+        outs=[fd.decode(p) for p in progs]
+        float(csum(outs[-1]))
+        dt=time.perf_counter()-t0
+        print(f"pass {r}: {dt:.2f}s = {len(progs)/dt:.1f} fps", flush=True)
