@@ -8,10 +8,30 @@ import subprocess
 import sys
 from pathlib import Path
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even when axon/TPU is present
+# Force the CPU backend even when an axon/TPU plugin is present.  In this
+# venv jax is pre-imported at interpreter start, so env vars set here are too
+# late for jax's config snapshot — JAX_PLATFORMS/JAX_PLATFORM_NAME in
+# os.environ are ignored.  jax.config.update IS honored as long as it runs
+# before backend initialization (measured round 2/3).  Env vars are still set
+# for any subprocesses the tests spawn.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platform_name", "cpu")
+
+
+def pytest_sessionstart(session):
+    import jax
+    assert jax.default_backend() == "cpu", (
+        f"test suite must run on the CPU backend, got {jax.default_backend()!r}"
+        " — JAX_PLATFORM_NAME=cpu was not honored")
+    assert len(jax.devices()) == 8, (
+        f"expected a virtual 8-device CPU platform, got {len(jax.devices())}")
 
 REPO = Path(__file__).resolve().parent.parent
 

@@ -10,7 +10,10 @@ from libde265_tpu.ops.deblock import _luma_pass
 
 
 def test_sharded_deblock_matches_single_device(native_build):
-    n = min(8, len(jax.devices()))
+    n = 8
+    assert len(jax.devices()) >= n, (
+        "conftest must provide a virtual 8-device CPU platform; a smaller "
+        "mesh would silently degenerate this test")
     mesh = make_mesh(n)
     H, W = 32 * n, 256
     rng = np.random.default_rng(5)
@@ -35,6 +38,38 @@ def test_sharded_deblock_matches_single_device(native_build):
                                    bit_depth=8)).T
 
     assert np.array_equal(sharded, single)
+
+
+def test_level_validation(native_build):
+    """Annex-A wiring: auto level is conformant; a forced too-low level is
+    flagged by the Python encoder (models.profiles) AND by the native
+    decoder's SPS validation (DE265_WARNING_LEVEL_LIMITS_EXCEEDED)."""
+    import warnings as pywarnings
+
+    from libde265_tpu import Decoder
+    from libde265_tpu.encoder import Encoder
+    from libde265_tpu.models.profiles import min_level_for
+
+    LEVEL_WARN = 1038  # DE265_WARNING_LEVEL_LIMITS_EXCEEDED
+    W, H = 320, 256
+    y = (np.arange(W * H, dtype=np.uint32).reshape(H, W) % 200).astype(
+        np.uint8)
+
+    enc = Encoder(qp=30)
+    data = enc.encode(y) + enc.finish()
+    dec = Decoder()
+    list(dec.decode_all(data))
+    assert LEVEL_WARN not in dec.get_warnings()
+
+    assert min_level_for(W, H).idc > 30  # 81920 luma samples > level-1 cap
+    with pywarnings.catch_warnings(record=True) as rec:
+        pywarnings.simplefilter("always")
+        enc2 = Encoder(qp=30, level_idc=30)
+        data2 = enc2.encode(y) + enc2.finish()
+    assert any("Annex-A" in str(r.message) for r in rec)
+    dec2 = Decoder()
+    list(dec2.decode_all(data2))
+    assert LEVEL_WARN in dec2.get_warnings()
 
 
 def test_profiles():
