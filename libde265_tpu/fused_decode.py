@@ -135,55 +135,79 @@ def _bin_tus(prog: FrameProgramData):
 
 _PLANE_CLASS = {0: "y", 1: "cb", 2: "cr"}
 
+# irec columns (flat per-block intra record feed; the [scap, K, ...] scan
+# layout + the border gather/substitution plan are derived ON DEVICE):
+#   0 mode, 1 edge, 2 y0, 3 x0, 4 flags(1 unavail|2 filt|4 strong|8 valid),
+#   5 rrow, 6 step, 7 slot, 8 cidx, 9 lg, 10..14 border-availability bitmask
+IREC_COLS = 15
+AVAIL_WORDS = 5  # ceil((4*32+1)/32) for the largest block size
 
-def _plan_intra_native(prog: FrameProgramData):
-    """Vectorized regrouping of the native intra plan (intraplan.cc) into
-    the [C, K, ...] super-wave scan arrays — no per-block Python work."""
+
+def _avail_words(av: np.ndarray) -> np.ndarray:
+    """Pack a [n, nb] bool availability matrix into [n, AVAIL_WORDS] int32."""
+    n, nb = av.shape
+    words = np.zeros((n, AVAIL_WORDS), np.uint32)
+    for w in range((nb + 31) // 32):
+        chunk = av[:, w * 32:(w + 1) * 32]
+        sh = np.arange(chunk.shape[1], dtype=np.uint64)
+        words[:, w] = (chunk.astype(np.uint64) << sh).sum(
+            axis=1, dtype=np.uint64).astype(np.uint32)
+    return words.view(np.int32)
+
+
+def _intra_records_native(prog: FrameProgramData):
+    """Flat intra record array from the native plan (intraplan.cc).
+
+    Ships only per-block metadata + availability bits; the border gather
+    positions and substitution chain are pure functions of (x0, y0, size,
+    avail) and are re-derived on device (_wave_body), cutting the per-frame
+    feed from O(steps*K*4nT) to O(blocks)."""
     ip = prog.ip
     recs = prog.intras
-    steps = ip["step"]
-    slots = ip["slot"]
+    n = len(recs)
+    steps = ip["step"].astype(np.int32)
     n_steps = int(steps.max(initial=-1)) + 1
-    out = {}
-    cidx = recs["cidx"].astype(np.int32)
-    lg_all = recs["log2_size"].astype(np.int32)
-    # flags: native 1 unavail / 2 filt / 4 strong -> kernel adds valid bit 8
+    irec = np.zeros((n, IREC_COLS), np.int32)
+    irec[:, 0] = recs["mode"]
+    irec[:, 1] = ip["edge"]
+    irec[:, 2] = recs["y"]
+    irec[:, 3] = recs["x"]
     fl = ip["flags"].astype(np.int32) | 8
+    irec[:, 4] = fl
+    irec[:, 5] = ip["rrow"]
+    irec[:, 6] = steps
+    irec[:, 7] = ip["slot"]
+    irec[:, 8] = recs["cidx"]
+    lg_all = recs["log2_size"].astype(np.int32)
+    irec[:, 9] = lg_all
     boff = ip["boff"].astype(np.int64)
+    bsub = ip["bsub"]
+    nsteps_pc = np.zeros(3, np.int32)
     for c in (0, 1, 2):
-        for lg in (2, 3, 4, 5):
-            sel = np.nonzero((cidx == c) & (lg_all == lg))[0]
-            if not len(sel):
-                continue
-            K = WAVE_CAP[lg]
-            nb = 4 * (1 << lg) + 1
-            C = int(steps[sel].max()) + 1
-            bidx = boff[sel][:, None] + np.arange(nb)
-            pos = np.zeros((C, K, nb), np.int32)
-            sub = np.zeros((C, K, nb), np.int32)
-            meta = np.zeros((C, K, 5), np.int32)
-            rrow = np.full((C, K), -1, np.int32)
-            s_i, k_i = steps[sel], slots[sel]
-            pos[s_i, k_i] = ip["bpos"][bidx]
-            sub[s_i, k_i] = ip["bsub"][bidx]
-            meta[s_i, k_i] = np.stack(
-                [recs["mode"][sel], ip["edge"][sel],
-                 recs["y"][sel], recs["x"][sel], fl[sel]],
-                axis=1).astype(np.int32)
-            rrow[s_i, k_i] = ip["rrow"][sel]
-            out[(_PLANE_CLASS[c], lg)] = {"pos": pos, "sub": sub,
-                                          "meta": meta, "rrow": rrow}
-    return out, n_steps
+        m = recs["cidx"] == c
+        if m.any():
+            nsteps_pc[c] = int(steps[m].max()) + 1
+    for lg in (2, 3, 4, 5):
+        sel = np.nonzero(lg_all == lg)[0]
+        if not len(sel):
+            continue
+        nb = 4 * (1 << lg) + 1
+        bidx = boff[sel][:, None] + np.arange(nb)
+        # available <=> substitution maps the sample to itself (native sets
+        # bsub[k]=k also for all-unavailable blocks, so mask those out)
+        av = (bsub[bidx] == np.arange(nb)) & ((fl[sel] & 1) == 0)[:, None]
+        irec[sel, 10:10 + AVAIL_WORDS] = _avail_words(av)
+    return irec, n_steps, nsteps_pc
 
 
 def _plan_intra(prog: FrameProgramData, tu_bin_lg, tu_bin_row):
     """List-schedule the intra blocks into capacity-limited super-waves.
 
-    Returns {(pc, lg): dict of [C, K, ...] arrays}, with C equal across all
-    entries of a plane class (the scan length) and K = WAVE_CAP[lg].
+    Python fallback for streams decoded without the native plan (prog.ip is
+    None).  Emits the same flat irec array as _intra_records_native.
     """
     if len(prog.intras) == 0:
-        return {}, 0
+        return np.zeros((0, IREC_COLS), np.int32), 0, np.zeros(3, np.int32)
     ctx = IntraContext(prog.width, prog.height, prog.ctb_size, prog.cu_info,
                        slice_addr=prog.slice_addr, tile_id=prog.tile_id)
     chroma444 = prog.chroma_width == prog.width and prog.chroma_width > 0
@@ -209,13 +233,13 @@ def _plan_intra(prog: FrameProgramData, tu_bin_lg, tu_bin_row):
                 resid_of[i] = t
 
     wmaps = {}
-    counts = {}   # (pc, lg) -> list of per-step counts
-    batches = {}  # (pc, lg) -> list of per-step lists of block dicts
+    counts = {}   # (cidx, lg) -> list of per-step counts
+    rows = []     # irec rows
     n_steps = 0
+    nsteps_pc = np.zeros(3, np.int32)
     for i in order:
         rec = prog.intras[i]
         c = int(rec["cidx"])
-        pc = _PLANE_CLASS[c]
         if c == 0:
             sub_x = sub_y = 1
             H, Wd = prog.height, prog.width
@@ -236,21 +260,21 @@ def _plan_intra(prog: FrameProgramData, tu_bin_lg, tu_bin_row):
             have = subst == np.arange(len(subst))
             cells = pos[have] >> 2
             dep = int(wmap[cells[:, 0], cells[:, 1]].max(initial=0))
-        key = (pc, lg)
+        key = (c, lg)
         cap = WAVE_CAP[lg]
         cnt = counts.setdefault(key, [])
-        bat = batches.setdefault(key, [])
         step = dep  # 0-based step index; block must run at step >= dep
         while True:
             while len(cnt) <= step:
                 cnt.append(0)
-                bat.append([])
             if cnt[step] < cap:
                 break
             step += 1
+        slot = cnt[step]
         cnt[step] += 1
         wmap[y0 >> 2:(y0 + nT + 3) >> 2, x0 >> 2:(x0 + nT + 3) >> 2] = step + 1
         n_steps = max(n_steps, step + 1)
+        nsteps_pc[c] = max(nsteps_pc[c], step + 1)
 
         mode = int(rec["mode"])
         filt = False
@@ -271,30 +295,16 @@ def _plan_intra(prog: FrameProgramData, tu_bin_lg, tu_bin_row):
             # residual TU size differs from the intra block (cannot happen
             # in HEVC: intra prediction operates per transform block)
             raise ValueError("intra/TU size mismatch")
-        bat[step].append({
-            "pos": pos[:, 0].astype(np.int32) * Wd + pos[:, 1],
-            "subst": subst, "mode": mode, "edge": edge, "y0": y0, "x0": x0,
-            "flags": (1 * unavail) | (2 * filt) | (4 * strong) | 8,  # 8=valid
-            "rrow": rrow})
+        nb = 4 * nT + 1
+        av = (subst == np.arange(nb)) & (not unavail)
+        row = np.zeros(IREC_COLS, np.int32)
+        row[0:10] = (mode, edge, y0, x0,
+                     (1 * unavail) | (2 * filt) | (4 * strong) | 8,  # 8=valid
+                     rrow, step, slot, c, lg)
+        row[10:10 + AVAIL_WORDS] = _avail_words(av[None, :])[0]
+        rows.append(row)
 
-    out = {}
-    for (pc, lg), bat in batches.items():
-        K = WAVE_CAP[lg]
-        C = len(bat)
-        n = 4 * (1 << lg) + 1
-        pos = np.zeros((C, K, n), np.int32)
-        sub = np.zeros((C, K, n), np.int32)
-        meta = np.zeros((C, K, 5), np.int32)  # mode, edge, y0, x0, flags
-        rrow = np.full((C, K), -1, np.int32)
-        for s_i, blocks in enumerate(bat):
-            for k, blk in enumerate(blocks):
-                pos[s_i, k] = blk["pos"]
-                sub[s_i, k] = blk["subst"]
-                meta[s_i, k] = (blk["mode"], blk["edge"], blk["y0"],
-                                blk["x0"], blk["flags"])
-                rrow[s_i, k] = blk["rrow"]
-        out[(pc, lg)] = {"pos": pos, "sub": sub, "meta": meta, "rrow": rrow}
-    return out, n_steps
+    return np.stack(rows).astype(np.int32), n_steps, nsteps_pc
 
 
 def _pack_pcm(prog: FrameProgramData, sub_x, sub_y):
@@ -338,40 +348,72 @@ def _pad_rows(a: np.ndarray, cap: int, fill=0) -> np.ndarray:
 # device: fused whole-picture kernel
 # ---------------------------------------------------------------------------
 
-def _intra_scan(plane, xs, bin_res, bit_depth: int, n_steps=None):
-    """Run the super-wave steps of one plane.  xs: {lg: arrays [C,K,...]}.
+def _scatter_intra_bins(irec, intra_bins, scap: int):
+    """Scatter the flat irec rows into per-(plane, lg) scan arrays on
+    device.  Returns {cidx: {lg: {"meta", "rrow", "aw"}}}."""
+    pc_of = {"y": 0, "cb": 1, "cr": 2}
+    out = {}
+    for (pc, lg) in intra_bins:
+        c = pc_of[pc]
+        K = WAVE_CAP[lg]
+        sel = (irec[:, 8] == c) & (irec[:, 9] == lg)
+        step = jnp.where(sel, irec[:, 6], 1 << 28)
+        slot = irec[:, 7]
+        meta = jnp.zeros((scap, K, 5), jnp.int32).at[step, slot].set(
+            irec[:, 0:5], mode="drop")
+        rrow = jnp.full((scap, K), -1, jnp.int32).at[step, slot].set(
+            irec[:, 5], mode="drop")
+        aw = jnp.zeros((scap, K, AVAIL_WORDS), jnp.int32).at[step, slot].set(
+            irec[:, 10:10 + AVAIL_WORDS], mode="drop")
+        out.setdefault(c, {})[lg] = {"meta": meta, "rrow": rrow, "aw": aw}
+    return out
+
+
+def _intra_scan_all(planes, bins_by_plane, bin_res, st, nsteps):
+    """One lax.fori_loop over super-wave steps, all planes advancing
+    together (the three plane scans are mutually independent, so the total
+    step count is the max over planes, not the sum).
 
     The step arrays are watermark-deep (the whole stream shares ONE compiled
     program), but the trip count is dynamic: a P frame with a 5-step plan
-    runs 5 iterations of the while loop, not the I-frame watermark.
+    runs 5 iterations, not the I-frame watermark (steps beyond a bin's plan
+    are all-zero records with the valid bit clear).
     """
-    lgs = sorted(xs.keys())
+    lgs_all = sorted({lg for b in bins_by_plane.values() for lg in b})
     tables = {lg: tuple(jnp.asarray(t) for t in build_mode_tables(1 << lg))
-              for lg in lgs}
+              for lg in lgs_all}
+    total = jnp.max(nsteps)
 
-    def step_at(pl, i):
-        for lg in lgs:
-            b = {k: lax.dynamic_index_in_dim(v, i, 0, keepdims=False)
-                 for k, v in xs[lg].items()}
-            resid = jnp.where(
-                (b["rrow"] >= 0)[:, None, None],
-                bin_res[lg][jnp.clip(b["rrow"], 0)], 0)
-            pl = _wave_body(pl, b["pos"], b["sub"], b["meta"], resid,
-                            *tables[lg], s=1 << lg, bit_depth=bit_depth)
-        return pl
+    def step_at(i, pls):
+        pls = list(pls)
+        for c in sorted(bins_by_plane):
+            if c >= len(pls):
+                continue
+            bd = st["bd"] if c == 0 else st["bdc"]
+            for lg in sorted(bins_by_plane[c]):
+                v = bins_by_plane[c][lg]
+                meta = lax.dynamic_index_in_dim(v["meta"], i, 0,
+                                                keepdims=False)
+                rrow = lax.dynamic_index_in_dim(v["rrow"], i, 0,
+                                                keepdims=False)
+                aw = lax.dynamic_index_in_dim(v["aw"], i, 0, keepdims=False)
+                resid = jnp.where((rrow >= 0)[:, None, None],
+                                  bin_res[lg][jnp.clip(rrow, 0)], 0)
+                pls[c] = _wave_body(pls[c], meta, aw, resid, *tables[lg],
+                                    s=1 << lg, bit_depth=bd)
+        return tuple(pls)
 
-    if n_steps is None:
-        cap = next(iter(xs.values()))["rrow"].shape[0]
-        return lax.fori_loop(0, cap, lambda i, pl: step_at(pl, i), plane)
-    return lax.fori_loop(0, n_steps, lambda i, pl: step_at(pl, i), plane)
+    return list(lax.fori_loop(0, total, step_at, tuple(planes)))
 
 
-def _wave_body(plane, pos, subst, meta, resid, P0, P1, WT, s: int,
+def _wave_body(plane, meta, aw, resid, P0, P1, WT, s: int,
                bit_depth: int):
     """One super-wave step: predict + residual-add K same-size blocks.
 
-    Same math as ops.intra_wave.intra_wave_kernel (spec 8.4.4.2), operating
-    on flat border positions and a packed meta array.
+    Same math as ops.intra_wave.intra_wave_kernel (spec 8.4.4.2).  The
+    border gather positions are pure geometry and the substitution chain
+    (8.4.4.2.2) is re-derived from the shipped availability bits with a
+    cumulative max — nothing but the per-block records crosses PCIe.
     """
     mode, edge, y0, x0 = meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3]
     unavail = (meta[:, 4] & 1).astype(bool)
@@ -380,8 +422,27 @@ def _wave_body(plane, pos, subst, meta, resid, P0, P1, WT, s: int,
     valid = (meta[:, 4] & 8).astype(bool)
     N = mode.shape[0]
     n2 = 2 * s
+    nb = 4 * s + 1
     maxv = (1 << bit_depth) - 1
     lg = s.bit_length() - 1
+    Hc, Wc = plane.shape
+
+    # border geometry: k<2s left column (bottom->top), k=2s corner,
+    # k>2s top row (left->right); clip keeps never-read unavailable
+    # positions in bounds
+    k = jnp.arange(nb)
+    yy = jnp.where(k[None, :] < n2, y0[:, None] + (n2 - 1) - k[None, :],
+                   y0[:, None] - 1)
+    xx = jnp.where(k[None, :] <= n2, x0[:, None] - 1,
+                   x0[:, None] + k[None, :] - n2 - 1)
+    pos = jnp.clip(yy, 0, Hc - 1) * Wc + jnp.clip(xx, 0, Wc - 1)
+    # substitution chain from availability bits: each sample takes the last
+    # available sample at or before it, else the first available one
+    avail = (aw[:, k >> 5] >> (k & 31)) & 1
+    avidx = jnp.where(avail.astype(bool), k[None, :], -1)
+    last = lax.cummax(avidx, axis=1)
+    first = jnp.argmax(avail, axis=1).astype(jnp.int32)
+    subst = jnp.where(last >= 0, last, first[:, None])
 
     b = plane.reshape(-1)[pos]
     b = jnp.take_along_axis(b, subst, axis=1)
@@ -643,7 +704,7 @@ def _deblock_section(planes, feed, recs, cell, skip4, st):
     return [y, cb, cr] if has_chroma else [y]
 
 
-def _frame_fn(refs_y, refs_cb, refs_cr, feed, intra_xs, sf_tables, st):
+def _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, st):
     """The fused whole-picture program (traced under jit via _compiled)."""
     H, W = st["H"], st["W"]
     sub_x, sub_y = st["sub_x"], st["sub_y"]
@@ -779,14 +840,12 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, intra_xs, sf_tables, st):
             flat = flat.at[pcm[:, 0]].set(pcm[:, 1], mode="drop")
             planes[c] = flat.reshape(planes[c].shape)
 
-    # ---- intra super-wave scans (independent per plane) ----
-    for c, pcls in ((0, "y"), (1, "cb"), (2, "cr")):
-        xs = {int(k.rsplit("_", 1)[1]): v for k, v in intra_xs.items()
-              if k.rsplit("_", 1)[0] == pcls}
-        if xs:
-            planes[c] = _intra_scan(planes[c], xs, bin_res,
-                                    bd if c == 0 else bdc,
-                                    feed["nsteps"][c])
+    # ---- intra super-wave scans (one merged scan over all planes) ----
+    if st["intra_bins"]:
+        bins_by_plane = _scatter_intra_bins(feed["irec"], st["intra_bins"],
+                                            st["steps_cap"])
+        planes = _intra_scan_all(planes, bins_by_plane, bin_res, st,
+                                 feed["nsteps"])
 
     # ---- loop filters ----
     skip4 = (feed["cu4"] & 4) != 0
@@ -915,19 +974,15 @@ def _compiled(refs_y, refs_cb, refs_cr, buf, sf_tables, st, layout):
     """st: tuple of sorted (name, value) pairs — the static config.
     layout: tuple of (dotted-name, offset, shape) into the packed buffer."""
     feed = {}
-    intra_xs = {}
     for (k, off, shp) in layout:
         n = int(np.prod(shp))
         a = buf[off:off + n].reshape(shp)
         parts = k.split(".")
-        if parts[0] == "ia":
-            intra_xs.setdefault(parts[1], {})[parts[2]] = a
-        elif parts[0].startswith("bin"):
+        if parts[0].startswith("bin"):
             feed.setdefault(parts[0], {})[parts[1]] = a
         else:
             feed[k] = a
-    return _frame_fn(refs_y, refs_cb, refs_cr, feed, intra_xs, sf_tables,
-                     dict(st))
+    return _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, dict(st))
 
 
 # ---------------------------------------------------------------------------
@@ -948,7 +1003,7 @@ class FusedDecoder:
         self.run_sao = run_sao
         self.dpb = {}
         self._order = []
-        self.caps = {"pu": 1, "slices": 1, "steps": 0}
+        self.caps = {"pu": 1, "slices": 1, "steps": 0, "nintra": 0}
         for lg in (2, 3, 4, 5):
             self.caps[f"tu{lg}"] = 0
             self.caps[f"co{lg}"] = 0
@@ -1011,19 +1066,18 @@ class FusedDecoder:
                 (len(prog.slice_records) > 1 and
                  not np.all(prog.slice_records[:, 9])) or
                 not prog.across_tiles)
-            if prog.ip is not None:
-                # keys + step count only (skip building the scan arrays)
-                n_steps = int(prog.ip["step"].max(initial=-1)) + 1
+            if len(prog.intras):
                 for c, lg in set(zip(prog.intras["cidx"].tolist(),
                                      prog.intras["log2_size"].tolist())):
-                    self._intra_lgs.add((_PLANE_CLASS[c], int(lg)))
-            elif len(prog.intras):
-                xs, n_steps = _plan_intra(prog, tl, tr)
-                for key in xs:
-                    self._intra_lgs.add(key)
+                    self._intra_lgs.add((_PLANE_CLASS[int(c)], int(lg)))
+                if prog.ip is not None:
+                    n_steps = int(prog.ip["step"].max(initial=-1)) + 1
+                else:
+                    _, n_steps, _ = _plan_intra(prog, tl, tr)
             else:
                 n_steps = 0
             self._grow("steps", n_steps)
+            self._grow("nintra", len(prog.intras))
             sub_x = prog.width // prog.chroma_width if prog.chroma_width \
                 else 1
             sub_y = prog.height // prog.chroma_height if prog.chroma_height \
@@ -1252,43 +1306,26 @@ class FusedDecoder:
         # The scan depth is WATERMARKED, not per-frame: the axon runtime pays
         # a large executable-switch cost whenever consecutive frames hit
         # different compiled programs, so the whole stream must decode
-        # through ONE program.  A P frame replays the I-frame-deep scan with
-        # empty steps; measured at ~40us/step this costs ~10ms for a 256-step
-        # watermark — far cheaper than a program switch (~300ms).
+        # through ONE program.  A P frame replays with a dynamic trip count
+        # (max plane depth this frame), and the feed is the flat per-block
+        # record array — the [scap, K, ...] scan layout is built on device.
         if prog.ip is not None:
-            xs, n_steps = _plan_intra_native(prog)
+            irec, n_steps, nsteps_pc = _intra_records_native(prog)
         elif len(prog.intras):
-            xs, n_steps = _plan_intra(prog, tl, tr)
+            irec, n_steps, nsteps_pc = _plan_intra(prog, tl, tr)
         else:
-            xs, n_steps = {}, 0
-        scap = self.caps["steps"] = max(self.caps["steps"],
-                                        _pow2(n_steps) if n_steps else 0)
-        for key in xs:
-            self._intra_lgs.add(key)
-        # dynamic trip counts: actual super-wave depth per plane this frame
-        npc = {"y": 0, "cb": 0, "cr": 0}
-        for (pc, lg), v in xs.items():
-            npc[pc] = max(npc[pc], v["pos"].shape[0])
-        host["nsteps"] = np.array([npc["y"], npc["cb"], npc["cr"]], np.int32)
-        for key in sorted(self._intra_lgs):
-            pc, lg = key
-            K = WAVE_CAP[lg]
-            n = 4 * (1 << lg) + 1
-            v = xs.get(key)
-            pos = np.zeros((scap, K, n), np.int32)
-            sub = np.zeros((scap, K, n), np.int32)
-            meta = np.zeros((scap, K, 5), np.int32)
-            rrow = np.full((scap, K), -1, np.int32)
-            if v is not None:
-                C = v["pos"].shape[0]
-                pos[:C] = v["pos"]
-                sub[:C] = v["sub"]
-                meta[:C] = v["meta"]
-                rrow[:C] = v["rrow"]
-            host[f"ia.{pc}_{lg}.pos"] = pos
-            host[f"ia.{pc}_{lg}.sub"] = sub
-            host[f"ia.{pc}_{lg}.meta"] = meta
-            host[f"ia.{pc}_{lg}.rrow"] = rrow
+            irec = np.zeros((0, IREC_COLS), np.int32)
+            n_steps, nsteps_pc = 0, np.zeros(3, np.int32)
+        self.caps["steps"] = max(self.caps["steps"],
+                                 _pow2(n_steps) if n_steps else 0)
+        if len(prog.intras):
+            for c, lg in set(zip(prog.intras["cidx"].tolist(),
+                                 prog.intras["log2_size"].tolist())):
+                self._intra_lgs.add((_PLANE_CLASS[int(c)], int(lg)))
+        host["nsteps"] = nsteps_pc
+        ncap = self._grow("nintra", max(len(irec), 1))
+        host["irec"] = _pad_rows(irec, ncap) if len(irec) else \
+            np.zeros((ncap, IREC_COLS), np.int32)
 
         # intra residuals reference bin_res[lg]: make sure those bins exist
         for (pcls, lg) in self._intra_lgs:
@@ -1417,6 +1454,8 @@ class FusedDecoder:
             "run_sao": bool(self.run_sao),
             "pallas_mc": bool(self.use_pallas_mc),
             "segk": self.caps["segk"] or 1,
+            "steps_cap": self.caps["steps"] or 1,
+            "intra_bins": tuple(sorted(self._intra_lgs)),
         }.items()))
 
         out = _compiled(refs[0], refs[1], refs[2], jnp.asarray(buf), sft, st,

@@ -87,33 +87,32 @@ def _bin_tus_tile(prog, sel, x_off_l, sub_x):
     return fd._bin_tus(view)
 
 
-def _localize_intra(xs, tile_of_entry, t, tx0, sub_x, widths, rrow_map):
-    """Slice one tile's entries out of the whole-frame super-wave plan.
+def _localize_intra_recs(irec, t, tw, sub_x, tu_of, tu_local_row, n_tiles):
+    """Slice one tile's rows out of the whole-frame intra record array.
 
-    xs: {(pc, lg): [C, K, ...]} whole-frame plan.  Entries of other tiles
-    are invalidated; positions/coordinates are rebased to tile-local ones.
+    Rows of other tiles keep the shared (step, slot) schedule but lose the
+    valid bit; x coordinates are rebased to tile-local ones; rrow is
+    remapped to the tile-local residual-bin row.  The availability bits
+    need no rebasing: intra prediction never crosses a tile boundary, so
+    every available border sample of a kept block lies inside the tile.
     """
-    out = {}
-    for key, v in xs.items():
-        pc, lg = key
-        c = 0 if pc == "y" else 1
-        Wd, Wl = widths[c]          # (frame width, tile-local width)
-        sub = 1 if c == 0 else sub_x
-        txc = tx0 // sub
-        mine = tile_of_entry[key] == t
-        meta = v["meta"].copy()
-        valid = (meta[:, :, 4] & 8) != 0
-        keep = mine & valid
-        meta[:, :, 4] = np.where(keep, meta[:, :, 4], 0)
-        meta[:, :, 3] = np.where(keep, meta[:, :, 3] - txc, 0)
-        rows = v["pos"] // Wd
-        cols = v["pos"] % Wd - txc
-        pos = np.clip(rows * Wl + np.clip(cols, 0, Wl - 1), 0, None)
-        pos = np.where(keep[:, :, None], pos, 0)
-        rrow = np.where(keep, rrow_map[key], -1)
-        out[key] = {"pos": pos.astype(np.int32), "sub": v["sub"],
-                    "meta": meta.astype(np.int32),
-                    "rrow": rrow.astype(np.int32)}
+    out = irec.copy()
+    if not len(irec):
+        return out
+    cidx = irec[:, 8]
+    sub = np.where(cidx == 0, 1, sub_x)
+    gx = irec[:, 3] * sub
+    mine = np.clip(gx // tw, 0, n_tiles - 1) == t
+    out[:, 4] = np.where(mine, irec[:, 4], 0)
+    out[:, 3] = np.where(mine, irec[:, 3] - (t * tw) // sub, 0)
+    rr = irec[:, 5]
+    new_rr = np.full(len(irec), -1, np.int32)
+    for lg, sel_g in tu_of.items():
+        m = mine & (irec[:, 9] == lg) & (rr >= 0)
+        if m.any():
+            gtu = sel_g[np.clip(rr[m], 0, len(sel_g) - 1)]
+            new_rr[m] = tu_local_row[gtu]
+    out[:, 5] = new_rr
     return out
 
 
@@ -280,7 +279,13 @@ class ShardedTileDecoder:
 
         # whole-frame TU binning (for intra rrow mapping)
         bins_w, tl_w, tr_w = fd._bin_tus(prog)
-        xs_w, n_steps = fd._plan_intra(prog, tl_w, tr_w)
+        if prog.ip is not None:
+            irec_w, n_steps, nsteps_pc = fd._intra_records_native(prog)
+        elif len(prog.intras):
+            irec_w, n_steps, nsteps_pc = fd._plan_intra(prog, tl_w, tr_w)
+        else:
+            irec_w = np.zeros((0, fd.IREC_COLS), np.int32)
+            n_steps, nsteps_pc = 0, np.zeros(3, np.int32)
 
         # map whole-frame (lg, bin row) -> global tu index
         tu_of = {}
@@ -288,14 +293,12 @@ class ShardedTileDecoder:
             sel = np.nonzero(prog.tus["log2_size"] == lg)[0]
             tu_of[lg] = sel
 
-        # tile of each TU / each intra plan entry
+        # tile of each TU
         tu_x_l = np.where(prog.tus["cidx"] == 0, prog.tus["x"],
                           prog.tus["x"] * sub_x) if len(prog.tus) else \
             np.zeros(0, np.int32)
         tu_tile = np.clip(tu_x_l // tw, 0, T - 1)
 
-        tile_of_entry = {}
-        rrow_maps = [dict() for _ in range(T)]
         # per-tile, per-lg local bin row of each global TU
         tu_local_row = np.full(len(prog.tus), -1, np.int32)
         for lg in (2, 3, 4, 5):
@@ -303,41 +306,26 @@ class ShardedTileDecoder:
                 sel = np.nonzero((prog.tus["log2_size"] == lg) &
                                  (tu_tile == t))[0]
                 tu_local_row[sel] = np.arange(len(sel))
-        for key, v in xs_w.items():
-            pc, lg = key
-            sub = 1 if pc == "y" else sub_x
-            gx = v["meta"][:, :, 3] * sub
-            tile_of_entry[key] = np.clip(gx // tw, 0, T - 1)
-            # whole-frame rrow -> global tu -> tile-local row
-            rrow = v["rrow"]
-            lmap = np.full(rrow.shape, -1, np.int32)
-            ok = rrow >= 0
-            if lg in tu_of and ok.any():
-                gtu = tu_of[lg][np.clip(rrow, 0, len(tu_of.get(lg, [0])) - 1)]
-                lmap = np.where(ok, tu_local_row[gtu], -1)
-            for t in range(T):
-                rrow_maps[t][key] = lmap
 
         per_tile = []
         for t, (x0, x1) in enumerate(cols):
             sel = np.nonzero(tu_tile == t)[0] if len(prog.tus) else \
                 np.zeros(0, np.int64)
             bins, _, _ = _bin_tus_tile(prog, sel, x0, sub_x)
-            widths = {0: (W, tw), 1: (max(prog.chroma_width, 1), tw // sub_x)}
-            xs = _localize_intra(xs_w, tile_of_entry, t, x0, sub_x, widths,
-                                 rrow_maps[t])
+            xs = _localize_intra_recs(irec_w, t, tw, sub_x, tu_of,
+                                      tu_local_row, T)
             pus = prog.pus.copy()
             if len(pus):
                 for l in (0, 1):
                     pus[f"mv{l}x"] = pus[f"mv{l}x"] + 4 * x0
-            per_tile.append({"bins": bins, "xs": xs, "pus": pus,
+            per_tile.append({"bins": bins, "irec": xs, "pus": pus,
                              "x0": x0, "x1": x1})
-        return per_tile, cols, tw, sub_x, sub_y, n_steps, xs_w
+        return per_tile, cols, tw, sub_x, sub_y, n_steps, nsteps_pc, irec_w
 
     # ---- device feeds ---------------------------------------------------
 
     def decode(self, prog: FrameProgramData):
-        per_tile, cols, tw, sub_x, sub_y, n_steps, xs_w = \
+        per_tile, cols, tw, sub_x, sub_y, n_steps, nsteps_pc, irec_w = \
             self._partition(prog)
         T = len(per_tile)
         H, W = prog.height, prog.width
@@ -359,7 +347,9 @@ class ShardedTileDecoder:
                     caps[f"sc{lg}{ch}"] = max(caps.get(f"sc{lg}{ch}", 0),
                                               len(b[f"sc_{ch}"]))
         lgs = sorted({lg for pt in per_tile for lg in pt["bins"]})
-        intra_keys = sorted({k for pt in per_tile for k in pt["xs"]})
+        intra_keys = sorted(
+            {(fd._PLANE_CLASS[int(c)], int(lg)) for c, lg in
+             zip(irec_w[:, 8], irec_w[:, 9])}) if len(irec_w) else []
 
         feed = {}
 
@@ -384,22 +374,7 @@ class ShardedTileDecoder:
                                  pt["bins"] else np.zeros((0, 3), np.int32),
                                  cap, fill=-1) for pt in per_tile])
 
-        for key in intra_keys:
-            pc, lg = key
-            K = fd.WAVE_CAP[lg]
-            nb = 4 * (1 << lg) + 1
-            for fld, shape, fill in (("pos", (n_steps, K, nb), 0),
-                                     ("sub", (n_steps, K, nb), 0),
-                                     ("meta", (n_steps, K, 5), 0),
-                                     ("rrow", (n_steps, K), -1)):
-                arrs = []
-                for pt in per_tile:
-                    a = np.full(shape, fill, np.int32)
-                    if key in pt["xs"]:
-                        v = pt["xs"][key][fld]
-                        a[:v.shape[0]] = v
-                    arrs.append(a)
-                stack(f"ia.{pc}_{lg}.{fld}", arrs)
+        stack("irec", [pt["irec"] for pt in per_tile])
 
         # PU/cell data
         pcap = max(max((len(pt["pus"]) for pt in per_tile), default=1), 1)
@@ -472,11 +447,8 @@ class ShardedTileDecoder:
         recs[:len(prog.slice_records)] = prog.slice_records
         feed["slice_recs"] = jnp.asarray(np.broadcast_to(
             recs, (T, *recs.shape)))
-        npc = {"y": 0, "cb": 0, "cr": 0}
-        for (pc, lg), v in xs_w.items():
-            npc[pc] = max(npc[pc], v["pos"].shape[0])
-        feed["nsteps"] = jnp.asarray(np.broadcast_to(np.array(
-            [npc["y"], npc["cb"], npc["cr"]], np.int32), (T, 3)))
+        feed["nsteps"] = jnp.asarray(np.broadcast_to(
+            nsteps_pc.astype(np.int32), (T, 3)))
 
         st = tuple(sorted({
             "H": H, "W": tw, "sub_x": sub_x, "sub_y": sub_y,
@@ -496,6 +468,8 @@ class ShardedTileDecoder:
                             np.any(prog.slice_records[:, 4] |
                                    prog.slice_records[:, 5])),
             "pallas_mc": False, "segk": 1,
+            "steps_cap": max(n_steps, 1),
+            "intra_bins": tuple(intra_keys),
         }.items()))
 
         std = dict(st)
@@ -513,8 +487,8 @@ class ShardedTileDecoder:
             self._add_filter_feed(feed, prog, per_tile, tw, sub_x, sub_y,
                                   slot_map)
 
-        planes = self._run_sharded(refs, feed, st, intra_keys,
-                                   halo=halo_mode, std=std)
+        planes = self._run_sharded(refs, feed, st, halo=halo_mode,
+                                   std=std)
         out = tuple(jnp.concatenate([p[t] for t in range(T)], axis=-1)
                     for p in planes)
         self._store(prog.poc, out)
@@ -579,7 +553,7 @@ class ShardedTileDecoder:
         feed["gx0"] = jnp.asarray(np.array(
             [[pt["x0"]] for pt in per_tile], np.int32))
 
-    def _run_sharded(self, refs, feed, st, intra_keys, halo=False, std=None):
+    def _run_sharded(self, refs, feed, st, halo=False, std=None):
         mesh, axis = self.mesh, self.axis
         T = self.n_dev
         shard = NamedSharding(mesh, P(axis))
@@ -592,17 +566,13 @@ class ShardedTileDecoder:
             def body(ry, rcb, rcr, tile_feed):
                 tf = {k: v[0] for k, v in tile_feed.items()}
                 f = {}
-                intra_xs = {}
                 for k, v in tf.items():
                     parts = k.split(".")
-                    if parts[0] == "ia":
-                        intra_xs.setdefault(parts[1], {})[parts[2]] = v
-                    elif parts[0].startswith("bin"):
+                    if parts[0].startswith("bin"):
                         f.setdefault(parts[0], {})[parts[1]] = v
                     else:
                         f[k] = v
-                planes = fd._frame_fn(ry, rcb, rcr, f, intra_xs, None,
-                                      dict(st))
+                planes = fd._frame_fn(ry, rcb, rcr, f, None, dict(st))
                 if halo:
                     planes = _halo_filter(planes, tf, std, axis, T)
                 return tuple(p[None] for p in planes)
