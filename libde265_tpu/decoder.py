@@ -154,6 +154,15 @@ class Decoder:
             self._lib.de265_free_decoder(self._ctx)
             self._ctx = None
 
+    def get_warnings(self):
+        """Drain the decoder warning queue (de265_get_warning)."""
+        out = []
+        while True:
+            w = self._lib.de265_get_warning(self._ctx)
+            if not w:
+                return out
+            out.append(int(w))
+
     def push(self, data: bytes, pts: int = 0):
         buf = ct.create_string_buffer(data, len(data))
         self._lib.de265_push_data(self._ctx, buf, len(data), pts, None)

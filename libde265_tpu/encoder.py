@@ -74,12 +74,18 @@ class Encoder:
 
     def __init__(self, qp: int = 30, ctb_size: int = 64,
                  min_cb_size: int = 8, fps: int = 25, bit_depth: int = 8,
-                 chroma_format: str = "420"):
+                 chroma_format: str = "420", level_idc: int = 0):
+        """level_idc: signalled general_level_idc; 0 = automatic (the
+        Annex-A minimum level for the picture size and frame rate, per
+        models.profiles.min_level_for — the native encoder computes the
+        same table)."""
         self._L = _bind(lib())
         self._ctx = self._L.en265_new_encoder()
         if not self._ctx:
             raise RuntimeError("en265_new_encoder failed")
         self.bit_depth = bit_depth
+        self._level_idc = level_idc
+        self._fps = fps
         self.chroma = {"mono": 0, "400": 0, "420": 1, "422": 2, "444": 3,
                        0: 0, 1: 1, 2: 2, 3: 3}[chroma_format]
         self.set_parameter("qp", qp)
@@ -87,6 +93,8 @@ class Encoder:
         self.set_parameter("min-cb-size", min_cb_size)
         self.set_parameter("fps", fps)
         self.set_parameter("bit-depth", bit_depth)
+        if level_idc:
+            self.set_parameter("level-idc", level_idc)
         self._L.en265_start_encoder(self._ctx, 0)
         self._frames = 0
 
@@ -112,6 +120,15 @@ class Encoder:
         mid = 1 << (self.bit_depth - 1)
         y = np.ascontiguousarray(y, dtype=dtype)
         h, w = y.shape
+        if self._frames == 0 and self._level_idc:
+            from .models.profiles import min_level_for
+            need = min_level_for(w, h, self._fps).idc
+            if self._level_idc < need:
+                import warnings
+                warnings.warn(
+                    f"level_idc {self._level_idc} is below the Annex-A "
+                    f"minimum {need} for {w}x{h}@{self._fps}fps; decoders "
+                    f"will flag the stream as non-conformant")
         sub_x = 1 if self.chroma == _DE265_CHROMA_444 else 2
         sub_y = 2 if self.chroma == _DE265_CHROMA_420 else 1
         if self.chroma == 0:

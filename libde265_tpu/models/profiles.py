@@ -1,4 +1,11 @@
-"""HEVC profile and level descriptors (spec Annex A)."""
+"""HEVC profile and level descriptors (spec Annex A).
+
+Consulted by encoder.Encoder for automatic/validated general_level_idc
+selection; the native decoder performs the same checks at SPS-parse time
+(native/src/params.cc annex_a_* + decoder.cc read_sps) and surfaces
+DE265_WARNING_UNSUPPORTED_PROFILE / DE265_WARNING_LEVEL_LIMITS_EXCEEDED.
+The two tables are kept in sync (tests/test_parallel.py).
+"""
 from __future__ import annotations
 
 from dataclasses import dataclass, field

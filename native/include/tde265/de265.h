@@ -81,7 +81,10 @@ typedef enum {
   DE265_WARNING_INVALID_SLICE_HEADER_INDEX_ACCESS = 1033,
   DE265_WARNING_RICE_PARAMETER_OUT_OF_RANGE = 1034,
   DE265_WARNING_SLICEHEADER_MISSING = 1035,
-  DE265_WARNING_INVALID_NAL_HEADER = 1036
+  DE265_WARNING_INVALID_NAL_HEADER = 1036,
+  /* extensions beyond the reference enum (Annex-A capability checks) */
+  DE265_WARNING_UNSUPPORTED_PROFILE = 1037,
+  DE265_WARNING_LEVEL_LIMITS_EXCEEDED = 1038
 } de265_error;
 
 LIBDE265_API const char* de265_get_error_text(de265_error err);

@@ -42,6 +42,8 @@ enum class Warning : int {
   ChecksumMismatch,
   InvalidCabacData,
   MaxNumRefPicsExceeded,
+  UnsupportedProfile,
+  LevelLimitsExceeded,
 };
 
 struct SecurityLimits {

@@ -61,6 +61,9 @@ struct EncoderConfig {
   // (one L0 reference, the previous picture) in between — the low-delay-P
   // counterpart of the reference's sop-structure
   int intra_period = 1;
+  // signalled general_level_idc; 0 = auto (Annex-A minimum
+  // for the picture size and frame rate, params.h)
+  int level_idc = 0;
   int me_range = 12;  // full-pel motion search range around the predictor
   // generalized-B (GPB) low-delay: inter pictures are B slices with both
   // reference lists pointing at the previous picture (bi-predictive merge

@@ -340,4 +340,11 @@ struct Pps {
   bool same_tile(int rsA, int rsB) const { return tile_id_rs(rsA) == tile_id_rs(rsB); }
 };
 
+// Annex A (Table A.8) capability limits, shared by the decoder's SPS
+// validation and the encoder's automatic level selection.  Counterpart of
+// libde265_tpu/models/profiles.py (kept in sync).
+i64 annex_a_max_luma_ps(int level_idc);     // 0 if level unknown
+i64 annex_a_max_luma_sr(int level_idc);     // samples/sec, 0 if unknown
+int annex_a_min_level_idc(int width, int height, int fps);
+
 }  // namespace tde265

@@ -39,6 +39,8 @@ const char* de265_get_error_text(de265_error err) {
     case DE265_WARNING_INCORRECT_ENTRY_POINT_OFFSET: return "incorrect entry point offset";
     case DE265_WARNING_NONEXISTING_REFERENCE_PICTURE_ACCESSED: return "non-existing reference picture accessed";
     case DE265_WARNING_MAX_NUM_REF_PICS_EXCEEDED: return "maximum number of reference pictures exceeded";
+    case DE265_WARNING_UNSUPPORTED_PROFILE: return "stream declares a profile outside the implemented set";
+    case DE265_WARNING_LEVEL_LIMITS_EXCEEDED: return "picture size exceeds the declared level limits";
     default: return "unknown error";
   }
 }
@@ -180,6 +182,8 @@ de265_error de265_get_warning(de265_decoder_context* ctx) {
     case Warning::IncorrectEntryPointOffset: return DE265_WARNING_INCORRECT_ENTRY_POINT_OFFSET;
     case Warning::CtbOutsideImageArea: return DE265_WARNING_CTB_OUTSIDE_IMAGE_AREA;
     case Warning::SpsHeaderInvalid: return DE265_WARNING_SPS_HEADER_INVALID;
+    case Warning::UnsupportedProfile: return DE265_WARNING_UNSUPPORTED_PROFILE;
+    case Warning::LevelLimitsExceeded: return DE265_WARNING_LEVEL_LIMITS_EXCEEDED;
     case Warning::PpsHeaderInvalid: return DE265_WARNING_PPS_HEADER_INVALID;
     case Warning::SliceHeaderInvalid: return DE265_WARNING_SLICEHEADER_INVALID;
     case Warning::NonexistingPpsReferenced: return DE265_WARNING_NONEXISTING_PPS_REFERENCED;

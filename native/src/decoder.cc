@@ -182,6 +182,25 @@ Err Decoder::read_sps(BitReader& br) {
       (u64)s->pic_width_in_luma_samples * s->pic_height_in_luma_samples >
           limits.max_image_area)
     return Err::LimitExceeded;
+  // Annex-A capability checks (warn-and-continue, like every stream fault):
+  // profiles we implement are Main/Main10/Main Still/RExt (idc 1..4, or a
+  // compatibility flag for one of them); a declared level below the
+  // picture size is a non-conformant stream worth surfacing.
+  {
+    const auto& ptl = s->ptl;
+    const u32 compat = ptl.general_profile_compatibility_flags;
+    const bool known =
+        (ptl.general_profile_idc >= 1 && ptl.general_profile_idc <= 4) ||
+        (compat & (1u << (31 - 1))) || (compat & (1u << (31 - 2))) ||
+        (compat & (1u << (31 - 3))) || (compat & (1u << (31 - 4)));
+    if (ptl.general_profile_idc != 0 && !known)
+      add_warning(Warning::UnsupportedProfile);
+    const i64 max_ps = annex_a_max_luma_ps(ptl.general_level_idc);
+    if (ptl.general_level_idc > 0 && max_ps > 0 &&
+        (i64)s->pic_width_in_luma_samples * s->pic_height_in_luma_samples >
+            max_ps)
+      add_warning(Warning::LevelLimitsExceeded);
+  }
   sps_[s->sps_id] = std::move(s);
   return Err::OK;
 }

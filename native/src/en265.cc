@@ -108,6 +108,10 @@ de265_error en265_set_parameter_int(en265_encoder_context* ctx,
   } else if (p == "cr-qp-offset") {
     if (value < -12 || value > 12) return DE265_ERROR_PARAMETER_PARSING;
     c->cfg.cr_qp_offset = value;
+  } else if (p == "level-idc") {
+    if (value != 0 && (value < 30 || value > 186))
+      return DE265_ERROR_PARAMETER_PARSING;
+    c->cfg.level_idc = value;
   } else if (p == "bit-depth") {
     if (value < 8 || value > 10) return DE265_ERROR_PARAMETER_PARSING;
     c->cfg.bit_depth = value;

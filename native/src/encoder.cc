@@ -179,7 +179,13 @@ void Encoder::write_headers(std::vector<u8>* out) {
   vps.write_bits(0xFFFF, 16);
   // profile_tier_level; Main10 (profile 2) for bit depths above 8
   const int profile = (s.bit_depth_luma > 8) ? 2 : 1;
-  auto write_ptl = [profile](BitWriter& bw) {
+  const int level_idc =
+      cfg_.level_idc > 0
+          ? cfg_.level_idc
+          : annex_a_min_level_idc(s.pic_width_in_luma_samples,
+                                  s.pic_height_in_luma_samples,
+                                  cfg_.fps_num / std::max(cfg_.fps_den, 1));
+  auto write_ptl = [profile, level_idc](BitWriter& bw) {
     bw.write_bits(0, 2);       // profile_space
     bw.write_flag(false);      // tier
     bw.write_bits((u32)profile, 5);
@@ -192,7 +198,7 @@ void Encoder::write_headers(std::vector<u8>* out) {
     bw.write_flag(true);       // frame_only
     bw.write_bits(0, 32);      // reserved 44 bits
     bw.write_bits(0, 12);
-    bw.write_bits(120, 8);     // level 4.0
+    bw.write_bits((u32)level_idc, 8);  // general_level_idc
   };
   write_ptl(vps);
   vps.write_flag(false);  // sub_layer_ordering_info_present (== max layer only)

@@ -57,6 +57,43 @@ bool ProfileTierLevel::parse(BitReader& br, bool profile_present, int max_sub_la
 }
 
 // ---------------------------------------------------------------------------
+// Annex A capability limits (Table A.8, Main tier); mirrors
+// libde265_tpu/models/profiles.py.
+// ---------------------------------------------------------------------------
+namespace {
+struct LevelLimit { int idc; i64 max_luma_ps; i64 max_luma_sr; };
+const LevelLimit kLevels[] = {
+    {30, 36864, 552960},          {60, 122880, 3686400},
+    {63, 245760, 7372800},        {90, 552960, 16588800},
+    {93, 983040, 33177600},       {120, 2228224, 66846720},
+    {123, 2228224, 133693440},    {150, 8912896, 267386880},
+    {153, 8912896, 534773760},    {156, 8912896, 1069547520},
+    {180, 35651584, 1069547520},  {183, 35651584, 2139095040},
+    {186, 35651584, 4278190080LL},
+};
+}  // namespace
+
+i64 annex_a_max_luma_ps(int level_idc) {
+  for (const auto& l : kLevels)
+    if (l.idc >= level_idc) return l.max_luma_ps;
+  return 0;
+}
+
+i64 annex_a_max_luma_sr(int level_idc) {
+  for (const auto& l : kLevels)
+    if (l.idc >= level_idc) return l.max_luma_sr;
+  return 0;
+}
+
+int annex_a_min_level_idc(int width, int height, int fps) {
+  const i64 ps = (i64)width * height;
+  const i64 sr = ps * (fps > 0 ? fps : 30);
+  for (const auto& l : kLevels)
+    if (l.max_luma_ps >= ps && l.max_luma_sr >= sr) return l.idc;
+  return kLevels[sizeof(kLevels) / sizeof(kLevels[0]) - 1].idc;
+}
+
+// ---------------------------------------------------------------------------
 // short-term ref pic sets (spec 7.3.7 + 7.4.8 derivation)
 // ---------------------------------------------------------------------------
 bool parse_strps(BitReader& br, const std::vector<ShortTermRefPicSet>& sets,
