@@ -62,8 +62,12 @@ MAX_REFS = 8
 NOREF = -(10 ** 6)
 
 # intra super-wave per-step capacities (blocks of size 1<<lg per scan step);
-# a step's overflow spills to the next step
-WAVE_CAP = {2: 64, 3: 32, 4: 16, 5: 4}
+# a step's overflow spills to the next step.  Sized so spills are rare —
+# a capacity spill adds a *serial* scan step, which costs far more than the
+# extra vectorized lanes (measured round 2: WAVE_CAP[2]=64 made a 320x240
+# I-frame take 255 steps vs the ~139-step dependency bound).
+# MUST match kWaveCap in native/src/intraplan.cc.
+WAVE_CAP = {2: 256, 3: 128, 4: 64, 5: 16}
 
 
 def _pow2(n: int) -> int:

@@ -24,6 +24,7 @@
 #include "tde265/threads.h"
 
 #include <atomic>
+#include <mutex>
 
 namespace tde265 {
 
@@ -199,7 +200,12 @@ class Decoder {
 
  public:
   // Executed FrameProgram retention for the tensor API.
+  // finished_programs is appended by the parse thread and read through the
+  // C API, possibly from another thread (the Python parse||pack pipeline,
+  // libde265_tpu/stream.py) — guard the vector's structure with a mutex.
+  // Program *contents* are immutable once pushed.
   std::vector<std::unique_ptr<FrameProgram>> finished_programs;
+  mutable std::mutex programs_mutex;
 };
 
 // The scalar pixel backend (recon.cc): executes a FrameProgram bit-exactly.

@@ -3,6 +3,7 @@
 // tensor-export extensions used by the Python/JAX pixel pipeline.
 #include <cstring>
 #include <memory>
+#include <mutex>
 
 #include "tde265/de265.h"
 #include "tde265/decoder.h"
@@ -555,14 +556,20 @@ LIBDE265_API void tde265_set_parse_only(de265_decoder_context* ctx, int on) {
 }
 
 LIBDE265_API int tde265_num_programs(de265_decoder_context* ctx) {
+  std::lock_guard<std::mutex> lk(C(ctx)->dec.programs_mutex);
   return (int)C(ctx)->dec.finished_programs.size();
 }
 
 LIBDE265_API int tde265_get_program(de265_decoder_context* ctx, int idx,
                                     tde265_program_view* out) {
   Decoder& d = C(ctx)->dec;
-  if (idx < 0 || idx >= (int)d.finished_programs.size()) return -1;
-  FrameProgram& p = *d.finished_programs[idx];
+  FrameProgram* pp;
+  {
+    std::lock_guard<std::mutex> lk(d.programs_mutex);
+    if (idx < 0 || idx >= (int)d.finished_programs.size()) return -1;
+    pp = d.finished_programs[idx].get();
+  }
+  FrameProgram& p = *pp;
   if (!p.snapshot) return -2;
   FrameProgram::Snapshot& s = *p.snapshot;
   memset(out, 0, sizeof(*out));
@@ -647,7 +654,10 @@ LIBDE265_API int tde265_get_program(de265_decoder_context* ctx, int idx,
 }
 
 LIBDE265_API void tde265_clear_programs(de265_decoder_context* ctx) {
-  C(ctx)->dec.finished_programs.clear();
+  {
+    std::lock_guard<std::mutex> lk(C(ctx)->dec.programs_mutex);
+    C(ctx)->dec.finished_programs.clear();
+  }
 }
 
 // Re-execute the scalar pixel pipeline on a kept program (oracle for the
@@ -656,8 +666,13 @@ LIBDE265_API int tde265_execute_program_scalar(de265_decoder_context* ctx,
                                                int idx, int run_deblock,
                                                int run_sao) {
   Decoder& d = C(ctx)->dec;
-  if (idx < 0 || idx >= (int)d.finished_programs.size()) return -1;
-  Err e = execute_program_scalar(*d.finished_programs[idx], run_deblock != 0,
+  FrameProgram* fpp;
+  {
+    std::lock_guard<std::mutex> lk(d.programs_mutex);
+    if (idx < 0 || idx >= (int)d.finished_programs.size()) return -1;
+    fpp = d.finished_programs[idx].get();
+  }
+  Err e = execute_program_scalar(*fpp, run_deblock != 0,
                                  run_sao != 0);
   return e == Err::OK ? 0 : -1;
 }

@@ -45,7 +45,10 @@ void Decoder::reset() {
   end_of_stream_flushed_ = false;
   dependent_slice_state.valid = false;
   warnings.clear();
-  finished_programs.clear();
+  {
+    std::lock_guard<std::mutex> lk(programs_mutex);
+    finished_programs.clear();
+  }
   cur_hash_ = SeiDecodedPictureHash();
 }
 
@@ -827,7 +830,10 @@ Err Decoder::finish_picture() {
       expand_all_scaling_lists(lists, snap->scaling_factors.data());
     }
     prog->snapshot = std::move(snap);
-    finished_programs.push_back(std::move(prog));
+    {
+      std::lock_guard<std::mutex> lk(programs_mutex);
+      finished_programs.push_back(std::move(prog));
+    }
   }
 
   // reference marking for the current picture

@@ -32,7 +32,8 @@ namespace tde265 {
 bool z_available(const Frame& f, int x_curr, int y_curr, int xn, int yn);
 
 // per-log2-size step capacities; MUST match fused_decode.WAVE_CAP
-static const int kWaveCap[6] = {0, 0, 64, 32, 16, 4};
+// (sized so capacity spills — which add *serial* scan steps — are rare)
+static const int kWaveCap[6] = {0, 0, 256, 128, 64, 16};
 
 void build_intra_plan(const FrameProgram& prog, const Frame& f,
                       FrameProgram::Snapshot& snap) {
