@@ -4,7 +4,7 @@ reference's tile worker threads, /root/reference/libde265/decctx.cc:963-1061).
 HEVC tiles partition a picture into independently-parseable rectangles: no
 intra prediction, MV prediction or CABAC state crosses a tile boundary.  On
 a TPU mesh that independence becomes *sharding*: each device reconstructs
-one tile column from its own per-tile record batches (TUs, PUs, intra
+one tile of the (rows x cols) grid from its own per-tile record batches (TUs, PUs, intra
 super-waves), with the DPB replicated.
 
 Loop filters are the only cross-tile coupling:
@@ -21,7 +21,7 @@ Loop filters are the only cross-tile coupling:
 
 The heavy lifting reuses the fused whole-picture program (`_frame_fn`): a
 per-tile feed is constructed so that each tile decodes as if it were a small
-picture, with motion vectors pre-biased by ``4 * tile_x0`` so frame-global
+picture, with motion vectors pre-biased by ``4 * tile_origin`` so frame-global
 reference windows come out of tile-local cell coordinates.
 """
 from __future__ import annotations
@@ -45,25 +45,40 @@ from ..ops import transform as tx
 HALO = 16
 
 
-def tile_columns(prog: FrameProgramData):
-    """Tile x-ranges (luma pixels) from the per-CTB tile-id grid.
+def tile_grid(prog: FrameProgramData):
+    """Tile y/x-ranges (luma pixels) from the per-CTB tile-id grid.
 
-    Returns a list of (x0, x1).  Requires a single row of tiles.
+    Returns (rows, cols): lists of (y0, y1) and (x0, x1).  HEVC tile grids
+    are rectangular by construction (pps tile geometry), so the grid is the
+    cartesian product rows x cols.
     """
     tid = prog.tile_id
-    if tid is None or tid.size == 0:
-        return [(0, prog.width)]
-    if not np.all(tid[:1, :] == tid):
-        raise ValueError("tile rows not supported (need 1 tile row)")
-    row = tid[0]
     ctb = prog.ctb_size
-    bounds = [0]
-    for i in range(1, len(row)):
-        if row[i] != row[i - 1]:
-            bounds.append(i * ctb)
-    bounds.append(prog.width)
-    return [(bounds[i], min(bounds[i + 1], prog.width))
-            for i in range(len(bounds) - 1)]
+    if tid is None or tid.size == 0:
+        return [(0, prog.height)], [(0, prog.width)]
+    row0 = tid[0]
+    xb = [0]
+    for i in range(1, len(row0)):
+        if row0[i] != row0[i - 1]:
+            xb.append(i * ctb)
+    xb.append(prog.width)
+    col0 = tid[:, 0]
+    yb = [0]
+    for i in range(1, len(col0)):
+        if col0[i] != col0[i - 1]:
+            yb.append(i * ctb)
+    yb.append(prog.height)
+    rows = [(yb[i], min(yb[i + 1], prog.height)) for i in range(len(yb) - 1)]
+    cols = [(xb[i], min(xb[i + 1], prog.width)) for i in range(len(xb) - 1)]
+    return rows, cols
+
+
+def tile_columns(prog: FrameProgramData):
+    """Tile x-ranges (luma pixels); requires a single row of tiles."""
+    rows, cols = tile_grid(prog)
+    if len(rows) != 1:
+        raise ValueError("stream has multiple tile rows; use tile_grid")
+    return cols
 
 
 class _TileView:
@@ -75,23 +90,26 @@ class _TileView:
         self.coeff_pos = coeff_pos
 
 
-def _bin_tus_tile(prog, sel, x_off_l, sub_x):
+def _bin_tus_tile(prog, sel, x_off_l, y_off_l, sub_x, sub_y):
     """Per-tile TU binning with tile-local coordinates."""
     tus = prog.tus[sel].copy()
     if len(tus):
-        off = np.where(tus["cidx"] == 0, x_off_l, x_off_l // sub_x)
-        tus["x"] = tus["x"] - off
+        offx = np.where(tus["cidx"] == 0, x_off_l, x_off_l // sub_x)
+        offy = np.where(tus["cidx"] == 0, y_off_l, y_off_l // sub_y)
+        tus["x"] = tus["x"] - offx
+        tus["y"] = tus["y"] - offy
     view = _TileView(tus, prog.coeff_val, prog.coeff_pos)
     view.width = prog.width
     view.scaling_factors = prog.scaling_factors
     return fd._bin_tus(view)
 
 
-def _localize_intra_recs(irec, t, tw, sub_x, tu_of, tu_local_row, n_tiles):
+def _localize_intra_recs(irec, t, th, tw, R, C, sub_x, sub_y, tu_of,
+                         tu_local_row):
     """Slice one tile's rows out of the whole-frame intra record array.
 
     Rows of other tiles keep the shared (step, slot) schedule but lose the
-    valid bit; x coordinates are rebased to tile-local ones; rrow is
+    valid bit; coordinates are rebased to tile-local ones; rrow is
     remapped to the tile-local residual-bin row.  The availability bits
     need no rebasing: intra prediction never crosses a tile boundary, so
     every available border sample of a kept block lies inside the tile.
@@ -99,12 +117,17 @@ def _localize_intra_recs(irec, t, tw, sub_x, tu_of, tu_local_row, n_tiles):
     out = irec.copy()
     if not len(irec):
         return out
+    r, c = t // C, t % C
     cidx = irec[:, 8]
-    sub = np.where(cidx == 0, 1, sub_x)
-    gx = irec[:, 3] * sub
-    mine = np.clip(gx // tw, 0, n_tiles - 1) == t
+    sx = np.where(cidx == 0, 1, sub_x)
+    sy = np.where(cidx == 0, 1, sub_y)
+    gx = irec[:, 3] * sx
+    gy = irec[:, 2] * sy
+    mine = (np.clip(gx // tw, 0, C - 1) == c) & \
+        (np.clip(gy // th, 0, R - 1) == r)
     out[:, 4] = np.where(mine, irec[:, 4], 0)
-    out[:, 3] = np.where(mine, irec[:, 3] - (t * tw) // sub, 0)
+    out[:, 3] = np.where(mine, irec[:, 3] - (c * tw) // sx, 0)
+    out[:, 2] = np.where(mine, irec[:, 2] - (r * th) // sy, 0)
     rr = irec[:, 5]
     new_rr = np.full(len(irec), -1, np.int32)
     for lg, sel_g in tu_of.items():
@@ -116,54 +139,67 @@ def _localize_intra_recs(irec, t, tw, sub_x, tu_of, tu_local_row, n_tiles):
     return out
 
 
-def _exchange(x, h, axis_name, T, axis=-1):
-    """Halo exchange along `axis`: [left-neighbor tail | x | right head].
+def _exchange(x, h, axis_name, fwd, bwd, axis=-1):
+    """Halo exchange along `axis`: [prev-neighbor tail | x | next head].
 
-    Devices without a neighbour receive zeros from ppermute, which the
-    positional edge masks and bs=0 metadata then keep inert.
+    fwd/bwd are the ppermute (src, dst) lattice pairs.  Devices without a
+    neighbour receive zeros from ppermute, which the positional edge masks
+    and bs=0 metadata then keep inert.
     """
     nd = x.ndim
     ax = axis % nd
-    left = lax.slice_in_dim(x, 0, h, axis=ax)
-    right = lax.slice_in_dim(x, x.shape[ax] - h, x.shape[ax], axis=ax)
-    fwd = [(i, i + 1) for i in range(T - 1)]
-    bwd = [(i, i - 1) for i in range(1, T)]
-    from_left = lax.ppermute(right, axis_name, fwd)
-    from_right = lax.ppermute(left, axis_name, bwd)
-    return jnp.concatenate([from_left, x, from_right], axis=ax)
+    head = lax.slice_in_dim(x, 0, h, axis=ax)
+    tail = lax.slice_in_dim(x, x.shape[ax] - h, x.shape[ax], axis=ax)
+    from_prev = lax.ppermute(tail, axis_name, fwd)
+    from_next = lax.ppermute(head, axis_name, bwd)
+    return jnp.concatenate([from_prev, x, from_next], axis=ax)
 
 
-def _halo_filter(planes, tf, std, axis_name, T):
+def _halo_filter(planes, tf, std, axis_name, grid):
     """Deblock + SAO on the halo-padded tile (redundant boundary compute).
 
     Runs inside shard_map after per-tile reconstruction when
-    loop_filter_across_tiles is on: one 8-pixel halo exchange, then the
-    ordinary whole-picture filter sections on the padded tile, then crop.
+    loop_filter_across_tiles is on: halo exchange along the tile lattice
+    (x within rows, then y within columns — the second pass carries the
+    corner data transitively), then the ordinary whole-picture filter
+    sections on the padded tile, then crop.
     """
-    H, tw = std["H"], std["W"]
-    W_frame = tw * T
+    R, C = grid
+    T = R * C
+    th, tw = std["H"], std["W"]
+    W_frame, H_frame = tw * C, th * R
     sub_x = max(std["sub_x"], 1)
     sub_y = max(std["sub_y"], 1)
     has_chroma = not std["mono"]
     hx, h4 = HALO, HALO // 4
-    hc = HALO // sub_x
+    hcx, hcy = HALO // sub_x, HALO // sub_y
     twc = max(std["cw"], 1)
+    thc = max(std["ch"], 1)
 
-    def ex(x, h, axis=-1):
-        return _exchange(x, h, axis_name, T, axis)
+    fwd_x = [(t, t + 1) for t in range(T) if t % C != C - 1]
+    bwd_x = [(t, t - 1) for t in range(T) if t % C != 0]
+    fwd_y = [(t, t + C) for t in range(T - C)]
+    bwd_y = [(t, t - C) for t in range(C, T)]
 
-    y = ex(planes[0], hx)
+    def ex2(x, hy_, hx_, xaxis=-1, yaxis=-2):
+        x = _exchange(x, hx_, axis_name, fwd_x, bwd_x, axis=xaxis)
+        return _exchange(x, hy_, axis_name, fwd_y, bwd_y, axis=yaxis)
+
+    y = ex2(planes[0], hx, hx)
     if has_chroma:
-        cb, cr = ex(planes[1], hc), ex(planes[2], hc)
+        cb = ex2(planes[1], hcy, hcx)
+        cr = ex2(planes[2], hcy, hcx)
 
-    g = {k: ex(tf[k], h4) for k in ("qp4", "nzc4", "dbf4", "cu4", "si4",
-                                    "sa4", "ti4")}
-    pu_idx = ex(tf["pu_idx"], h4)
-    sao_m = {k: ex(tf[k], h4, axis=1) for k in ("st4", "se4", "sb4", "so4")}
+    g = {k: ex2(tf[k], h4, h4) for k in ("qp4", "nzc4", "dbf4", "cu4",
+                                         "si4", "sa4", "ti4")}
+    pu_idx = ex2(tf["pu_idx"], h4, h4)
+    sao_m = {k: ex2(tf[k], h4, h4, xaxis=1, yaxis=0)
+             for k in ("st4", "se4", "sb4", "so4")}
 
     pb_h, pbw = pu_idx.shape
     recs = tf["slice_recs"]
     gx0 = tf["gx0"][0]
+    gy0 = tf["gy0"][0]
 
     # per-cell PU params from the halo'd index grid + unbiased PU table
     pidx = pu_idx.reshape(-1)
@@ -179,15 +215,20 @@ def _halo_filter(planes, tf, std, axis_name, T):
             has, tf["ref_pocs"][jnp.clip(pu[pc, 5 + l], 0)], fd.NOREF)
     cell["slice"] = jnp.clip(pu[pc, 9], 0, std["n_slices"] - 1)
 
-    # positional edge masks: the picture bounds are interior columns here
+    # positional edge masks: the picture bounds are interior rows/columns
+    # of the padded tile, invisible to the frame program's edge-0 drop
     gxv = gx0 - hx + 4 * jnp.arange(pbw)
-    allow_xv = jnp.broadcast_to(((gxv > 0) & (gxv < W_frame)).astype(
-        jnp.int32)[None, :], (pb_h, pbw))
-    allow_xh = jnp.broadcast_to(((gxv >= 0) & (gxv < W_frame)).astype(
-        jnp.int32)[None, :], (pb_h, pbw))
+    gyv = gy0 - hx + 4 * jnp.arange(pb_h)
+    in_x = ((gxv >= 0) & (gxv < W_frame))[None, :]
+    in_y = ((gyv >= 0) & (gyv < H_frame))[:, None]
+    edge_x = ((gxv > 0) & (gxv < W_frame))[None, :]
+    edge_y = ((gyv > 0) & (gyv < H_frame))[:, None]
+    allow_xv = (edge_x & in_y).astype(jnp.int32)
+    allow_xh = (in_x & edge_y).astype(jnp.int32)
 
     st2 = dict(std)
-    st2.update(W=tw + 2 * hx, cw=twc + 2 * hc, ctb_size=4,
+    st2.update(H=th + 2 * hx, W=tw + 2 * hx, ch=thc + 2 * hcy,
+               cw=twc + 2 * hcx, ctb_size=4,
                across_tiles=True, multi_boundary=True,
                run_deblock=True, run_sao=True)
     feed2 = {"qp4": g["qp4"], "nzc4": g["nzc4"], "dbf4": g["dbf4"],
@@ -211,37 +252,44 @@ def _halo_filter(planes, tf, std, axis_name, T):
         for c in range(len(planes2)):
             ry = 4 if c == 0 else 4 // sub_y
             rx = 4 if c == 0 else 4 // sub_x
-            Hc = H if c == 0 else max(std["ch"], 1)
-            Wc_pad = planes2[c].shape[1]
+            Hc_pad, Wc_pad = planes2[c].shape
             Wc_frame = W_frame if c == 0 else W_frame // sub_x
+            Hc_frame = H_frame if c == 0 else H_frame // sub_y
             bd = std["bd"] if c == 0 else std["bdc"]
 
             def up(a):
-                return jnp.repeat(jnp.repeat(a, ry, 0), rx, 1)[:Hc, :Wc_pad]
+                return jnp.repeat(jnp.repeat(a, ry, 0),
+                                  rx, 1)[:Hc_pad, :Wc_pad]
 
             on = sao_on[0 if c == 0 else 1].astype(jnp.int32)
             tmap = up(sao_m["st4"][:, :, c] * on)
             emap = up(sao_m["se4"][:, :, c])
             bmap = up(sao_m["sb4"][:, :, c])
             omap = jnp.repeat(jnp.repeat(sao_m["so4"][:, :, c], ry, 0),
-                              rx, 1)[:Hc, :Wc_pad]
+                              rx, 1)[:Hc_pad, :Wc_pad]
             skip = up(skip4.astype(jnp.int32)).astype(bool)
-            # picture-boundary validity on the (interior) global columns
+            # picture-boundary validity on the (interior) global rows/cols
             gxc = (gx0 // (1 if c == 0 else sub_x) -
-                   (hx if c == 0 else hc) + jnp.arange(Wc_pad))
-            eok = jnp.ones((Hc, Wc_pad), bool)
+                   (hx if c == 0 else hcx) + jnp.arange(Wc_pad))
+            gyc = (gy0 // (1 if c == 0 else sub_y) -
+                   (hx if c == 0 else hcy) + jnp.arange(Hc_pad))
+            eok = jnp.ones((Hc_pad, Wc_pad), bool)
             for cls in range(4):
                 (dy0, dx0), (dy1, dx1) = EO_D[cls]
-                v = ((gxc + int(dx0) >= 0) & (gxc + int(dx0) < Wc_frame) &
-                     (gxc + int(dx1) >= 0) & (gxc + int(dx1) < Wc_frame))
-                eok = jnp.where(emap == cls, v[None, :], eok)
+                v = (((gxc + int(dx0) >= 0) & (gxc + int(dx0) < Wc_frame) &
+                      (gxc + int(dx1) >= 0) &
+                      (gxc + int(dx1) < Wc_frame))[None, :] &
+                     ((gyc + int(dy0) >= 0) & (gyc + int(dy0) < Hc_frame) &
+                      (gyc + int(dy1) >= 0) &
+                      (gyc + int(dy1) < Hc_frame))[:, None])
+                eok = jnp.where(emap == cls, v, eok)
             out.append(sao_plane(planes2[c], tmap, emap, bmap, omap, skip,
                                  bit_depth=bd, edge_ok=eok))
         planes2 = out
 
-    cropped = [planes2[0][:, hx:hx + tw]]
+    cropped = [planes2[0][hx:hx + th, hx:hx + tw]]
     if has_chroma:
-        cropped += [p[:, hc:hc + twc] for p in planes2[1:]]
+        cropped += [p[hcy:hcy + thc, hcx:hcx + twc] for p in planes2[1:]]
     return tuple(cropped)
 
 
@@ -264,13 +312,16 @@ class ShardedTileDecoder:
     # ---- host-side per-tile partitioning -------------------------------
 
     def _partition(self, prog):
-        cols = tile_columns(prog)
-        T = len(cols)
+        rows, cols = tile_grid(prog)
+        R, C = len(rows), len(cols)
+        T = R * C
         if T != self.n_dev:
-            raise ValueError(f"{T} tiles vs {self.n_dev} devices")
+            raise ValueError(f"{T} tiles ({R}x{C}) vs {self.n_dev} devices")
         tw = cols[0][1] - cols[0][0]
-        if any(x1 - x0 != tw for x0, x1 in cols):
-            raise ValueError("non-uniform tile widths unsupported")
+        th = rows[0][1] - rows[0][0]
+        if any(x1 - x0 != tw for x0, x1 in cols) or \
+                any(y1 - y0 != th for y0, y1 in rows):
+            raise ValueError("non-uniform tile sizes unsupported")
 
         H, W = prog.height, prog.width
         has_chroma = prog.chroma_width > 0
@@ -293,11 +344,15 @@ class ShardedTileDecoder:
             sel = np.nonzero(prog.tus["log2_size"] == lg)[0]
             tu_of[lg] = sel
 
-        # tile of each TU
-        tu_x_l = np.where(prog.tus["cidx"] == 0, prog.tus["x"],
-                          prog.tus["x"] * sub_x) if len(prog.tus) else \
-            np.zeros(0, np.int32)
-        tu_tile = np.clip(tu_x_l // tw, 0, T - 1)
+        # tile (row-major index) of each TU
+        if len(prog.tus):
+            lum = prog.tus["cidx"] == 0
+            tu_x_l = np.where(lum, prog.tus["x"], prog.tus["x"] * sub_x)
+            tu_y_l = np.where(lum, prog.tus["y"], prog.tus["y"] * sub_y)
+            tu_tile = (np.clip(tu_y_l // th, 0, R - 1) * C +
+                       np.clip(tu_x_l // tw, 0, C - 1))
+        else:
+            tu_tile = np.zeros(0, np.int32)
 
         # per-tile, per-lg local bin row of each global TU
         tu_local_row = np.full(len(prog.tus), -1, np.int32)
@@ -308,31 +363,36 @@ class ShardedTileDecoder:
                 tu_local_row[sel] = np.arange(len(sel))
 
         per_tile = []
-        for t, (x0, x1) in enumerate(cols):
+        for t in range(T):
+            y0, y1 = rows[t // C]
+            x0, x1 = cols[t % C]
             sel = np.nonzero(tu_tile == t)[0] if len(prog.tus) else \
                 np.zeros(0, np.int64)
-            bins, _, _ = _bin_tus_tile(prog, sel, x0, sub_x)
-            xs = _localize_intra_recs(irec_w, t, tw, sub_x, tu_of,
-                                      tu_local_row, T)
+            bins, _, _ = _bin_tus_tile(prog, sel, x0, y0, sub_x, sub_y)
+            xs = _localize_intra_recs(irec_w, t, th, tw, R, C, sub_x, sub_y,
+                                      tu_of, tu_local_row)
             pus = prog.pus.copy()
             if len(pus):
                 for l in (0, 1):
                     pus[f"mv{l}x"] = pus[f"mv{l}x"] + 4 * x0
+                    pus[f"mv{l}y"] = pus[f"mv{l}y"] + 4 * y0
             per_tile.append({"bins": bins, "irec": xs, "pus": pus,
-                             "x0": x0, "x1": x1})
-        return per_tile, cols, tw, sub_x, sub_y, n_steps, nsteps_pc, irec_w
+                             "x0": x0, "x1": x1, "y0": y0, "y1": y1})
+        return (per_tile, (R, C), (th, tw), sub_x, sub_y, n_steps,
+                nsteps_pc, irec_w)
 
     # ---- device feeds ---------------------------------------------------
 
     def decode(self, prog: FrameProgramData):
-        per_tile, cols, tw, sub_x, sub_y, n_steps, nsteps_pc, irec_w = \
-            self._partition(prog)
+        (per_tile, (R, C), (th, tw), sub_x, sub_y, n_steps, nsteps_pc,
+         irec_w) = self._partition(prog)
         T = len(per_tile)
         H, W = prog.height, prog.width
         has_chroma = prog.chroma_width > 0
         bd = prog.bit_depth[0]
         bdc = prog.bit_depth[1] if has_chroma else bd
         twc = tw // sub_x
+        thc = th // sub_y
 
         # replicated reference stacks (unpadded: XLA gather path)
         refs, slot_map = self._refs(prog)
@@ -398,10 +458,13 @@ class ShardedTileDecoder:
             pu_arrs.append(pu)
         feed["pu"] = jnp.asarray(np.stack(pu_arrs))
 
-        pb_h = prog.pu_idx.shape[0]
-        tw4 = tw // 4
-        stack("pu_idx", [prog.pu_idx[:, pt["x0"] // 4:pt["x0"] // 4 + tw4]
-                         for pt in per_tile])
+        tw4, th4 = tw // 4, th // 4
+
+        def tile_slice4(g):
+            return [g[pt["y0"] // 4:pt["y0"] // 4 + th4,
+                      pt["x0"] // 4:pt["x0"] // 4 + tw4] for pt in per_tile]
+
+        stack("pu_idx", tile_slice4(prog.pu_idx))
         feed["ref_pocs"] = jnp.asarray(np.broadcast_to(np.array(
             [prog.ref_pocs[i] if i < len(prog.ref_pocs) else fd.NOREF
              for i in range(fd.MAX_REFS)], np.int32), (T, fd.MAX_REFS)))
@@ -410,29 +473,29 @@ class ShardedTileDecoder:
         g4 = {"qp4": prog.qp_y, "nzc4": prog.nonzero_coeff,
               "dbf4": prog.deblock_flags, "cu4": prog.cu_info}
         for name, g in g4.items():
-            stack(name, [g.astype(np.int32)[:, pt["x0"] // 4:
-                                            pt["x0"] // 4 + tw4]
-                         for pt in per_tile])
+            stack(name, tile_slice4(g.astype(np.int32)))
         ctb = prog.ctb_size
-        twc_ctb = tw // ctb
+        twc_ctb, thc_ctb = tw // ctb, th // ctb
+
+        def tile_slice_ctb(g):
+            return [g[pt["y0"] // ctb:pt["y0"] // ctb + thc_ctb,
+                      pt["x0"] // ctb:pt["x0"] // ctb + twc_ctb]
+                    for pt in per_tile]
+
         for name, g in (("slice_idx", prog.slice_idx),
                         ("slice_addr", prog.slice_addr),
                         ("tile_id", prog.tile_id)):
-            stack(name, [g.astype(np.int32)[:, pt["x0"] // ctb:
-                                            pt["x0"] // ctb + twc_ctb]
-                         for pt in per_tile])
-        ctb_h = prog.slice_idx.shape[0]
+            stack(name, tile_slice_ctb(g.astype(np.int32)))
         if prog.sao is not None and len(prog.sao):
-            sh = (ctb_h, prog.slice_idx.shape[1])
+            sh = prog.slice_idx.shape
             for name, fld, extra in (("sao_t", "type_idx", ()),
                                      ("sao_eo", "eo_class", ()),
                                      ("sao_band", "band_pos", ()),
                                      ("sao_off", "offset", (4,))):
                 g = prog.sao[fld].astype(np.int32).reshape(*sh, 3, *extra)
-                stack(name, [g[:, pt["x0"] // ctb:pt["x0"] // ctb + twc_ctb]
-                             for pt in per_tile])
+                stack(name, tile_slice_ctb(g))
         else:
-            sh = (ctb_h, twc_ctb)
+            sh = (thc_ctb, twc_ctb)
             for name, extra in (("sao_t", ()), ("sao_eo", ()),
                                 ("sao_band", ()), ("sao_off", (4,))):
                 feed[name] = jnp.zeros((T, *sh, 3, *extra), jnp.int32)
@@ -451,8 +514,8 @@ class ShardedTileDecoder:
             nsteps_pc.astype(np.int32), (T, 3)))
 
         st = tuple(sorted({
-            "H": H, "W": tw, "sub_x": sub_x, "sub_y": sub_y,
-            "cw": max(twc, 1), "ch": max(prog.chroma_height, 1),
+            "H": th, "W": tw, "sub_x": sub_x, "sub_y": sub_y,
+            "cw": max(twc, 1), "ch": max(thc, 1),
             "bd": bd, "bdc": bdc, "mono": not has_chroma,
             "ctb_size": ctb, "n_slices": n_slices,
             "use_l1": bool((prog.pus["pred_flags"] & 2).any())
@@ -484,36 +547,40 @@ class ShardedTileDecoder:
                     prog.slice_records[:, 9]):
                 raise NotImplementedError(
                     "across-tiles halo filtering with slice-gated filters")
-            self._add_filter_feed(feed, prog, per_tile, tw, sub_x, sub_y,
-                                  slot_map)
+            self._add_filter_feed(feed, prog, per_tile, th, tw, sub_x,
+                                  sub_y, slot_map)
 
-        planes = self._run_sharded(refs, feed, st, halo=halo_mode,
+        planes = self._run_sharded(refs, feed, st, (R, C), halo=halo_mode,
                                    std=std)
-        out = tuple(jnp.concatenate([p[t] for t in range(T)], axis=-1)
-                    for p in planes)
+        out = tuple(jnp.concatenate(
+            [jnp.concatenate([p[r * C + c] for c in range(C)], axis=-1)
+             for r in range(R)], axis=-2) for p in planes)
         self._store(prog.poc, out)
         return out
 
-    def _add_filter_feed(self, feed, prog, per_tile, tw, sub_x, sub_y,
+    def _add_filter_feed(self, feed, prog, per_tile, th, tw, sub_x, sub_y,
                          slot_map):
         """Extra per-tile feeds for the halo filter pass (cell-resolution
         slice/tile grids, cell-resolution SAO maps, unbiased PU table,
-        per-tile global x offsets)."""
+        per-tile global x/y offsets)."""
         T = len(per_tile)
         ctb = prog.ctb_size
         cs4 = ctb // 4
-        tw4 = tw // 4
+        tw4, th4 = tw // 4, th // 4
+        ph = prog.pu_idx.shape[0]
 
         def up4(g):
             return np.repeat(np.repeat(g.astype(np.int32), cs4, 0),
-                             cs4, 1)[:prog.pu_idx.shape[0]]
+                             cs4, 1)[:ph]
+
+        def tslice(gu):
+            return [gu[pt["y0"] // 4:pt["y0"] // 4 + th4,
+                       pt["x0"] // 4:pt["x0"] // 4 + tw4]
+                    for pt in per_tile]
 
         for name, g in (("sa4", prog.slice_addr), ("ti4", prog.tile_id),
                         ("si4", prog.slice_idx)):
-            gu = up4(g)
-            feed[name] = jnp.asarray(np.stack(
-                [gu[:, pt["x0"] // 4:pt["x0"] // 4 + tw4]
-                 for pt in per_tile]))
+            feed[name] = jnp.asarray(np.stack(tslice(up4(g))))
         ctb_h, ctb_w = prog.slice_idx.shape
         if prog.sao is not None and len(prog.sao):
             sh = (ctb_h, ctb_w)
@@ -522,16 +589,12 @@ class ShardedTileDecoder:
                                      ("sb4", "band_pos", ()),
                                      ("so4", "offset", (4,))):
                 g = prog.sao[fld].astype(np.int32).reshape(*sh, 3, *extra)
-                gu = np.repeat(np.repeat(g, cs4, 0), cs4, 1)[
-                    :prog.pu_idx.shape[0]]
-                feed[name] = jnp.asarray(np.stack(
-                    [gu[:, pt["x0"] // 4:pt["x0"] // 4 + tw4]
-                     for pt in per_tile]))
+                gu = np.repeat(np.repeat(g, cs4, 0), cs4, 1)[:ph]
+                feed[name] = jnp.asarray(np.stack(tslice(gu)))
         else:
-            ph = prog.pu_idx.shape[0]
             for name, extra in (("st4", ()), ("se4", ()), ("sb4", ()),
                                 ("so4", (4,))):
-                feed[name] = jnp.zeros((T, ph, tw4, 3, *extra), jnp.int32)
+                feed[name] = jnp.zeros((T, th4, tw4, 3, *extra), jnp.int32)
         # unbiased PU table (filters need frame-consistent MVs)
         pcap = feed["pu"].shape[1]
         pu = np.zeros((pcap, 10), np.int32)
@@ -552,10 +615,11 @@ class ShardedTileDecoder:
         feed["pu_raw"] = jnp.asarray(np.broadcast_to(pu, (T, *pu.shape)))
         feed["gx0"] = jnp.asarray(np.array(
             [[pt["x0"]] for pt in per_tile], np.int32))
+        feed["gy0"] = jnp.asarray(np.array(
+            [[pt["y0"]] for pt in per_tile], np.int32))
 
-    def _run_sharded(self, refs, feed, st, halo=False, std=None):
+    def _run_sharded(self, refs, feed, st, grid, halo=False, std=None):
         mesh, axis = self.mesh, self.axis
-        T = self.n_dev
         shard = NamedSharding(mesh, P(axis))
         repl = NamedSharding(mesh, P())
         feed = {k: jax.device_put(v, shard) for k, v in feed.items()}
@@ -574,7 +638,7 @@ class ShardedTileDecoder:
                         f[k] = v
                 planes = fd._frame_fn(ry, rcb, rcr, f, None, dict(st))
                 if halo:
-                    planes = _halo_filter(planes, tf, std, axis, T)
+                    planes = _halo_filter(planes, tf, std, axis, grid)
                 return tuple(p[None] for p in planes)
 
             from jax.experimental.shard_map import shard_map

@@ -64,6 +64,10 @@ struct EncoderConfig {
   // signalled general_level_idc; 0 = auto (Annex-A minimum
   // for the picture size and frame rate, params.h)
   int level_idc = 0;
+  // open GOP: recovery points after the first are CRA pictures (continuous
+  // POC, no DPB reset) instead of IDR — exercises the decoder's non-IDR
+  // IRAP paths (spec 8.1 NoRaslOutputFlag, POC derivation across CRA)
+  bool open_gop = false;
   int me_range = 12;  // full-pel motion search range around the predictor
   // generalized-B (GPB) low-delay: inter pictures are B slices with both
   // reference lists pointing at the previous picture (bi-predictive merge
@@ -191,7 +195,15 @@ class Encoder {
   std::unique_ptr<Frame> lt_frame_;        // last IDR recon (lt_ref mode)
   std::shared_ptr<SliceHeader> sh_;        // current picture's slice header
   bool cur_is_intra_pic_ = true;
+  bool cur_is_idr_ = true;
   int poc_ = 0;
+  // pictures since the last intra recovery point (bounds usable refs: a
+  // trailing picture must not reference across a CRA)
+  int since_irap_() const {
+    return cfg_.intra_period > 1
+               ? (int)(frame_count_ % (u32)cfg_.intra_period)
+               : 0;
+  }
   std::vector<SaoParams> sao_chosen_;  // per-CTB estimated SAO parameters
 
   // QP-group (cu_qp_delta) state mirroring SliceParser

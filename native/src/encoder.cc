@@ -332,9 +332,10 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
                                  const std::vector<u32>* entry_sizes,
                                  bool dependent) {
   bool first = (ctb_rs == 0);
-  bool idr = cur_is_intra_pic_;
+  bool idr = cur_is_idr_;
   bw->write_flag(first);  // first_slice_segment_in_pic_flag
-  if (idr) bw->write_flag(false);  // no_output_of_prior_pics (IRAP only)
+  if (cur_is_intra_pic_)
+    bw->write_flag(false);  // no_output_of_prior_pics (IRAP incl. CRA)
   bw->write_uvlc(0);      // pps_id
   if (!first) {
     if (pps_->dependent_slice_segments_enabled)
@@ -349,14 +350,17 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
     bw->trailing_bits();
     return;
   }
-  int stype = idr ? SLICE_I : (cfg_.use_b_slices ? SLICE_B : SLICE_P);
+  int stype = cur_is_intra_pic_ ? SLICE_I
+                                : (cfg_.use_b_slices ? SLICE_B : SLICE_P);
   bw->write_uvlc((u32)stype);
   if (!idr) {
+    // non-IDR pictures (incl. CRA) carry poc_lsb + an RPS; a CRA's RPS is
+    // empty (intra, no references)
     bw->write_bits((u32)(poc_ & (sps_->max_pic_order_cnt_lsb - 1)),
                    sps_->log2_max_pic_order_cnt_lsb);
     bw->write_flag(false);  // short_term_ref_pic_set_sps_flag -> inline RPS
     // st_ref_pic_set: the previous 1..num_refs pictures, all used
-    int nrefs = min_i(cfg_.num_refs, poc_);
+    int nrefs = cur_is_intra_pic_ ? 0 : min_i(cfg_.num_refs, since_irap_());
     bw->write_uvlc((u32)nrefs);  // num_negative_pics
     bw->write_uvlc(0);           // num_positive_pics
     for (int i = 0; i < nrefs; i++) {
@@ -366,7 +370,7 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
     if (cfg_.lt_ref) {
       // one long-term picture: the last IDR (not at poc 1, where the IDR
       // is already the short-term reference)
-      int nlt = (poc_ > 1) ? 1 : 0;
+      int nlt = (!cur_is_intra_pic_ && poc_ > 1) ? 1 : 0;
       bw->write_uvlc((u32)nlt);  // num_long_term_pics
       if (nlt) {
         bw->write_bits(0, sps_->log2_max_pic_order_cnt_lsb);  // poc_lsb = 0
@@ -375,14 +379,14 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
       }
     }
     if (sps_->temporal_mvp_enabled)
-      bw->write_flag(true);  // slice_temporal_mvp_enabled
+      bw->write_flag(stype != SLICE_I);  // slice_temporal_mvp_enabled
   }
   if (sps_->sao_enabled) {
     bw->write_flag(true);  // slice_sao_luma
     if (sps_->chroma_array_type != 0) bw->write_flag(true);  // slice_sao_chroma
   }
-  if (!idr) {
-    int nrefs = min_i(cfg_.num_refs, poc_);
+  if (stype != SLICE_I) {
+    int nrefs = min_i(cfg_.num_refs, since_irap_());
     if (nrefs > 1) {
       bw->write_flag(true);  // num_ref_idx_active_override
       bw->write_uvlc((u32)(nrefs - 1));
@@ -536,7 +540,8 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
 
   std::vector<u8> rbsp = header_rbsp;
   rbsp.insert(rbsp.end(), data.begin(), data.end());
-  append_nal(out, cur_is_intra_pic_ ? NAL_IDR_W_RADL : NAL_TRAIL_R, 0,
+  append_nal(out, cur_is_intra_pic_ ? (cur_is_idr_ ? NAL_IDR_W_RADL : NAL_CRA)
+                             : NAL_TRAIL_R, 0,
              rbsp);
 }
 
@@ -564,7 +569,12 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
 
   const bool gop = cfg_.intra_period > 1;
   cur_is_intra_pic_ = !gop || (frame_count_ % (u32)cfg_.intra_period == 0);
-  poc_ = gop ? (int)(frame_count_ % (u32)cfg_.intra_period) : 0;
+  // open GOP: intra recovery points after picture 0 are CRA (POC runs on);
+  // closed GOP: every intra picture is an IDR (POC resets)
+  cur_is_idr_ = cur_is_intra_pic_ && (!cfg_.open_gop || frame_count_ == 0);
+  poc_ = !gop ? 0
+              : (cfg_.open_gop ? (int)frame_count_
+                               : (int)(frame_count_ % (u32)cfg_.intra_period));
   if (gop && frame_count_ > 0) {
     // rotate: recon -> ref1 -> ref2
     if (!ref_frame_) ref_frame_ = std::make_unique<Frame>();
@@ -594,7 +604,7 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
   sh_->sao_chroma = sps_->sao_enabled && sps_->chroma_array_type != 0;
   sh_->deblocking_filter_disabled = pps_->pps_deblocking_filter_disabled;
   if (!cur_is_intra_pic_) {
-    int nrefs = min_i(cfg_.num_refs, poc_);
+    int nrefs = min_i(cfg_.num_refs, since_irap_());
     Frame* refs[2] = {ref_frame_.get(), ref_frame2_.get()};
     sh_->num_ref_idx[0] = nrefs;
     for (int i = 0; i < nrefs; i++) {
@@ -737,7 +747,8 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
       cabac_->encode_terminate(last_in_slice ? 1 : 0);
       if (last_in_slice) {
         dep_saved = ctx_;
-        append_nal(outp, cur_is_intra_pic_ ? NAL_IDR_W_RADL : NAL_TRAIL_R,
+        append_nal(outp, cur_is_intra_pic_ ? (cur_is_idr_ ? NAL_IDR_W_RADL : NAL_CRA)
+                             : NAL_TRAIL_R,
                    0, slice_bw_.rbsp());
         slice_start = rs + 1;
         if (!dep) slice_no++;

@@ -1,0 +1,186 @@
+#!/usr/bin/env python3
+"""Generate the differential conformance corpus.
+
+A feature-matrix of small self-encoded streams (every coding-tool cross
+product the encoder supports), IRAP-structure streams (closed GOP / open
+GOP with CRA recovery points / BLA relabels / mid-stream CRA starts) and
+error streams (dropped reference pictures, truncations).  Every
+non-error stream carries a decoded-picture-hash SEI so each decoder
+self-checks, and the sweep (scripts/decodestreams.py --ref) additionally
+diffs our YUV output against the reference libde265 binary.
+
+Counterpart of the reference CI's libde265-teststreams corpus
+(/root/reference/scripts/ci-run.sh:43-57, decodestreams.py:48-79) —
+generated rather than vendored, so it runs hermetically in this repo.
+
+Usage: make_corpus.py [outdir]   (default /tmp/tde_corpus)
+"""
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from libde265_tpu.encoder import Encoder  # noqa: E402
+
+NAL_CRA, NAL_BLA_W_LP = 21, 16
+
+
+def _content(W, H, t, depth=8):
+    yy, xx = np.mgrid[0:H, 0:W]
+    hi = (1 << depth) - 36
+    dt = np.uint16 if depth > 8 else np.uint8
+    y = ((xx * 3 + yy * 2 + 11 * t) % hi + 16).astype(dt)
+    y[(yy // 8 + xx // 8 + t) % 5 == 0] += 20
+    cb = ((xx[::2, ::2] + 5 * t) % hi + 16).astype(dt)
+    cr = ((yy[::2, ::2] * 2 - 3 * t) % hi + 16).astype(dt)
+    return y, cb, cr
+
+
+def _encode(params=None, bools=None, frames=6, W=96, H=64, qp=30,
+            depth=8, chroma="420", **enc_kw):
+    enc = Encoder(qp=qp, ctb_size=32, bit_depth=depth,
+                  chroma_format=chroma, **enc_kw)
+    enc.set_parameter("sei-hash", True)
+    for k, v in (params or {}).items():
+        enc.set_parameter(k, v)
+    for k in (bools or []):
+        enc.set_parameter(k, True)
+    data = b""
+    sub = 1 if chroma == "444" else 2
+    for t in range(frames):
+        y, cb, cr = _content(W, H, t, depth)
+        if chroma == "444":
+            cb = np.repeat(np.repeat(cb, 2, 0), 2, 1)[:H, :W]
+            cr = np.repeat(np.repeat(cr, 2, 0), 2, 1)[:H, :W]
+        elif chroma == "422":
+            cb = np.repeat(cb, 2, 0)[:H]
+            cr = np.repeat(cr, 2, 0)[:H]
+        data += enc.encode(y, cb, cr, pts=t)
+    return data + enc.finish()
+
+
+def _nal_offsets(data):
+    out, i = [], 0
+    while True:
+        i = data.find(b"\x00\x00\x01", i)
+        if i < 0:
+            return out
+        out.append(i + 3)
+        i += 3
+
+
+def _relabel(data, from_t, to_t):
+    buf = bytearray(data)
+    for off in _nal_offsets(data):
+        if (buf[off] >> 1) & 0x3F == from_t:
+            buf[off] = (buf[off] & 0x81) | (to_t << 1)
+    return bytes(buf)
+
+
+def _cut_at_cra(data):
+    """headers + the stream from the first CRA onward (mid-stream tune-in:
+    NoRaslOutputFlag=1 path)."""
+    offs = _nal_offsets(data)
+    head = b""
+    cra_start = None
+    for k, off in enumerate(offs):
+        t = (data[off] >> 1) & 0x3F
+        if t in (32, 33, 34):  # VPS/SPS/PPS
+            end = offs[k + 1] - 3 if k + 1 < len(offs) else len(data)
+            head += data[off - 3:end]
+        if t == NAL_CRA and cra_start is None:
+            cra_start = off - 3
+    if cra_start is None:
+        raise ValueError("no CRA in stream")
+    return head + data[cra_start:]
+
+
+def _drop_one_trail(data):
+    """Remove the first TRAIL_R picture (missing reference -> concealment)."""
+    offs = _nal_offsets(data)
+    for k, off in enumerate(offs):
+        if (data[off] >> 1) & 0x3F == 1:  # TRAIL_R
+            end = offs[k + 1] - 3 if k + 1 < len(offs) else len(data)
+            return data[:off - 3] + data[end:]
+    raise ValueError("no TRAIL_R")
+
+
+# name -> (encode kwargs, mode).  mode: "exact" = YUV-diff both decoders;
+# "nocrash" = decode must not crash (concealment output may differ).
+MATRIX = {
+    "intra_basic": (dict(), "exact"),
+    "gop_p": (dict(params={"intra-period": 6}), "exact"),
+    "gop_gpb": (dict(params={"intra-period": 6}, bools=["b-slices"]),
+                "exact"),
+    "gop_2ref_tmvp": (dict(params={"intra-period": 6, "num-refs": 2},
+                           bools=["tmvp"]), "exact"),
+    "gop_ltref": (dict(params={"intra-period": 6}, bools=["lt-ref"]),
+                  "exact"),
+    "weighted_pred": (dict(params={"intra-period": 6},
+                           bools=["weighted-pred"]), "exact"),
+    "tiles_4x1": (dict(params={"tile-cols": 3, "intra-period": 4}),
+                  "exact"),
+    "tiles_2x2": (dict(params={"tile-cols": 2, "tile-rows": 2,
+                               "intra-period": 4}, W=128, H=128), "exact"),
+    "tiles_gated": (dict(params={"tile-cols": 2, "across-tiles": False,
+                                 "intra-period": 4}), "exact"),
+    "wpp": (dict(params={"intra-period": 4}, bools=["wpp"], H=128),
+            "exact"),
+    "slices": (dict(params={"ctbs-per-slice": 3, "intra-period": 4},
+                    H=128), "exact"),
+    "dep_slices": (dict(params={"ctbs-per-slice": 3, "intra-period": 4},
+                        bools=["dependent-slices"], H=128), "exact"),
+    "amp_rect": (dict(params={"intra-period": 6},
+                      bools=["amp", "rect-parts"]), "exact"),
+    "sao_scaling": (dict(params={"intra-period": 4},
+                         bools=["sao", "scaling-lists"]), "exact"),
+    "lossless": (dict(bools=["lossless"], frames=3), "exact"),
+    "pcm": (dict(params={"pcm-threshold": 1}, bools=["pcm"], frames=3),
+            "exact"),
+    "tskip_aqp": (dict(bools=["transform-skip", "adaptive-qp"], qp=34),
+                  "exact"),
+    "constrained_intra": (dict(params={"intra-period": 4},
+                               bools=["constrained-intra"]), "exact"),
+    "main10": (dict(depth=10, params={"intra-period": 4}), "exact"),
+    "chroma422": (dict(chroma="422"), "exact"),
+    "chroma444_ccp": (dict(chroma="444", bools=["ccp"]), "exact"),
+    "open_gop_cra": (dict(params={"intra-period": 4, "open-gop": True},
+                          frames=10), "exact"),
+}
+
+
+def build(outdir: pathlib.Path):
+    outdir.mkdir(parents=True, exist_ok=True)
+    manifest = {}
+
+    def emit(name, data, mode):
+        (outdir / f"{name}.h265").write_bytes(data)
+        manifest[name] = mode
+
+    for name, (kw, mode) in MATRIX.items():
+        emit(name, _encode(**kw), mode)
+
+    cra = (outdir / "open_gop_cra.h265").read_bytes()
+    # BLA: splice-point relabel of the CRA stream (same slice syntax; the
+    # decoder must reset POC and run the BLA paths)
+    emit("bla_relabel", _relabel(cra, NAL_CRA, NAL_BLA_W_LP), "nocrash")
+    # mid-stream tune-in at the CRA (first picture is a non-IDR IRAP)
+    emit("cra_tune_in", _cut_at_cra(cra), "exact")
+    # error resilience: dropped reference picture -> concealment, no crash
+    gop = (outdir / "gop_p.h265").read_bytes()
+    emit("missing_ref", _drop_one_trail(gop), "nocrash")
+    # truncation (mid-NAL end of stream)
+    emit("truncated", gop[: int(len(gop) * 0.6)], "nocrash")
+
+    (outdir / "manifest.json").write_text(json.dumps(manifest, indent=1))
+    return manifest
+
+
+if __name__ == "__main__":
+    out = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else
+                       "/tmp/tde_corpus")
+    m = build(out)
+    print(f"{len(m)} streams -> {out}")
