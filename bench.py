@@ -20,6 +20,8 @@ reports best-of-N.
 """
 import json
 import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 import subprocess
 import sys
 import time

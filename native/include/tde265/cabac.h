@@ -26,6 +26,8 @@ struct ContextModel {
 extern const u8 kCabacRangeTabLps[64][4];
 extern const u8 kCabacTransIdxMps[64];
 extern const u8 kCabacTransIdxLps[64];
+// merged (is_lps << 6) | state transition table (fast path)
+extern const u8 kCabacNextState[128];
 
 // Context table layout: one enum of offsets, sized kNumContexts total.
 // Grouping mirrors HEVC Table 9-4 syntax elements.
@@ -96,22 +98,22 @@ class CabacDecoder {
     offset_ = read_bits(9);
   }
 
-  // Spec 9.3.4.3.2 DecodeDecision.
+  // Spec 9.3.4.3.2 DecodeDecision.  The MPS/LPS selection is branchless
+  // (the bin value IS the entropy, so that branch is inherently
+  // unpredictable — the reference resorts to inline asm here,
+  // /root/reference/libde265/cabac.cc:186-257); state advances through the
+  // merged kCabacNextState table with no data-dependent branch.
   inline int decode_bin(ContextModel* m) {
     u32 q = (range_ >> 6) & 3;
-    u32 lps = kCabacRangeTabLps[m->state][q];
-    range_ -= lps;
-    int bin;
-    if (offset_ >= range_) {
-      bin = 1 - m->mps;
-      offset_ -= range_;
-      range_ = lps;
-      if (m->state == 0) m->mps = 1 - m->mps;
-      m->state = kCabacTransIdxLps[m->state];
-    } else {
-      bin = m->mps;
-      m->state = kCabacTransIdxMps[m->state];
-    }
+    u32 st = m->state;
+    u32 lps = kCabacRangeTabLps[st][q];
+    u32 rmps = range_ - lps;
+    u32 is_lps = (u32)(-(i32)(offset_ >= rmps));  // all-ones on the LPS path
+    int bin = (int)((m->mps ^ is_lps) & 1);
+    offset_ -= rmps & is_lps;
+    range_ = rmps ^ ((rmps ^ lps) & is_lps);
+    m->mps ^= (u8)(is_lps & (u32)(st == 0));
+    m->state = kCabacNextState[((is_lps & 1) << 6) | st];
     // RenormD, all shifts at once: range_ is in [2,255] when renorm is needed.
     if (range_ < 256) {
       int n = 8 - ilog2_of(range_);
@@ -134,21 +136,18 @@ class CabacDecoder {
     return b;
   }
 
-  // n bypass bins at once (MSB first).  Valid because bypass decoding is a
-  // pure binary expansion against a fixed range.
+  // n bypass bins at once (MSB first).  Bypass decoding is a pure binary
+  // expansion against a fixed range, so k bins reduce to ONE integer
+  // division: after shifting k fresh bits into the offset, the bin string
+  // is offset / range (< 2^k since offset < range beforehand) and the new
+  // offset is the remainder — replacing k data-dependent-branch iterations.
   inline u32 decode_bypass_bits(int n) {
     u32 v = 0;
     while (n > 0) {
       int k = min_i(n, 16);
       offset_ = (offset_ << k) | read_bits(k);
-      u32 bits = 0;
-      for (int i = k - 1; i >= 0; i--) {
-        u32 threshold = range_ << i;
-        if (offset_ >= threshold) {
-          offset_ -= threshold;
-          bits |= 1u << i;
-        }
-      }
+      u32 bits = offset_ / range_;
+      offset_ -= bits * range_;
       if (g_bin_trace)
         for (int i = k - 1; i >= 0; i--) bin_trace("byp", (bits >> i) & 1, nullptr);
       v = (v << k) | bits;

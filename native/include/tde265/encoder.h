@@ -68,6 +68,8 @@ struct EncoderConfig {
   // POC, no DPB reset) instead of IDR — exercises the decoder's non-IDR
   // IRAP paths (spec 8.1 NoRaslOutputFlag, POC derivation across CRA)
   bool open_gop = false;
+  // rate-distortion optimized quantization (CABAC-state rate estimates)
+  bool rdoq = true;
   int me_range = 12;  // full-pel motion search range around the predictor
   // generalized-B (GPB) low-delay: inter pictures are B slices with both
   // reference lists pointing at the previous picture (bi-predictive merge
@@ -231,6 +233,13 @@ class Encoder {
 // Forward transform (spec-matched integer DCT, HM-convention shifts) and
 // quantization helpers, exposed for tests and the TPU encode path.
 void fwd_dct_2d(i32* coeffs, const i32* residual, int log2_size, int bit_depth);
+// RDOQ: per-coefficient level choice by D + lambda*R with CABAC-state
+// fractional-bit rate estimation (rdoq.cc); falls back to quantize() for
+// transform-skip / zero-check paths.
+void rdoq_quantize(i32* levels, const i32* coeffs, int qp, int log2,
+                   int cidx, int scan_idx, int bd, bool intra,
+                   const ContextTable& ctx, double lambda);
+
 void quantize(i32* levels, const i32* coeffs, int n, int qp, int log2_size,
               int bit_depth, bool intra);
 

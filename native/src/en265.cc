@@ -144,6 +144,7 @@ de265_error en265_set_parameter_bool(en265_encoder_context* ctx,
   if (p == "dependent-slices") C(ctx)->cfg.dependent_slices = (value != 0);
   if (p == "amp") C(ctx)->cfg.amp = (value != 0);
   if (p == "open-gop") C(ctx)->cfg.open_gop = (value != 0);
+  if (p == "rdoq") C(ctx)->cfg.rdoq = (value != 0);
   return DE265_OK;
 }
 

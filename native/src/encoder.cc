@@ -1186,7 +1186,22 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
       const int qpp = cur_qp_ + (cidx == 0 ? sps_->qp_bd_offset_luma
                                            : sps_->qp_bd_offset_chroma);
       fwd_dct_2d(coeffs, res, log2c, bd);
-      quantize(pc.levels.data(), coeffs, n * n, qpp, log2c, bd, true);
+      // scan from intra mode (residual.cc intra_scan_idx); computed before
+      // quantization because RDOQ follows the coding order
+      {
+        int scan = 0;
+        if (log2c == 2 ||
+            (log2c == 3 && (cidx == 0 || sps_->chroma_array_type == 3))) {
+          if (m >= 6 && m <= 14) scan = 2;
+          else if (m >= 22 && m <= 30) scan = 1;
+        }
+        pc.scan = scan;
+      }
+      if (cfg_.rdoq)
+        rdoq_quantize(pc.levels.data(), coeffs, qpp, log2c, cidx, pc.scan,
+                      bd, true, ctx_, rd_lambda());
+      else
+        quantize(pc.levels.data(), coeffs, n * n, qpp, log2c, bd, true);
       pc.tskip = false;
       if (pps_->transform_skip_enabled && log2c == 2) {
         // transform-skip alternative: the coefficients are the residual
@@ -1208,16 +1223,6 @@ void Encoder::encode_cu_intra(int x0, int y0, int log2_size) {
           pc.tskip = true;
           for (int i = 0; i < 16; i++) pc.levels[i] = ts_levels[i];
         }
-      }
-      // scan from intra mode (residual.cc intra_scan_idx)
-      {
-        int scan = 0;
-        if (log2c == 2 ||
-            (log2c == 3 && (cidx == 0 || sps_->chroma_array_type == 3))) {
-          if (m >= 6 && m <= 14) scan = 2;
-          else if (m >= 22 && m <= 30) scan = 1;
-        }
-        pc.scan = scan;
       }
       if (pps_->sign_data_hiding)
         apply_sign_hiding(pc.levels.data(), log2c, pc.scan,
@@ -2251,7 +2256,11 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
       const int qpp = cur_qp_ + (cidx == 0 ? sps_->qp_bd_offset_luma
                                            : sps_->qp_bd_offset_chroma);
       fwd_dct_2d(coeffs, res, log2c, bd);
-      quantize(pc.levels.data(), coeffs, nn * nn, qpp, log2c, bd, false);
+      if (cfg_.rdoq)
+        rdoq_quantize(pc.levels.data(), coeffs, qpp, log2c, cidx, 0, bd,
+                      false, ctx_, rd_lambda());
+      else
+        quantize(pc.levels.data(), coeffs, nn * nn, qpp, log2c, bd, false);
       if (pps_->sign_data_hiding)
         apply_sign_hiding(pc.levels.data(), log2c, 0, coeffs, qpp, bd);
     }

@@ -1,3 +1,5 @@
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 import time
 import numpy as np
 import jax, jax.numpy as jnp
