@@ -70,6 +70,16 @@ struct EncoderConfig {
   bool open_gop = false;
   // rate-distortion optimized quantization (CABAC-state rate estimates)
   bool rdoq = true;
+  // --- algorithm registry: pluggable per-decision strategies, selected by
+  // name through en265_set_parameter_choice (capability counterpart of the
+  // reference's encoder/algo/ modules: Algo_TB_IntraPredMode,
+  // Algo_PB_MV_Search, Algo_CB_Split) ---
+  enum class IntraAlgo { kFastBrute, kBrute, kMinSad };
+  enum class MeAlgo { kDiamond, kFull, kZero };
+  enum class SplitAlgo { kFixed16, kMin8 };
+  IntraAlgo intra_algo = IntraAlgo::kFastBrute;
+  MeAlgo me_algo = MeAlgo::kDiamond;
+  SplitAlgo split_algo = SplitAlgo::kFixed16;
   int me_range = 12;  // full-pel motion search range around the predictor
   // generalized-B (GPB) low-delay: inter pictures are B slices with both
   // reference lists pointing at the previous picture (bi-predictive merge

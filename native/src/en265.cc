@@ -155,10 +155,26 @@ de265_error en265_set_parameter_string(en265_encoder_context*, const char*,
 
 de265_error en265_set_parameter_choice(en265_encoder_context* ctx,
                                        const char* param, const char* value) {
-  // accepted for compatibility (e.g. "sop-structure" = "intra")
-  (void)ctx;
-  (void)param;
-  (void)value;
+  EncCtx* c = C(ctx);
+  std::string p = param ? param : "";
+  std::string v = value ? value : "";
+  using EC = EncoderConfig;
+  if (p == "intra-mode-algo" || p == "TB-IntraPredMode") {
+    if (v == "fast-brute") c->cfg.intra_algo = EC::IntraAlgo::kFastBrute;
+    else if (v == "brute-force") c->cfg.intra_algo = EC::IntraAlgo::kBrute;
+    else if (v == "min-residual") c->cfg.intra_algo = EC::IntraAlgo::kMinSad;
+    else return DE265_ERROR_PARAMETER_PARSING;
+  } else if (p == "me-algo" || p == "PB-MV-Search") {
+    if (v == "diamond") c->cfg.me_algo = EC::MeAlgo::kDiamond;
+    else if (v == "full") c->cfg.me_algo = EC::MeAlgo::kFull;
+    else if (v == "zero") c->cfg.me_algo = EC::MeAlgo::kZero;
+    else return DE265_ERROR_PARAMETER_PARSING;
+  } else if (p == "cb-split-algo" || p == "CB-Split") {
+    if (v == "fixed-16") c->cfg.split_algo = EC::SplitAlgo::kFixed16;
+    else if (v == "min-8") c->cfg.split_algo = EC::SplitAlgo::kMin8;
+    else return DE265_ERROR_PARAMETER_PARSING;
+  }
+  // unknown choice params accepted for compatibility (e.g. "sop-structure")
   return DE265_OK;
 }
 

@@ -878,10 +878,12 @@ void Encoder::encode_cq(int x0, int y0, int log2_size, int depth) {
   // policy: CUs are 16x16 (log2 4); larger blocks split, 8x8 only at forced
   // boundary splits.  P pictures: a large CU whose best merge candidate
   // leaves an all-zero quantized residual is coded as one big skip CU.
-  bool split = (log2_size > 4) || !inside;
+  const int target_log2 =
+      (cfg_.split_algo == EncoderConfig::SplitAlgo::kMin8) ? 3 : 4;
+  bool split = (log2_size > target_log2) || !inside;
   if (log2_size <= s.log2_min_cb_size) split = false;
   bool large_skip = false;
-  if (!cur_is_intra_pic_ && inside && log2_size > 4 &&
+  if (!cur_is_intra_pic_ && inside && log2_size > target_log2 &&
       try_large_skip(x0, y0, log2_size)) {
     split = false;
     large_skip = true;
@@ -925,23 +927,31 @@ void Encoder::encode_cq(int x0, int y0, int log2_size, int depth) {
 
 int Encoder::choose_luma_mode(int x0, int y0, int log2_size) {
   int n = 1 << log2_size;
-  int best_mode = 1, best_cost = INT32_MAX;
+  int best_mode = 1;
+  i64 best_cost = INT64_MAX;
   IntraRec rec;
   rec.x = (u16)x0;
   rec.y = (u16)y0;
   rec.log2_size = (u8)log2_size;
   rec.cidx = 0;
   double lam = rd_lambda();
-  for (int mode : cfg_.intra_candidates) {
-    rec.mode = (u8)mode;
+  const bool brute = cfg_.intra_algo == EncoderConfig::IntraAlgo::kBrute;
+  const bool min_sad = cfg_.intra_algo == EncoderConfig::IntraAlgo::kMinSad;
+  static const int kAll[35] = {0,  1,  2,  3,  4,  5,  6,  7,  8,  9,
+                               10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+                               20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+                               30, 31, 32, 33, 34};
+  const int* cand = brute ? kAll : cfg_.intra_candidates.data();
+  const int n_cand = brute ? 35 : (int)cfg_.intra_candidates.size();
+  for (int ci = 0; ci < n_cand; ci++) {
+    rec.mode = (u8)cand[ci];
     execute_intra_scalar(prog_, rec);
     // mode rate: MPM ~2 bins, otherwise 1+5 fixed bins (9.3.3.6)
-    i64 bits = 6;
-    i64 j = ssd_luma_rect(x0, y0, n, n) + (i64)(lam * bits);
-    i64 jc = min_i((i64)INT32_MAX, j);
-    if (jc < best_cost) {
-      best_cost = (int)jc;
-      best_mode = mode;
+    i64 j = min_sad ? sad_luma_rect(x0, y0, n, n)
+                    : ssd_luma_rect(x0, y0, n, n) + (i64)(lam * 6);
+    if (j < best_cost) {
+      best_cost = j;
+      best_mode = cand[ci];
     }
   }
   return best_mode;
@@ -1975,23 +1985,32 @@ Encoder::PuChoice Encoder::choose_pu(int cb_x0, int cb_y0, int log2_cb,
     int px = mvp_r[0].x >> 2, py = mvp_r[0].y >> 2;
     int sd0 = sad_fullpel(px, py);
     if (sd0 < rsad) { rsad = sd0; rbx = px; rby = py; }
-    for (int step = 8; step >= 1; step >>= 1) {
-      if (step > cfg_.me_range) continue;
-      bool improved = true;
-      while (improved) {
-        improved = false;
-        static const int dxs[8] = {-1, 1, 0, 0, -1, -1, 1, 1};
-        static const int dys[8] = {0, 0, -1, 1, -1, 1, -1, 1};
-        for (int d = 0; d < 8; d++) {
-          int nx = rbx + dxs[d] * step, ny = rby + dys[d] * step;
-          if (abs_i(nx) > cfg_.me_range + abs_i(mvp_r[0].x >> 2) ||
-              abs_i(ny) > cfg_.me_range + abs_i(mvp_r[0].y >> 2))
-            continue;
-          int sd = sad_fullpel(nx, ny);
-          if (sd < rsad) { rsad = sd; rbx = nx; rby = ny; improved = true; }
+    if (cfg_.me_algo == EncoderConfig::MeAlgo::kFull) {
+      // exhaustive full-pel scan of the +-me_range window at the predictor
+      for (int dy = -cfg_.me_range; dy <= cfg_.me_range; dy++)
+        for (int dx = -cfg_.me_range; dx <= cfg_.me_range; dx++) {
+          int sd = sad_fullpel(px + dx, py + dy);
+          if (sd < rsad) { rsad = sd; rbx = px + dx; rby = py + dy; }
+        }
+    } else if (cfg_.me_algo == EncoderConfig::MeAlgo::kDiamond) {
+      for (int step = 8; step >= 1; step >>= 1) {
+        if (step > cfg_.me_range) continue;
+        bool improved = true;
+        while (improved) {
+          improved = false;
+          static const int dxs[8] = {-1, 1, 0, 0, -1, -1, 1, 1};
+          static const int dys[8] = {0, 0, -1, 1, -1, 1, -1, 1};
+          for (int d = 0; d < 8; d++) {
+            int nx = rbx + dxs[d] * step, ny = rby + dys[d] * step;
+            if (abs_i(nx) > cfg_.me_range + abs_i(mvp_r[0].x >> 2) ||
+                abs_i(ny) > cfg_.me_range + abs_i(mvp_r[0].y >> 2))
+              continue;
+            int sd = sad_fullpel(nx, ny);
+            if (sd < rsad) { rsad = sd; rbx = nx; rby = ny; improved = true; }
+          }
         }
       }
-    }
+    }  // kZero: the predictor/zero candidates above, no search
     rsad += r * 8;  // ref_idx bit cost
     if (rsad < bsad) {
       bsad = rsad;

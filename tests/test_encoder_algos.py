@@ -1,0 +1,59 @@
+"""Encoder algorithm registry: every pluggable strategy combination must
+produce a conformant stream (validated against our decoder with SEI hash),
+and the brute-force intra search must not lose to the fast list."""
+import numpy as np
+import pytest
+
+from libde265_tpu import Decoder
+from libde265_tpu.encoder import Encoder
+
+
+def _src(W=128, H=96, t=0):
+    rng = np.random.default_rng(3 + t)
+    yy, xx = np.mgrid[0:H, 0:W]
+    y = ((xx * 5 + yy * 3 + 7 * t) % 210 + 16 +
+         rng.integers(0, 10, (H, W))).astype(np.uint8)
+    return y
+
+
+@pytest.mark.parametrize("intra_algo", ["fast-brute", "brute-force",
+                                        "min-residual"])
+@pytest.mark.parametrize("me", ["diamond", "full", "zero"])
+def test_algo_combinations(native_build, intra_algo, me):
+    enc = Encoder(qp=30, ctb_size=32)
+    enc.set_parameter("intra-period", 2)
+    enc.set_parameter("sei-hash", True)
+    enc.set_parameter("intra-mode-algo", intra_algo)
+    enc.set_parameter("me-algo", me)
+    data = b"".join(enc.encode(_src(t=t), pts=t) for t in range(3))
+    data += enc.finish()
+    dec = Decoder(check_hash=True)
+    assert len(list(dec.decode_all(data))) == 3
+
+
+def test_split_algo_min8(native_build):
+    enc = Encoder(qp=30, ctb_size=32)
+    enc.set_parameter("cb-split-algo", "min-8")
+    enc.set_parameter("sei-hash", True)
+    data = enc.encode(_src()) + enc.finish()
+    dec = Decoder(check_hash=True)
+    assert len(list(dec.decode_all(data))) == 1
+
+
+def test_brute_not_worse(native_build):
+    y = _src()
+
+    def psnr_bits(algo):
+        enc = Encoder(qp=32, ctb_size=32)
+        enc.set_parameter("intra-mode-algo", algo)
+        data = enc.encode(y) + enc.finish()
+        dec = Decoder()
+        pic = next(iter(dec.decode_all(data)))
+        d = pic.y.astype(np.float64) - y.astype(np.float64)
+        mse = (d * d).mean()
+        return len(data), 10 * np.log10(255 ** 2 / mse)
+
+    b_fast, p_fast = psnr_bits("fast-brute")
+    b_brute, p_brute = psnr_bits("brute-force")
+    # 35 candidates must not lose on BOTH axes to the 7-candidate list
+    assert p_brute >= p_fast - 0.01 or b_brute <= b_fast
