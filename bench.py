@@ -115,18 +115,22 @@ def bench_device_decode(stream_bytes, n_passes=5):
 
     # warm pass (compiles the one stream program) + upload-bytes probe
     sizes = []
-    orig = fdm._compiled
+    orig, orig_store = fdm._compiled, fdm._compiled_store
 
     def probe(refs_y, refs_cb, refs_cr, buf, sft, st, layout):
         sizes.append(buf.size * 4)
         return orig(refs_y, refs_cb, refs_cr, buf, sft, st, layout)
 
-    fdm._compiled = probe
+    def probe_store(refs_y, refs_cb, refs_cr, buf, sft, st, layout):
+        sizes.append(buf.size * 4)
+        return orig_store(refs_y, refs_cb, refs_cr, buf, sft, st, layout)
+
+    fdm._compiled, fdm._compiled_store = probe, probe_store
     try:
         outs = [fd.decode(p) for p in progs]
         float(csum(outs[-1]))
     finally:
-        fdm._compiled = orig
+        fdm._compiled, fdm._compiled_store = orig, orig_store
     upload_mb = sorted(sizes)[len(sizes) // 2] / 1e6 if sizes else 0.0
 
     dev_dts = []

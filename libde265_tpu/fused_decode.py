@@ -746,7 +746,7 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, st):
             wg[f"co{l}{c}"] = recs[sl, 144 + (l * 16 + r) * 2 + c]
 
     # ---- inter prediction over the cell grid ----
-    if st["has_inter"]:
+    if st["has_inter"] and st.get("run_mc", True):
         y, cbp, crp = _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st,
                                   pb_h, pb_w, feed)
         m = jnp.repeat(jnp.repeat(covered.reshape(pb_h, pb_w), 4, 0),
@@ -766,7 +766,7 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, st):
 
     # ---- residual bins (sparse->dense scatter + dequant + IDCT) ----
     bin_res = {}
-    for lg in st["lgs"]:
+    for lg in st["lgs"] if st.get("run_residual", True) else ():
         s = 1 << lg
         bf = feed[f"bin{lg}"]
         crow = bf["crow"]
@@ -789,7 +789,12 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, st):
         bin_res[lg] = jnp.where(bypass[:, None, None], levels, res)
 
     # ---- inter residual scatter-add + clip ----
-    if st["pallas_mc"]:
+    if not st.get("run_residual", True):
+        for lg in st["lgs"]:
+            s_ = 1 << lg
+            bin_res[lg] = jnp.zeros((feed[f"bin{lg}"]["qp"].shape[0], s_, s_),
+                                    jnp.int32)
+    elif st["pallas_mc"]:
         # segment kernel: band stripes per (bin, channel), dense add
         pb_h2 = (H + 3) // 4
         interp_r = jax.default_backend() not in ("tpu", "axon")
@@ -859,6 +864,23 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, st):
         planes = _deblock_section(planes, feed, recs, cell, skip4, st)
     if st["run_sao"]:
         planes = _sao_section(planes, feed, recs, skip4, st)
+    if st.get("fuse_store"):
+        # write the decoded planes into their (donated) DPB ring slots
+        # inside the same program: zero extra dispatches per frame
+        refs = [refs_y, refs_cb, refs_cr]
+        outs = []
+        for c in range(len(planes)):
+            hp = refs[c].shape[0] // (2 * MAX_REFS + 1)
+            wp = refs[c].shape[1]
+            h, w = planes[c].shape
+            padded = jnp.pad(planes[c],
+                             ((mcp.PADT, hp - h - mcp.PADT),
+                              (mcp.PADL, wp - w - mcp.PADL)), mode="edge")
+            outs.append(lax.dynamic_update_slice(
+                refs[c], padded, (feed["slot_row"][c], 0)))
+        while len(outs) < 3:
+            outs.append(refs[len(outs)])
+        return tuple(planes) + tuple(outs)
     return tuple(planes)
 
 
@@ -973,10 +995,24 @@ def _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st, pb_h, pb_w,
     return y_plane, cb_plane, cr_plane
 
 
+@functools.partial(jax.jit, static_argnames=("st", "layout"),
+                   donate_argnums=(0, 1, 2))
+def _compiled_store(refs_y, refs_cb, refs_cr, buf, sf_tables, st, layout):
+    """Donating variant: the DPB ring buffers alias through the program
+    (st must carry fuse_store=True; feed carries the per-plane slot rows)."""
+    return _compiled_impl(refs_y, refs_cb, refs_cr, buf, sf_tables, st,
+                          layout)
+
+
 @functools.partial(jax.jit, static_argnames=("st", "layout"))
 def _compiled(refs_y, refs_cb, refs_cr, buf, sf_tables, st, layout):
     """st: tuple of sorted (name, value) pairs — the static config.
     layout: tuple of (dotted-name, offset, shape) into the packed buffer."""
+    return _compiled_impl(refs_y, refs_cb, refs_cr, buf, sf_tables, st,
+                          layout)
+
+
+def _compiled_impl(refs_y, refs_cb, refs_cr, buf, sf_tables, st, layout):
     feed = {}
     for (k, off, shp) in layout:
         n = int(np.prod(shp))
@@ -1005,6 +1041,16 @@ class FusedDecoder:
     def __init__(self, run_deblock=True, run_sao=True):
         self.run_deblock = run_deblock
         self.run_sao = run_sao
+        # stage attribution for profiling: TDE_FUSED_SKIP=intra,mc,residual,
+        # deblock,sao compiles a program with those sections elided
+        import os
+        skip = set(filter(None, os.environ.get(
+            "TDE_FUSED_SKIP", "").split(",")))
+        self._skip = skip
+        if "deblock" in skip:
+            self.run_deblock = False
+        if "sao" in skip:
+            self.run_sao = False
         self.dpb = {}
         self._order = []
         self.caps = {"pu": 1, "slices": 1, "steps": 0, "nintra": 0}
@@ -1176,6 +1222,11 @@ class FusedDecoder:
                     planes = [jnp.asarray(p.astype(np.int32))
                               for p in prog.ref_planes[i] if p is not None]
                     self._store_stack(poc, planes, prog)
+                if poc in self._slot_of:
+                    # LRU-touch: an active reference must not be evicted by
+                    # the current picture's slot allocation
+                    self._slot_lru.remove(poc)
+                    self._slot_lru.append(poc)
                 slot_map[i] = self._slot_of.get(poc,
                                                 2 * MAX_REFS)  # gray
             return self._stack, slot_map
@@ -1407,6 +1458,14 @@ class FusedDecoder:
             host["sao_band"] = np.zeros((*sh, 3), np.int32)
             host["sao_off"] = np.zeros((*sh, 3, 4), np.int32)
 
+        # --- fused DPB store: allocate this picture's ring slot now and
+        # ship the per-plane row offsets; the program writes the slot ---
+        if self.use_pallas_mc:
+            slot = self._alloc_slot(prog.poc)
+            dims = self._stack_dims
+            host["slot_row"] = np.array(
+                [slot * dims[c][0] for c in range(3)], np.int32)
+
         # --- pack: ONE host->device upload per frame ---
         host.update(seg_host)
         layout = []
@@ -1459,9 +1518,20 @@ class FusedDecoder:
             "pallas_mc": bool(self.use_pallas_mc),
             "segk": self.caps["segk"] or 1,
             "steps_cap": self.caps["steps"] or 1,
-            "intra_bins": tuple(sorted(self._intra_lgs)),
+            "intra_bins": () if "intra" in self._skip
+            else tuple(sorted(self._intra_lgs)),
+            "run_mc": "mc" not in self._skip,
+            "run_residual": "residual" not in self._skip,
+            "fuse_store": bool(self.use_pallas_mc),
         }.items()))
 
+        if self.use_pallas_mc:
+            out_all = _compiled_store(refs[0], refs[1], refs[2],
+                                      jnp.asarray(buf), sft, st, layout)
+            n_pl = 3 if has_chroma else 1
+            out = tuple(out_all[:n_pl])
+            self._stack = list(out_all[n_pl:])
+            return out
         out = _compiled(refs[0], refs[1], refs[2], jnp.asarray(buf), sft, st,
                         layout)
         self._store(prog.poc, out, prog)
