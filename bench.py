@@ -194,7 +194,7 @@ def _encode_stream(build, w, h, frames, tag, qp=32):
         return out
     _synth_yuv(yuv, w, h, frames)
     r = subprocess.run([str(build / "tenc265"), "-w", str(w), "-h", str(h),
-                       "-q", str(qp), "-o", out, yuv],
+                       "-q", str(qp), "-g", "6", "-o", out, yuv],
                        capture_output=True, timeout=600)
     try:
         Path(yuv).unlink()

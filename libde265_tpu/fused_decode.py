@@ -148,15 +148,12 @@ AVAIL_WORDS = 5  # ceil((4*32+1)/32) for the largest block size
 
 
 def _avail_words(av: np.ndarray) -> np.ndarray:
-    """Pack a [n, nb] bool availability matrix into [n, AVAIL_WORDS] int32."""
+    """Pack a [n, nb] bool availability matrix into [n, AVAIL_WORDS] int32
+    (little-endian bit order, bit k of word k>>5 = sample k)."""
     n, nb = av.shape
-    words = np.zeros((n, AVAIL_WORDS), np.uint32)
-    for w in range((nb + 31) // 32):
-        chunk = av[:, w * 32:(w + 1) * 32]
-        sh = np.arange(chunk.shape[1], dtype=np.uint64)
-        words[:, w] = (chunk.astype(np.uint64) << sh).sum(
-            axis=1, dtype=np.uint64).astype(np.uint32)
-    return words.view(np.int32)
+    padded = np.zeros((n, AVAIL_WORDS * 32), bool)
+    padded[:, :nb] = av
+    return np.packbits(padded, axis=1, bitorder="little").view(np.int32)
 
 
 def _intra_records_native(prog: FrameProgramData):

@@ -221,19 +221,32 @@ bool SliceParser::residual_coding(int x0, int y0, int log2_size, int cidx) {
     bool skip_ctx = sps_->transform_skip_context_enabled &&
                     (cu_transquant_bypass_ || tskip);
 
-    // per-sub-block significance context: an inner-position LUT (indexed by
-    // prev_csbf) plus a constant base offset — avoids recomputing the full
-    // sig_ctx_inc branch tree for every coefficient
+    // per-sub-block significance context: a static inner-position pattern
+    // (function of prev_csbf and the 4x4 position only) plus a constant
+    // base offset per sub-block — no per-coefficient branch tree
     i16 ctx_lut[16];
-    if (!skip_ctx) {
-      for (int n = 15; n >= 0; n--) {
-        int xc = (sx << 2) + scan_pos[n].x;
-        int yc = (sy << 2) + scan_pos[n].y;
-        ctx_lut[n] = (i16)sig_ctx_inc(log2_size, cidx, xc, yc, prev_csbf,
-                                      scan_idx);
-      }
-    } else {
+    if (skip_ctx) {
       for (int n = 0; n < 16; n++) ctx_lut[n] = (i16)(cidx == 0 ? 42 : 43);
+    } else if (log2_size == 2) {
+      for (int n = 0; n < 16; n++)
+        ctx_lut[n] = (i16)((cidx ? 27 : 0) +
+                           kSigCtx4x4[(scan_pos[n].y << 2) + scan_pos[n].x]);
+    } else {
+      // kSigInner[prev_csbf][4*yp+xp] (spec 9.3.4.2.5 position patterns)
+      static const i8 kSigInner[4][16] = {
+          {2, 1, 1, 0, 1, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0},
+          {2, 2, 2, 2, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0},
+          {2, 1, 0, 0, 2, 1, 0, 0, 2, 1, 0, 0, 2, 1, 0, 0},
+          {2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2}};
+      int base = cidx == 0
+                     ? (((sx | sy) ? 3 : 0) +
+                        (log2_size == 3 ? (scan_idx == 0 ? 9 : 15) : 21))
+                     : (27 + (log2_size == 3 ? 9 : 12));
+      const i8* inner = kSigInner[prev_csbf];
+      for (int n = 0; n < 16; n++)
+        ctx_lut[n] = (i16)(base +
+                           inner[(scan_pos[n].y << 2) + scan_pos[n].x]);
+      if ((sx | sy) == 0) ctx_lut[0] = (i16)(cidx == 0 ? 0 : 27);
     }
 
     for (int n = first_coded; n > 0; n--) {
@@ -309,11 +322,14 @@ bool SliceParser::residual_coding(int x0, int y0, int log2_size, int cidx) {
     } else {
       sign_hidden = (coeff_pos_[0] - coeff_pos_[n_coeffs - 1] > 3);
     }
-    for (int n = 0; n < n_coeffs - 1; n++) sign_arr[n] = (i8)cabac_.decode_bypass();
-    if (!pps_->sign_data_hiding || !sign_hidden)
-      sign_arr[n_coeffs - 1] = (i8)cabac_.decode_bypass();
-    else
-      sign_arr[n_coeffs - 1] = 0;
+    {
+      int n_signs = (pps_->sign_data_hiding && sign_hidden) ? n_coeffs - 1
+                                                            : n_coeffs;
+      u32 bits = n_signs ? cabac_.decode_bypass_bits(n_signs) : 0;
+      for (int n = 0; n < n_signs; n++)
+        sign_arr[n] = (i8)((bits >> (n_signs - 1 - n)) & 1);
+      if (n_signs < n_coeffs) sign_arr[n_coeffs - 1] = 0;
+    }
 
     // --- remaining levels ---
     int rice = 0;

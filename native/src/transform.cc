@@ -267,6 +267,96 @@ static inline void idct8_avx2(i32* dst, const i16* coeffs, int bd_shift) {
   for (int y = 0; y < 8; y++)
     _mm256_storeu_si256((__m256i*)(dst + 8 * y), o[y]);
 }
+
+// ---- 16x16 / 32x32: the partial butterfly runs on vectors of 8 adjacent
+// columns (32-bit lanes).  Keeps the scalar path's transposed intermediate
+// layout via one 8x8 in-register transpose per output block, and honors
+// the same row_lim/col_lim high-frequency truncation. ----
+template <int N>
+static inline void idct_1d_cols8(__m256i* dst, const __m256i* src, int lim) {
+  if constexpr (N == 4) {
+    const __m256i c64 = _mm256_set1_epi32(64);
+    const __m256i c83 = _mm256_set1_epi32(83);
+    const __m256i c36 = _mm256_set1_epi32(36);
+    __m256i e0 = _mm256_mullo_epi32(c64, _mm256_add_epi32(src[0], src[2]));
+    __m256i e1 = _mm256_mullo_epi32(c64, _mm256_sub_epi32(src[0], src[2]));
+    __m256i o0 = _mm256_add_epi32(_mm256_mullo_epi32(c83, src[1]),
+                                  _mm256_mullo_epi32(c36, src[3]));
+    __m256i o1 = _mm256_sub_epi32(_mm256_mullo_epi32(c36, src[1]),
+                                  _mm256_mullo_epi32(c83, src[3]));
+    dst[0] = _mm256_add_epi32(e0, o0);
+    dst[1] = _mm256_add_epi32(e1, o1);
+    dst[2] = _mm256_sub_epi32(e1, o1);
+    dst[3] = _mm256_sub_epi32(e0, o0);
+  } else {
+    constexpr int H = N / 2;
+    constexpr int fact = 32 / N;
+    const int hl = min_i(H, (lim + 1) >> 1);
+    __m256i ev[H], E[H];
+    for (int k = 0; k < H; k++) ev[k] = src[2 * k];
+    idct_1d_cols8<H>(E, ev, hl);
+    for (int i = 0; i < H; i++) {
+      __m256i sum = _mm256_setzero_si256();
+      for (int k = 0; k < hl; k++)
+        sum = _mm256_add_epi32(
+            sum, _mm256_mullo_epi32(
+                     _mm256_set1_epi32(kDctMatrix[fact * (2 * k + 1)][i]),
+                     src[2 * k + 1]));
+      dst[i] = _mm256_add_epi32(E[i], sum);
+      dst[N - 1 - i] = _mm256_sub_epi32(E[i], sum);
+    }
+  }
+}
+
+template <int N>
+static void idct_2d_cols8(i32* dst, const i16* coeffs, int bd_shift,
+                          int row_lim, int col_lim) {
+  const __m256i rnd1 = _mm256_set1_epi32(64);
+  const __m256i rnd2 = _mm256_set1_epi32(1 << (bd_shift - 1));
+  const __m256i lo = _mm256_set1_epi32(-32768);
+  const __m256i hi = _mm256_set1_epi32(32767);
+  const __m256i zero = _mm256_setzero_si256();
+  alignas(32) i32 g[N * N];  // transposed intermediate, as in the scalar path
+
+  for (int c0 = 0; c0 < N; c0 += 8) {
+    __m256i src[N], raw[N];
+    for (int j = 0; j < row_lim; j++)
+      src[j] = _mm256_cvtepi16_epi32(
+          _mm_loadu_si128((const __m128i*)(coeffs + (size_t)j * N + c0)));
+    for (int j = row_lim; j < N; j++) src[j] = zero;
+    idct_1d_cols8<N>(raw, src, row_lim);
+    for (int i = 0; i < N; i++) {
+      raw[i] = _mm256_srai_epi32(_mm256_add_epi32(raw[i], rnd1), 7);
+      raw[i] = _mm256_min_epi32(_mm256_max_epi32(raw[i], lo), hi);
+    }
+    for (int ib = 0; ib < N; ib += 8) {
+      __m256i blk[8];
+      for (int r = 0; r < 8; r++) blk[r] = raw[ib + r];
+      transpose8_avx2(blk);  // lane = output index; row = column c0+k
+      for (int k = 0; k < 8; k++)
+        _mm256_storeu_si256((__m256i*)(g + (size_t)(c0 + k) * N + ib),
+                            blk[k]);
+    }
+  }
+  for (int y0 = 0; y0 < N; y0 += 8) {
+    __m256i src[N], raw[N];
+    for (int j = 0; j < col_lim; j++)
+      src[j] = _mm256_loadu_si256(
+          (const __m256i*)(g + (size_t)j * N + y0));
+    for (int j = col_lim; j < N; j++) src[j] = zero;
+    idct_1d_cols8<N>(raw, src, col_lim);
+    for (int i = 0; i < N; i++)
+      raw[i] = _mm256_srai_epi32(_mm256_add_epi32(raw[i], rnd2), bd_shift);
+    for (int ib = 0; ib < N; ib += 8) {
+      __m256i blk[8];
+      for (int r = 0; r < 8; r++) blk[r] = raw[ib + r];
+      transpose8_avx2(blk);  // lane = output index; row = y0+k
+      for (int k = 0; k < 8; k++)
+        _mm256_storeu_si256((__m256i*)(dst + (size_t)(y0 + k) * N + ib),
+                            blk[k]);
+    }
+  }
+}
 #endif  // __AVX2__
 
 template <int N>
@@ -354,8 +444,20 @@ void idct_2d_ext(i32* dst, const i16* coeffs, int nT, int bd_shift,
       idct_2d_t<8>(dst, coeffs, bd_shift, row_lim, col_lim);
       break;
 #endif
-    case 16: idct_2d_t<16>(dst, coeffs, bd_shift, row_lim, col_lim); break;
-    default: idct_2d_t<32>(dst, coeffs, bd_shift, row_lim, col_lim); break;
+    case 16:
+#if defined(__AVX2__)
+      idct_2d_cols8<16>(dst, coeffs, bd_shift, row_lim, col_lim);
+#else
+      idct_2d_t<16>(dst, coeffs, bd_shift, row_lim, col_lim);
+#endif
+      break;
+    default:
+#if defined(__AVX2__)
+      idct_2d_cols8<32>(dst, coeffs, bd_shift, row_lim, col_lim);
+#else
+      idct_2d_t<32>(dst, coeffs, bd_shift, row_lim, col_lim);
+#endif
+      break;
   }
 }
 
