@@ -196,10 +196,23 @@ class CabacDecoder {
   }
   inline u32 read_bits(int n) {
     if (ncache_ < n) {
-      while (ncache_ <= 56) {
-        u64 b = (p_ < end_) ? *p_++ : 0;  // feed zeros past the end
-        cache_ |= b << (56 - ncache_);
-        ncache_ += 8;
+      if (end_ - p_ >= 8) {
+        // bulk refill: one 64-bit byte-swapped load tops the cache up with
+        // every whole byte that fits (vs the byte-at-a-time tail loop)
+        u64 b;
+        memcpy(&b, p_, 8);
+        b = __builtin_bswap64(b);
+        int k = (63 - ncache_) >> 3;  // bytes inserted
+        b &= ~0ull << (64 - 8 * k);
+        cache_ |= b >> ncache_;
+        ncache_ += 8 * k;
+        p_ += k;
+      } else {
+        while (ncache_ <= 56) {
+          u64 b = (p_ < end_) ? *p_++ : 0;  // feed zeros past the end
+          cache_ |= b << (56 - ncache_);
+          ncache_ += 8;
+        }
       }
     }
     u32 v = (u32)(cache_ >> (64 - n));
