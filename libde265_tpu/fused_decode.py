@@ -366,7 +366,9 @@ def _scatter_intra_bins(irec, intra_bins, scap: int):
             irec[:, 5], mode="drop")
         aw = jnp.zeros((scap, K, AVAIL_WORDS), jnp.int32).at[step, slot].set(
             irec[:, 10:10 + AVAIL_WORDS], mode="drop")
-        out.setdefault(c, {})[lg] = {"meta": meta, "rrow": rrow, "aw": aw}
+        depth = jnp.max(jnp.where(sel, irec[:, 6] + 1, 0))
+        out.setdefault(c, {})[lg] = {"meta": meta, "rrow": rrow, "aw": aw,
+                                     "depth": depth}
     return out
 
 
@@ -393,15 +395,25 @@ def _intra_scan_all(planes, bins_by_plane, bin_res, st, nsteps):
             bd = st["bd"] if c == 0 else st["bdc"]
             for lg in sorted(bins_by_plane[c]):
                 v = bins_by_plane[c][lg]
-                meta = lax.dynamic_index_in_dim(v["meta"], i, 0,
-                                                keepdims=False)
-                rrow = lax.dynamic_index_in_dim(v["rrow"], i, 0,
-                                                keepdims=False)
-                aw = lax.dynamic_index_in_dim(v["aw"], i, 0, keepdims=False)
-                resid = jnp.where((rrow >= 0)[:, None, None],
-                                  bin_res[lg][jnp.clip(rrow, 0)], 0)
-                pls[c] = _wave_body(pls[c], meta, aw, resid, *tables[lg],
-                                    s=1 << lg, bit_depth=bd)
+
+                def run(pl, v=v, lg=lg, bd=bd):
+                    meta = lax.dynamic_index_in_dim(v["meta"], i, 0,
+                                                    keepdims=False)
+                    rrow = lax.dynamic_index_in_dim(v["rrow"], i, 0,
+                                                    keepdims=False)
+                    aw = lax.dynamic_index_in_dim(v["aw"], i, 0,
+                                                  keepdims=False)
+                    resid = jnp.where((rrow >= 0)[:, None, None],
+                                      bin_res[lg][jnp.clip(rrow, 0)], 0)
+                    return _wave_body(pl, meta, aw, resid, *tables[lg],
+                                      s=1 << lg, bit_depth=bd)
+
+                # per-bin depth gate: a step beyond this bin's plan depth
+                # for THIS frame is a no-op — at ~3ms/step of small-op
+                # overhead, skipping the 11 inactive bins of a typical
+                # P-frame step is the difference between 3ms and ~0.5ms
+                pls[c] = lax.cond(i < v["depth"], run, lambda pl: pl,
+                                  pls[c])
         return tuple(pls)
 
     return list(lax.fori_loop(0, total, step_at, tuple(planes)))
@@ -522,33 +534,53 @@ def _sao_section(planes, feed, recs, skip4, st):
     ctb = st["ctb_size"]
     sidx = jnp.clip(feed["slice_idx"], 0, st["n_slices"] - 1)
     sao_on = [recs[sidx, 4] != 0, recs[sidx, 5] != 0]
-    out = []
-    for c in range(len(planes)):
-        Hc = H if c == 0 else st["ch"]
-        Wc = W if c == 0 else st["cw"]
-        cs_y = ctb if c == 0 else ctb // sub_y
-        cs_x = ctb if c == 0 else ctb // sub_x
-        bd = st["bd"] if c == 0 else st["bdc"]
+    from .ops.sao import sao_plane
 
-        def up(a, r_y, r_x, Hc=Hc, Wc=Wc):
-            return jnp.repeat(jnp.repeat(a, r_y, 0), r_x, 1)[:Hc, :Wc]
-
-        on = sao_on[0 if c == 0 else 1].astype(jnp.int32)
-        tmap = up(feed["sao_t"][:, :, c] * on, cs_y, cs_x)
-        emap = up(feed["sao_eo"][:, :, c], cs_y, cs_x)
-        bmap = up(feed["sao_band"][:, :, c], cs_y, cs_x)
-        omap = jnp.repeat(jnp.repeat(feed["sao_off"][:, :, c], cs_y, 0),
-                          cs_x, 1)[:Hc, :Wc]
-        skip = up(skip4.astype(bool), 4 // (sub_y if c else 1),
-                  4 // (sub_x if c else 1))
+    def one_plane(plane, tmap, emap, bmap, omap, skip, cs, bd):
         if st["multi_boundary"]:
-            eok = _edge_ok_jnp(emap, feed, recs, sidx, (cs_y, cs_x), Hc, Wc,
-                               st)
+            eok = _edge_ok_jnp(emap, feed, recs, sidx, cs,
+                               plane.shape[0], plane.shape[1], st)
         else:
             eok = None
-        from .ops.sao import sao_plane
-        out.append(sao_plane(planes[c], tmap, emap, bmap, omap, skip,
-                             bit_depth=bd, edge_ok=eok))
+        return sao_plane(plane, tmap, emap, bmap, omap, skip,
+                         bit_depth=bd, edge_ok=eok)
+
+    def maps(c, on, cs_y, cs_x, Hc, Wc):
+        def up(a):
+            return jnp.repeat(jnp.repeat(a, cs_y, 0), cs_x, 1)[:Hc, :Wc]
+        return (up(feed["sao_t"][:, :, c] * on), up(feed["sao_eo"][:, :, c]),
+                up(feed["sao_band"][:, :, c]),
+                jnp.repeat(jnp.repeat(feed["sao_off"][:, :, c], cs_y, 0),
+                           cs_x, 1)[:Hc, :Wc])
+
+    on_l = sao_on[0].astype(jnp.int32)
+    t0, e0, b0, o0 = maps(0, on_l, ctb, ctb, H, W)
+    skip_l = jnp.repeat(jnp.repeat(skip4.astype(bool), 4, 0), 4, 1)[:H, :W]
+    out = [one_plane(planes[0], t0, e0, b0, o0, skip_l, (ctb, ctb),
+                     st["bd"])]
+    if len(planes) > 1:
+        # cb and cr as ONE vmapped pass (identical geometry; only the
+        # parameter maps differ) — halves the chroma SAO op count
+        Hc, Wc = st["ch"], st["cw"]
+        cs_y, cs_x = ctb // sub_y, ctb // sub_x
+        on_c = sao_on[1].astype(jnp.int32)
+        mc = [maps(c, on_c, cs_y, cs_x, Hc, Wc) for c in (1, 2)]
+        tm, em, bm, om = (jnp.stack([a[i] for a in mc]) for i in range(4))
+        skip_c = jnp.repeat(jnp.repeat(skip4.astype(bool), 4 // sub_y, 0),
+                            4 // sub_x, 1)[:Hc, :Wc]
+        if st["multi_boundary"]:
+            # edge validity depends on the class map, which differs per
+            # channel: vmapped alongside
+            eok = jax.vmap(lambda e: _edge_ok_jnp(
+                e, feed, recs, sidx, (cs_y, cs_x), Hc, Wc, st))(em)
+            res = jax.vmap(lambda p, t, e, b, o, ek: sao_plane(
+                p, t, e, b, o, skip_c, bit_depth=st["bdc"], edge_ok=ek))(
+                jnp.stack(planes[1:]), tm, em, bm, om, eok)
+        else:
+            res = jax.vmap(lambda p, t, e, b, o: sao_plane(
+                p, t, e, b, o, skip_c, bit_depth=st["bdc"]))(
+                jnp.stack(planes[1:]), tm, em, bm, om)
+        out += [res[0], res[1]]
     return out
 
 
@@ -650,22 +682,24 @@ def _deblock_section(planes, feed, recs, cell, skip4, st):
         cqo = [_pad_edge0_cols(c, Ev) for c in pv["cqo"]]
         tco = _pad_edge0_cols(jnp.broadcast_to(pv["tco"], pv["bs"].shape), Ev)
         Ec = (W // sub_x) // 8
-        outc = []
-        for ci, plane in enumerate((cb, cr)):
-            qpi = params_v["qp_l"][:, segs] + cqo[ci][:, segs]
-            qpc = _chroma_qp_map(qpi, is420)
-            tc_c = jnp.asarray(dbk.TC_TABLE)[
-                jnp.clip(qpc + 2 + tco[:, segs], 0, 53)] << (bdc - 8)
-            tc_c = jnp.where(params_v["bs"][:, segs] == 2, tc_c, 0)
-            Hc = H // sub_y
-            padc = jnp.zeros((Hc, W // sub_x + 8), jnp.int32)
-            padc = padc.at[:, 2:2 + W // sub_x].set(plane)
-            out = dbk._chroma_pass(padc, tc_c[:, :Ec],
-                                   params_v["no_p"][:, segs][:, :Ec],
-                                   params_v["no_q"][:, segs][:, :Ec],
-                                   bit_depth=bdc, rows_per_seg=4 // sub_y)
-            outc.append(out[:, 2:2 + W // sub_x])
-        cb, cr = outc
+        # cb and cr run as ONE vmapped pass (same params except the QP
+        # offset); halves the chroma filter's op count
+        qpi = (params_v["qp_l"][:, segs][None] +
+               jnp.stack([c[:, segs] for c in cqo]))
+        qpc = _chroma_qp_map(qpi, is420)
+        tc_c = jnp.asarray(dbk.TC_TABLE)[
+            jnp.clip(qpc + 2 + tco[None, :, segs], 0, 53)] << (bdc - 8)
+        tc_c = jnp.where(params_v["bs"][None, :, segs] == 2, tc_c, 0)
+        Hc = H // sub_y
+        padc = jnp.zeros((2, Hc, W // sub_x + 8), jnp.int32)
+        padc = padc.at[:, :, 2:2 + W // sub_x].set(jnp.stack([cb, cr]))
+        outc = jax.vmap(
+            lambda p, t: dbk._chroma_pass(
+                p, t, params_v["no_p"][:, segs][:, :Ec],
+                params_v["no_q"][:, segs][:, :Ec],
+                bit_depth=bdc, rows_per_seg=4 // sub_y))(
+            padc, tc_c[:, :, :Ec])
+        cb, cr = outc[0, :, 2:2 + W // sub_x], outc[1, :, 2:2 + W // sub_x]
 
     ph = _edge_params_jnp(meta, vertical=False)
 
@@ -685,22 +719,24 @@ def _deblock_section(planes, feed, recs, cell, skip4, st):
                  for c in ph["cqo"]]
         tco_h = _pad0_rows(jnp.broadcast_to(ph["tco"], ph["bs"].shape)).T
         Ech = (H // sub_y) // 8
-        outc = []
-        for ci, plane in enumerate((cb, cr)):
-            qpi = ph_t["qp_l"][:, segs_h] + cqo_h[ci][:, segs_h]
-            qpc = _chroma_qp_map(qpi, is420)
-            tc_c = jnp.asarray(dbk.TC_TABLE)[
-                jnp.clip(qpc + 2 + tco_h[:, segs_h], 0, 53)] << (bdc - 8)
-            tc_c = jnp.where(ph_t["bs"][:, segs_h] == 2, tc_c, 0)
-            Wc = W // sub_x
-            padc = jnp.zeros((Wc, H // sub_y + 8), jnp.int32)
-            padc = padc.at[:, 2:2 + H // sub_y].set(plane.T)
-            out = dbk._chroma_pass(padc, tc_c[:, :Ech],
-                                   ph_t["no_p"][:, segs_h][:, :Ech],
-                                   ph_t["no_q"][:, segs_h][:, :Ech],
-                                   bit_depth=bdc, rows_per_seg=4 // sub_x)
-            outc.append(out[:, 2:2 + H // sub_y].T)
-        cb, cr = outc
+        qpi = (ph_t["qp_l"][:, segs_h][None] +
+               jnp.stack([c[:, segs_h] for c in cqo_h]))
+        qpc = _chroma_qp_map(qpi, is420)
+        tc_c = jnp.asarray(dbk.TC_TABLE)[
+            jnp.clip(qpc + 2 + tco_h[None, :, segs_h], 0, 53)] << (bdc - 8)
+        tc_c = jnp.where(ph_t["bs"][None, :, segs_h] == 2, tc_c, 0)
+        Wc = W // sub_x
+        padc = jnp.zeros((2, Wc, H // sub_y + 8), jnp.int32)
+        padc = padc.at[:, :, 2:2 + H // sub_y].set(
+            jnp.stack([cb.T, cr.T]))
+        outc = jax.vmap(
+            lambda p, t: dbk._chroma_pass(
+                p, t, ph_t["no_p"][:, segs_h][:, :Ech],
+                ph_t["no_q"][:, segs_h][:, :Ech],
+                bit_depth=bdc, rows_per_seg=4 // sub_x))(
+            padc, tc_c[:, :, :Ech])
+        cb = outc[0, :, 2:2 + H // sub_y].T
+        cr = outc[1, :, 2:2 + H // sub_y].T
 
     return [y, cb, cr] if has_chroma else [y]
 
@@ -744,17 +780,32 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, st):
 
     # ---- inter prediction over the cell grid ----
     if st["has_inter"] and st.get("run_mc", True):
-        y, cbp, crp = _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st,
-                                  pb_h, pb_w, feed)
-        m = jnp.repeat(jnp.repeat(covered.reshape(pb_h, pb_w), 4, 0),
-                       4, 1)[:H, :W]
-        y = jnp.where(m, y, 0)
-        if has_chroma:
-            mc_ = jnp.repeat(jnp.repeat(covered.reshape(pb_h, pb_w),
-                                        4 // sub_y, 0),
-                             4 // sub_x, 1)[:H // sub_y, :W // sub_x]
-            cbp = jnp.where(mc_, cbp, 0)
-            crp = jnp.where(mc_, crp, 0)
+        def mc_branch(_):
+            y, cbp, crp = _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st,
+                                      pb_h, pb_w, feed)
+            m = jnp.repeat(jnp.repeat(covered.reshape(pb_h, pb_w), 4, 0),
+                           4, 1)[:H, :W]
+            y = jnp.where(m, y, 0)
+            if has_chroma:
+                mc_ = jnp.repeat(jnp.repeat(covered.reshape(pb_h, pb_w),
+                                            4 // sub_y, 0),
+                                 4 // sub_x, 1)[:H // sub_y, :W // sub_x]
+                cbp = jnp.where(mc_, cbp, 0)
+                crp = jnp.where(mc_, crp, 0)
+                return (y, cbp, crp)
+            return (y, y[:1, :1], y[:1, :1])
+
+        def mc_zero(_):
+            z = jnp.zeros((H, W), jnp.int32)
+            if has_chroma:
+                zc = jnp.zeros((H // sub_y, W // sub_x), jnp.int32)
+                return (z, zc, zc)
+            return (z, z[:1, :1], z[:1, :1])
+
+        # dynamic per-frame gate: intra pictures carry no PUs, so the whole
+        # MC section (gathers + Pallas stripes) is skipped at runtime
+        y, cbp, crp = lax.cond(feed["mc_on"][0] != 0, mc_branch, mc_zero,
+                               0)
         planes = [y, cbp, crp] if has_chroma else [y]
     else:
         planes = [jnp.zeros((H, W), jnp.int32)]
@@ -1432,6 +1483,7 @@ class FusedDecoder:
             host["ref_pocs"] = np.array(
                 [prog.ref_pocs[i] if i < len(prog.ref_pocs) else NOREF
                  for i in range(MAX_REFS)], np.int32)
+        host["mc_on"] = np.array([1 if len(prog.pus) else 0], np.int32)
         host["qp4"] = prog.qp_y.astype(np.int32)
         host["nzc4"] = prog.nonzero_coeff.astype(np.int32)
         host["dbf4"] = prog.deblock_flags.astype(np.int32)

@@ -512,6 +512,8 @@ class ShardedTileDecoder:
             recs, (T, *recs.shape)))
         feed["nsteps"] = jnp.asarray(np.broadcast_to(
             nsteps_pc.astype(np.int32), (T, 3)))
+        feed["mc_on"] = jnp.asarray(np.broadcast_to(np.array(
+            [1 if len(prog.pus) else 0], np.int32), (T, 1)))
 
         st = tuple(sorted({
             "H": th, "W": tw, "sub_x": sub_x, "sub_y": sub_y,
