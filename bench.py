@@ -232,6 +232,8 @@ def main():
     # --- TPU end-to-end on girlshy ---
     value, unit, metric, vs = None, "fps", "tpu_e2e_decode_fps_girlshy", None
     try:
+        if _left() < 240:
+            raise TimeoutError("budget too small for the device phase")
         r = bench_device_decode(open(girl, "rb").read())
         if r:
             extras["tpu_parse_fps"] = round(r["parse_fps"], 1)
