@@ -146,6 +146,28 @@ def bench_device_decode(stream_bytes, n_passes=5):
     if not dev_dts:
         return None
 
+    # per-frame stage split: one synced pass regressed against each
+    # frame's intra super-wave depth gives the base-vs-scan attribution
+    # (the TDE_PERF analogue for the device path) without extra compiles
+    split = None
+    if _left() > 120:
+        import numpy as np
+        steps = [int(p.ip["step"].max(initial=-1)) + 1
+                 if p.ip is not None and len(p.intras) else 0 for p in progs]
+        fd.dpb.clear()
+        fd._order.clear()
+        times = []
+        for p in progs:
+            t0 = time.perf_counter()
+            out = fd.decode(p)
+            _ = np.asarray(out[0][:1, :1])
+            times.append((time.perf_counter() - t0) * 1000)
+        A = np.vstack([np.ones(len(steps)), np.array(steps)]).T
+        coef, *_ = np.linalg.lstsq(A, np.array(times), rcond=None)
+        split = {"base_ms": round(float(coef[0]), 1),
+                 "ms_per_intra_step": round(float(coef[1]), 2),
+                 "median_steps": float(np.median(steps))}
+
     # overlapped end-to-end passes (fresh parse each time, same program)
     pd = PipelinedDecoder(fused=fd)
     e2e_dts = []
@@ -165,6 +187,8 @@ def bench_device_decode(stream_bytes, n_passes=5):
 
     r = {"n": n, "parse_fps": n / t_parse, "upload_mb_frame": upload_mb,
          "device": stats(dev_dts)}
+    if split:
+        r["stage_split"] = split
     if e2e_dts:
         r["e2e"] = stats(e2e_dts)
     return r
@@ -241,6 +265,8 @@ def main():
             extras["tpu_device_fps_minmax"] = [
                 round(r["device"]["min"], 2), round(r["device"]["max"], 2)]
             extras["tpu_upload_mb_frame"] = round(r["upload_mb_frame"], 3)
+            if "stage_split" in r:
+                extras["tpu_stage_split"] = r["stage_split"]
             if "e2e" in r:
                 value = round(r["e2e"]["median"], 2)
                 extras["tpu_e2e_fps_minmax"] = [
