@@ -70,6 +70,10 @@ struct EncoderConfig {
   bool open_gop = false;
   // rate-distortion optimized quantization (CABAC-state rate estimates)
   bool rdoq = true;
+  // hierarchical-B (IbP): odd display positions buffer and encode as B
+  // pictures referencing the surrounding even (P/I) pictures; POC order
+  // differs from decode order (max_num_reorder_pics = 1)
+  bool b_pyramid = false;
   // --- algorithm registry: pluggable per-decision strategies, selected by
   // name through en265_set_parameter_choice (capability counterpart of the
   // reference's encoder/algo/ modules: Algo_TB_IntraPredMode,
@@ -205,6 +209,53 @@ class Encoder {
   std::unique_ptr<Frame> ref_frame_;       // previous reconstructed picture
   std::unique_ptr<Frame> ref_frame2_;      // picture before that (num_refs=2)
   std::unique_ptr<Frame> lt_frame_;        // last IDR recon (lt_ref mode)
+  // --- per-picture coding state (filled by the GOP drivers; consumed by
+  // the slice-header writer and the shared encode body) ---
+  struct PicRefs {
+    int n0 = 0, n1 = 0;
+    Frame* l0[3] = {nullptr, nullptr, nullptr};
+    Frame* l1[3] = {nullptr, nullptr, nullptr};
+    int poc0[3] = {0, 0, 0};
+    int poc1[3] = {0, 0, 0};
+    bool lt0[3] = {false, false, false};
+  };
+  PicRefs cur_refs_;
+  struct PicRps {
+    int n_neg = 0;
+    int neg_delta[3] = {0, 0, 0};  // positive values (poc distances)
+    int n_pos = 0;
+    int pos_delta = 0;
+  };
+  PicRps cur_rps_;
+  bool cur_is_b_ = false;
+  int l1_dpb_map_[3] = {0, 0, 0};  // L1 ref_idx -> prog_.ref_frames index
+  // b-pyramid pending (odd display position) source frame
+  struct PendingSrc {
+    bool valid = false;
+    bool is16 = false;
+    int pos = 0;  // GOP-relative display position
+    std::vector<u8> y8, cb8, cr8;
+    std::vector<u16> y16, cb16, cr16;
+    int sy = 0, sc = 0;
+  };
+  PendingSrc pending_;
+  u32 display_count_ = 0;
+  std::unique_ptr<Frame> bref_prev_;  // previous even recon (b's L0)
+  bool pyr_override_ = false;
+  std::vector<Frame*> picture_refs_;  // refs pushed for this picture
+  void repush_refs_() {
+    for (Frame* f : picture_refs_) prog_.ref_frames.push_back(f);
+  }
+  void encode_bpyramid_(std::vector<u8>* out, const void* y, int stride_y,
+                        const void* cb, const void* cr, int stride_c);
+  void encode_pending_(std::vector<u8>* out, bool as_b);
+
+ public:
+  // drain the reorder buffer (b-pyramid): encodes a buffered trailing
+  // picture as P.  Returns its bytes (empty when nothing pending).
+  std::vector<u8> flush_reorder();
+
+ private:
   std::shared_ptr<SliceHeader> sh_;        // current picture's slice header
   bool cur_is_intra_pic_ = true;
   bool cur_is_idr_ = true;

