@@ -180,9 +180,22 @@ de265_error en265_set_parameter_choice(en265_encoder_context* ctx,
 }
 
 const char** en265_list_parameters(en265_encoder_context*) {
-  static const char* params[] = {"qp",        "width",         "height",
-                                 "fps",       "sop-structure", "ctb-size",
-                                 "min-cb-size", "bit-depth",   nullptr};
+  static const char* params[] = {
+      "qp",           "width",           "height",
+      "fps",          "sop-structure",   "ctb-size",
+      "min-cb-size",  "bit-depth",       "intra-period",
+      "num-refs",     "me-range",        "tile-cols",
+      "tile-rows",    "ctbs-per-slice",  "cb-qp-offset",
+      "cr-qp-offset", "pcm-threshold",   "level-idc",
+      "scaling-lists", "wpp",            "pcm",
+      "lossless",     "sao",             "adaptive-qp",
+      "sei-hash",     "b-slices",        "tmvp",
+      "lt-ref",       "weighted-pred",   "sign-hiding",
+      "transform-skip", "constrained-intra", "ccp",
+      "across-tiles", "rect-parts",      "dependent-slices",
+      "amp",          "open-gop",        "rdoq",
+      "b-pyramid",    "intra-mode-algo", "me-algo",
+      "cb-split-algo", nullptr};
   return params;
 }
 
