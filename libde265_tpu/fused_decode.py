@@ -349,99 +349,79 @@ def _pad_rows(a: np.ndarray, cap: int, fill=0) -> np.ndarray:
 # device: fused whole-picture kernel
 # ---------------------------------------------------------------------------
 
-def _scatter_intra_bins(irec, intra_lgs, scap: int, n_planes: int):
-    """Scatter the flat irec rows into per-size scan arrays on device.
-
-    All plane classes share one bin per transform size (slot lanes are
-    partitioned cidx*K .. cidx*K+K-1): the scan runs over a SUPERPLANE
-    (y/cb/cr stacked), so the loop body contains one _wave_body per size
-    instead of one per (plane, size).  Returns {lg: {...}}."""
+def _scatter_intra_bins(irec, intra_bins, scap: int):
+    """Scatter the flat irec rows into per-(plane, lg) scan arrays on
+    device.  Returns {cidx: {lg: {"meta", "rrow", "aw"}}}."""
+    pc_of = {"y": 0, "cb": 1, "cr": 2}
     out = {}
-    for lg in intra_lgs:
+    for (pc, lg) in intra_bins:
+        c = pc_of[pc]
         K = WAVE_CAP[lg]
-        sel = irec[:, 9] == lg
+        sel = (irec[:, 8] == c) & (irec[:, 9] == lg)
         step = jnp.where(sel, irec[:, 6], 1 << 28)
-        slot = irec[:, 7] + irec[:, 8] * K
-        Kt = n_planes * K
-        meta = jnp.zeros((scap, Kt, 5), jnp.int32).at[step, slot].set(
+        slot = irec[:, 7]
+        meta = jnp.zeros((scap, K, 5), jnp.int32).at[step, slot].set(
             irec[:, 0:5], mode="drop")
-        rrow = jnp.full((scap, Kt), -1, jnp.int32).at[step, slot].set(
+        rrow = jnp.full((scap, K), -1, jnp.int32).at[step, slot].set(
             irec[:, 5], mode="drop")
-        cidx = jnp.zeros((scap, Kt), jnp.int32).at[step, slot].set(
-            irec[:, 8], mode="drop")
-        aw = jnp.zeros((scap, Kt, AVAIL_WORDS), jnp.int32).at[step, slot].set(
+        aw = jnp.zeros((scap, K, AVAIL_WORDS), jnp.int32).at[step, slot].set(
             irec[:, 10:10 + AVAIL_WORDS], mode="drop")
         depth = jnp.max(jnp.where(sel, irec[:, 6] + 1, 0))
-        out[lg] = {"meta": meta, "rrow": rrow, "aw": aw, "cidx": cidx,
-                   "depth": depth}
+        out.setdefault(c, {})[lg] = {"meta": meta, "rrow": rrow, "aw": aw,
+                                     "depth": depth}
     return out
 
 
-def _intra_scan_all(planes, bins, bin_res, st, nsteps):
-    """One lax.fori_loop over super-wave steps on a SUPERPLANE (y/cb/cr
-    stacked into one array): one _wave_body per transform size per step,
-    regardless of plane count.
+def _intra_scan_all(planes, bins_by_plane, bin_res, st, nsteps):
+    """One lax.fori_loop over super-wave steps, all planes advancing
+    together (the three plane scans are mutually independent, so the total
+    step count is the max over planes, not the sum).
 
     The step arrays are watermark-deep (the whole stream shares ONE compiled
-    program), but the trip count is dynamic (max plane depth this frame),
-    and per-size lax.cond depth gates skip sizes whose plan is exhausted —
-    each skipped size saves a serial chunk of small-op execution.
+    program), but the trip count is dynamic: a P frame with a 5-step plan
+    runs 5 iterations, not the I-frame watermark (steps beyond a bin's plan
+    are all-zero records with the valid bit clear).
     """
+    lgs_all = sorted({lg for b in bins_by_plane.values() for lg in b})
     tables = {lg: tuple(jnp.asarray(t) for t in build_mode_tables(1 << lg))
-              for lg in sorted(bins)}
+              for lg in lgs_all}
     total = jnp.max(nsteps)
-    H, W = st["H"], st["W"]
-    ch = max(st["ch"], 1)
-    cw = max(st["cw"], 1)
-    mono = len(planes) == 1
 
-    # superplane: luma rows [0,H), cb rows [H,H+ch), cr rows [H+ch,H+2ch)
-    if mono:
-        sp = planes[0]
-        geo = (jnp.asarray([0], jnp.int32), jnp.asarray([H], jnp.int32),
-               jnp.asarray([W], jnp.int32),
-               jnp.asarray([(1 << st["bd"]) - 1], jnp.int32))
-    else:
-        sp = jnp.zeros((H + 2 * ch, W), jnp.int32)
-        sp = sp.at[:H, :].set(planes[0])
-        sp = sp.at[H:H + ch, :cw].set(planes[1])
-        sp = sp.at[H + ch:, :cw].set(planes[2])
-        geo = (jnp.asarray([0, H, H + ch], jnp.int32),
-               jnp.asarray([H, ch, ch], jnp.int32),
-               jnp.asarray([W, cw, cw], jnp.int32),
-               jnp.asarray([(1 << st["bd"]) - 1, (1 << st["bdc"]) - 1,
-                            (1 << st["bdc"]) - 1], jnp.int32))
+    def step_at(i, pls):
+        pls = list(pls)
+        for c in sorted(bins_by_plane):
+            if c >= len(pls):
+                continue
+            bd = st["bd"] if c == 0 else st["bdc"]
+            for lg in sorted(bins_by_plane[c]):
+                v = bins_by_plane[c][lg]
 
-    def step_at(i, sp):
-        for lg in sorted(bins):
-            v = bins[lg]
+                def run(pl, v=v, lg=lg, bd=bd):
+                    meta = lax.dynamic_index_in_dim(v["meta"], i, 0,
+                                                    keepdims=False)
+                    rrow = lax.dynamic_index_in_dim(v["rrow"], i, 0,
+                                                    keepdims=False)
+                    aw = lax.dynamic_index_in_dim(v["aw"], i, 0,
+                                                  keepdims=False)
+                    resid = jnp.where((rrow >= 0)[:, None, None],
+                                      bin_res[lg][jnp.clip(rrow, 0)], 0)
+                    return _wave_body(pl, meta, aw, resid, *tables[lg],
+                                      s=1 << lg, bit_depth=bd)
 
-            def run(pl, v=v, lg=lg):
-                meta = lax.dynamic_index_in_dim(v["meta"], i, 0,
-                                                keepdims=False)
-                rrow = lax.dynamic_index_in_dim(v["rrow"], i, 0,
-                                                keepdims=False)
-                cidx = lax.dynamic_index_in_dim(v["cidx"], i, 0,
-                                                keepdims=False)
-                aw = lax.dynamic_index_in_dim(v["aw"], i, 0, keepdims=False)
-                resid = jnp.where((rrow >= 0)[:, None, None],
-                                  bin_res[lg][jnp.clip(rrow, 0)], 0)
-                return _wave_body(pl, meta, aw, cidx, resid, geo,
-                                  *tables[lg], s=1 << lg)
+                # per-bin depth gate: a step beyond this bin's plan depth
+                # for THIS frame is a no-op — at ~3ms/step of small-op
+                # overhead, skipping the 11 inactive bins of a typical
+                # P-frame step is the difference between 3ms and ~0.5ms
+                pls[c] = lax.cond(i < v["depth"], run, lambda pl: pl,
+                                  pls[c])
+        return tuple(pls)
 
-            sp = lax.cond(i < v["depth"], run, lambda pl: pl, sp)
-        return sp
-
-    sp = lax.fori_loop(0, total, step_at, sp)
-    if mono:
-        return [sp]
-    return [sp[:H, :], sp[H:H + ch, :cw], sp[H + ch:, :cw]]
+    return list(lax.fori_loop(0, total, step_at, tuple(planes)))
 
 
-def _wave_body(plane, meta, aw, cidx, resid, geo, P0, P1, WT, s: int):
-    """One super-wave step: predict + residual-add K same-size blocks on
-    the superplane (all plane classes together; per-record geometry from
-    `geo` = (base_row[], height[], width[], maxval[]) indexed by cidx).
+def _wave_body(plane, meta, aw, resid, P0, P1, WT, s: int,
+               bit_depth: int):
+    """One super-wave step: predict + residual-add K same-size blocks.
 
     Same math as ops.intra_wave.intra_wave_kernel (spec 8.4.4.2).  The
     border gather positions are pure geometry and the substitution chain
@@ -456,24 +436,19 @@ def _wave_body(plane, meta, aw, cidx, resid, geo, P0, P1, WT, s: int):
     N = mode.shape[0]
     n2 = 2 * s
     nb = 4 * s + 1
+    maxv = (1 << bit_depth) - 1
     lg = s.bit_length() - 1
-    W = plane.shape[1]
-    ci = jnp.clip(cidx, 0, geo[0].shape[0] - 1)
-    base_r = geo[0][ci]
-    Hc = geo[1][ci]
-    Wc = geo[2][ci]
-    maxv = geo[3][ci]
+    Hc, Wc = plane.shape
 
     # border geometry: k<2s left column (bottom->top), k=2s corner,
     # k>2s top row (left->right); clip keeps never-read unavailable
-    # positions in bounds of the record's own plane region
+    # positions in bounds
     k = jnp.arange(nb)
     yy = jnp.where(k[None, :] < n2, y0[:, None] + (n2 - 1) - k[None, :],
                    y0[:, None] - 1)
     xx = jnp.where(k[None, :] <= n2, x0[:, None] - 1,
                    x0[:, None] + k[None, :] - n2 - 1)
-    pos = (base_r[:, None] + jnp.clip(yy, 0, Hc[:, None] - 1)) * W + \
-        jnp.clip(xx, 0, Wc[:, None] - 1)
+    pos = jnp.clip(yy, 0, Hc - 1) * Wc + jnp.clip(xx, 0, Wc - 1)
     # substitution chain from availability bits: each sample takes the last
     # available sample at or before it, else the first available one
     avail = (aw[:, k >> 5] >> (k & 31)) & 1
@@ -484,12 +459,12 @@ def _wave_body(plane, meta, aw, cidx, resid, geo, P0, P1, WT, s: int):
 
     b = plane.reshape(-1)[pos]
     b = jnp.take_along_axis(b, subst, axis=1)
-    b = jnp.where(unavail[:, None], (maxv[:, None] + 1) >> 1, b)
+    b = jnp.where(unavail[:, None], 1 << (bit_depth - 1), b)
 
     corner = b[:, n2]
     tap3 = b.at[:, 1:-1].set((b[:, :-2] + 2 * b[:, 1:-1] + b[:, 2:] + 2) >> 2)
     if s == 32:
-        thr = (maxv + 1) >> 5
+        thr = 1 << (bit_depth - 5)
         bi_ok = ((jnp.abs(corner + b[:, 4 * s] - 2 * b[:, n2 + s]) < thr) &
                  (jnp.abs(corner + b[:, 0] - 2 * b[:, s]) < thr))
         i = jnp.arange(1, n2)
@@ -531,11 +506,10 @@ def _wave_body(plane, meta, aw, cidx, resid, geo, P0, P1, WT, s: int):
     g1 = jnp.take_along_axis(filtered, p1, axis=1)
     ang = (((32 - w) * g0 + w * g1 + 16) >> 5).reshape(N, s, s)
     if s < 32:
-        mv = maxv[:, None]
         v26 = jnp.clip(top[:, 0, None] + ((left[:, :s] - corner[:, None]) >> 1),
-                       0, mv)
+                       0, maxv)
         v10 = jnp.clip(left[:, 0, None] + ((top[:, :s] - corner[:, None]) >> 1),
-                       0, mv)
+                       0, maxv)
         ang = jnp.where((edge == 2)[:, None, None],
                         ang.at[:, :, 0].set(v26), ang)
         ang = jnp.where((edge == 3)[:, None, None],
@@ -543,11 +517,11 @@ def _wave_body(plane, meta, aw, cidx, resid, geo, P0, P1, WT, s: int):
 
     pred = jnp.where((mode == 0)[:, None, None], planar,
                      jnp.where((mode == 1)[:, None, None], dcp, ang))
-    out = jnp.clip(pred + resid, 0, maxv[:, None, None])
+    out = jnp.clip(pred + resid, 0, maxv)
 
     # padded entries scatter out of bounds and are dropped (valid blocks of
     # one step are disjoint transform blocks, so updates never collide)
-    rows = jnp.where(valid, base_r + y0, 1 << 28)[:, None, None] + \
+    rows = jnp.where(valid, y0, 1 << 28)[:, None, None] + \
         jnp.arange(s)[None, :, None]
     cols = x0[:, None, None] + jnp.arange(s)[None, None, :]
     return plane.at[rows, cols].set(out, mode="drop", unique_indices=True)
@@ -923,11 +897,12 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, st):
             flat = flat.at[pcm[:, 0]].set(pcm[:, 1], mode="drop")
             planes[c] = flat.reshape(planes[c].shape)
 
-    # ---- intra super-wave scans (one merged scan over the superplane) ----
+    # ---- intra super-wave scans (one merged scan over all planes) ----
     if st["intra_bins"]:
-        bins = _scatter_intra_bins(feed["irec"], st["intra_bins"],
-                                   st["steps_cap"], 1 if st["mono"] else 3)
-        planes = _intra_scan_all(planes, bins, bin_res, st, feed["nsteps"])
+        bins_by_plane = _scatter_intra_bins(feed["irec"], st["intra_bins"],
+                                            st["steps_cap"])
+        planes = _intra_scan_all(planes, bins_by_plane, bin_res, st,
+                                 feed["nsteps"])
 
     # ---- loop filters ----
     skip4 = (feed["cu4"] & 4) != 0
@@ -1593,7 +1568,7 @@ class FusedDecoder:
             "segk": self.caps["segk"] or 1,
             "steps_cap": self.caps["steps"] or 1,
             "intra_bins": () if "intra" in self._skip
-            else tuple(sorted({lg for (_pc, lg) in self._intra_lgs})),
+            else tuple(sorted(self._intra_lgs)),
             "run_mc": "mc" not in self._skip,
             "run_residual": "residual" not in self._skip,
             "fuse_store": bool(self.use_pallas_mc),

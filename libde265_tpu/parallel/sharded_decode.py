@@ -407,8 +407,9 @@ class ShardedTileDecoder:
                     caps[f"sc{lg}{ch}"] = max(caps.get(f"sc{lg}{ch}", 0),
                                               len(b[f"sc_{ch}"]))
         lgs = sorted({lg for pt in per_tile for lg in pt["bins"]})
-        intra_keys = sorted({int(lg) for lg in irec_w[:, 9]}) \
-            if len(irec_w) else []
+        intra_keys = sorted(
+            {(fd._PLANE_CLASS[int(c)], int(lg)) for c, lg in
+             zip(irec_w[:, 8], irec_w[:, 9])}) if len(irec_w) else []
 
         feed = {}
 
