@@ -79,11 +79,15 @@ class Decoder {
   // Enable the parse||execute pipeline: picture pixel programs run on a
   // worker thread while the host parses the next picture's slices.
   void start_worker_threads(int n) {
+    requested_threads_ = n;
     if (n > 0 && !keep_programs) {
       pipelined_ = true;
       pipeline_.start();
     }
   }
+  // worker count requested via de265_start_worker_threads (tile-parallel
+  // slice parse engages at >= 2)
+  int requested_threads() const { return requested_threads_; }
 
   // --- output ---
   Frame* peek_next_picture();
@@ -126,6 +130,7 @@ class Decoder {
   Frame* dpb_frame(int i) { return dpb_[i].get(); }
 
   void add_warning(Warning w) {
+    std::lock_guard<std::mutex> lk(warnings_mutex_);
     if (warnings.size() < 20) warnings.push_back(w);
   }
 
@@ -161,6 +166,8 @@ class Decoder {
   bool has_free_dpb_slot() const;
 
   OrderedExecutor pipeline_;
+  int requested_threads_ = 0;
+  std::mutex warnings_mutex_;
   bool pipelined_ = false;
   std::atomic<bool> async_hash_fail_{false};
 

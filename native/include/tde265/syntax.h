@@ -45,6 +45,12 @@ class SliceParser {
   // left in the decoder's picture-parse state.
   Err decode(const u8* data, size_t size);
 
+  // one tile's substream, parsed standalone into this parser's program
+  // (used by the parallel tile-parse path; tiles share no CABAC or
+  // availability state)
+  Err decode_tile_substream(const u8* data, size_t wstart, size_t wend,
+                            int start_ts);
+
   // Context tables carried across slice segments / CTB rows.
   struct ParseState {
     ContextTable ctx;

@@ -6,6 +6,7 @@
 #include "tde265/syntax.h"
 
 #include <cstring>
+#include <thread>
 
 #include "tde265/decoder.h"
 #include "tde265/motion.h"
@@ -1181,6 +1182,98 @@ Err SliceParser::decode(const u8* data, size_t size) {
   int ctb_ts = pps_->ctb_rs_to_ts[sh_->slice_segment_address];
   int pic_w_ctbs = frame_->ctb_w;
 
+  // --- parallel tile parse (counterpart of the reference's per-tile
+  // worker threads, decctx.cc:963-1061): tiles share no CABAC state and
+  // availability is cut at tile borders, so each substream parses on its
+  // own thread into a program fragment, merged in tile-scan order ---
+  const int n_tiles = pps_->num_tile_columns * pps_->num_tile_rows;
+  if (pps_->tiles_enabled && !pps_->entropy_coding_sync_enabled &&
+      dec_->requested_threads() >= 2 && !sh_->dependent_slice &&
+      sh_->slice_segment_address == 0 && (int)windows.size() == n_tiles &&
+      n_tiles > 1) {
+    // first ts of each tile (tile-scan orders tiles consecutively)
+    std::vector<int> tile_start(n_tiles, -1);
+    for (int ts = 0; ts < sps_->pic_size_in_ctbs; ts++) {
+      int id = pps_->tile_id_ts[ts];
+      if (id >= 0 && id < n_tiles && tile_start[id] < 0) tile_start[id] = ts;
+    }
+    bool ok_geom = true;
+    for (int i = 0; i < n_tiles; i++) ok_geom &= tile_start[i] >= 0;
+    if (ok_geom) {
+      std::vector<FrameProgram> frags(n_tiles);
+      std::vector<std::unique_ptr<SliceParser>> workers;
+      std::vector<Err> errs(n_tiles, Err::OK);
+      for (int i = 0; i < n_tiles; i++) {
+        frags[i].frame = frame_;
+        workers.push_back(
+            std::make_unique<SliceParser>(dec_, &frags[i], frame_, sh_));
+      }
+      std::vector<std::thread> threads;
+      for (int i = 0; i < n_tiles; i++) {
+        threads.emplace_back([&, i] {
+          errs[i] = workers[i]->decode_tile_substream(
+              data, windows[i].first, windows[i].second, tile_start[i]);
+        });
+      }
+      for (auto& t : threads) t.join();
+      for (int i = 0; i < n_tiles; i++)
+        if (errs[i] != Err::OK) return errs[i];
+      for (int i = 0; i < n_tiles; i++) {
+        FrameProgram& f = frags[i];
+        const u32 tu0 = (u32)prog_->tus.size();
+        const u32 pu0 = (u32)prog_->pus.size();
+        const u32 in0 = (u32)prog_->intras.size();
+        const u32 pc0 = (u32)prog_->pcms.size();
+        const u32 co0 = (u32)prog_->coeff_val.size();
+        const u32 pd0 = (u32)prog_->pcm_data.size();
+        for (auto& t : f.tus) t.coeff_start += co0;
+        for (auto& pcm : f.pcms) pcm.data_start += pd0;
+        // remap fragment-local DPB slots into the merged reference list
+        std::vector<i8> remap(f.ref_frames.size());
+        for (size_t r = 0; r < f.ref_frames.size(); r++) {
+          int slot = -1;
+          for (size_t j = 0; j < prog_->ref_frames.size(); j++)
+            if (prog_->ref_frames[j] == f.ref_frames[r]) slot = (int)j;
+          if (slot < 0) {
+            prog_->ref_frames.push_back(f.ref_frames[r]);
+            slot = (int)prog_->ref_frames.size() - 1;
+          }
+          remap[r] = (i8)slot;
+        }
+        for (auto& pu : f.pus)
+          for (int l = 0; l < 2; l++)
+            if (pu.ref_dpb[l] >= 0) pu.ref_dpb[l] = remap[pu.ref_dpb[l]];
+        for (auto op : f.ops) {
+          switch (op.kind) {
+            case Op::kAddResidual: op.idx += tu0; break;
+            case Op::kInterPred: op.idx += pu0; break;
+            case Op::kIntraPred: op.idx += in0; break;
+            case Op::kPcm: op.idx += pc0; break;
+          }
+          prog_->ops.push_back(op);
+        }
+        prog_->tus.insert(prog_->tus.end(), f.tus.begin(), f.tus.end());
+        prog_->pus.insert(prog_->pus.end(), f.pus.begin(), f.pus.end());
+        prog_->intras.insert(prog_->intras.end(), f.intras.begin(),
+                             f.intras.end());
+        prog_->pcms.insert(prog_->pcms.end(), f.pcms.begin(), f.pcms.end());
+        prog_->coeff_val.insert(prog_->coeff_val.end(), f.coeff_val.begin(),
+                                f.coeff_val.end());
+        prog_->coeff_pos.insert(prog_->coeff_pos.end(), f.coeff_pos.begin(),
+                                f.coeff_pos.end());
+        prog_->pcm_data.insert(prog_->pcm_data.end(), f.pcm_data.begin(),
+                               f.pcm_data.end());
+      }
+      // following-dependent-segment state: as the sequential path would
+      // leave it (last tile's contexts)
+      dec_->dependent_slice_state.ctx = workers.back()->ctx_;
+      memcpy(dec_->dependent_slice_state.stat_coeff,
+             workers.back()->stat_coeff_, 4);
+      dec_->dependent_slice_state.valid = true;
+      return Err::OK;
+    }
+  }
+
   qp_y_pred_ = sh_->slice_qp_y;
   qp_y_ = sh_->slice_qp_y;
   // without cu_qp_delta there is no QG derivation: QpY == SliceQpY
@@ -1281,6 +1374,37 @@ Err SliceParser::decode(const u8* data, size_t size) {
   memcpy(dec_->dependent_slice_state.stat_coeff, stat_coeff_, 4);
   dec_->dependent_slice_state.valid = true;
   return Err::OK;
+}
+
+Err SliceParser::decode_tile_substream(const u8* data, size_t wstart,
+                                       size_t wend, int start_ts) {
+  data_ = data;
+  size_ = wend;
+  cabac_.init(data + wstart, wend - wstart);
+  ctx_.init(sh_->init_type, sh_->slice_qp_y);
+  memset(stat_coeff_, 0, 4);
+  qp_y_pred_ = sh_->slice_qp_y;
+  qp_y_ = sh_->slice_qp_y;
+  qp_pred_cached_ = sh_->slice_qp_y;
+  first_qg_ = true;
+
+  int ctb_ts = start_ts;
+  const int pic_w = frame_->ctb_w;
+  while (true) {
+    int rs = pps_->ctb_ts_to_rs[ctb_ts];
+    int cx = rs % pic_w, cy = rs / pic_w;
+    if (cy >= frame_->ctb_h) return Err::InvalidSyntax;
+    if (!decode_ctb(cx, cy)) return Err::InvalidSyntax;
+    int end_flag = cabac_.decode_terminate();
+    ctb_ts++;
+    if (end_flag) return Err::OK;  // end of slice segment (last tile)
+    if (ctb_ts >= sps_->pic_size_in_ctbs) return Err::InvalidSyntax;
+    int next_rs = pps_->ctb_ts_to_rs[ctb_ts];
+    if (!pps_->same_tile(rs, next_rs)) {
+      cabac_.decode_terminate();  // end_of_subset_one_bit
+      return Err::OK;             // tile boundary: this worker is done
+    }
+  }
 }
 
 }  // namespace tde265

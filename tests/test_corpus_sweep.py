@@ -48,3 +48,26 @@ def test_corpus_differential_sweep(native_build):
     assert not failures, failures
     if ref is None:
         pytest.skip("reference binary unavailable; self-check only")
+
+
+def test_parallel_tile_parse_bit_exact(native_build):
+    """tdec265 -t 2 engages the per-tile parse threads (the reference's
+    decctx.cc:963 counterpart); output must equal the sequential decode."""
+    import subprocess
+    import tempfile
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    import make_corpus
+    if not (CORPUS / "manifest.json").exists():
+        make_corpus.build(CORPUS)
+    exe = str(native_build / "tdec265")
+    for name in ("tiles_4x1", "tiles_2x2", "tiles_gated"):
+        stream = CORPUS / f"{name}.h265"
+        with tempfile.TemporaryDirectory() as td:
+            a, b = f"{td}/a.yuv", f"{td}/b.yuv"
+            assert subprocess.run([exe, "-q", "-o", a, str(stream)],
+                                  capture_output=True).returncode == 0
+            assert subprocess.run([exe, "-q", "-t", "2", "-o", b,
+                                   str(stream)],
+                                  capture_output=True).returncode == 0
+            assert open(a, "rb").read() == open(b, "rb").read(), name
