@@ -163,6 +163,9 @@ def _roll_ladder(win, rem, nbits, axis, size):
 
 def _mc_kernel(nseg, slot, wy, wx, fy, fx, x0, wv, refs, out, scratch, sem,
                *, OR, T, FH, Hpad, Wout, bd, KMAX, table):
+    # nseg is scalar-prefetched; the per-band segment rows arrive as SMEM
+    # blocks (1, KMAX) so SMEM holds one band's parameters, not the whole
+    # [n_bands, KMAX] tables (which exhaust the 1 MB SMEM at 1080p+)
     band = pl.program_id(0)
     out[0] = jnp.zeros((OR, Wout), jnp.int32)
     n = nseg[band]
@@ -170,8 +173,8 @@ def _mc_kernel(nseg, slot, wy, wx, fy, fx, x0, wv, refs, out, scratch, sem,
     lane = jax.lax.broadcasted_iota(jnp.int32, (OR, FW), 1)
 
     def win_origin(k):
-        row = slot[band, k] * Hpad + wy[band, k]
-        col = wx[band, k]
+        row = slot[0, k] * Hpad + wy[0, k]
+        col = wx[0, k]
         r8 = pl.multiple_of((row // 8) * 8, 8)
         c128 = pl.multiple_of((col // 128) * 128, 128)
         return row, col, r8, c128
@@ -200,7 +203,7 @@ def _mc_kernel(nseg, slot, wy, wx, fy, fx, x0, wv, refs, out, scratch, sem,
 
         # horizontal filter on all rows (filter-always: phase 0 is the
         # [.., 64, ..] copy row, so no copy/h/v/hv branching is needed)
-        fxk = fx[band, k]
+        fxk = fx[0, k]
         th = _scalar_coef(fxk, table, 0) * win
         sh = win
         for k_tap in range(1, T):
@@ -209,18 +212,18 @@ def _mc_kernel(nseg, slot, wy, wx, fy, fx, x0, wv, refs, out, scratch, sem,
         th = _wrap16(th >> shift1) if shift1 else _wrap16(th)
 
         # vertical filter: OR output rows from static row slices
-        fyk = fy[band, k]
+        fyk = fy[0, k]
         tv = _scalar_coef(fyk, table, 0) * th[0:OR]
         for k_tap in range(1, T):
             tv = tv + _scalar_coef(fyk, table, k_tap) * th[k_tap:k_tap + OR]
         pred = _wrap16(tv >> 6)
 
         # place at the output column: roll to the lane offset and RMW-merge
-        xs = x0[band, k]
+        xs = x0[0, k]
         base = jnp.minimum((xs // 128) * 128, Wout - FW)
         off = xs - base
         pred = _roll_ladder(pred, (FW - off) & (FW - 1), 8, 1, FW)
-        mask = (lane >= off) & (lane < off + wv[band, k])
+        mask = (lane >= off) & (lane < off + wv[0, k])
         base = pl.multiple_of(base, 128)
         cur = out[0, :, pl.ds(base, FW)]
         out[0, :, pl.ds(base, FW)] = jnp.where(mask, pred, cur)
@@ -247,10 +250,12 @@ def mc_stripes(refs2d, nseg, slot, wy, wx, fy, fx, x0, wv, *, OR: int,
                   for row in (QPEL_FILTERS if T == 8 else EPEL_FILTERS))
     kern = functools.partial(_mc_kernel, OR=OR, T=T, FH=FH, Hpad=Hpad,
                              Wout=Wout, bd=bd, KMAX=KMAX, table=table)
+    seg_spec = pl.BlockSpec((1, KMAX), lambda b, *_: (b, 0),
+                            memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=1,
         grid=(n_bands,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[seg_spec] * 7 + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, OR, Wout), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, FH, FW), jnp.int32),
@@ -315,13 +320,14 @@ def pack_band_segments(band, srow, x0, n_bands: int):
 
 
 def _res_kernel(nseg, srow, x0, rows_hbm, out, scratch, sem, *, OR, S, Wout):
+    # nseg scalar-prefetched; srow/x0 arrive as per-band SMEM blocks
     band = pl.program_id(0)
     out[0] = jnp.zeros((OR, Wout), jnp.int32)
     n = nseg[band]
     lane = jax.lax.broadcasted_iota(jnp.int32, (OR, FW), 1)
 
     def start_dma(sl, k):
-        row0 = srow[band, k] * OR
+        row0 = srow[0, k] * OR
         r8 = pl.multiple_of((row0 // 8) * 8, 8)
         return pltpu.make_async_copy(rows_hbm.at[pl.ds(r8, 16), :],
                                      scratch.at[sl], sem.at[sl])
@@ -338,12 +344,12 @@ def _res_kernel(nseg, srow, x0, rows_hbm, out, scratch, sem, *, OR, S, Wout):
             start_dma((k + 1) % 2, k + 1).start()
 
         start_dma(sl, k).wait()
-        row0 = srow[band, k] * OR
+        row0 = srow[0, k] * OR
         win = _roll_ladder(scratch[sl], row0 - (row0 // 8) * 8, 3, 0, 16)
         # rows 0..OR-1 hold the [OR, 128-lane-padded] residual slice
         blk = jnp.concatenate(
             [win[:OR, :], jnp.zeros((OR, FW - 128), jnp.int32)], axis=1)
-        xs = x0[band, k]
+        xs = x0[0, k]
         base = jnp.minimum((xs // 128) * 128, Wout - FW)
         off = xs - base
         blk = _roll_ladder(blk, (FW - off) & (FW - 1), 8, 1, FW)
@@ -373,10 +379,13 @@ def residual_stripes(bin_res, nseg, srow, x0, *, OR: int, S: int, Wout: int,
                    ((0, 8), (0, 0), (0, 128 - S)))
     rows = rows.reshape((N * per + 8) * OR, 128)
     kern = functools.partial(_res_kernel, OR=OR, S=S, Wout=Wout)
+    K = srow.shape[1]
+    seg_spec = pl.BlockSpec((1, K), lambda b, *_: (b, 0),
+                            memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(n_bands,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[seg_spec, seg_spec, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, OR, Wout), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, 16, 128), jnp.int32),
