@@ -173,8 +173,8 @@ def _mc_kernel(nseg, slot, wy, wx, fy, fx, x0, wv, refs, out, scratch, sem,
     lane = jax.lax.broadcasted_iota(jnp.int32, (OR, FW), 1)
 
     def win_origin(k):
-        row = slot[0, k] * Hpad + wy[0, k]
-        col = wx[0, k]
+        row = slot[0, 0, k] * Hpad + wy[0, 0, k]
+        col = wx[0, 0, k]
         r8 = pl.multiple_of((row // 8) * 8, 8)
         c128 = pl.multiple_of((col // 128) * 128, 128)
         return row, col, r8, c128
@@ -203,7 +203,7 @@ def _mc_kernel(nseg, slot, wy, wx, fy, fx, x0, wv, refs, out, scratch, sem,
 
         # horizontal filter on all rows (filter-always: phase 0 is the
         # [.., 64, ..] copy row, so no copy/h/v/hv branching is needed)
-        fxk = fx[0, k]
+        fxk = fx[0, 0, k]
         th = _scalar_coef(fxk, table, 0) * win
         sh = win
         for k_tap in range(1, T):
@@ -212,18 +212,18 @@ def _mc_kernel(nseg, slot, wy, wx, fy, fx, x0, wv, refs, out, scratch, sem,
         th = _wrap16(th >> shift1) if shift1 else _wrap16(th)
 
         # vertical filter: OR output rows from static row slices
-        fyk = fy[0, k]
+        fyk = fy[0, 0, k]
         tv = _scalar_coef(fyk, table, 0) * th[0:OR]
         for k_tap in range(1, T):
             tv = tv + _scalar_coef(fyk, table, k_tap) * th[k_tap:k_tap + OR]
         pred = _wrap16(tv >> 6)
 
         # place at the output column: roll to the lane offset and RMW-merge
-        xs = x0[0, k]
+        xs = x0[0, 0, k]
         base = jnp.minimum((xs // 128) * 128, Wout - FW)
         off = xs - base
         pred = _roll_ladder(pred, (FW - off) & (FW - 1), 8, 1, FW)
-        mask = (lane >= off) & (lane < off + wv[0, k])
+        mask = (lane >= off) & (lane < off + wv[0, 0, k])
         base = pl.multiple_of(base, 128)
         cur = out[0, :, pl.ds(base, FW)]
         out[0, :, pl.ds(base, FW)] = jnp.where(mask, pred, cur)
@@ -250,7 +250,9 @@ def mc_stripes(refs2d, nseg, slot, wy, wx, fy, fx, x0, wv, *, OR: int,
                   for row in (QPEL_FILTERS if T == 8 else EPEL_FILTERS))
     kern = functools.partial(_mc_kernel, OR=OR, T=T, FH=FH, Hpad=Hpad,
                              Wout=Wout, bd=bd, KMAX=KMAX, table=table)
-    seg_spec = pl.BlockSpec((1, KMAX), lambda b, *_: (b, 0),
+    # SMEM blocks must keep their last two dims whole: ship the tables as
+    # [n_bands, 1, KMAX] and block (1, 1, KMAX)
+    seg_spec = pl.BlockSpec((1, 1, KMAX), lambda b, *_: (b, 0, 0),
                             memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -266,7 +268,9 @@ def mc_stripes(refs2d, nseg, slot, wy, wx, fy, fx, x0, wv, *, OR: int,
         out_shape=jax.ShapeDtypeStruct((n_bands, OR, Wout), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(nseg, slot, wy, wx, fy, fx, x0, wv, refs2d)
+    )(nseg, slot[:, None, :], wy[:, None, :], wx[:, None, :],
+      fy[:, None, :], fx[:, None, :], x0[:, None, :], wv[:, None, :],
+      refs2d)
 
 
 def default_interpret():
@@ -327,7 +331,7 @@ def _res_kernel(nseg, srow, x0, rows_hbm, out, scratch, sem, *, OR, S, Wout):
     lane = jax.lax.broadcasted_iota(jnp.int32, (OR, FW), 1)
 
     def start_dma(sl, k):
-        row0 = srow[0, k] * OR
+        row0 = srow[0, 0, k] * OR
         r8 = pl.multiple_of((row0 // 8) * 8, 8)
         return pltpu.make_async_copy(rows_hbm.at[pl.ds(r8, 16), :],
                                      scratch.at[sl], sem.at[sl])
@@ -344,12 +348,12 @@ def _res_kernel(nseg, srow, x0, rows_hbm, out, scratch, sem, *, OR, S, Wout):
             start_dma((k + 1) % 2, k + 1).start()
 
         start_dma(sl, k).wait()
-        row0 = srow[0, k] * OR
+        row0 = srow[0, 0, k] * OR
         win = _roll_ladder(scratch[sl], row0 - (row0 // 8) * 8, 3, 0, 16)
         # rows 0..OR-1 hold the [OR, 128-lane-padded] residual slice
         blk = jnp.concatenate(
             [win[:OR, :], jnp.zeros((OR, FW - 128), jnp.int32)], axis=1)
-        xs = x0[0, k]
+        xs = x0[0, 0, k]
         base = jnp.minimum((xs // 128) * 128, Wout - FW)
         off = xs - base
         blk = _roll_ladder(blk, (FW - off) & (FW - 1), 8, 1, FW)
@@ -380,7 +384,7 @@ def residual_stripes(bin_res, nseg, srow, x0, *, OR: int, S: int, Wout: int,
     rows = rows.reshape((N * per + 8) * OR, 128)
     kern = functools.partial(_res_kernel, OR=OR, S=S, Wout=Wout)
     K = srow.shape[1]
-    seg_spec = pl.BlockSpec((1, K), lambda b, *_: (b, 0),
+    seg_spec = pl.BlockSpec((1, 1, K), lambda b, *_: (b, 0, 0),
                             memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -396,4 +400,4 @@ def residual_stripes(bin_res, nseg, srow, x0, *, OR: int, S: int, Wout: int,
         out_shape=jax.ShapeDtypeStruct((n_bands, OR, Wout), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(nseg, srow, x0, rows)
+    )(nseg, srow[:, None, :], x0[:, None, :], rows)
