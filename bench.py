@@ -23,7 +23,6 @@ import os
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 import subprocess
-import sys
 import time
 from pathlib import Path
 

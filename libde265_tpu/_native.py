@@ -6,7 +6,6 @@ FrameProgram tensor-export extensions (native/src/capi.cc).
 from __future__ import annotations
 
 import ctypes as ct
-import os
 import subprocess
 from pathlib import Path
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import ctypes as ct
 from dataclasses import dataclass, field
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

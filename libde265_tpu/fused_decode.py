@@ -54,7 +54,7 @@ from .ops.intra import IntraContext
 from .ops.intra_wave import border_plan, build_mode_tables
 from .ops.mc import EPEL_FILTERS, QPEL_FILTERS
 from .ops import mc_pallas as mcp
-from .ops.sao import EDGE_CAT, EO_D
+from .ops.sao import EO_D
 from .tpu_decode import (_chroma_qp_map, _edge_params_jnp, _mc_plane, _merge,
                          _cells_to_plane, _pad_edge0_cols)
 

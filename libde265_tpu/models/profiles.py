@@ -8,7 +8,7 @@ The two tables are kept in sync (tests/test_parallel.py).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

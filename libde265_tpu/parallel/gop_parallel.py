@@ -21,7 +21,6 @@ from __future__ import annotations
 import threading
 
 import jax
-import numpy as np
 
 from ..decoder import Decoder
 from ..fused_decode import FusedDecoder

@@ -26,8 +26,6 @@ reference windows come out of tile-local cell coordinates.
 """
 from __future__ import annotations
 
-from dataclasses import replace
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,6 @@ MC batches are embarrassingly data-parallel over records.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

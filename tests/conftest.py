@@ -5,7 +5,6 @@ platform-independent); the real-chip path is exercised by bench.py.
 """
 import os
 import subprocess
-import sys
 from pathlib import Path
 
 # Force the CPU backend even when an axon/TPU plugin is present.  In this

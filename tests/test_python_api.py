@@ -3,7 +3,6 @@ golden MD5 + the FrameProgram tensor export."""
 import hashlib
 
 import numpy as np
-import pytest
 
 from libde265_tpu import Decoder
 

@@ -5,8 +5,6 @@ tile grids, with and without loop_filter_across_tiles."""
 import numpy as np
 import pytest
 
-import jax
-
 from libde265_tpu import Decoder
 from libde265_tpu.encoder import Encoder
 from libde265_tpu.parallel import make_mesh

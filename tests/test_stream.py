@@ -1,7 +1,6 @@
 """Pipelined (parse || pack || execute) stream decode: bit-exact vs the
 scalar oracle, including the cross-thread program-list access."""
 import numpy as np
-import pytest
 
 from libde265_tpu import Decoder
 from libde265_tpu.encoder import Encoder
