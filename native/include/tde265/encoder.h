@@ -243,6 +243,7 @@ class Encoder {
   std::unique_ptr<Frame> bref_prev_;  // previous even recon (b's L0)
   bool pyr_override_ = false;
   std::vector<Frame*> picture_refs_;  // refs pushed for this picture
+  void derive_luma_mpm(int x0, int y0, int cand[3]);
   void repush_refs_() {
     for (Frame* f : picture_refs_) prog_.ref_frames.push_back(f);
   }
@@ -294,6 +295,10 @@ class Encoder {
 // Forward transform (spec-matched integer DCT, HM-convention shifts) and
 // quantization helpers, exposed for tests and the TPU encode path.
 void fwd_dct_2d(i32* coeffs, const i32* residual, int log2_size, int bit_depth);
+// fractional bits (2^-15 units) for one context-coded bin at the model's
+// current state (the CABAC_encoder_estim-tier rate model, rdoq.cc)
+int cabac_ctx_bits(const ContextModel& m, int bin);
+
 // RDOQ: per-coefficient level choice by D + lambda*R with CABAC-state
 // fractional-bit rate estimation (rdoq.cc); falls back to quantize() for
 // transform-skip / zero-check paths.

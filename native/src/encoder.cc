@@ -1146,12 +1146,24 @@ int Encoder::choose_luma_mode(int x0, int y0, int log2_size) {
                                30, 31, 32, 33, 34};
   const int* cand = brute ? kAll : cfg_.intra_candidates.data();
   const int n_cand = brute ? 35 : (int)cfg_.intra_candidates.size();
+  // true mode-signalling rate from the live context state (the estimator
+  // tier): prev_intra_luma_pred bin + mpm_idx TR bypass, or 5 fixed bins
+  int mpm_cand[3];
+  derive_luma_mpm(x0, y0, mpm_cand);
+  const double kb = 1.0 / 32768.0;
+  const ContextModel& pm = ctx_[CTX_PREV_INTRA_LUMA_PRED];
+  double bits_mpm0 = cabac_ctx_bits(pm, 1) * kb + 1.0;
+  double bits_mpm12 = cabac_ctx_bits(pm, 1) * kb + 2.0;
+  double bits_rem = cabac_ctx_bits(pm, 0) * kb + 5.0;
   for (int ci = 0; ci < n_cand; ci++) {
     rec.mode = (u8)cand[ci];
     execute_intra_scalar(prog_, rec);
-    // mode rate: MPM ~2 bins, otherwise 1+5 fixed bins (9.3.3.6)
+    double bits = bits_rem;
+    if (cand[ci] == mpm_cand[0]) bits = bits_mpm0;
+    else if (cand[ci] == mpm_cand[1] || cand[ci] == mpm_cand[2])
+      bits = bits_mpm12;
     i64 j = min_sad ? sad_luma_rect(x0, y0, n, n)
-                    : ssd_luma_rect(x0, y0, n, n) + (i64)(lam * 6);
+                    : ssd_luma_rect(x0, y0, n, n) + (i64)(lam * bits);
     if (j < best_cost) {
       best_cost = j;
       best_mode = cand[ci];
@@ -1160,7 +1172,7 @@ int Encoder::choose_luma_mode(int x0, int y0, int log2_size) {
   return best_mode;
 }
 
-void Encoder::write_intra_luma_mode(int x0, int y0, int mode) {
+void Encoder::derive_luma_mpm(int x0, int y0, int cand[3]) {
   // candidate derivation identical to the decoder (spec 8.4.2)
   Frame& f = *recon_;
   int cand_a = 1, cand_b = 1;
@@ -1175,7 +1187,6 @@ void Encoder::write_intra_luma_mode(int x0, int y0, int mode) {
     if ((f.cu_info[i4] & 1) && !(f.cu_info[i4] & 2))
       cand_b = f.intra_pred_mode[i4];
   }
-  int cand[3];
   if (cand_a == cand_b) {
     if (cand_a < 2) {
       cand[0] = 0; cand[1] = 1; cand[2] = 26;
@@ -1191,6 +1202,11 @@ void Encoder::write_intra_luma_mode(int x0, int y0, int mode) {
     else if (cand_a != 1 && cand_b != 1) cand[2] = 1;
     else cand[2] = 26;
   }
+}
+
+void Encoder::write_intra_luma_mode(int x0, int y0, int mode) {
+  int cand[3];
+  derive_luma_mpm(x0, y0, cand);
 
   int mpm = -1;
   for (int k = 0; k < 3; k++)

@@ -51,6 +51,16 @@ inline int ctx_bits(const ContextModel& m, int bin) {
   return g_eb.b[(m.state << 1) | (bin != m.mps)];
 }
 
+}  // namespace
+
+// Fractional bits (2^-15 units) to code `bin` in a context at its current
+// state — the encoder's rate-estimation tier (counterpart of the
+// reference's CABAC_encoder_estim, cabac.h:105-212), shared by RDOQ and
+// the mode-decision rate models.
+int cabac_ctx_bits(const ContextModel& m, int bin) { return ctx_bits(m, bin); }
+
+namespace {
+
 // exact bit count of the writer's TR/EGk remaining-level coding
 inline int remaining_bits(int remaining, int rice) {
   if ((remaining >> rice) < 4) return (remaining >> rice) + 1 + rice;
