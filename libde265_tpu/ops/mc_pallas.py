@@ -199,7 +199,9 @@ def _mc_kernel(nseg, slot, wy, wx, fy, fx, x0, wv, refs, out, scratch, sem,
         start_dma(sl, k).wait()
         row, col, r8, c128 = win_origin(k)
         win = _roll_ladder(scratch[sl], row - r8, 3, 0, FH)
-        win = _roll_ladder(win, col - c128, 7, 1, FW)
+        # the window stays column-UNALIGNED: the lane offset (col - c128)
+        # folds into the final placement roll, saving a 7-step lane ladder
+        win_off = col - c128
 
         # horizontal filter on all rows (filter-always: phase 0 is the
         # [.., 64, ..] copy row, so no copy/h/v/hv branching is needed)
@@ -222,7 +224,9 @@ def _mc_kernel(nseg, slot, wy, wx, fy, fx, x0, wv, refs, out, scratch, sem,
         xs = x0[0, 0, k]
         base = jnp.minimum((xs // 128) * 128, Wout - FW)
         off = xs - base
-        pred = _roll_ladder(pred, (FW - off) & (FW - 1), 8, 1, FW)
+        # net shift: undo the window's lane offset AND place at the output
+        # offset in ONE ladder
+        pred = _roll_ladder(pred, (FW + win_off - off) & (FW - 1), 8, 1, FW)
         mask = (lane >= off) & (lane < off + wv[0, 0, k])
         base = pl.multiple_of(base, 128)
         cur = out[0, :, pl.ds(base, FW)]
