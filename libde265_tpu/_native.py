@@ -143,5 +143,9 @@ def lib() -> ct.CDLL:
     L.tde265_clear_programs.argtypes = [ct.c_void_p]
     L.tde265_execute_program_scalar.argtypes = [ct.c_void_p, ct.c_int,
                                                 ct.c_int, ct.c_int]
+    L.tde265_pack_caps.argtypes = [ct.c_void_p, ct.c_int, ct.c_void_p]
+    L.tde265_pack_feed.argtypes = [ct.c_void_p, ct.c_int, ct.c_void_p,
+                                   ct.c_int, ct.c_void_p, ct.c_void_p,
+                                   ct.c_int64]
     _lib = L
     return L

@@ -126,6 +126,10 @@ class FrameProgramData:
     # native device intra plan (intraplan.cc): step/slot scheduling, border
     # gather plans, smoothing flags, residual-bin rows
     ip: dict = None
+    # live native source (Decoder wrapper, program index) while the program
+    # is retained — lets the fused decoder pack the device feed in C++
+    # (feedpack.cc) instead of numpy
+    src: tuple = None
 
 
 class Decoder:
@@ -309,6 +313,7 @@ class Decoder:
                 "boff": _np_from(view.ip_border_off, view.n_intras + 1,
                                  np.dtype(np.uint32)),
             } if view.n_intras else None,
+            src=(self, idx),
         )
 
     @staticmethod

@@ -1118,6 +1118,9 @@ class FusedDecoder:
         # Pallas segment-MC path: on for real TPU backends; the XLA gather
         # path stays for CPU tests (interpret mode is far too slow there)
         self.use_pallas_mc = jax.default_backend() in ("tpu", "axon")
+        # native C++ feed packer (feedpack.cc); numpy fallback for programs
+        # without a live native source or when TDE_NO_NATIVE_PACK is set
+        self._no_native_pack = bool(os.environ.get("TDE_NO_NATIVE_PACK"))
         self.caps["segk"] = 0
         # persistent replicate-padded DPB ring (device-resident, in-place
         # slot updates via buffer donation); slot MAX_REFS stays gray
@@ -1139,6 +1142,11 @@ class FusedDecoder:
         for prog in progs:
             if self._exotic(prog):
                 continue
+            if self.use_pallas_mc and not self._no_native_pack:
+                caps = self._native_caps(prog)
+                if caps is not None:
+                    self._plan_from_caps(prog, caps)
+                    continue
             bins, tl, tr = _bin_tus(prog)
             sub_y0 = prog.height // prog.chroma_height \
                 if prog.chroma_height else 1
@@ -1322,6 +1330,84 @@ class FusedDecoder:
         bdc = prog.bit_depth[1] if has_chroma else bd
 
         refs, slot_map = self._refs(prog)
+
+        slot_row = None
+        if self.use_pallas_mc:
+            # fused DPB store: allocate this picture's ring slot now; the
+            # program writes the slot via the shipped per-plane row offsets
+            slot = self._alloc_slot(prog.poc)
+            dims = self._stack_dims
+            slot_row = np.array([slot * dims[c][0] for c in range(3)],
+                                np.int32)
+
+        pack = None
+        if self.use_pallas_mc and not self._no_native_pack and \
+                getattr(prog, "src", None) is not None:
+            pack = self._pack_native(prog, slot_map, slot_row)
+        if pack is None:
+            pack = self._pack_numpy(prog, slot_map, slot_row)
+        layout, buf, lgs, n_slices = pack
+
+        # --- scaling-factor tables (8 KiB; PPS may switch lists per frame) ---
+        scaling = prog.scaling_factors is not None
+        sft = None
+        if scaling:
+            sft = tuple(
+                jnp.asarray(prog.scaling_factors[lg].astype(np.int32))
+                if lg in prog.scaling_factors else jnp.zeros(
+                    (6, 1 << lg, 1 << lg), jnp.int32) for lg in (2, 3, 4, 5))
+
+        srec = prog.slice_records
+        multi = (len(srec) > 1 and not np.all(srec[:, 9])) or \
+            not prog.across_tiles
+        # sticky statics: once a frame needs L1 / inter / a filter, every
+        # later frame keeps that trace variant (per-slice dynamic gates make
+        # the extra work a no-op) so the stream stays on one program
+        self._has_inter = self._has_inter or len(prog.pus) > 0
+        self._multi = self._multi or bool(multi)
+        st = tuple(sorted({
+            "H": H, "W": W, "sub_x": sub_x, "sub_y": sub_y,
+            "cw": max(prog.chroma_width, 1), "ch": max(prog.chroma_height, 1),
+            "bd": bd, "bdc": bdc, "mono": not has_chroma,
+            "ctb_size": prog.ctb_size,
+            "n_slices": n_slices,
+            "use_l1": self._use_l1,
+            "has_inter": self._has_inter,
+            "scaling": scaling,
+            "lgs": tuple(lgs),
+            "pcm_lf_disable": bool(prog.pcm_loop_filter_disable),
+            "across_tiles": bool(prog.across_tiles),
+            "multi_boundary": self._multi,
+            "run_deblock": bool(self.run_deblock),
+            "run_sao": bool(self.run_sao),
+            "pallas_mc": bool(self.use_pallas_mc),
+            "segk": self.caps["segk"] or 1,
+            "steps_cap": self.caps["steps"] or 1,
+            "intra_bins": () if "intra" in self._skip
+            else tuple(sorted(self._intra_lgs)),
+            "run_mc": "mc" not in self._skip,
+            "run_residual": "residual" not in self._skip,
+            "fuse_store": bool(self.use_pallas_mc),
+        }.items()))
+
+        if self.use_pallas_mc:
+            out_all = _compiled_store(refs[0], refs[1], refs[2],
+                                      jnp.asarray(buf), sft, st, layout)
+            n_pl = 3 if has_chroma else 1
+            out = tuple(out_all[:n_pl])
+            self._stack = list(out_all[n_pl:])
+            return out
+        out = _compiled(refs[0], refs[1], refs[2], jnp.asarray(buf), sft, st,
+                        layout)
+        self._store(prog.poc, out, prog)
+        return out
+
+    def _pack_numpy(self, prog: FrameProgramData, slot_map, slot_row):
+        """Numpy feed packer: returns (layout, buf, lgs, n_slices)."""
+        H, W = prog.height, prog.width
+        has_chroma = prog.chroma_width > 0
+        sub_x = W // prog.chroma_width if has_chroma else 1
+        sub_y = H // prog.chroma_height if has_chroma else 1
 
         # --- PU SoA [Pcap, 10] ---
         pcap = self._grow("pu", max(len(prog.pus), 1))
@@ -1507,13 +1593,13 @@ class FusedDecoder:
             host["sao_band"] = np.zeros((*sh, 3), np.int32)
             host["sao_off"] = np.zeros((*sh, 3, 4), np.int32)
 
-        # --- fused DPB store: allocate this picture's ring slot now and
-        # ship the per-plane row offsets; the program writes the slot ---
+        # --- fused DPB store row offsets (slot allocated by decode()) ---
         if self.use_pallas_mc:
-            slot = self._alloc_slot(prog.poc)
-            dims = self._stack_dims
-            host["slot_row"] = np.array(
-                [slot * dims[c][0] for c in range(3)], np.int32)
+            host["slot_row"] = slot_row
+
+        self._use_l1 = self._use_l1 or (
+            bool((prog.pus["pred_flags"] & 2).any()) if len(prog.pus)
+            else False)
 
         # --- pack: ONE host->device upload per frame ---
         host.update(seg_host)
@@ -1527,64 +1613,206 @@ class FusedDecoder:
         for (k, off, shp) in layout:
             a = host[k]
             buf[off:off + a.size] = a.ravel()
-        layout = tuple(layout)
+        return tuple(layout), buf, lgs, n_slices
 
-        # --- scaling-factor tables (8 KiB; PPS may switch lists per frame) ---
-        scaling = prog.scaling_factors is not None
-        sft = None
-        if scaling:
-            sft = tuple(
-                jnp.asarray(prog.scaling_factors[lg].astype(np.int32))
-                if lg in prog.scaling_factors else jnp.zeros(
-                    (6, 1 << lg, 1 << lg), jnp.int32) for lg in (2, 3, 4, 5))
+    # -- native C++ feed packer (feedpack.cc) --
 
-        srec = prog.slice_records
-        multi = (len(srec) > 1 and not np.all(srec[:, 9])) or \
-            not prog.across_tiles
-        # sticky statics: once a frame needs L1 / inter / a filter, every
-        # later frame keeps that trace variant (per-slice dynamic gates make
-        # the extra work a no-op) so the stream stays on one program
-        self._use_l1 = self._use_l1 or (
-            bool((prog.pus["pred_flags"] & 2).any()) if len(prog.pus)
-            else False)
-        self._has_inter = self._has_inter or len(prog.pus) > 0
-        self._multi = self._multi or bool(multi)
-        st = tuple(sorted({
-            "H": H, "W": W, "sub_x": sub_x, "sub_y": sub_y,
-            "cw": max(prog.chroma_width, 1), "ch": max(prog.chroma_height, 1),
-            "bd": bd, "bdc": bdc, "mono": not has_chroma,
-            "ctb_size": prog.ctb_size,
-            "n_slices": n_slices,
-            "use_l1": self._use_l1,
-            "has_inter": self._has_inter,
-            "scaling": scaling,
-            "lgs": tuple(lgs),
-            "pcm_lf_disable": bool(prog.pcm_loop_filter_disable),
-            "across_tiles": bool(prog.across_tiles),
-            "multi_boundary": self._multi,
-            "run_deblock": bool(self.run_deblock),
-            "run_sao": bool(self.run_sao),
-            "pallas_mc": bool(self.use_pallas_mc),
-            "segk": self.caps["segk"] or 1,
-            "steps_cap": self.caps["steps"] or 1,
-            "intra_bins": () if "intra" in self._skip
-            else tuple(sorted(self._intra_lgs)),
-            "run_mc": "mc" not in self._skip,
-            "run_residual": "residual" not in self._skip,
-            "fuse_store": bool(self.use_pallas_mc),
-        }.items()))
+    def _native_caps(self, prog):
+        """Per-frame size requirements from tde265_pack_caps, or None."""
+        import ctypes as ct
+        src = getattr(prog, "src", None)
+        if src is None:
+            return None
+        dec, idx = src
+        if getattr(dec, "_ctx", None) is None:
+            return None
+        caps = np.zeros(64, np.int32)
+        try:
+            rc = dec._lib.tde265_pack_caps(
+                dec._ctx, idx, caps.ctypes.data_as(ct.c_void_p))
+        except AttributeError:
+            return None
+        return caps if rc == 0 else None
 
-        if self.use_pallas_mc:
-            out_all = _compiled_store(refs[0], refs[1], refs[2],
-                                      jnp.asarray(buf), sft, st, layout)
-            n_pl = 3 if has_chroma else 1
-            out = tuple(out_all[:n_pl])
-            self._stack = list(out_all[n_pl:])
-            return out
-        out = _compiled(refs[0], refs[1], refs[2], jnp.asarray(buf), sft, st,
-                        layout)
-        self._store(prog.poc, out, prog)
-        return out
+    def _plan_from_caps(self, prog, caps):
+        """plan_stream growth from the native caps record (mirrors the
+        numpy plan_stream body exactly)."""
+        for lg in (2, 3, 4, 5):
+            i = lg - 2
+            n_tu = int(caps[i])
+            if n_tu == 0:
+                continue
+            self._grow(f"tu{lg}", n_tu)
+            self._grow(f"co{lg}", int(caps[4 + i]))
+            for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
+                scn = int(caps[8 + i * 3 + c])
+                self._grow(f"sc{lg}{ch}", scn)
+                if self.use_pallas_mc and scn:
+                    self._grow(f"rk{lg}{ch}", int(caps[20 + i * 3 + c]))
+        self._grow("pu", len(prog.pus))
+        self._grow("slices", len(prog.slice_records))
+        self._use_l1 = self._use_l1 or bool(caps[42])
+        self._has_inter = self._has_inter or bool(caps[43])
+        self._multi = self._multi or bool(
+            (len(prog.slice_records) > 1 and
+             not np.all(prog.slice_records[:, 9])) or
+            not prog.across_tiles)
+        if int(caps[34]):
+            u = np.unique(prog.intras["cidx"].astype(np.int32) * 8 +
+                          prog.intras["log2_size"].astype(np.int32))
+            for v in u.tolist():
+                self._intra_lgs.add((_PLANE_CLASS[int(v) >> 3], int(v) & 7))
+        self._grow("steps", int(caps[35]))
+        self._grow("nintra", int(caps[34]))
+        for c in range(3):
+            self._grow(f"pcm{c}", int(caps[39 + c]))
+        if self.use_pallas_mc and len(prog.pus):
+            for l in (0, 1):
+                self._grow("segk", int(caps[32 + l]))
+
+    def _pack_native(self, prog: FrameProgramData, slot_map, slot_row):
+        """Native feed packer: byte-identical to _pack_numpy, built in C++.
+
+        Returns (layout, buf, lgs, n_slices) or None to fall back."""
+        import ctypes as ct
+        caps = self._native_caps(prog)
+        if caps is None:
+            return None
+        H = prog.height
+        n_bands = (H + 3) // 4
+
+        # watermark growth (mirrors the numpy pack path)
+        for lg in (2, 3, 4, 5):
+            i = lg - 2
+            n_tu, n_co = int(caps[i]), int(caps[4 + i])
+            if n_tu or self.caps[f"tu{lg}"]:
+                self._grow(f"tu{lg}", max(n_tu, 1))
+                self._grow(f"co{lg}", max(n_co, 1))
+            for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
+                cap = self._grow(f"sc{lg}{ch}", int(caps[8 + i * 3 + c]))
+                if cap:
+                    self._grow(f"rk{lg}{ch}", int(caps[20 + i * 3 + c]))
+        self._grow("pu", max(len(prog.pus), 1))
+        self._use_l1 = self._use_l1 or bool(caps[42])
+        lists = (0, 1) if self._use_l1 else (0,)
+        for l in lists:
+            self._grow("segk", max(int(caps[32 + l]), 1))
+        n_steps = int(caps[35])
+        self.caps["steps"] = max(self.caps["steps"],
+                                 _pow2(n_steps) if n_steps else 0)
+        self._grow("nintra", max(int(caps[34]), 1))
+        for c in range(3):
+            self._grow(f"pcm{c}", int(caps[39 + c]))
+        n_slices = self._grow("slices", max(int(caps[44]), 1))
+        if int(caps[34]):
+            u = np.unique(prog.intras["cidx"].astype(np.int32) * 8 +
+                          prog.intras["log2_size"].astype(np.int32))
+            for v in u.tolist():
+                self._intra_lgs.add((_PLANE_CLASS[int(v) >> 3], int(v) & 7))
+        for (pcls, lg) in self._intra_lgs:
+            if self.caps[f"tu{lg}"] == 0:
+                self._grow(f"tu{lg}", 1)
+                self._grow(f"co{lg}", 1)
+        lgs = [lg for lg in (2, 3, 4, 5) if self.caps[f"tu{lg}"] > 0]
+
+        # key -> (native key id, p0, p1, shape); MUST yield exactly the
+        # key set and shapes the numpy packer produces
+        shapes = {}
+        ids = {}
+
+        def ent(key, kid, p0, p1, shape):
+            shapes[key] = shape
+            ids[key] = (kid, p0, p1)
+
+        for lg in lgs:
+            tcap, ccap = self.caps[f"tu{lg}"], self.caps[f"co{lg}"]
+            ent(f"bin{lg}.qp", 0, lg, 0, (tcap,))
+            ent(f"bin{lg}.flags", 1, lg, 0, (tcap,))
+            ent(f"bin{lg}.mid", 2, lg, 0, (tcap,))
+            ent(f"bin{lg}.cval", 3, lg, 0, (ccap,))
+            ent(f"bin{lg}.cpos", 4, lg, 0, (ccap,))
+            ent(f"bin{lg}.crow", 5, lg, 0, (ccap,))
+            for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
+                if self.caps[f"sc{lg}{ch}"]:
+                    kcap = self.caps.get(f"rk{lg}{ch}", 1) or 1
+                    ent(f"rs{lg}{ch}.n", 6, lg, c, (n_bands,))
+                    ent(f"rs{lg}{ch}.srow", 7, lg, c, (n_bands, kcap))
+                    ent(f"rs{lg}{ch}.x0", 8, lg, c, (n_bands, kcap))
+        segk = self.caps["segk"] or 1
+        for l in lists:
+            ent(f"sg{l}n", 9, l, 0, (n_bands,))
+            for pc, tag in ((0, "l"), (1, "c")):
+                for fi, f in enumerate(("slot", "wy", "wx", "fy", "fx",
+                                        "x0", "w")):
+                    ent(f"sg{l}{tag}.{f}", 10 + fi, l, pc, (n_bands, segk))
+        ent("irec", 17, 0, 0, (self.caps["nintra"], IREC_COLS))
+        ent("nsteps", 18, 0, 0, (3,))
+        for c in range(3):
+            cap = self.caps[f"pcm{c}"]
+            ent(f"pcm{c}", 19, c, 0, (cap, 2) if cap else (0, 2))
+        ent("slice_recs", 20, 0, 0, (n_slices, 208))
+        ent("pu", 21, 0, 0, (self.caps["pu"], 10))
+        pb = tuple(prog.pu_idx.shape)
+        ent("pu_idx", 22, 0, 0, pb)
+        ent("qp4", 23, 0, 0, pb)
+        ent("nzc4", 24, 0, 0, pb)
+        ent("dbf4", 25, 0, 0, pb)
+        ent("cu4", 26, 0, 0, pb)
+        sh = (prog.ctb_h, prog.ctb_w)
+        ent("slice_idx", 27, 0, 0, sh)
+        ent("slice_addr", 28, 0, 0, sh)
+        ent("tile_id", 30, 0, 0, sh)
+        ent("sao_t", 31, 0, 0, (*sh, 3))
+        ent("sao_eo", 32, 0, 0, (*sh, 3))
+        ent("sao_band", 33, 0, 0, (*sh, 3))
+        ent("sao_off", 34, 0, 0, (*sh, 3, 4))
+        # python-filled trivials
+        shapes["ref_pocs"] = (2 * MAX_REFS + 1,)
+        shapes["mc_on"] = (1,)
+        shapes["slot_row"] = (3,)
+
+        layout = []
+        total = 0
+        earr = np.zeros((len(ids), 8), np.int32)
+        n_ent = 0
+        for k in sorted(shapes):
+            shp = shapes[k]
+            layout.append((k, total, tuple(shp)))
+            size = 1
+            for d in shp:
+                size *= int(d)
+            if k in ids:
+                kid, p0, p1 = ids[k]
+                row = earr[n_ent]
+                row[0], row[1], row[2], row[3] = kid, p0, p1, total
+                for j, d in enumerate(shp[:4]):
+                    row[4 + j] = d
+                n_ent += 1
+            total += size
+        buf = np.empty(max(total, 1), np.int32)
+        aux = np.zeros(25, np.int32)
+        for k, v in slot_map.items():
+            aux[k + 1] = v
+        for i in range(MAX_REFS):
+            aux[17 + i] = slot_map.get(i, 0)
+        dec, idx = prog.src
+        rc = dec._lib.tde265_pack_feed(
+            dec._ctx, idx, earr.ctypes.data_as(ct.c_void_p), n_ent,
+            aux.ctypes.data_as(ct.c_void_p),
+            buf.ctypes.data_as(ct.c_void_p), total)
+        if rc != 0:
+            return None
+        for (k, off, shp) in layout:
+            if k == "ref_pocs":
+                pocs = np.full(2 * MAX_REFS + 1, NOREF, np.int32)
+                for i, poc in enumerate(prog.ref_pocs[:MAX_REFS]):
+                    pocs[slot_map.get(i, 2 * MAX_REFS)] = poc
+                buf[off:off + pocs.size] = pocs
+            elif k == "mc_on":
+                buf[off] = 1 if len(prog.pus) else 0
+            elif k == "slot_row":
+                buf[off:off + 3] = slot_row
+        return tuple(layout), buf, lgs, n_slices
 
     def _store(self, poc, planes, prog=None):
         if self.use_pallas_mc and prog is not None:

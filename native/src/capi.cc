@@ -546,6 +546,20 @@ struct tde265_program_view {
   int32_t ip_n_border;
 };
 
+}  // extern "C"
+
+namespace tde265 {
+// Internal accessor for the native feed packer (feedpack.cc).
+FrameProgram* internal_program_at(de265_decoder_context* ctx, int idx) {
+  Decoder& d = C(ctx)->dec;
+  std::lock_guard<std::mutex> lk(d.programs_mutex);
+  if (idx < 0 || idx >= (int)d.finished_programs.size()) return nullptr;
+  return d.finished_programs[idx].get();
+}
+}  // namespace tde265
+
+extern "C" {
+
 LIBDE265_API void tde265_set_keep_programs(de265_decoder_context* ctx, int keep) {
   C(ctx)->dec.keep_programs = keep != 0;
 }

@@ -1,0 +1,586 @@
+// Native per-frame device-feed packer.
+//
+// The fused TPU decoder (libde265_tpu/fused_decode.py) feeds each picture to
+// the device as ONE packed int32 buffer.  Building that buffer in numpy cost
+// 30-180 ms/frame at 1080p (measured round 3) — more than the device program
+// itself — so this file computes the identical bytes natively from the
+// retained FrameProgram: TU size-binning with the ragged coefficient gather,
+// per-cell-band MC segment planning, residual scatter segments, the intra
+// super-wave records, PCM scatter lists and the metadata grids.
+//
+// Two entry points driven by the Python side (which keeps the watermark
+// bookkeeping and the XLA layout):
+//   tde265_pack_caps(ctx, idx, caps[64])   -> per-frame size requirements
+//   tde265_pack_feed(ctx, idx, entries, n, aux, out, out_len)
+//     entries: 8 int32 each = {key, p0, p1, offset, d0, d1, d2, d3}
+//     aux:     [0..16] slot LUT (ref_dpb+1 -> DPB ring slot)
+//              [17..24] ref-index -> ring-slot remap for MC segments
+//
+// Byte-identity with the numpy packer is enforced by
+// tests/test_native_pack.py.  Reference counterpart: none (the reference
+// calls kernels directly; this is the TPU-native feed seam, SURVEY.md §7).
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "tde265/de265.h"
+#include "tde265/program.h"
+
+namespace tde265 {
+FrameProgram* internal_program_at(de265_decoder_context* ctx, int idx);
+}
+
+using namespace tde265;
+
+namespace {
+
+// Entry keys; MUST match libde265_tpu/fused_decode._PACK_KEYS.
+enum PackKey : int {
+  kKeyBinQp = 0,
+  kKeyBinFlags,
+  kKeyBinMid,
+  kKeyBinCval,
+  kKeyBinCpos,
+  kKeyBinCrow,
+  kKeyResN,
+  kKeyResSrow,
+  kKeyResX0,
+  kKeySegN,
+  kKeySegSlot,
+  kKeySegWy,
+  kKeySegWx,
+  kKeySegFy,
+  kKeySegFx,
+  kKeySegX0,
+  kKeySegW,
+  kKeyIrec,
+  kKeyNsteps,
+  kKeyPcm,
+  kKeySliceRecs,
+  kKeyPu,
+  kKeyPuIdx,
+  kKeyQp4,
+  kKeyNzc4,
+  kKeyDbf4,
+  kKeyCu4,
+  kKeySliceIdx,
+  kKeySliceAddr,
+  kKeySliceCtb,  // unused (reserved)
+  kKeyTileId,
+  kKeySaoT,
+  kKeySaoEo,
+  kKeySaoBand,
+  kKeySaoOff,
+};
+
+constexpr int kPadL = 128;  // mc_pallas.PADL
+constexpr int kPadT = 16;   // mc_pallas.PADT
+constexpr int kIrecCols = 15;
+constexpr int kAvailWords = 5;
+constexpr int kCrowFill = 1 << 30;
+constexpr int kPcmFill = 1 << 30;
+
+struct TuBin {
+  std::vector<int32_t> rows;          // TU indices (into prog.tus)
+  std::vector<int32_t> qp, flags, mid;
+  std::vector<int32_t> cval, cpos, crow;
+  // inter residual scatter (row-in-bin, x, y) per channel
+  std::vector<int32_t> sc[3];  // flattened triples
+};
+
+struct SegPlan {
+  // per-(list, plane-class) field arrays, flattened [band-major arrival]
+  // stored as (band, k, 7 fields); built densely below
+  std::vector<int32_t> counts;           // [n_bands]
+  std::vector<int32_t> f[2][7];          // [pc][field] ragged by (band,k)
+  std::vector<int32_t> band_of, k_of;    // per segment
+  int maxk = 0;
+};
+
+struct PackState {
+  const FrameProgram* prog;
+  const FrameProgram::Snapshot* snap;
+  int H, W, sub_x, sub_y, n_bands;
+  bool has_chroma;
+  TuBin bins[4];  // lg 2..5
+  bool use_l1 = false;
+};
+
+void bin_tus(PackState& ps) {
+  const auto& tus = ps.prog->tus;
+  const auto& cval = ps.prog->coeff_val;
+  const auto& cpos = ps.prog->coeff_pos;
+  const bool scaling = ps.snap->scaling_enabled;
+  for (size_t t = 0; t < tus.size(); t++) {
+    const TuRec& tu = tus[t];
+    int lg = tu.log2_size;
+    if (lg < 2 || lg > 5) continue;
+    TuBin& b = ps.bins[lg - 2];
+    int row = (int)b.qp.size();
+    b.rows.push_back((int32_t)t);
+    b.qp.push_back((int32_t)tu.qp);
+    b.flags.push_back((int32_t)tu.flags);
+    bool intra = (tu.flags & TuRec::kIntra) != 0;
+    int mid = 0;
+    if (scaling) {
+      mid = (lg == 5) ? (intra ? 0 : 1) : (tu.cidx + (intra ? 0 : 3));
+    }
+    b.mid.push_back(mid);
+    for (int j = 0; j < tu.ncoeff; j++) {
+      b.cval.push_back((int32_t)cval[tu.coeff_start + j]);
+      b.cpos.push_back((int32_t)cpos[tu.coeff_start + j]);
+      b.crow.push_back(row);
+    }
+    if (!intra && tu.ncoeff > 0 && tu.cidx < 3) {
+      auto& s = b.sc[tu.cidx];
+      s.push_back(row);
+      s.push_back((int32_t)tu.x);
+      s.push_back((int32_t)tu.y);
+    }
+  }
+}
+
+// MC segments for one reference list: mirrors ops/mc_pallas.plan_segments.
+void plan_segments(const PackState& ps, int l, const int32_t* remap,
+                   SegPlan& sp) {
+  const auto& pus = ps.prog->pus;
+  const int H = ps.H, W = ps.W;
+  const int sub_x = ps.sub_x, sub_y = ps.sub_y;
+  const int shx = (sub_x == 2) ? 3 : 2;
+  const int shy = (sub_y == 2) ? 3 : 2;
+  const int Hc = H / sub_y, Wc = W / sub_x;
+  sp.counts.assign(ps.n_bands, 0);
+  for (size_t i = 0; i < pus.size(); i++) {
+    const PuRec& p = pus[i];
+    if (!(p.pred_flags & (1 << l))) continue;
+    int mvx = p.mv[l].x, mvy = p.mv[l].y;
+    int slot = std::max((int)p.ref_dpb[l], 0);
+    slot = remap[std::min(std::max(slot, 0), 7)];
+    int x = p.x, y = p.y, w = p.w, h = p.h;
+    int rows = h >> 2;
+    for (int iw = 0; iw < rows; iw++) {
+      int band = (y >> 2) + iw;
+      int k = sp.counts[band]++;
+      sp.maxk = std::max(sp.maxk, k + 1);
+      sp.band_of.push_back(band);
+      sp.k_of.push_back(k);
+      // luma
+      int oy = (y + 4 * iw) + (mvy >> 2) - 3;
+      int ox = x + (mvx >> 2) - 3;
+      oy = std::min(std::max(oy, -(4 + 8 - 2)), H - 1) + kPadT;
+      ox = std::min(std::max(ox, -(w + 8 - 2)), W - 1) + kPadL;
+      sp.f[0][0].push_back(slot);
+      sp.f[0][1].push_back(oy);
+      sp.f[0][2].push_back(ox);
+      sp.f[0][3].push_back(mvy & 3);
+      sp.f[0][4].push_back(mvx & 3);
+      sp.f[0][5].push_back(x);
+      sp.f[0][6].push_back(w);
+      // chroma
+      int fcx = (sub_x == 2) ? (mvx & 7) : ((mvx & 3) << 1);
+      int fcy = (sub_y == 2) ? (mvy & 7) : ((mvy & 3) << 1);
+      int cw = w / sub_x;
+      int cyb = (y + 4 * iw) / sub_y;
+      int ocy = cyb + (mvy >> shy) - 1;
+      int ocx = x / sub_x + (mvx >> shx) - 1;
+      ocy = std::min(std::max(ocy, -((4 / sub_y) + 4 - 2)), Hc - 1) + kPadT;
+      ocx = std::min(std::max(ocx, -(cw + 4 - 2)), Wc - 1) + kPadL;
+      sp.f[1][0].push_back(slot);
+      sp.f[1][1].push_back(ocy);
+      sp.f[1][2].push_back(ocx);
+      sp.f[1][3].push_back(fcy);
+      sp.f[1][4].push_back(fcx);
+      sp.f[1][5].push_back(x / sub_x);
+      sp.f[1][6].push_back(cw);
+    }
+  }
+}
+
+// Residual scatter segments for one (bin, channel): mirrors
+// plan_residual_segments + pack_band_segments.
+struct ResPlan {
+  std::vector<int32_t> counts;        // [n_bands]
+  std::vector<int32_t> band_of, srow, x0;
+  int maxk = 0;
+};
+
+void plan_residual(const PackState& ps, int lg, int c, ResPlan& rp) {
+  const TuBin& b = ps.bins[lg - 2];
+  const auto& sc = b.sc[c];
+  const int s = 1 << lg;
+  const int OR = (c == 0) ? 4 : 4 / std::max(ps.sub_y, 1);
+  const int per = s / OR;
+  rp.counts.assign(ps.n_bands, 0);
+  for (size_t i = 0; i < sc.size(); i += 3) {
+    int row = sc[i], x = sc[i + 1], y = sc[i + 2];
+    for (int j = 0; j < per; j++) {
+      int band = y / OR + j;
+      int k = rp.counts[band]++;
+      rp.maxk = std::max(rp.maxk, k + 1);
+      rp.band_of.push_back(band);
+      rp.srow.push_back(row * per + j);
+      rp.x0.push_back(x);
+    }
+  }
+}
+
+struct PcmPlan {
+  std::vector<int32_t> idx[3], val[3];
+};
+
+void plan_pcm(const PackState& ps, PcmPlan& pp) {
+  const auto& pcms = ps.prog->pcms;
+  if (pcms.empty()) return;
+  const auto& data = ps.prog->pcm_data;
+  const auto* s = ps.snap;
+  int sh_y = std::max(s->bit_depth[0] - s->pcm_bit_depth[0], 0);
+  int bd_c = ps.has_chroma ? s->bit_depth[1] : 8;
+  int sh_c = std::max(bd_c - s->pcm_bit_depth[1], 0);
+  for (const PcmRec& rec : pcms) {
+    int sz = 1 << rec.log2_size;
+    size_t p = rec.data_start;
+    for (int yy = 0; yy < sz; yy++)
+      for (int xx = 0; xx < sz; xx++) {
+        pp.idx[0].push_back((rec.y + yy) * ps.W + rec.x + xx);
+        pp.val[0].push_back((int32_t)data[p++] << sh_y);
+      }
+    if (ps.has_chroma) {
+      int cw = sz / ps.sub_x, chh = sz / ps.sub_y;
+      int cx = rec.x / ps.sub_x, cy = rec.y / ps.sub_y;
+      for (int c = 1; c <= 2; c++)
+        for (int yy = 0; yy < chh; yy++)
+          for (int xx = 0; xx < cw; xx++) {
+            pp.idx[c].push_back((cy + yy) * s->chroma_width + cx + xx);
+            pp.val[c].push_back((int32_t)data[p++] << sh_c);
+          }
+    }
+  }
+}
+
+void init_state(PackState& ps, FrameProgram* prog) {
+  ps.prog = prog;
+  ps.snap = prog->snapshot.get();
+  const auto* s = ps.snap;
+  ps.H = s->height;
+  ps.W = s->width;
+  ps.has_chroma = s->chroma_width > 0;
+  ps.sub_x = ps.has_chroma ? s->width / s->chroma_width : 1;
+  ps.sub_y = ps.has_chroma ? s->height / s->chroma_height : 1;
+  ps.n_bands = (ps.H + 3) / 4;
+  for (const PuRec& p : prog->pus)
+    if (p.pred_flags & 2) {
+      ps.use_l1 = true;
+      break;
+    }
+  bin_tus(ps);
+}
+
+}  // namespace
+
+extern "C" {
+
+// caps[64] layout (see fused_decode._native_caps):
+//  [0..3]  TU count per lg       [4..7]  coeff count per lg
+//  [8..19] sc count per (lg,ch)  [20..31] residual K per (lg,ch)
+//  [32..33] MC segment K per list
+//  [34] n_intras  [35] n_steps  [36..38] steps per plane
+//  [39..41] pcm scatter count per plane
+//  [42] use_l1  [43] has_inter  [44] n_slices
+LIBDE265_API int tde265_pack_caps(de265_decoder_context* ctx, int idx,
+                                  int32_t* caps) {
+  FrameProgram* prog = internal_program_at(ctx, idx);
+  if (!prog || !prog->snapshot) return -1;
+  PackState ps;
+  init_state(ps, prog);
+  memset(caps, 0, 64 * sizeof(int32_t));
+  for (int lg = 2; lg <= 5; lg++) {
+    const TuBin& b = ps.bins[lg - 2];
+    caps[lg - 2] = (int32_t)b.qp.size();
+    caps[4 + lg - 2] = (int32_t)b.cval.size();
+    for (int c = 0; c < 3; c++) {
+      caps[8 + (lg - 2) * 3 + c] = (int32_t)(b.sc[c].size() / 3);
+      ResPlan rp;
+      plan_residual(ps, lg, c, rp);
+      caps[20 + (lg - 2) * 3 + c] = std::max(rp.maxk, 1);
+    }
+  }
+  static const int32_t ident[8] = {0, 1, 2, 3, 4, 5, 6, 7};
+  for (int l = 0; l < 2; l++) {
+    SegPlan sp;
+    plan_segments(ps, l, ident, sp);
+    caps[32 + l] = std::max(sp.maxk, 1);
+  }
+  caps[34] = (int32_t)prog->intras.size();
+  int n_steps = 0, pc_steps[3] = {0, 0, 0};
+  const auto* s = ps.snap;
+  for (size_t i = 0; i < prog->intras.size(); i++) {
+    int st = s->ip_step[i] + 1;
+    n_steps = std::max(n_steps, st);
+    int c = prog->intras[i].cidx;
+    if (c < 3) pc_steps[c] = std::max(pc_steps[c], st);
+  }
+  caps[35] = n_steps;
+  for (int c = 0; c < 3; c++) caps[36 + c] = pc_steps[c];
+  PcmPlan pp;
+  plan_pcm(ps, pp);
+  for (int c = 0; c < 3; c++) caps[39 + c] = (int32_t)pp.idx[c].size();
+  caps[42] = ps.use_l1 ? 1 : 0;
+  caps[43] = prog->pus.empty() ? 0 : 1;
+  caps[44] =
+      (int32_t)(s->slice_records.size() / FrameProgram::Snapshot::kSliceRecordLen);
+  return 0;
+}
+
+LIBDE265_API int tde265_pack_feed(de265_decoder_context* ctx, int idx,
+                                  const int32_t* entries, int n_entries,
+                                  const int32_t* aux, int32_t* out,
+                                  int64_t out_len) {
+  FrameProgram* prog = internal_program_at(ctx, idx);
+  if (!prog || !prog->snapshot) return -1;
+  PackState ps;
+  init_state(ps, prog);
+  const FrameProgram::Snapshot* s = ps.snap;
+  const int32_t* slot_lut = aux;       // [17]: ref_dpb+1 -> ring slot
+  const int32_t* remap = aux + 17;     // [8]: ref index -> ring slot
+
+  // lazily computed shared plans
+  SegPlan seg[2];
+  bool seg_done[2] = {false, false};
+  ResPlan res[4][3];
+  bool res_done[4][3] = {};
+  PcmPlan pcm;
+  bool pcm_done = false;
+
+  for (int e = 0; e < n_entries; e++) {
+    const int32_t* en = entries + e * 8;
+    int key = en[0], p0 = en[1], p1 = en[2];
+    int64_t off = en[3];
+    int d0 = en[4], d1 = en[5], d2 = en[6], d3 = en[7];
+    int64_t total = (int64_t)std::max(d0, 1) * std::max(d1, 1) *
+                    std::max(d2, 1) * std::max(d3, 1);
+    if (d0 == 0) total = 0;
+    if (off + total > out_len) return -2;
+    int32_t* dst = out + off;
+    switch (key) {
+      case kKeyBinQp:
+      case kKeyBinFlags:
+      case kKeyBinMid: {
+        const TuBin& b = ps.bins[p0 - 2];
+        const std::vector<int32_t>& v = (key == kKeyBinQp)      ? b.qp
+                                        : (key == kKeyBinFlags) ? b.flags
+                                                                : b.mid;
+        memset(dst, 0, total * 4);
+        memcpy(dst, v.data(), v.size() * 4);
+        break;
+      }
+      case kKeyBinCval:
+      case kKeyBinCpos: {
+        const TuBin& b = ps.bins[p0 - 2];
+        const std::vector<int32_t>& v =
+            (key == kKeyBinCval) ? b.cval : b.cpos;
+        memset(dst, 0, total * 4);
+        memcpy(dst, v.data(), v.size() * 4);
+        break;
+      }
+      case kKeyBinCrow: {
+        const TuBin& b = ps.bins[p0 - 2];
+        memcpy(dst, b.crow.data(), b.crow.size() * 4);
+        for (int64_t i = (int64_t)b.crow.size(); i < total; i++)
+          dst[i] = kCrowFill;
+        break;
+      }
+      case kKeyResN:
+      case kKeyResSrow:
+      case kKeyResX0: {
+        ResPlan& rp = res[p0 - 2][p1];
+        if (!res_done[p0 - 2][p1]) {
+          plan_residual(ps, p0, p1, rp);
+          res_done[p0 - 2][p1] = true;
+        }
+        if (key == kKeyResN) {
+          memcpy(dst, rp.counts.data(),
+                 std::min<int64_t>(total, rp.counts.size()) * 4);
+        } else {
+          memset(dst, 0, total * 4);
+          const std::vector<int32_t>& v =
+              (key == kKeyResSrow) ? rp.srow : rp.x0;
+          // dst is [n_bands, K]; scatter by (band, k) arrival order
+          std::vector<int32_t> kc(ps.n_bands, 0);
+          for (size_t i = 0; i < v.size(); i++) {
+            int band = rp.band_of[i];
+            dst[(int64_t)band * d1 + kc[band]++] = v[i];
+          }
+        }
+        break;
+      }
+      case kKeySegN:
+      case kKeySegSlot:
+      case kKeySegWy:
+      case kKeySegWx:
+      case kKeySegFy:
+      case kKeySegFx:
+      case kKeySegX0:
+      case kKeySegW: {
+        int l = p0;
+        SegPlan& sp = seg[l];
+        if (!seg_done[l]) {
+          plan_segments(ps, l, remap, sp);
+          seg_done[l] = true;
+        }
+        if (key == kKeySegN) {
+          memcpy(dst, sp.counts.data(),
+                 std::min<int64_t>(total, sp.counts.size()) * 4);
+        } else {
+          int pc = p1;  // 0 = luma, 1 = chroma
+          int field = key - kKeySegSlot;
+          memset(dst, 0, total * 4);
+          const std::vector<int32_t>& v = sp.f[pc][field];
+          for (size_t i = 0; i < v.size(); i++)
+            dst[(int64_t)sp.band_of[i] * d1 + sp.k_of[i]] = v[i];
+        }
+        break;
+      }
+      case kKeyIrec: {
+        memset(dst, 0, total * 4);
+        const auto& intras = prog->intras;
+        for (size_t i = 0; i < intras.size(); i++) {
+          int32_t* r = dst + i * kIrecCols;
+          const IntraRec& rec = intras[i];
+          r[0] = rec.mode;
+          r[1] = s->ip_edge[i];
+          r[2] = rec.y;
+          r[3] = rec.x;
+          int fl = (int)s->ip_flags[i] | 8;
+          r[4] = fl;
+          r[5] = s->ip_rrow[i];
+          r[6] = s->ip_step[i];
+          r[7] = s->ip_slot[i];
+          r[8] = rec.cidx;
+          r[9] = rec.log2_size;
+          // availability bitmask from the substitution chain
+          int nb = 4 * (1 << rec.log2_size) + 1;
+          const int32_t* bsub = s->ip_border_sub.data() + s->ip_border_off[i];
+          if ((fl & 1) == 0) {
+            for (int k = 0; k < nb; k++)
+              if (bsub[k] == k) r[10 + (k >> 5)] |= 1 << (k & 31);
+          }
+        }
+        break;
+      }
+      case kKeyNsteps: {
+        int pc_steps[3] = {0, 0, 0};
+        for (size_t i = 0; i < prog->intras.size(); i++) {
+          int c = prog->intras[i].cidx;
+          if (c < 3)
+            pc_steps[c] = std::max(pc_steps[c], (int)s->ip_step[i] + 1);
+        }
+        for (int c = 0; c < 3; c++) dst[c] = pc_steps[c];
+        break;
+      }
+      case kKeyPcm: {
+        if (!pcm_done) {
+          plan_pcm(ps, pcm);
+          pcm_done = true;
+        }
+        int c = p0;
+        for (int64_t i = 0; i < total; i++) dst[i] = kPcmFill;
+        for (size_t i = 0; i < pcm.idx[c].size(); i++) {
+          dst[i * 2] = pcm.idx[c][i];
+          dst[i * 2 + 1] = pcm.val[c][i];
+        }
+        break;
+      }
+      case kKeySliceRecs: {
+        memset(dst, 0, total * 4);
+        memcpy(dst, s->slice_records.data(), s->slice_records.size() * 4);
+        break;
+      }
+      case kKeyPu: {
+        memset(dst, 0, total * 4);
+        const auto& pus = prog->pus;
+        for (size_t i = 0; i < pus.size(); i++) {
+          const PuRec& p = pus[i];
+          int32_t* r = dst + i * 10;
+          r[0] = p.mv[0].x;
+          r[1] = p.mv[0].y;
+          r[2] = p.mv[1].x;
+          r[3] = p.mv[1].y;
+          r[4] = p.pred_flags;
+          for (int l = 0; l < 2; l++) {
+            int v = p.ref_dpb[l];
+            r[5 + l] = slot_lut[std::min(std::max(v + 1, 0), 16)];
+            r[7 + l] = std::max((int)p.ref_idx[l], 0);
+          }
+          r[9] = p.slice;
+        }
+        break;
+      }
+      case kKeyPuIdx:
+        memcpy(dst, s->pu_idx.data(), s->pu_idx.size() * 4);
+        break;
+      case kKeyQp4:
+        for (size_t i = 0; i < s->qp_y.size(); i++) dst[i] = s->qp_y[i];
+        break;
+      case kKeyNzc4:
+        for (size_t i = 0; i < s->nonzero_coeff.size(); i++)
+          dst[i] = s->nonzero_coeff[i];
+        break;
+      case kKeyDbf4:
+        for (size_t i = 0; i < s->deblock_flags.size(); i++)
+          dst[i] = s->deblock_flags[i];
+        break;
+      case kKeyCu4:
+        for (size_t i = 0; i < s->cu_info.size(); i++) dst[i] = s->cu_info[i];
+        break;
+      case kKeySliceIdx:
+        for (size_t i = 0; i < s->slice_idx.size(); i++)
+          dst[i] = s->slice_idx[i];
+        break;
+      case kKeySliceAddr:
+        memcpy(dst, s->slice_addr.data(), s->slice_addr.size() * 4);
+        break;
+      case kKeyTileId:
+        memcpy(dst, s->tile_id.data(), s->tile_id.size() * 4);
+        break;
+      case kKeySaoT:
+      case kKeySaoEo:
+      case kKeySaoBand: {
+        size_t n = s->sao.size();
+        if (n == 0) {
+          memset(dst, 0, total * 4);
+          break;
+        }
+        for (size_t i = 0; i < n; i++) {
+          const SaoParams& sp = s->sao[i];
+          const u8* v = (key == kKeySaoT)    ? sp.type_idx
+                        : (key == kKeySaoEo) ? sp.eo_class
+                                             : sp.band_pos;
+          dst[i * 3] = v[0];
+          dst[i * 3 + 1] = v[1];
+          dst[i * 3 + 2] = v[2];
+        }
+        break;
+      }
+      case kKeySaoOff: {
+        size_t n = s->sao.size();
+        if (n == 0) {
+          memset(dst, 0, total * 4);
+          break;
+        }
+        for (size_t i = 0; i < n; i++) {
+          const SaoParams& sp = s->sao[i];
+          for (int c = 0; c < 3; c++)
+            for (int j = 0; j < 4; j++)
+              dst[(i * 3 + c) * 4 + j] = sp.offset[c][j];
+        }
+        break;
+      }
+      default:
+        return -3;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

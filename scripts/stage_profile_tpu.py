@@ -23,6 +23,9 @@ VARIANTS = [
     ("feed-only", "mc,intra,residual,deblock,sao"),
 ]
 
+STREAM = os.environ.get("TDE_STAGE_STREAM",
+                        "/root/reference/testdata/girlshy.h265")
+
 if len(sys.argv) > 1 and sys.argv[1] == "--child":
     import numpy as np
     import jax
@@ -32,7 +35,7 @@ if len(sys.argv) > 1 and sys.argv[1] == "--child":
     from libde265_tpu import Decoder
     from libde265_tpu.fused_decode import FusedDecoder
 
-    data = open("/root/reference/testdata/girlshy.h265", "rb").read()
+    data = open(STREAM, "rb").read()
     dec = Decoder(parse_only=True, keep_programs=True)
     list(dec.decode_all(data))
     progs = [dec.get_program(i) for i in range(dec.num_programs())]
