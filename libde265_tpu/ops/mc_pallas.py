@@ -162,15 +162,27 @@ def _roll_ladder(win, rem, nbits, axis, size):
 
 
 def _mc_kernel(nseg, slot, wy, wx, fy, fx, x0, wv, refs, out, scratch, sem,
-               *, OR, T, FH, Hpad, Wout, bd, KMAX, table):
+               *, OR, T, FH, Hpad, Wout, bd, KMAX, table, G):
     # nseg is scalar-prefetched; the per-band segment rows arrive as SMEM
     # blocks (1, KMAX) so SMEM holds one band's parameters, not the whole
-    # [n_bands, KMAX] tables (which exhaust the 1 MB SMEM at 1080p+)
+    # [n_bands, KMAX] tables (which exhaust the 1 MB SMEM at 1080p+).
+    #
+    # Segments are processed G at a time: the per-group filter math runs as
+    # a handful of [G*FH, FW] vector ops (the per-segment phase/alignment
+    # variation rides in broadcast [G,1,1] vectors + where-selected static
+    # rolls), so the serial per-segment cost collapses to one small
+    # RMW-merge.  Row rolls on the flattened [G*FH, FW] array wrap a few
+    # rows across segment boundaries; those rows are beyond the T-1+OR+7
+    # rows the filters read, so the contamination is never consumed.
     band = pl.program_id(0)
     out[0] = jnp.zeros((OR, Wout), jnp.int32)
     n = nseg[band]
+    ngroups = (n + G - 1) // G
     shift1 = bd - 8
     lane = jax.lax.broadcasted_iota(jnp.int32, (OR, FW), 1)
+
+    def seg_k(j, i):
+        return jnp.minimum(j * G + i, KMAX - 1)
 
     def win_origin(k):
         row = slot[0, 0, k] * Hpad + wy[0, 0, k]
@@ -179,61 +191,106 @@ def _mc_kernel(nseg, slot, wy, wx, fy, fx, x0, wv, refs, out, scratch, sem,
         c128 = pl.multiple_of((col // 128) * 128, 128)
         return row, col, r8, c128
 
-    def start_dma(sl, k):
+    def start_dma(sl, i, k):
         _, _, r8, c128 = win_origin(k)
         return pltpu.make_async_copy(
-            refs.at[pl.ds(r8, FH), pl.ds(c128, FW)], scratch.at[sl],
-            sem.at[sl])
+            refs.at[pl.ds(r8, FH), pl.ds(c128, FW)], scratch.at[sl, i],
+            sem.at[sl, i])
 
-    @pl.when(n > 0)
+    @pl.when(ngroups > 0)
     def _():
-        start_dma(0, 0).start()
+        for i in range(G):
+            start_dma(0, i, seg_k(0, i)).start()
 
-    def body(k, _):
-        sl = k % 2
+    def body(j, _):
+        sl = j % 2
 
-        @pl.when(k + 1 < n)
+        @pl.when(j + 1 < ngroups)
         def _():
-            start_dma((k + 1) % 2, k + 1).start()
+            for i in range(G):
+                start_dma((j + 1) % 2, i, seg_k(j + 1, i)).start()
 
-        start_dma(sl, k).wait()
-        row, col, r8, c128 = win_origin(k)
-        win = _roll_ladder(scratch[sl], row - r8, 3, 0, FH)
-        # the window stays column-UNALIGNED: the lane offset (col - c128)
-        # folds into the final placement roll, saving a 7-step lane ladder
-        win_off = col - c128
+        # per-segment scalars for this group
+        ks = [seg_k(j, i) for i in range(G)]
+        rows, win_offs, fys, fxs, offs, bases, ws = \
+            [], [], [], [], [], [], []
+        for i in range(G):
+            start_dma(sl, i, ks[i]).wait()
+            row, col, r8, c128 = win_origin(ks[i])
+            rows.append(row - r8)
+            win_offs.append(col - c128)
+            fys.append(fy[0, 0, ks[i]])
+            fxs.append(fx[0, 0, ks[i]])
+            xs = x0[0, 0, ks[i]]
+            base = jnp.minimum((xs // 128) * 128, Wout - FW)
+            bases.append(base)
+            offs.append(xs - base)
+            ws.append(wv[0, 0, ks[i]])
 
-        # horizontal filter on all rows (filter-always: phase 0 is the
-        # [.., 64, ..] copy row, so no copy/h/v/hv branching is needed)
-        fxk = fx[0, 0, k]
-        th = _scalar_coef(fxk, table, 0) * win
-        sh = win
+        # per-row broadcast of per-segment scalars (Mosaic has no 1-D
+        # vector reshape: build [rows, 1] vectors via iota block-selects)
+        blk_fh = jax.lax.broadcasted_iota(jnp.int32, (G * FH, 1), 0) // FH
+        blk_or = jax.lax.broadcasted_iota(jnp.int32, (G * OR, 1), 0) // OR
+
+        def seg_rows(vals, blk):
+            v = jnp.zeros(blk.shape, jnp.int32)
+            for i in range(G):
+                v = jnp.where(blk == i, vals[i], v)
+            return v
+
+        win = scratch[sl].reshape(G * FH, FW)
+        # row alignment: static power-of-2 up-rolls, selected per segment
+        # (wrapped rows land beyond the rows the filters read)
+        rem_rows = seg_rows(rows, blk_fh)
+        for b in range(3):
+            sh = 1 << b
+            rolled = pltpu.roll(win, shift=G * FH - sh, axis=0)
+            win = jnp.where((rem_rows & sh) != 0, rolled, win)
+
+        # horizontal filter (filter-always: phase 0 is the copy row)
+        fx_rows = seg_rows(fxs, blk_fh)
+
+        def coef(tap, fvec):
+            c = jnp.full(fvec.shape, table[0][tap], jnp.int32)
+            for f in range(1, len(table)):
+                c = jnp.where(fvec == f, table[f][tap], c)
+            return c
+
+        th = coef(0, fx_rows) * win
+        shp = win
         for k_tap in range(1, T):
-            sh = pltpu.roll(sh, shift=FW - 1, axis=1)
-            th = th + _scalar_coef(fxk, table, k_tap) * sh
+            shp = pltpu.roll(shp, shift=FW - 1, axis=1)
+            th = th + coef(k_tap, fx_rows) * shp
         th = _wrap16(th >> shift1) if shift1 else _wrap16(th)
 
-        # vertical filter: OR output rows from static row slices
-        fyk = fy[0, 0, k]
-        tv = _scalar_coef(fyk, table, 0) * th[0:OR]
-        for k_tap in range(1, T):
-            tv = tv + _scalar_coef(fyk, table, k_tap) * th[k_tap:k_tap + OR]
+        # vertical filter: [G*OR, FW] via per-segment static row slices
+        # (segment i's aligned window lives at rows [i*FH, i*FH + FH))
+        fy_rows = seg_rows(fys, blk_or)
+        tv = jnp.zeros((G * OR, FW), jnp.int32)
+        for k_tap in range(T):
+            src = jnp.concatenate(
+                [th[i * FH + k_tap:i * FH + k_tap + OR] for i in range(G)],
+                axis=0)
+            tv = tv + coef(k_tap, fy_rows) * src
         pred = _wrap16(tv >> 6)
 
-        # place at the output column: roll to the lane offset and RMW-merge
-        xs = x0[0, 0, k]
-        base = jnp.minimum((xs // 128) * 128, Wout - FW)
-        off = xs - base
-        # net shift: undo the window's lane offset AND place at the output
-        # offset in ONE ladder
-        pred = _roll_ladder(pred, (FW + win_off - off) & (FW - 1), 8, 1, FW)
-        mask = (lane >= off) & (lane < off + wv[0, 0, k])
-        base = pl.multiple_of(base, 128)
-        cur = out[0, :, pl.ds(base, FW)]
-        out[0, :, pl.ds(base, FW)] = jnp.where(mask, pred, cur)
+        # placement: net lane shift per segment (window lane offset folded
+        # into the output-column offset), then per-segment RMW merge
+        nets = [(FW + win_offs[i] - offs[i]) & (FW - 1) for i in range(G)]
+        net_rows = seg_rows(nets, blk_or)
+        for b in range(8):
+            sh = 1 << b
+            rolled = pltpu.roll(pred, shift=FW - sh, axis=1)
+            pred = jnp.where((net_rows & sh) != 0, rolled, pred)
+        for i in range(G):
+            mask = (lane >= offs[i]) & (lane < offs[i] + ws[i])
+            base = pl.multiple_of(bases[i], 128)
+            cur = out[0, :, pl.ds(base, FW)]
+            out[0, :, pl.ds(base, FW)] = jnp.where(
+                mask, pred[i * OR:(i + 1) * OR], cur)
         return 0
 
-    jax.lax.fori_loop(0, n, body, 0)
+    jax.lax.fori_loop(0, ngroups, body, 0)
 
 
 def _wrap16(x):
@@ -243,17 +300,17 @@ def _wrap16(x):
 
 @functools.partial(jax.jit, static_argnames=("OR", "T", "Hpad", "Wout",
                                              "n_bands", "KMAX", "bd",
-                                             "interpret"))
+                                             "interpret", "G"))
 def mc_stripes(refs2d, nseg, slot, wy, wx, fy, fx, x0, wv, *, OR: int,
                T: int, Hpad: int, Wout: int, n_bands: int, KMAX: int,
-               bd: int, interpret: bool = False):
+               bd: int, interpret: bool = False, G: int = 8):
     """Run the segment MC kernel; returns [n_bands, OR, Wout] stripes at
-    intermediate scale."""
+    intermediate scale.  G segments are processed per loop iteration."""
     FH = 24 if T == 8 else 16
     table = tuple(tuple(int(v) for v in row)
                   for row in (QPEL_FILTERS if T == 8 else EPEL_FILTERS))
     kern = functools.partial(_mc_kernel, OR=OR, T=T, FH=FH, Hpad=Hpad,
-                             Wout=Wout, bd=bd, KMAX=KMAX, table=table)
+                             Wout=Wout, bd=bd, KMAX=KMAX, table=table, G=G)
     # SMEM blocks must keep their last two dims whole: ship the tables as
     # [n_bands, 1, KMAX] and block (1, 1, KMAX)
     seg_spec = pl.BlockSpec((1, 1, KMAX), lambda b, *_: (b, 0, 0),
@@ -264,8 +321,8 @@ def mc_stripes(refs2d, nseg, slot, wy, wx, fy, fx, x0, wv, *, OR: int,
         in_specs=[seg_spec] * 7 + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, OR, Wout), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, FH, FW), jnp.int32),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.VMEM((2, G, FH, FW), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2, G))],
     )
     return pl.pallas_call(
         kern,
