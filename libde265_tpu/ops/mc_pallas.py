@@ -384,53 +384,93 @@ def pack_band_segments(band, srow, x0, n_bands: int):
     return counts, out_s, out_x, K
 
 
-def _res_kernel(nseg, srow, x0, rows_hbm, out, scratch, sem, *, OR, S, Wout):
-    # nseg scalar-prefetched; srow/x0 arrive as per-band SMEM blocks
+def _res_kernel(nseg, srow, x0, rows_hbm, out, scratch, sem, *, OR, S, Wout,
+                G):
+    # nseg scalar-prefetched; srow/x0 arrive as per-band SMEM blocks.
+    # G segments per iteration (same batching as _mc_kernel).
     band = pl.program_id(0)
     out[0] = jnp.zeros((OR, Wout), jnp.int32)
     n = nseg[band]
+    ngroups = (n + G - 1) // G
+    KMAX = srow.shape[2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (OR, FW), 1)
 
-    def start_dma(sl, k):
+    def seg_k(j, i):
+        return jnp.minimum(j * G + i, KMAX - 1)
+
+    def start_dma(sl, i, k):
         row0 = srow[0, 0, k] * OR
         r8 = pl.multiple_of((row0 // 8) * 8, 8)
         return pltpu.make_async_copy(rows_hbm.at[pl.ds(r8, 16), :],
-                                     scratch.at[sl], sem.at[sl])
+                                     scratch.at[sl, i], sem.at[sl, i])
 
-    @pl.when(n > 0)
+    @pl.when(ngroups > 0)
     def _():
-        start_dma(0, 0).start()
+        for i in range(G):
+            start_dma(0, i, seg_k(0, i)).start()
 
-    def body(k, _):
-        sl = k % 2
+    def body(j, _):
+        sl = j % 2
 
-        @pl.when(k + 1 < n)
+        @pl.when(j + 1 < ngroups)
         def _():
-            start_dma((k + 1) % 2, k + 1).start()
+            for i in range(G):
+                start_dma((j + 1) % 2, i, seg_k(j + 1, i)).start()
 
-        start_dma(sl, k).wait()
-        row0 = srow[0, 0, k] * OR
-        win = _roll_ladder(scratch[sl], row0 - (row0 // 8) * 8, 3, 0, 16)
-        # rows 0..OR-1 hold the [OR, 128-lane-padded] residual slice
+        ks = [seg_k(j, i) for i in range(G)]
+        rems, offs, bases = [], [], []
+        for i in range(G):
+            start_dma(sl, i, ks[i]).wait()
+            row0 = srow[0, 0, ks[i]] * OR
+            rems.append(row0 - (row0 // 8) * 8)
+            xs = x0[0, 0, ks[i]]
+            base = jnp.minimum((xs // 128) * 128, Wout - FW)
+            bases.append(base)
+            offs.append(xs - base)
+
+        blk16 = jax.lax.broadcasted_iota(jnp.int32, (G * 16, 1), 0) // 16
+        blk_or = jax.lax.broadcasted_iota(jnp.int32, (G * OR, 1), 0) // OR
+
+        def seg_rows(vals, blk):
+            v = jnp.zeros(blk.shape, jnp.int32)
+            for i in range(G):
+                v = jnp.where(blk == i, vals[i], v)
+            return v
+
+        win = scratch[sl].reshape(G * 16, 128)
+        rem_rows = seg_rows(rems, blk16)
+        for b in range(3):
+            sh = 1 << b
+            rolled = pltpu.roll(win, shift=G * 16 - sh, axis=0)
+            win = jnp.where((rem_rows & sh) != 0, rolled, win)
+        # rows 0..OR-1 of each block hold its [OR, 128-padded] slice
         blk = jnp.concatenate(
-            [win[:OR, :], jnp.zeros((OR, FW - 128), jnp.int32)], axis=1)
-        xs = x0[0, 0, k]
-        base = jnp.minimum((xs // 128) * 128, Wout - FW)
-        off = xs - base
-        blk = _roll_ladder(blk, (FW - off) & (FW - 1), 8, 1, FW)
-        mask = (lane >= off) & (lane < off + S)
-        base = pl.multiple_of(base, 128)
-        cur = out[0, :, pl.ds(base, FW)]
-        out[0, :, pl.ds(base, FW)] = jnp.where(mask, blk, cur)
+            [win[i * 16:i * 16 + OR] for i in range(G)], axis=0)
+        blk = jnp.concatenate(
+            [blk, jnp.zeros((G * OR, FW - 128), jnp.int32)], axis=1)
+        net_rows = seg_rows([(FW - offs[i]) & (FW - 1) for i in range(G)],
+                            blk_or)
+        for b in range(8):
+            sh = 1 << b
+            rolled = pltpu.roll(blk, shift=FW - sh, axis=1)
+            blk = jnp.where((net_rows & sh) != 0, rolled, blk)
+        for i in range(G):
+            # mask width is static here, so tail-group padding segments
+            # (k >= n) must be explicitly suppressed
+            mask = (lane >= offs[i]) & (lane < offs[i] + S) & (j * G + i < n)
+            base = pl.multiple_of(bases[i], 128)
+            cur = out[0, :, pl.ds(base, FW)]
+            out[0, :, pl.ds(base, FW)] = jnp.where(
+                mask, blk[i * OR:(i + 1) * OR], cur)
         return 0
 
-    jax.lax.fori_loop(0, n, body, 0)
+    jax.lax.fori_loop(0, ngroups, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("OR", "S", "Wout", "n_bands",
-                                             "interpret"))
+                                             "interpret", "G"))
 def residual_stripes(bin_res, nseg, srow, x0, *, OR: int, S: int, Wout: int,
-                     n_bands: int, interpret: bool = False):
+                     n_bands: int, interpret: bool = False, G: int = 8):
     """Scatter one size-bin's TU residuals into [n_bands, OR, Wout] stripes.
 
     bin_res: [N, S, S] int32 residual blocks (this bin).  The blocks are
@@ -443,7 +483,7 @@ def residual_stripes(bin_res, nseg, srow, x0, *, OR: int, S: int, Wout: int,
     rows = jnp.pad(bin_res.reshape(N * per, OR, S),
                    ((0, 8), (0, 0), (0, 128 - S)))
     rows = rows.reshape((N * per + 8) * OR, 128)
-    kern = functools.partial(_res_kernel, OR=OR, S=S, Wout=Wout)
+    kern = functools.partial(_res_kernel, OR=OR, S=S, Wout=Wout, G=G)
     K = srow.shape[1]
     seg_spec = pl.BlockSpec((1, 1, K), lambda b, *_: (b, 0, 0),
                             memory_space=pltpu.SMEM)
@@ -453,8 +493,8 @@ def residual_stripes(bin_res, nseg, srow, x0, *, OR: int, S: int, Wout: int,
         in_specs=[seg_spec, seg_spec, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, OR, Wout), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, 16, 128), jnp.int32),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.VMEM((2, G, 16, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2, G))],
     )
     return pl.pallas_call(
         kern,
