@@ -535,6 +535,9 @@ def _sao_section(planes, feed, recs, skip4, st):
     sidx = jnp.clip(feed["slice_idx"], 0, st["n_slices"] - 1)
     sao_on = [recs[sidx, 4] != 0, recs[sidx, 5] != 0]
     from .ops.sao import sao_plane
+    use_pallas_sao = st.get("pallas_mc", False)
+    if use_pallas_sao:
+        from .ops.sao_pallas import sao_plane_fused
 
     def one_plane(plane, tmap, emap, bmap, omap, skip, cs, bd):
         if st["multi_boundary"]:
@@ -542,6 +545,9 @@ def _sao_section(planes, feed, recs, skip4, st):
                                plane.shape[0], plane.shape[1], st)
         else:
             eok = None
+        if use_pallas_sao:
+            return sao_plane_fused(plane, tmap, emap, bmap, omap, skip,
+                                   bit_depth=bd, edge_ok=eok)
         return sao_plane(plane, tmap, emap, bmap, omap, skip,
                          bit_depth=bd, edge_ok=eok)
 
@@ -565,9 +571,15 @@ def _sao_section(planes, feed, recs, skip4, st):
         cs_y, cs_x = ctb // sub_y, ctb // sub_x
         on_c = sao_on[1].astype(jnp.int32)
         mc = [maps(c, on_c, cs_y, cs_x, Hc, Wc) for c in (1, 2)]
-        tm, em, bm, om = (jnp.stack([a[i] for a in mc]) for i in range(4))
         skip_c = jnp.repeat(jnp.repeat(skip4.astype(bool), 4 // sub_y, 0),
                             4 // sub_x, 1)[:Hc, :Wc]
+        if use_pallas_sao:
+            for i, c in enumerate((1, 2)):
+                t, e, b, o = mc[i]
+                out.append(one_plane(planes[c], t, e, b, o, skip_c,
+                                     (cs_y, cs_x), st["bdc"]))
+            return out
+        tm, em, bm, om = (jnp.stack([a[i] for a in mc]) for i in range(4))
         if st["multi_boundary"]:
             # edge validity depends on the class map, which differs per
             # channel: vmapped alongside

@@ -136,9 +136,12 @@ def _luma_pass(img, bs, beta, tc, no_p, no_q, bit_depth: int = 8):
     E = bs.shape[1]
     maxv = (1 << bit_depth) - 1
 
-    # gather the 8 columns around every edge: c[k][:, e] = img[:, 8e + k]
-    cols = [img[:, k:k + 8 * E:8] for k in range(8)]
-    p3, p2, p1, p0, q0, q1, q2, q3 = cols
+    # gather the 8 columns around every edge: c[k][:, e] = img[:, 8e + k].
+    # ONE group-major relayout instead of 8 lane-strided slices (a stride-8
+    # minor-dim slice is a full relayout on TPU; 14 of them dominated the
+    # pass)
+    g = img[:, :8 * E].reshape(H, E, 8).transpose(2, 0, 1)
+    p3, p2, p1, p0, q0, q1, q2, q3 = [g[k] for k in range(8)]
 
     rep = lambda a: jnp.repeat(a, 4, axis=0)[:H]
     bs_r = rep(bs)
@@ -208,10 +211,9 @@ def _luma_pass(img, bs, beta, tc, no_p, no_q, bit_depth: int = 8):
                     jnp.where(weak & deq & do_q, wq1, q1))
     nq2 = jnp.where(strong_m & do_q, sq2, q2)
 
-    out = img
-    for k, v in [(1, np2), (2, np1), (3, np0), (4, nq0), (5, nq1), (6, nq2)]:
-        out = out.at[:, k:k + 8 * E:8].set(v)
-    return out
+    new_g = jnp.stack([p3, np2, np1, np0, nq0, nq1, nq2, q3])
+    out_cols = new_g.transpose(1, 2, 0).reshape(H, 8 * E)
+    return jnp.concatenate([out_cols, img[:, 8 * E:]], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("bit_depth", "rows_per_seg"))
@@ -225,8 +227,8 @@ def _chroma_pass(img, tc, no_p, no_q, bit_depth: int = 8, rows_per_seg: int = 2)
     H = img.shape[0]
     E = tc.shape[1]
     maxv = (1 << bit_depth) - 1
-    cols = [img[:, k:k + 8 * E:8] for k in range(4)]
-    p1, p0, q0, q1 = cols
+    g = img[:, :8 * E].reshape(H, E, 8).transpose(2, 0, 1)
+    p1, p0, q0, q1 = [g[k] for k in range(4)]
     rep = lambda a: jnp.repeat(a, rows_per_seg, axis=0)[:H]
     tc_r = rep(tc)
     no_p_r = rep(no_p).astype(bool)
@@ -236,9 +238,9 @@ def _chroma_pass(img, tc, no_p, no_q, bit_depth: int = 8, rows_per_seg: int = 2)
     on = tc_r > 0
     np0 = jnp.where(on & ~no_p_r, jnp.clip(p0 + delta, 0, maxv), p0)
     nq0 = jnp.where(on & ~no_q_r, jnp.clip(q0 - delta, 0, maxv), q0)
-    out = img.at[:, 1:1 + 8 * E:8].set(np0)
-    out = out.at[:, 2:2 + 8 * E:8].set(nq0)
-    return out
+    new_g = jnp.concatenate([g[0:1], np0[None], nq0[None], g[3:]])
+    out_cols = new_g.transpose(1, 2, 0).reshape(H, 8 * E)
+    return jnp.concatenate([out_cols, img[:, 8 * E:]], axis=1)
 
 
 def luma_vertical(img_np, params, bit_depth=8):

@@ -117,6 +117,30 @@ def sao_neighbors_jnp(src, emap):
     return na, nb, valid
 
 
+def sao_plane_fused(plane, tmap, emap, bmap, omap, skip, bit_depth: int = 8,
+                    edge_ok=None, interpret: bool = False):
+    """In-graph drop-in for ops.sao.sao_plane built on the Pallas kernel.
+
+    Unlike sao_plane_via_pallas (host numpy pre-pass), every input here is a
+    traced array: the class-dependent neighbors and boundary validity are
+    resolved with jnp ops that XLA fuses into the kernel's feed, so the
+    whole SAO stage is one VMEM pass inside the fused frame program."""
+    H, W = plane.shape
+    na, nb, valid = sao_neighbors_jnp(plane, emap)
+    ok = valid if edge_ok is None else valid * edge_ok.astype(jnp.int32)
+    Hp = -(-H // _TILE_H) * _TILE_H
+    Wp = -(-W // _TILE_W) * _TILE_W
+
+    def pad(a):
+        return jnp.pad(a, ((0, Hp - H), (0, Wp - W)))
+
+    offs4 = jnp.stack([pad(omap[..., k]) for k in range(4)])
+    out = sao_plane_pallas(pad(plane), pad(na), pad(nb), pad(tmap),
+                           pad(bmap), offs4, pad(skip.astype(jnp.int32)),
+                           pad(ok), bit_depth=bit_depth, interpret=interpret)
+    return out[:H, :W]
+
+
 def _pad(a, H, W):
     return np.pad(a, ((0, H - a.shape[0]), (0, W - a.shape[1])))
 
