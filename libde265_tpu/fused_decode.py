@@ -46,8 +46,8 @@ from jax import lax
 
 from . import pipeline
 from .decoder import (OP_INTRA, OP_RESIDUAL, TU_INTRA, TU_RDPCM,
-                      TU_TQ_BYPASS, TU_TRANSFORM_SKIP, TU_USE_DST,
-                      FrameProgramData)
+                      TU_RDPCM_VERTICAL, TU_TQ_BYPASS, TU_TRANSFORM_SKIP,
+                      TU_USE_DST, FrameProgramData)
 from .ops import deblock as dbk
 from .ops import transform as tx
 from .ops.intra import IntraContext
@@ -90,6 +90,27 @@ def _bin_tus(prog: FrameProgramData):
     tu_bin_row = np.full(len(tus), -1, np.int32)
     if len(tus) == 0:
         return bins, tu_bin_lg, tu_bin_row
+
+    # RExt cross-component prediction pairing: each scaled chroma TU takes
+    # the most recent luma TU in op order (4:4:4, identical geometry —
+    # mirrors pipeline._apply_ccp / native/src/transform.cc CCP hook)
+    tu_ccp_scale = np.zeros(len(tus), np.int32)
+    tu_ccp_partner = np.full(len(tus), -1, np.int64)
+    if (tus["cross_comp_scale"] != 0).any():
+        ridx = prog.ops["idx"][prog.ops["kind"] == OP_RESIDUAL] \
+            .astype(np.int64)
+        is_l = tus["cidx"][ridx] == 0
+        pos = np.where(is_l, np.arange(len(ridx)), -1)
+        last = np.maximum.accumulate(pos)
+        sel = (tus["cidx"][ridx] != 0) & \
+              (tus["cross_comp_scale"][ridx] != 0) & (last >= 0)
+        tt = ridx[sel]
+        pp = ridx[np.clip(last, 0, None)][sel]
+        same = tus["log2_size"][tt] == tus["log2_size"][pp]
+        tt, pp = tt[same], pp[same]
+        tu_ccp_scale[tt] = tus["cross_comp_scale"][tt]
+        tu_ccp_partner[tt] = pp
+
     for lg in (2, 3, 4, 5):
         sel = np.nonzero(tus["log2_size"] == lg)[0]
         if len(sel) == 0:
@@ -123,8 +144,13 @@ def _bin_tus(prog: FrameProgramData):
             mid = np.zeros(n, np.int32)
         b = {"qp": t["qp"].astype(np.int32), "flags": flags, "mid": mid,
              "n": n, "cval": cval, "cpos": cpos, "crow": crow}
-        # inter residual scatter targets per channel
-        inter_nz = ~intra & (t["ncoeff"] > 0)
+        b["ccp_scale"] = tu_ccp_scale[sel]
+        ppr = tu_ccp_partner[sel]
+        b["ccp_row"] = np.where(
+            ppr >= 0, tu_bin_row[np.clip(ppr, 0, None)], -1).astype(np.int32)
+        # inter residual scatter targets per channel; a chroma TU whose own
+        # cbf is 0 still scatters when it carries a CCP luma term
+        inter_nz = ~intra & ((t["ncoeff"] > 0) | (b["ccp_scale"] != 0))
         for ch, m in (("y", inter_nz & (cidx == 0)),
                       ("cb", inter_nz & (cidx == 1)),
                       ("cr", inter_nz & (cidx == 2))):
@@ -538,6 +564,7 @@ def _sao_section(planes, feed, recs, skip4, st):
     use_pallas_sao = st.get("pallas_mc", False)
     if use_pallas_sao:
         from .ops.sao_pallas import sao_plane_fused
+        interp_sao = jax.default_backend() not in ("tpu", "axon")
 
     def one_plane(plane, tmap, emap, bmap, omap, skip, cs, bd):
         if st["multi_boundary"]:
@@ -547,7 +574,8 @@ def _sao_section(planes, feed, recs, skip4, st):
             eok = None
         if use_pallas_sao:
             return sao_plane_fused(plane, tmap, emap, bmap, omap, skip,
-                                   bit_depth=bd, edge_ok=eok)
+                                   bit_depth=bd, edge_ok=eok,
+                                   interpret=interp_sao)
         return sao_plane(plane, tmap, emap, bmap, omap, skip,
                          bit_depth=bd, edge_ok=eok)
 
@@ -846,7 +874,33 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, st):
         else:
             res = tx.residual_batch(levels, tx.qp_to_fact_jnp(bf["qp"]),
                                     tskip, use_dst, lg, bd)
-        bin_res[lg] = jnp.where(bypass[:, None, None], levels, res)
+        base = jnp.where(bypass[:, None, None], levels, res)
+        if st.get("has_rdpcm", False):
+            # RDPCM (RExt 7.4.9.8 / 8.6.4): directional prefix sums over the
+            # bypass levels or the transform-skip-scaled residual.  The flag
+            # is only ever set on ts/bypass TUs (native/src/residual.cc:405)
+            rd = ((flags & TU_RDPCM) != 0) & (tskip | bypass)
+            vert = (flags & TU_RDPCM_VERTICAL) != 0
+            cs = jnp.where(vert[:, None, None], jnp.cumsum(base, axis=1),
+                           jnp.cumsum(base, axis=2))
+            base = jnp.where(rd[:, None, None], cs, base)
+        bin_res[lg] = base
+
+    if st.get("has_ccp", False) and st.get("run_residual", True):
+        # RExt cross-component prediction (8.6.6): chroma residual +=
+        # (scale * ((r_y << bdc) >> bd)) >> 3 with the reference decoder's
+        # logical-uint32 shifts and int32 product wraparound
+        # (native/src/transform.cc CCP hook); partner rows are same-bin
+        # luma TUs resolved at pack time (_bin_tus)
+        for lg in st["lgs"]:
+            bf = feed[f"bin{lg}"]
+            pr, sc_ = bf["ccp_row"], bf["ccp_scale"]
+            r_y = bin_res[lg][jnp.clip(pr, 0)]
+            term = (r_y.astype(jnp.uint32) << st["bdc"]) >> st["bd"]
+            prod = (sc_.astype(jnp.uint32)[:, None, None] * term) \
+                .astype(jnp.int32)
+            bin_res[lg] = jnp.where((pr >= 0)[:, None, None],
+                                    bin_res[lg] + (prod >> 3), bin_res[lg])
 
     # ---- inter residual scatter-add + clip ----
     if not st.get("run_residual", True):
@@ -1127,6 +1181,8 @@ class FusedDecoder:
         self._use_l1 = False
         self._has_inter = False
         self._multi = False
+        self._has_ccp = False
+        self._has_rdpcm = False
         # Pallas segment-MC path: on for real TPU backends; the XLA gather
         # path stays for CPU tests (interpret mode is far too slow there)
         self.use_pallas_mc = jax.default_backend() in ("tpu", "axon")
@@ -1154,7 +1210,9 @@ class FusedDecoder:
         for prog in progs:
             if self._exotic(prog):
                 continue
-            if self.use_pallas_mc and not self._no_native_pack:
+            self._note_rext(prog)
+            if self.use_pallas_mc and not self._no_native_pack \
+                    and not self._has_ccp:
                 caps = self._native_caps(prog)
                 if caps is not None:
                     self._plan_from_caps(prog, caps)
@@ -1211,12 +1269,20 @@ class FusedDecoder:
 
     # -- helpers --
 
+    def _note_rext(self, prog):
+        """Track stream-level RExt features that change the compiled
+        program (static config keys has_ccp / has_rdpcm)."""
+        if len(prog.tus):
+            self._has_ccp = self._has_ccp or \
+                bool((prog.tus["cross_comp_scale"] != 0).any())
+            self._has_rdpcm = self._has_rdpcm or \
+                bool(((prog.tus["flags"] & TU_RDPCM) != 0).any())
+
     @staticmethod
     def _exotic(prog):
-        return (len(prog.tus) and
-                ((prog.tus["cross_comp_scale"] != 0).any() or
-                 ((prog.tus["flags"] & TU_RDPCM) != 0).any())) or \
-            len(prog.ref_pocs) > MAX_REFS
+        # CCP and RDPCM are handled in-graph (bin-level partner add /
+        # masked cumsum); only >MAX_REFS streams still leave the device
+        return len(prog.ref_pocs) > MAX_REFS
 
     # -- persistent padded DPB ring (pallas path) --
 
@@ -1334,6 +1400,7 @@ class FusedDecoder:
             self._store(prog.poc, out, prog)
             return out
 
+        self._note_rext(prog)
         H, W = prog.height, prog.width
         has_chroma = prog.chroma_width > 0
         sub_x = W // prog.chroma_width if has_chroma else 1
@@ -1354,7 +1421,10 @@ class FusedDecoder:
 
         pack = None
         if self.use_pallas_mc and not self._no_native_pack and \
+                not self._has_ccp and \
                 getattr(prog, "src", None) is not None:
+            # (CCP streams use the numpy packer: it ships the per-bin
+            # partner-row/scale feed fields the native packer doesn't)
             pack = self._pack_native(prog, slot_map, slot_row)
         if pack is None:
             pack = self._pack_numpy(prog, slot_map, slot_row)
@@ -1400,6 +1470,8 @@ class FusedDecoder:
             "run_mc": "mc" not in self._skip,
             "run_residual": "residual" not in self._skip,
             "fuse_store": bool(self.use_pallas_mc),
+            "has_ccp": self._has_ccp,
+            "has_rdpcm": self._has_rdpcm,
         }.items()))
 
         if self.use_pallas_mc:
@@ -1480,6 +1552,11 @@ class FusedDecoder:
             host[f"bin{lg}.cpos"] = _pad_rows(b["cpos"] if b else z0, ccap)
             host[f"bin{lg}.crow"] = _pad_rows(b["crow"] if b else z0, ccap,
                                               fill=1 << 30)
+            if self._has_ccp:
+                host[f"bin{lg}.ccp_row"] = _pad_rows(
+                    b["ccp_row"] if b else z0, tcap, fill=-1)
+                host[f"bin{lg}.ccp_scale"] = _pad_rows(
+                    b["ccp_scale"] if b else z0, tcap)
             for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
                 sc = b[f"sc_{ch}"] if b else np.zeros((0, 3), np.int32)
                 cap = self._grow(f"sc{lg}{ch}", len(sc))
@@ -1540,6 +1617,9 @@ class FusedDecoder:
                 host[f"bin{lg}.cval"] = _pad_rows(z0, ccap)
                 host[f"bin{lg}.cpos"] = _pad_rows(z0, ccap)
                 host[f"bin{lg}.crow"] = _pad_rows(z0, ccap, fill=1 << 30)
+                if self._has_ccp:
+                    host[f"bin{lg}.ccp_row"] = _pad_rows(z0, tcap, fill=-1)
+                    host[f"bin{lg}.ccp_scale"] = _pad_rows(z0, tcap)
                 for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
                     cap = self._grow(f"sc{lg}{ch}", 0) or 0
                     if self.use_pallas_mc:

@@ -1,15 +1,28 @@
+"""Bit-exactness + steady-state timing of the fused device decoder on the
+real chip.  Stream selectable: TDE_VAL_STREAM=/tmp/bench1080.h265 etc.
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/validate_tpu_fused.py
+"""
 import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+import sys
 import time
 import numpy as np
 import jax, jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
 from libde265_tpu import Decoder
 from libde265_tpu.fused_decode import FusedDecoder
 
-stream = open("/root/reference/testdata/girlshy.h265", "rb").read()
+STREAM = os.environ.get("TDE_VAL_STREAM",
+                        "/root/reference/testdata/girlshy.h265")
+stream = open(STREAM, "rb").read()
 dec = Decoder(keep_programs=True)
 list(dec.decode_all(stream))
 progs = [dec.get_program(i) for i in range(dec.num_programs())]
+print(f"{STREAM}: {len(progs)} frames "
+      f"{progs[0].planes[0].shape[1]}x{progs[0].planes[0].shape[0]}",
+      flush=True)
 fd = FusedDecoder()
 print("pallas_mc:", fd.use_pallas_mc, flush=True)
 fd.plan_stream(progs)

@@ -112,3 +112,28 @@ def test_ccp_jax_pipeline_parity(native_build, device_intra):
     for c in range(3):
         assert np.array_equal(np.asarray(planes[c], dtype=np.uint8),
                               pic.planes[c]), f"plane {c}"
+
+
+def test_ccp_fused_decoder_parity(native_build):
+    """CCP decodes inside the fused device program (bin-level partner add,
+    fused_decode._bin_tus / the has_ccp residual section) — no per-picture
+    host fallback."""
+    from libde265_tpu.fused_decode import FusedDecoder
+
+    y, cb, cr = _monotone_444()
+    for lossless, qp in ((True, 27), (False, 30)):
+        stream = _encode(y, cb, cr, ccp=True, lossless=lossless, qp=qp)
+        dec = Decoder(keep_programs=True)
+        (pic,) = list(dec.decode_all(stream))
+        prog = dec.get_program(0)
+        if lossless:
+            assert (prog.tus["cross_comp_scale"]
+                    [prog.tus["cidx"] != 0] != 0).any()
+        fd = FusedDecoder()
+        assert not fd._exotic(prog)
+        fd.plan_stream([prog])
+        assert fd._has_ccp == bool((prog.tus["cross_comp_scale"] != 0).any())
+        planes = fd.decode(prog)
+        for c in range(3):
+            assert np.array_equal(np.asarray(planes[c], dtype=np.uint8),
+                                  pic.planes[c]), (lossless, c)
