@@ -42,6 +42,8 @@ def _bind(L: ct.CDLL) -> ct.CDLL:
     L.en265_set_parameter_bool.argtypes = [ct.c_void_p, ct.c_char_p, ct.c_int]
     L.en265_set_parameter_string.argtypes = [ct.c_void_p, ct.c_char_p,
                                              ct.c_char_p]
+    L.en265_set_parameter_choice.argtypes = [ct.c_void_p, ct.c_char_p,
+                                             ct.c_char_p]
     L.en265_allocate_image.restype = ct.c_void_p
     L.en265_allocate_image.argtypes = [ct.c_void_p, ct.c_int, ct.c_int,
                                        ct.c_int, ct.c_int64, ct.c_void_p]
@@ -106,8 +108,13 @@ class Encoder:
             err = self._L.en265_set_parameter_int(
                 self._ctx, name.encode(), value)
         else:
-            err = self._L.en265_set_parameter_string(
+            # named-choice params (algo selectors, sop-structure) route
+            # through the choice setter; everything else is a string param
+            err = self._L.en265_set_parameter_choice(
                 self._ctx, name.encode(), str(value).encode())
+            if err != 0:
+                err = self._L.en265_set_parameter_string(
+                    self._ctx, name.encode(), str(value).encode())
         if err != 0:
             raise ValueError(f"parameter {name!r}={value!r} rejected ({err})")
 

@@ -6,6 +6,7 @@
 // applied at NAL assembly.
 #pragma once
 
+#include <cmath>
 #include <vector>
 
 #include "tde265/cabac.h"
@@ -62,6 +63,31 @@ class BitWriter {
     data_.clear();
     cur_ = 0;
     nbits_ = 0;
+  }
+
+  // Positional snapshot for trial-encode rollback (RD search): restoring
+  // truncates everything written after pos() was taken.
+  struct Pos {
+    size_t bytes = 0;
+    u8 cur = 0;
+    int nbits = 0;
+  };
+  Pos pos() const { return {data_.size(), cur_, nbits_}; }
+  void restore(const Pos& p) {
+    data_.resize(p.bytes);
+    cur_ = p.cur;
+    nbits_ = p.nbits;
+  }
+  // Re-apply a previously captured byte tail on top of `base` (the bytes
+  // written after base already embed base's partial byte, so appending
+  // them verbatim and restoring the final partial byte reproduces the
+  // post-trial stream exactly).
+  void set_tail(const Pos& base, const std::vector<u8>& tail, u8 cur,
+                int nbits) {
+    data_.resize(base.bytes);
+    data_.insert(data_.end(), tail.begin(), tail.end());
+    cur_ = cur;
+    nbits_ = nbits;
   }
 
  private:
@@ -140,6 +166,34 @@ class CabacEncoder {
     } else {
       renorm();
     }
+  }
+
+  // Arithmetic-engine snapshot (paired with BitWriter::Pos for rollback).
+  struct State {
+    u32 low = 0, range = 510;
+    int outstanding = 0;
+    bool first = true;
+  };
+  State state() const {
+    return {low_, range_, bits_outstanding_, first_bit_};
+  }
+  void set_state(const State& s) {
+    low_ = s.low;
+    range_ = s.range;
+    bits_outstanding_ = s.outstanding;
+    first_bit_ = s.first;
+  }
+  BitWriter* writer() const { return out_; }
+
+  // Information written so far in 1/32768-bit units: committed bits plus
+  // the fractional entropy still held in the arithmetic range (renorm keeps
+  // range in [256, 512); pending info = 9 - log2(range) bits).  Only DIFFS
+  // of this value are meaningful — the RD trial rate is
+  // info_scaled(end) - info_scaled(start).
+  u64 info_scaled() const {
+    double pend = 9.0 - std::log2((double)range_);
+    return 32768ull * ((u64)out_->bit_position() + (u64)bits_outstanding_) +
+           (u64)(32768.0 * pend);
   }
 
   void encode_egk(u32 value, int k) {

@@ -80,7 +80,11 @@ struct EncoderConfig {
   // Algo_PB_MV_Search, Algo_CB_Split) ---
   enum class IntraAlgo { kFastBrute, kBrute, kMinSad };
   enum class MeAlgo { kDiamond, kFull, kZero };
-  enum class SplitAlgo { kFixed16, kMin8 };
+  // kRd: per-node trial encode of leaf-vs-split with full state rollback
+  // (contexts + arithmetic engine + recon area + program ops), choosing by
+  // SSD + lambda*rate — the counterpart of the reference's
+  // Algo_CB_Split_BruteForce (encoder/algo/cb-split.cc)
+  enum class SplitAlgo { kFixed16, kMin8, kRd };
   IntraAlgo intra_algo = IntraAlgo::kFastBrute;
   MeAlgo me_algo = MeAlgo::kDiamond;
   SplitAlgo split_algo = SplitAlgo::kFixed16;
@@ -145,6 +149,49 @@ class Encoder {
   void encode_slice_substreams(std::vector<u8>* out);
   void encode_ctb(int ctb_x, int ctb_y);
   void encode_cq(int x0, int y0, int log2_size, int depth);
+  void encode_cq_leaf(int x0, int y0, int log2_size, int depth,
+                      bool large_skip);
+  void write_split_flag(int x0, int y0, int depth, bool split);
+  // --- RD split search (SplitAlgo::kRd): trial-encode with rollback ---
+  // Snapshot of every state an encode_cq subtree mutates.  `save_cu` records
+  // the pre-trial state (area rectangles + sizes); `restore_cu` rolls back.
+  // `capture_cu` additionally copies the DELTA (appended program ops +
+  // bitstream tail) so a rolled-back trial can be re-applied with `apply_cu`.
+  struct EncSave {
+    ContextTable ctx;
+    CabacEncoder::State cb;
+    BitWriter::Pos bw;
+    int cur_qp, qg_pred, qg_prev_qp, last_cu_qp;
+    bool qg_first, qg_delta_written;
+    size_t n_ops, n_intras, n_tus, n_pus, n_pcms, n_cval, n_cpos, n_pcmd;
+    int x0, y0, n;  // snapshotted area (luma coords)
+    std::vector<u8> px[3];
+    std::vector<PbMotion> a_motion;
+    std::vector<i8> a_qp;
+    std::vector<u8> a_nz, a_dbf, a_ipm, a_ipmc, a_cui, a_ctd;
+  };
+  struct EncDelta {
+    EncSave end;  // post-trial scalar state + area contents
+    std::vector<Op> ops;
+    std::vector<TuRec> tus;
+    std::vector<PuRec> pus;
+    std::vector<IntraRec> intras;
+    std::vector<PcmRec> pcms;
+    std::vector<i16> cval;
+    std::vector<u16> cpos;
+    std::vector<u16> pcmd;
+    std::vector<u8> bw_tail;
+    u8 bw_cur;
+    int bw_nbits;
+  };
+  EncSave save_cu(int x0, int y0, int log2_size);
+  void restore_cu(const EncSave& s);
+  EncDelta capture_cu(const EncSave& base);
+  void apply_cu(const EncSave& base, const EncDelta& d);
+  // RD cost of the just-encoded area: SSD (all planes) + lambda * rate
+  i64 ssd_rect(int cidx, int x0, int y0, int w, int h) const;
+  i64 area_ssd(int x0, int y0, int n) const;
+  double rd_encode_cq(int x0, int y0, int log2_size, int depth);
   void encode_cu(int x0, int y0, int log2_size);
   int choose_luma_mode(int x0, int y0, int log2_size);
   void encode_cu_intra(int x0, int y0, int log2_size);

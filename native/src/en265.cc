@@ -173,6 +173,7 @@ de265_error en265_set_parameter_choice(en265_encoder_context* ctx,
   } else if (p == "cb-split-algo" || p == "CB-Split") {
     if (v == "fixed-16") c->cfg.split_algo = EC::SplitAlgo::kFixed16;
     else if (v == "min-8") c->cfg.split_algo = EC::SplitAlgo::kMin8;
+    else if (v == "rd") c->cfg.split_algo = EC::SplitAlgo::kRd;
     else return DE265_ERROR_PARAMETER_PARSING;
   }
   // unknown choice params accepted for compatibility (e.g. "sop-structure")

@@ -110,7 +110,8 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   s.log2_min_cb_size = cfg.min_cb_log2;
   s.log2_diff_max_min_cb_size = cfg.ctb_log2 - cfg.min_cb_log2;
   s.log2_min_tb_size = 2;
-  s.log2_diff_max_min_tb_size = 2;  // max TB 16
+  // max TB 32 (32x32 one-TU CU leaves), bounded by the CTB size
+  s.log2_diff_max_min_tb_size = min_i(3, cfg.ctb_log2 - 2);
   // depth 1 lets a rect-partitioned CU keep its single CU-sized TU
   // (split_transform_flag coded as 0 instead of inferred 1)
   s.max_transform_hierarchy_depth_inter = cfg.rect_parts ? 1 : 0;
@@ -1068,7 +1069,10 @@ void Encoder::encode_ctb(int ctb_x, int ctb_y) {
   } else {
     cur_qp_ = cfg_.qp;
   }
-  encode_cq(x0, y0, sps_->log2_ctb_size, 0);
+  if (cfg_.split_algo == EncoderConfig::SplitAlgo::kRd)
+    rd_encode_cq(x0, y0, sps_->log2_ctb_size, 0);
+  else
+    encode_cq(x0, y0, sps_->log2_ctb_size, 0);
 }
 
 void Encoder::encode_cq(int x0, int y0, int log2_size, int depth) {
@@ -1092,17 +1096,8 @@ void Encoder::encode_cq(int x0, int y0, int log2_size, int depth) {
     large_skip = true;
   }
 
-  if (inside && log2_size > s.log2_min_cb_size) {
-    // write split_cu_flag with the decoder's context derivation
-    int inc = 0;
-    if (z_available(*recon_, x0, y0, x0 - 1, y0) &&
-        recon_->ct_depth[(y0 >> 2) * recon_->pb_w + ((x0 - 1) >> 2)] > depth)
-      inc++;
-    if (z_available(*recon_, x0, y0, x0, y0 - 1) &&
-        recon_->ct_depth[((y0 - 1) >> 2) * recon_->pb_w + (x0 >> 2)] > depth)
-      inc++;
-    cabac_->encode_bin(&ctx_[CTX_SPLIT_CU_FLAG + inc], split ? 1 : 0);
-  }
+  if (inside && log2_size > s.log2_min_cb_size)
+    write_split_flag(x0, y0, depth, split);
 
   if (split) {
     int half = 1 << (log2_size - 1);
@@ -1112,7 +1107,23 @@ void Encoder::encode_cq(int x0, int y0, int log2_size, int depth) {
     encode_cq(x0 + half, y0 + half, log2_size - 1, depth + 1);
     return;
   }
+  encode_cq_leaf(x0, y0, log2_size, depth, large_skip);
+}
 
+void Encoder::write_split_flag(int x0, int y0, int depth, bool split) {
+  // split_cu_flag with the decoder's context derivation
+  int inc = 0;
+  if (z_available(*recon_, x0, y0, x0 - 1, y0) &&
+      recon_->ct_depth[(y0 >> 2) * recon_->pb_w + ((x0 - 1) >> 2)] > depth)
+    inc++;
+  if (z_available(*recon_, x0, y0, x0, y0 - 1) &&
+      recon_->ct_depth[((y0 - 1) >> 2) * recon_->pb_w + (x0 >> 2)] > depth)
+    inc++;
+  cabac_->encode_bin(&ctx_[CTX_SPLIT_CU_FLAG + inc], split ? 1 : 0);
+}
+
+void Encoder::encode_cq_leaf(int x0, int y0, int log2_size, int depth,
+                             bool large_skip) {
   // record depth over CU area (context for later CUs)
   int n4 = 1 << (log2_size - 2);
   for (int dy = 0; dy < n4; dy++)
@@ -1126,6 +1137,275 @@ void Encoder::encode_cq(int x0, int y0, int log2_size, int depth) {
     return;
   }
   encode_cu(x0, y0, log2_size);
+}
+
+// ---------------------------------------------------------------------------
+// RD split search (SplitAlgo::kRd): per-node leaf-vs-split trial encodes
+// with full rollback.  Counterpart of the reference's
+// encoder/algo/cb-split.cc Algo_CB_Split_BruteForce; independent mechanism:
+// instead of parallel CABAC-estimator contexts we trial-encode with the
+// real arithmetic engine and roll the writer/contexts/recon/program back,
+// so the committed stream is exactly the winning trial's bits.
+// ---------------------------------------------------------------------------
+
+Encoder::EncSave Encoder::save_cu(int x0, int y0, int log2_size) {
+  EncSave s;
+  s.ctx = ctx_;
+  s.cb = cabac_->state();
+  s.bw = cabac_->writer()->pos();
+  s.cur_qp = cur_qp_;
+  s.qg_pred = qg_pred_;
+  s.qg_prev_qp = qg_prev_qp_;
+  s.last_cu_qp = last_cu_qp_;
+  s.qg_first = qg_first_;
+  s.qg_delta_written = qg_delta_written_;
+  s.n_ops = prog_.ops.size();
+  s.n_intras = prog_.intras.size();
+  s.n_tus = prog_.tus.size();
+  s.n_pus = prog_.pus.size();
+  s.n_pcms = prog_.pcms.size();
+  s.n_cval = prog_.coeff_val.size();
+  s.n_cpos = prog_.coeff_pos.size();
+  s.n_pcmd = prog_.pcm_data.size();
+  Frame& f = *recon_;
+  int n = 1 << log2_size;
+  s.x0 = x0;
+  s.y0 = y0;
+  s.n = n;
+  for (int c = 0; c < 3; c++) {
+    if (c > 0 && sps_->chroma_array_type == 0) break;
+    int sx = c ? sps_->sub_width_c : 1, sy = c ? sps_->sub_height_c : 1;
+    int xc = x0 / sx, yc = y0 / sy;
+    int w = min_i(n / sx, f.plane_width(c) - xc);
+    int h = min_i(n / sy, f.plane_height(c) - yc);
+    s.px[c].resize((size_t)w * h * f.bytes_pp);
+    for (int yy = 0; yy < h; yy++)
+      memcpy(s.px[c].data() + (size_t)yy * w * f.bytes_pp,
+             f.plane[c].data() + ((size_t)(yc + yy) * f.stride[c] + xc) *
+                                     f.bytes_pp,
+             (size_t)w * f.bytes_pp);
+  }
+  int gx = x0 >> 2, gy = y0 >> 2;
+  int gw = min_i(n >> 2, f.pb_w - gx), gh = min_i(n >> 2, f.pb_h - gy);
+  s.a_motion.resize((size_t)gw * gh);
+  s.a_qp.resize((size_t)gw * gh);
+  s.a_nz.resize((size_t)gw * gh);
+  s.a_dbf.resize((size_t)gw * gh);
+  s.a_ipm.resize((size_t)gw * gh);
+  s.a_ipmc.resize((size_t)gw * gh);
+  s.a_cui.resize((size_t)gw * gh);
+  s.a_ctd.resize((size_t)gw * gh);
+  for (int yy = 0; yy < gh; yy++) {
+    size_t src = (size_t)(gy + yy) * f.pb_w + gx, dst = (size_t)yy * gw;
+    memcpy(&s.a_motion[dst], &f.motion[src], gw * sizeof(PbMotion));
+    memcpy(&s.a_qp[dst], &f.qp_y[src], gw);
+    memcpy(&s.a_nz[dst], &f.nonzero_coeff[src], gw);
+    memcpy(&s.a_dbf[dst], &f.deblock_flags[src], gw);
+    memcpy(&s.a_ipm[dst], &f.intra_pred_mode[src], gw);
+    memcpy(&s.a_ipmc[dst], &f.intra_mode_c[src], gw);
+    memcpy(&s.a_cui[dst], &f.cu_info[src], gw);
+    memcpy(&s.a_ctd[dst], &f.ct_depth[src], gw);
+  }
+  return s;
+}
+
+void Encoder::restore_cu(const EncSave& s) {
+  ctx_ = s.ctx;
+  cabac_->set_state(s.cb);
+  cabac_->writer()->restore(s.bw);
+  cur_qp_ = s.cur_qp;
+  qg_pred_ = s.qg_pred;
+  qg_prev_qp_ = s.qg_prev_qp;
+  last_cu_qp_ = s.last_cu_qp;
+  qg_first_ = s.qg_first;
+  qg_delta_written_ = s.qg_delta_written;
+  prog_.ops.resize(s.n_ops);
+  prog_.intras.resize(s.n_intras);
+  prog_.tus.resize(s.n_tus);
+  prog_.pus.resize(s.n_pus);
+  prog_.pcms.resize(s.n_pcms);
+  prog_.coeff_val.resize(s.n_cval);
+  prog_.coeff_pos.resize(s.n_cpos);
+  prog_.pcm_data.resize(s.n_pcmd);
+  Frame& f = *recon_;
+  for (int c = 0; c < 3; c++) {
+    if (c > 0 && sps_->chroma_array_type == 0) break;
+    int sx = c ? sps_->sub_width_c : 1, sy = c ? sps_->sub_height_c : 1;
+    int xc = s.x0 / sx, yc = s.y0 / sy;
+    int w = min_i(s.n / sx, f.plane_width(c) - xc);
+    int h = min_i(s.n / sy, f.plane_height(c) - yc);
+    for (int yy = 0; yy < h; yy++)
+      memcpy(f.plane[c].data() + ((size_t)(yc + yy) * f.stride[c] + xc) *
+                                     f.bytes_pp,
+             s.px[c].data() + (size_t)yy * w * f.bytes_pp,
+             (size_t)w * f.bytes_pp);
+  }
+  int gx = s.x0 >> 2, gy = s.y0 >> 2;
+  int gw = min_i(s.n >> 2, f.pb_w - gx), gh = min_i(s.n >> 2, f.pb_h - gy);
+  for (int yy = 0; yy < gh; yy++) {
+    size_t dst = (size_t)(gy + yy) * f.pb_w + gx, src = (size_t)yy * gw;
+    memcpy(&f.motion[dst], &s.a_motion[src], gw * sizeof(PbMotion));
+    memcpy(&f.qp_y[dst], &s.a_qp[src], gw);
+    memcpy(&f.nonzero_coeff[dst], &s.a_nz[src], gw);
+    memcpy(&f.deblock_flags[dst], &s.a_dbf[src], gw);
+    memcpy(&f.intra_pred_mode[dst], &s.a_ipm[src], gw);
+    memcpy(&f.intra_mode_c[dst], &s.a_ipmc[src], gw);
+    memcpy(&f.cu_info[dst], &s.a_cui[src], gw);
+    memcpy(&f.ct_depth[dst], &s.a_ctd[src], gw);
+  }
+}
+
+Encoder::EncDelta Encoder::capture_cu(const EncSave& base) {
+  EncDelta d;
+  d.end = save_cu(base.x0, base.y0, ilog2((u32)base.n));
+  const std::vector<u8>& bw = cabac_->writer()->rbsp();
+  d.bw_tail.assign(bw.begin() + base.bw.bytes, bw.end());
+  BitWriter::Pos cur = cabac_->writer()->pos();
+  d.bw_cur = cur.cur;
+  d.bw_nbits = cur.nbits;
+  d.ops.assign(prog_.ops.begin() + base.n_ops, prog_.ops.end());
+  d.intras.assign(prog_.intras.begin() + base.n_intras, prog_.intras.end());
+  d.tus.assign(prog_.tus.begin() + base.n_tus, prog_.tus.end());
+  d.pus.assign(prog_.pus.begin() + base.n_pus, prog_.pus.end());
+  d.pcms.assign(prog_.pcms.begin() + base.n_pcms, prog_.pcms.end());
+  d.cval.assign(prog_.coeff_val.begin() + base.n_cval,
+                prog_.coeff_val.end());
+  d.cpos.assign(prog_.coeff_pos.begin() + base.n_cpos,
+                prog_.coeff_pos.end());
+  d.pcmd.assign(prog_.pcm_data.begin() + base.n_pcmd, prog_.pcm_data.end());
+  return d;
+}
+
+void Encoder::apply_cu(const EncSave& base, const EncDelta& d) {
+  // bitstream tail + arithmetic state
+  cabac_->writer()->set_tail(base.bw, d.bw_tail, d.bw_cur, d.bw_nbits);
+  // program ops
+  prog_.ops.resize(base.n_ops);
+  prog_.ops.insert(prog_.ops.end(), d.ops.begin(), d.ops.end());
+  prog_.intras.resize(base.n_intras);
+  prog_.intras.insert(prog_.intras.end(), d.intras.begin(), d.intras.end());
+  prog_.tus.resize(base.n_tus);
+  prog_.tus.insert(prog_.tus.end(), d.tus.begin(), d.tus.end());
+  prog_.pus.resize(base.n_pus);
+  prog_.pus.insert(prog_.pus.end(), d.pus.begin(), d.pus.end());
+  prog_.pcms.resize(base.n_pcms);
+  prog_.pcms.insert(prog_.pcms.end(), d.pcms.begin(), d.pcms.end());
+  prog_.coeff_val.resize(base.n_cval);
+  prog_.coeff_val.insert(prog_.coeff_val.end(), d.cval.begin(),
+                         d.cval.end());
+  prog_.coeff_pos.resize(base.n_cpos);
+  prog_.coeff_pos.insert(prog_.coeff_pos.end(), d.cpos.begin(),
+                         d.cpos.end());
+  prog_.pcm_data.resize(base.n_pcmd);
+  prog_.pcm_data.insert(prog_.pcm_data.end(), d.pcmd.begin(), d.pcmd.end());
+  // contexts + scalar state + recon area: the captured post-trial state
+  // (save_cu restores by value through restore_cu's non-prog fields)
+  EncSave end = d.end;
+  end.n_ops = prog_.ops.size();
+  end.n_intras = prog_.intras.size();
+  end.n_tus = prog_.tus.size();
+  end.n_pus = prog_.pus.size();
+  end.n_pcms = prog_.pcms.size();
+  end.n_cval = prog_.coeff_val.size();
+  end.n_cpos = prog_.coeff_pos.size();
+  end.n_pcmd = prog_.pcm_data.size();
+  restore_cu(end);
+}
+
+i64 Encoder::ssd_rect(int cidx, int x0, int y0, int w, int h) const {
+  i64 ssd = 0;
+  for (int yy = 0; yy < h; yy++)
+    for (int xx = 0; xx < w; xx++) {
+      int d = src_px(cidx, x0 + xx, y0 + yy) - rec_px(cidx, x0 + xx, y0 + yy);
+      ssd += (i64)d * d;
+    }
+  return ssd;
+}
+
+i64 Encoder::area_ssd(int x0, int y0, int n) const {
+  const Frame& f = *recon_;
+  i64 ssd = 0;
+  for (int c = 0; c < 3; c++) {
+    if (c > 0 && sps_->chroma_array_type == 0) break;
+    int sx = c ? sps_->sub_width_c : 1, sy = c ? sps_->sub_height_c : 1;
+    int xc = x0 / sx, yc = y0 / sy;
+    int w = min_i(n / sx, f.plane_width(c) - xc);
+    int h = min_i(n / sy, f.plane_height(c) - yc);
+    ssd += ssd_rect(c, xc, yc, w, h);
+  }
+  return ssd;
+}
+
+double Encoder::rd_encode_cq(int x0, int y0, int log2_size, int depth) {
+  const Sps& s = *sps_;
+  if (x0 >= s.pic_width_in_luma_samples || y0 >= s.pic_height_in_luma_samples)
+    return 0.0;
+  bool inside = (x0 + (1 << log2_size) <= s.pic_width_in_luma_samples) &&
+                (y0 + (1 << log2_size) <= s.pic_height_in_luma_samples);
+  int half = 1 << (log2_size - 1);
+  if (!inside) {
+    // forced split: no flag, no choice
+    double c = rd_encode_cq(x0, y0, log2_size - 1, depth + 1);
+    c += rd_encode_cq(x0 + half, y0, log2_size - 1, depth + 1);
+    c += rd_encode_cq(x0, y0 + half, log2_size - 1, depth + 1);
+    c += rd_encode_cq(x0 + half, y0 + half, log2_size - 1, depth + 1);
+    return c;
+  }
+  const double lam = rd_lambda();
+  int n = 1 << log2_size;
+  if (log2_size <= s.log2_min_cb_size) {
+    // leaf only (no split_cu_flag at minimum size)
+    u64 b0 = cabac_->info_scaled();
+    encode_cq_leaf(x0, y0, log2_size, depth, false);
+    return (double)area_ssd(x0, y0, n) +
+           lam * (double)(cabac_->info_scaled() - b0) / 32768.0;
+  }
+
+  EncSave pre = save_cu(x0, y0, log2_size);
+  u64 b0 = cabac_->info_scaled();
+
+  // Large residual-free merge skips compete as leaves at any size
+  bool ls = !cur_is_intra_pic_ && log2_size >= 5 &&
+            try_large_skip(x0, y0, log2_size);
+
+  // CU-as-one-TU is only legal up to the SPS max transform size; larger
+  // leaves are representable solely as residual-free merge skips (the
+  // transform tree would otherwise implicitly split below the CU)
+  const int max_tb_log2 = s.log2_min_tb_size + s.log2_diff_max_min_tb_size;
+  if (log2_size > max_tb_log2 && !ls) {
+    restore_cu(pre);
+    write_split_flag(x0, y0, depth, true);
+    rd_encode_cq(x0, y0, log2_size - 1, depth + 1);
+    rd_encode_cq(x0 + half, y0, log2_size - 1, depth + 1);
+    rd_encode_cq(x0, y0 + half, log2_size - 1, depth + 1);
+    rd_encode_cq(x0 + half, y0 + half, log2_size - 1, depth + 1);
+    return (double)area_ssd(x0, y0, n) +
+           lam * (double)(cabac_->info_scaled() - b0) / 32768.0;
+  }
+  // trial A: leaf at this size
+  write_split_flag(x0, y0, depth, false);
+  encode_cq_leaf(x0, y0, log2_size, depth, ls);
+  double cost_leaf = (double)area_ssd(x0, y0, n) +
+                     lam * (double)(cabac_->info_scaled() - b0) / 32768.0;
+  EncDelta dleaf = capture_cu(pre);
+  restore_cu(pre);
+
+  // trial B: split (children recursively pick their own best and stay
+  // applied, so the writer/recon hold the full subtree afterwards)
+  write_split_flag(x0, y0, depth, true);
+  rd_encode_cq(x0, y0, log2_size - 1, depth + 1);
+  rd_encode_cq(x0 + half, y0, log2_size - 1, depth + 1);
+  rd_encode_cq(x0, y0 + half, log2_size - 1, depth + 1);
+  rd_encode_cq(x0 + half, y0 + half, log2_size - 1, depth + 1);
+  double cost_split = (double)area_ssd(x0, y0, n) +
+                      lam * (double)(cabac_->info_scaled() - b0) / 32768.0;
+
+  if (cost_leaf <= cost_split) {
+    restore_cu(pre);
+    apply_cu(pre, dleaf);
+    return cost_leaf;
+  }
+  return cost_split;
 }
 
 int Encoder::choose_luma_mode(int x0, int y0, int log2_size) {

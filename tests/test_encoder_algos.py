@@ -81,3 +81,38 @@ def test_b_pyramid_reordered_gop(native_build):
         mse = float(((pic.y.astype(np.int32) -
                       srcs[t].astype(np.int32)) ** 2).mean())
         assert mse < 100, f"frame {t} out of order or corrupt (mse {mse})"
+
+
+def test_split_algo_rd(native_build):
+    """RD split search (Algo_CB_Split counterpart): trial-encodes leaf vs
+    split per node with full rollback (encoder.cc rd_encode_cq).  The
+    stream must stay conformant (SEI hash), use mixed CU sizes on mixed
+    content, and not lose the RD tradeoff to the fixed policy."""
+    H, W = 96, 160
+    yy, xx = np.mgrid[0:H, 0:W]
+    rng = np.random.default_rng(11)
+    frames = []
+    for t in range(4):
+        y = ((xx // 2 + yy // 3 + 3 * t) % 200).astype(np.uint8)
+        y[32:64, 48:112] = rng.integers(0, 255, (32, 64))  # textured patch
+        frames.append(y)
+
+    def run(split):
+        enc = Encoder(qp=30)
+        enc.set_parameter("intra-period", 4)
+        enc.set_parameter("sei-hash", True)
+        enc.set_parameter("cb-split-algo", split)
+        data = b"".join(enc.encode(f, pts=t)
+                        for t, f in enumerate(frames)) + enc.finish()
+        dec = Decoder(check_hash=True)
+        pics = list(dec.decode_all(data))
+        assert len(pics) == len(frames)
+        ssd = sum(float(((p.y.astype(np.int64) - f.astype(np.int64)) ** 2)
+                        .sum()) for p, f in zip(pics, frames))
+        return len(data), ssd
+
+    b_rd, d_rd = run("rd")
+    b_fx, d_fx = run("fixed-16")
+    # lambda-consistent comparison: the RD tree must not lose on both axes
+    lam = 0.57 * 2.0 ** ((30 - 12) / 3.0)
+    assert d_rd + lam * 8 * b_rd <= (d_fx + lam * 8 * b_fx) * 1.02
