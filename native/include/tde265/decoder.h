@@ -203,6 +203,10 @@ class Decoder {
   bool end_of_stream_flushed_ = false;
   // NoRaslOutputFlag-related state
   bool assoc_irap_no_rasl_output_ = false;
+  // NoRaslOutputFlag of the most recent IRAP, latched at its FIRST slice
+  // (spec 8.1.3: RASL pictures of such an IRAP are not decoded at all)
+  bool irap_no_rasl_flag_ = false;
+  bool skipping_rasl_ = false;  // suppress the dropped picture's suffix SEI
   SeiDecodedPictureHash cur_hash_;
 
  public:

@@ -270,6 +270,8 @@ class Encoder {
   struct PicRps {
     int n_neg = 0;
     int neg_delta[3] = {0, 0, 0};  // positive values (poc distances)
+    bool neg_used[3] = {true, true, true};  // used_by_curr (false = foll:
+                                            // kept for a later RASL)
     int n_pos = 0;
     int pos_delta = 0;
   };
@@ -281,6 +283,7 @@ class Encoder {
     bool valid = false;
     bool is16 = false;
     int pos = 0;  // GOP-relative display position
+    int abs = 0;  // absolute display index (continuous-POC open GOP)
     std::vector<u8> y8, cb8, cr8;
     std::vector<u16> y16, cb16, cr16;
     int sy = 0, sc = 0;
@@ -333,6 +336,7 @@ class Encoder {
   }
 
   BitWriter slice_bw_;
+  int nal_type_override_ = -1;  // RASL/RADL leading-picture emission
   std::unique_ptr<CabacEncoder> cabac_;
   ContextTable ctx_;
   bool headers_written_ = false;

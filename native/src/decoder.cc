@@ -131,6 +131,13 @@ Err Decoder::decode(int* more) {
 Err Decoder::decode_nal(std::unique_ptr<NalUnit> nal) {
   if (nal->layer_id > 0) return Err::OK;  // discard enhancement layers
   if (nal->temporal_id > limit_tid) return Err::OK;
+  // RASL pictures of a NoRaslOutput IRAP (stream start / seek / BLA) may
+  // reference pictures from before the IRAP: they are not decoded (8.1.3)
+  if (nal_is_rasl(nal->type) && irap_no_rasl_flag_) {
+    skipping_rasl_ = true;
+    return Err::OK;
+  }
+  if (nal_is_vcl(nal->type)) skipping_rasl_ = false;
 
   BitReader br(nal->payload(), nal->payload_size());
   switch (nal->type) {
@@ -231,8 +238,9 @@ Err Decoder::read_sei(BitReader& br, bool suffix) {
   SeiMessages msgs;
   int planes = 3;
   if (!parse_sei(br, &msgs, planes)) return Err::InvalidSyntax;
-  if (msgs.picture_hash.present) {
+  if (msgs.picture_hash.present && !skipping_rasl_) {
     // decoded-picture-hash is a suffix SEI: applies to the current picture
+    // (a skipped RASL's hash must not leak onto the preceding picture)
     cur_hash_ = msgs.picture_hash;
   }
   return Err::OK;
@@ -424,6 +432,7 @@ void Decoder::compute_poc(SliceHeader& sh, int nal_type, int temporal_id) {
     no_rasl_output = first_picture_;
   }
   cur_frame_->no_rasl_output = no_rasl_output;
+  if (nal_is_irap(nal_type)) irap_no_rasl_flag_ = no_rasl_output;
 
   i32 poc;
   if (nal_is_idr(nal_type)) {

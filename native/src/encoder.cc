@@ -363,13 +363,15 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
     if (cfg_.b_pyramid) {
       // per-picture RPS from the reorder driver (negative AND positive
       // pictures — the B pictures reference the future even picture)
-      int nn = cur_is_intra_pic_ ? 0 : cur_rps_.n_neg;
+      // (an open-GOP CRA signals its pre-CRA keep-alive entry with
+      // used_by_curr = 0 so the following RASL can still reference it)
+      int nn = cur_rps_.n_neg;
       int np = cur_is_intra_pic_ ? 0 : cur_rps_.n_pos;
       bw->write_uvlc((u32)nn);
       bw->write_uvlc((u32)np);
       for (int i = 0; i < nn; i++) {
         bw->write_uvlc((u32)(cur_rps_.neg_delta[i] - 1));
-        bw->write_flag(true);
+        bw->write_flag(cur_rps_.neg_used[i]);
       }
       for (int i = 0; i < np; i++) {
         bw->write_uvlc((u32)(cur_rps_.pos_delta - 1));
@@ -558,9 +560,13 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
 
   std::vector<u8> rbsp = header_rbsp;
   rbsp.insert(rbsp.end(), data.begin(), data.end());
-  append_nal(out, cur_is_intra_pic_ ? (cur_is_idr_ ? NAL_IDR_W_RADL : NAL_CRA)
-                             : NAL_TRAIL_R, 0,
-             rbsp);
+  append_nal(out,
+             nal_type_override_ >= 0
+                 ? nal_type_override_
+                 : (cur_is_intra_pic_ ? (cur_is_idr_ ? NAL_IDR_W_RADL
+                                                     : NAL_CRA)
+                                      : NAL_TRAIL_R),
+             0, rbsp);
 }
 
 std::vector<u8> Encoder::encode_frame(const u8* y, int stride_y, const u8* cb,
@@ -799,8 +805,12 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
       cabac_->encode_terminate(last_in_slice ? 1 : 0);
       if (last_in_slice) {
         dep_saved = ctx_;
-        append_nal(outp, cur_is_intra_pic_ ? (cur_is_idr_ ? NAL_IDR_W_RADL : NAL_CRA)
-                             : NAL_TRAIL_R,
+        append_nal(outp,
+                   nal_type_override_ >= 0
+                       ? nal_type_override_
+                       : (cur_is_intra_pic_ ? (cur_is_idr_ ? NAL_IDR_W_RADL
+                                                           : NAL_CRA)
+                                            : NAL_TRAIL_R),
                    0, slice_bw_.rbsp());
         slice_start = rs + 1;
         if (!dep) slice_no++;
@@ -862,15 +872,23 @@ void Encoder::encode_bpyramid_(std::vector<u8>* out, const void* y,
     if (!recon_) recon_ = std::make_unique<Frame>();
   };
 
+  const bool og = cfg_.open_gop;  // open-GOP pyramid: CRA + RASL leading
   auto encode_now = [&](bool intra, bool is_b, int poc, const void* yy,
                         int syy, const void* cbb, const void* crr, int scc) {
     pyr_override_ = true;
     cur_is_intra_pic_ = intra;
-    cur_is_idr_ = intra;  // closed-GOP pyramid: every recovery point is IDR
+    cur_is_idr_ = intra && (!og || d == 0);
     cur_is_b_ = is_b;
     poc_ = poc;
     cur_refs_ = PicRefs();
     cur_rps_ = PicRps();
+    if (intra && !cur_is_idr_ && pending_.valid) {
+      // CRA keep-alive: retain the pre-CRA even picture (the pending
+      // RASL's L0 reference) in the foll set
+      cur_rps_.n_neg = 1;
+      cur_rps_.neg_delta[0] = 2;
+      cur_rps_.neg_used[0] = false;
+    }
     if (!intra) {
       if (is_b) {
         cur_refs_.n0 = 1;
@@ -897,8 +915,20 @@ void Encoder::encode_bpyramid_(std::vector<u8>* out, const void* y,
   };
 
   if (pos == 0) {
+    if (og && d > 0 && pending_.valid) {
+      // leading picture: the CRA goes first in decode order, then the
+      // buffered odd picture as a RASL B referencing the pre-CRA even
+      // (L0) and the CRA itself (L1) — spec 7.4.2.2 leading-picture
+      // semantics, decoder counterpart decoder.cc NoRaslOutputFlag
+      encode_now(true, false, (int)d, y, stride_y, cb, cr, stride_c);
+      rotate_even();
+      nal_type_override_ = NAL_RASL_R;
+      encode_pending_(out, /*as_b=*/true);
+      nal_type_override_ = -1;
+      return;
+    }
     if (pending_.valid) encode_pending_(out, /*as_b=*/false);
-    encode_now(true, false, 0, y, stride_y, cb, cr, stride_c);
+    encode_now(true, false, og ? (int)d : 0, y, stride_y, cb, cr, stride_c);
     rotate_even();
     return;
   }
@@ -909,6 +939,7 @@ void Encoder::encode_bpyramid_(std::vector<u8>* out, const void* y,
     ps.valid = true;
     ps.is16 = src16_;
     ps.pos = pos;
+    ps.abs = (int)d;
     ps.sy = stride_y;
     ps.sc = stride_c;
     const int h = cfg_.height, ch = sps_->chroma_array_type
@@ -937,7 +968,7 @@ void Encoder::encode_bpyramid_(std::vector<u8>* out, const void* y,
   }
   // even position: encode it as P (ref = previous even), then the pending
   // odd picture as B (refs = both surrounding evens)
-  encode_now(false, false, pos, y, stride_y, cb, cr, stride_c);
+  encode_now(false, false, og ? (int)d : pos, y, stride_y, cb, cr, stride_c);
   rotate_even();
   if (pending_.valid) encode_pending_(out, /*as_b=*/true);
 }
@@ -950,16 +981,17 @@ void Encoder::encode_pending_(std::vector<u8>* out, bool as_b) {
   cur_is_intra_pic_ = false;
   cur_is_idr_ = false;
   cur_is_b_ = as_b;
-  poc_ = ps.pos;
+  const int p = cfg_.open_gop ? ps.abs : ps.pos;
+  poc_ = p;
   cur_refs_ = PicRefs();
   cur_rps_ = PicRps();
   if (as_b) {
     cur_refs_.n0 = 1;
     cur_refs_.l0[0] = bref_prev_.get();
-    cur_refs_.poc0[0] = ps.pos - 1;
+    cur_refs_.poc0[0] = p - 1;
     cur_refs_.n1 = 1;
     cur_refs_.l1[0] = ref_frame_.get();
-    cur_refs_.poc1[0] = ps.pos + 1;
+    cur_refs_.poc1[0] = p + 1;
     cur_rps_.n_neg = 1;
     cur_rps_.neg_delta[0] = 1;
     cur_rps_.n_pos = 1;
@@ -968,7 +1000,7 @@ void Encoder::encode_pending_(std::vector<u8>* out, bool as_b) {
     // trailing P at a GOP/stream boundary (no future reference exists)
     cur_refs_.n0 = 1;
     cur_refs_.l0[0] = ref_frame_.get();
-    cur_refs_.poc0[0] = ps.pos - 1;
+    cur_refs_.poc0[0] = p - 1;
     cur_rps_.n_neg = 1;
     cur_rps_.neg_delta[0] = 1;
   }

@@ -151,6 +151,12 @@ MATRIX = {
                           frames=10), "exact"),
     "b_pyramid": (dict(params={"intra-period": 4, "b-pyramid": True},
                        frames=9), "exact"),
+    # open-GOP pyramid: CRA recovery points followed by RASL_R leading
+    # pictures that reference across the CRA (continuous POC)
+    "rasl_open_pyramid": (dict(params={"intra-period": 4,
+                                       "b-pyramid": True,
+                                       "open-gop": True},
+                               frames=10), "exact"),
 }
 
 
@@ -164,6 +170,11 @@ def build(outdir: pathlib.Path):
 
     for name, (kw, mode) in MATRIX.items():
         emit(name, _encode(**kw), mode)
+
+    # mid-stream tune-in at a CRA with RASL leading pictures: both
+    # decoders must skip the RASLs identically
+    rasl = (outdir / "rasl_open_pyramid.h265").read_bytes()
+    emit("rasl_tune_in", _cut_at_cra(rasl), "exact")
 
     cra = (outdir / "open_gop_cra.h265").read_bytes()
     # BLA: splice-point relabel of the CRA stream (same slice syntax; the
