@@ -125,12 +125,17 @@ def bench_device_decode(stream_bytes, n_passes=5):
         return orig_store(refs_y, refs_cb, refs_cr, buf, sft, st, layout)
 
     fdm._compiled, fdm._compiled_store = probe, probe_store
+    wire = []
     try:
-        outs = [fd.decode(p) for p in progs]
+        outs = []
+        for p in progs:
+            outs.append(fd.decode(p))
+            wire.append(getattr(fd, "last_wire_bytes", 0))
         float(csum(outs[-1]))
     finally:
         fdm._compiled, fdm._compiled_store = orig, orig_store
     upload_mb = sorted(sizes)[len(sizes) // 2] / 1e6 if sizes else 0.0
+    wire_mb = sorted(wire)[len(wire) // 2] / 1e6 if wire else 0.0
 
     dev_dts = []
     for _ in range(n_passes):
@@ -185,6 +190,7 @@ def bench_device_decode(stream_bytes, n_passes=5):
                 "max": fps[-1]}
 
     r = {"n": n, "parse_fps": n / t_parse, "upload_mb_frame": upload_mb,
+         "wire_mb_frame": wire_mb,
          "device": stats(dev_dts)}
     if split:
         r["stage_split"] = split
@@ -264,6 +270,7 @@ def main():
             extras["tpu_device_fps_minmax"] = [
                 round(r["device"]["min"], 2), round(r["device"]["max"], 2)]
             extras["tpu_upload_mb_frame"] = round(r["upload_mb_frame"], 3)
+            extras["tpu_wire_mb_frame"] = round(r["wire_mb_frame"], 3)
             if "stage_split" in r:
                 extras["tpu_stage_split"] = r["stage_split"]
             if "e2e" in r:
@@ -293,6 +300,8 @@ def main():
                     r["device"]["median"], 2)
                 extras[f"tpu_upload_mb_frame_{tag}"] = round(
                     r["upload_mb_frame"], 3)
+                extras[f"tpu_wire_mb_frame_{tag}"] = round(
+                    r["wire_mb_frame"], 3)
                 extras[f"host_fps_{tag}"] = bench_host_decode(
                     build, strm, n) or 0
                 if ref_bin:

@@ -123,15 +123,19 @@ def _bin_tus(prog: FrameProgramData):
         starts = t["coeff_start"].astype(np.int64)
         ncs = t["ncoeff"].astype(np.int64)
         total = int(ncs.sum())
+        coff = np.concatenate([[0], np.cumsum(ncs)]).astype(np.int32)
         if total:
             base = np.repeat(starts - np.concatenate(
                 [[0], np.cumsum(ncs)[:-1]]), ncs)
             cidx_flat = np.arange(total, dtype=np.int64) + base
             cval = prog.coeff_val[cidx_flat].astype(np.int32)
             cpos = prog.coeff_pos[cidx_flat].astype(np.int32)
-            crow = np.repeat(np.arange(n, dtype=np.int32), ncs)
+            # one packed word per coefficient: value (high 16, signed) |
+            # position (low 16); the bin row is derived on device from the
+            # per-row offsets (coff) — 4 B/coeff crosses the wire, not 12
+            cv = ((cval & 0xFFFF) << 16) | (cpos & 0xFFFF)
         else:
-            cval = cpos = crow = np.zeros(0, np.int32)
+            cv = np.zeros(0, np.int32)
         flags = t["flags"].astype(np.int32)
         intra = (flags & TU_INTRA) != 0
         cidx = t["cidx"].astype(np.int32)
@@ -143,7 +147,7 @@ def _bin_tus(prog: FrameProgramData):
         else:
             mid = np.zeros(n, np.int32)
         b = {"qp": t["qp"].astype(np.int32), "flags": flags, "mid": mid,
-             "n": n, "cval": cval, "cpos": cpos, "crow": crow}
+             "n": n, "cv": cv, "coff": coff}
         b["ccp_scale"] = tu_ccp_scale[sel]
         ppr = tu_ccp_partner[sel]
         b["ccp_row"] = np.where(
@@ -925,8 +929,8 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, st):
                 if f"{key}.n" not in feed:
                     continue
                 stripes = mcp.residual_stripes(
-                    bin_res[lg], feed[f"{key}.n"], feed[f"{key}.srow"],
-                    feed[f"{key}.x0"], OR=ORc, S=1 << lg, Wout=wout,
+                    bin_res[lg], feed[f"{key}.n"], feed[f"{key}.sw"],
+                    OR=ORc, S=1 << lg, Wout=wout,
                     n_bands=pb_h2, interpret=interp_r)
                 acc = stripes if acc is None else acc + stripes
             if acc is not None:
@@ -1027,9 +1031,8 @@ def _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st, pb_h, pb_w,
         interp = jax.default_backend() not in ("tpu", "axon")
 
         def seg_args(l, pc):
-            return [feed[f"sg{l}n"]] + [feed[f"sg{l}{pc}.{f}"] for f in
-                                        ("slot", "wy", "wx", "fy", "fx",
-                                         "x0", "w")]
+            return [feed[f"sg{l}n"], feed[f"sg{l}{pc}.a"],
+                    feed[f"sg{l}{pc}.b"]]
 
         for l in (0, 1) if use_l1 else (0,):
             sy = mcp.mc_stripes(refs_y, *seg_args(l, "l"), OR=4, T=8,
@@ -1109,6 +1112,23 @@ def _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st, pb_h, pb_w,
     return y_plane, cb_plane, cr_plane
 
 
+_SPARSE_BLOCK = 512  # words per sparse-upload block (2 KB)
+
+
+@functools.partial(jax.jit, static_argnames=("total", "B"))
+def _expand_blocks(blocks, idx, *, total, B):
+    """Reassemble the full feed buffer from its nonzero blocks on device.
+
+    The host->device tunnel is the decode bottleneck (~50 MB/s measured),
+    so watermark padding must never cross the wire: the host ships only
+    the blocks containing data plus their indices, and this tiny program
+    scatters them into the zero-filled full-size buffer the main frame
+    program expects.  One compile per (block-count bucket, total)."""
+    nb = (total + B - 1) // B
+    full = jnp.zeros((nb, B), jnp.int32).at[idx].set(blocks, mode="drop")
+    return full.reshape(-1)[:total]
+
+
 @functools.partial(jax.jit, static_argnames=("st", "layout"),
                    donate_argnums=(0, 1, 2))
 def _compiled_store(refs_y, refs_cb, refs_cr, buf, sf_tables, st, layout):
@@ -1136,7 +1156,38 @@ def _compiled_impl(refs_y, refs_cb, refs_cr, buf, sf_tables, st, layout):
             feed.setdefault(parts[0], {})[parts[1]] = a
         else:
             feed[k] = a
+    _expand_feed(feed)
     return _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, dict(st))
+
+
+def _expand_feed(feed):
+    """Expand the wire-compact feed fields in-graph (the transfer tunnel
+    is the decode bottleneck at ~50 MB/s, so every field crosses packed and
+    is unpacked here with a few vector ops)."""
+    for k, d in feed.items():
+        if not (k.startswith("bin") and isinstance(d, dict) and "cv" in d):
+            continue
+        cv, coff = d.pop("cv"), d.pop("coff")
+        i = jnp.arange(cv.shape[0], dtype=jnp.int32)
+        crow = jnp.searchsorted(coff, i, side="right").astype(jnp.int32) - 1
+        d["crow"] = jnp.where(i < coff[-1], crow, 1 << 30)
+        d["cval"] = cv >> 16            # arithmetic: value is signed 16-bit
+        d["cpos"] = cv & 0xFFFF
+    if "g4" in feed:
+        g4 = feed.pop("g4")
+        feed["qp4"] = g4 & 0xFF
+        feed["nzc4"] = (g4 >> 8) & 1
+        feed["dbf4"] = (g4 >> 9) & 0xF
+        feed["cu4"] = (g4 >> 13) & 0xF
+        if "pu_idx" not in feed:
+            feed["pu_idx"] = ((g4 >> 17) & 0x7FFF) - 1
+    pu = feed.get("pu")
+    if pu is not None and pu.shape[1] == 4:
+        mv0, mv1, meta, sl = pu[:, 0], pu[:, 1], pu[:, 2], pu[:, 3]
+        feed["pu"] = jnp.stack(
+            [(mv0 << 16) >> 16, mv0 >> 16, (mv1 << 16) >> 16, mv1 >> 16,
+             meta & 3, (meta >> 2) & 63, (meta >> 8) & 63,
+             (meta >> 14) & 15, (meta >> 18) & 15, sl], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -1222,14 +1273,14 @@ class FusedDecoder:
                 if prog.chroma_height else 1
             for lg, b in bins.items():
                 self._grow(f"tu{lg}", b["n"])
-                self._grow(f"co{lg}", len(b["cval"]))
+                self._grow(f"co{lg}", len(b["cv"]))
                 for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
                     self._grow(f"sc{lg}{ch}", len(b[f"sc_{ch}"]))
                     if self.use_pallas_mc and len(b[f"sc_{ch}"]):
                         ORc = 4 if c == 0 else 4 // max(sub_y0, 1)
                         band, srow, x0s = mcp.plan_residual_segments(
                             b[f"sc_{ch}"], 1 << lg, ORc)
-                        _, _, _, K = mcp.pack_band_segments(
+                        _, _, K = mcp.pack_band_segments(
                             band, srow, x0s, (prog.height + 3) // 4)
                         self._grow(f"rk{lg}{ch}", K)
             self._grow("pu", len(prog.pus))
@@ -1474,17 +1525,43 @@ class FusedDecoder:
             "has_rdpcm": self._has_rdpcm,
         }.items()))
 
+        dbuf = self._sparse_upload(buf)
         if self.use_pallas_mc:
             out_all = _compiled_store(refs[0], refs[1], refs[2],
-                                      jnp.asarray(buf), sft, st, layout)
+                                      dbuf, sft, st, layout)
             n_pl = 3 if has_chroma else 1
             out = tuple(out_all[:n_pl])
             self._stack = list(out_all[n_pl:])
             return out
-        out = _compiled(refs[0], refs[1], refs[2], jnp.asarray(buf), sft, st,
+        out = _compiled(refs[0], refs[1], refs[2], dbuf, sft, st,
                         layout)
         self._store(prog.poc, out, prog)
         return out
+
+    def _sparse_upload(self, buf):
+        """Upload only the nonzero 8 KB blocks of the packed feed (plus a
+        block index vector) and reassemble on device — watermark padding
+        then costs nothing on the ~50 MB/s tunnel."""
+        B = _SPARSE_BLOCK
+        total = int(buf.size)
+        nb = (total + B - 1) // B
+        padded = buf if total == nb * B else \
+            np.pad(buf, (0, nb * B - total))
+        blocks = padded.reshape(nb, B)
+        nz = np.flatnonzero(blocks.any(axis=1))
+        # bucketed to 256-block (0.5 MB) steps: few expander shapes per
+        # stream, <= ~6% wire overhead from rounding
+        M = max(256, -(-len(nz) // 256) * 256)
+        if M >= nb:  # dense frame: the plain upload is no worse
+            self.last_wire_bytes = total * 4
+            return jnp.asarray(buf)
+        self.last_wire_bytes = (M * B + M) * 4
+        cb = np.zeros((M, B), np.int32)
+        cb[:len(nz)] = blocks[nz]
+        ix = np.full(M, 1 << 30, np.int32)
+        ix[:len(nz)] = nz
+        return _expand_blocks(jnp.asarray(cb), jnp.asarray(ix),
+                              total=total, B=B)
 
     def _pack_numpy(self, prog: FrameProgramData, slot_map, slot_row):
         """Numpy feed packer: returns (layout, buf, lgs, n_slices)."""
@@ -1495,21 +1572,25 @@ class FusedDecoder:
 
         # --- PU SoA [Pcap, 10] ---
         pcap = self._grow("pu", max(len(prog.pus), 1))
-        pu = np.zeros((pcap, 10), np.int32)
+        # 4 words per PU: mv0 (x|y<<16), mv1, meta (pf | slot0<<2 |
+        # slot1<<8 | ridx0<<14 | ridx1<<18), slice
+        pu = np.zeros((pcap, 4), np.int32)
         if len(prog.pus):
             p = prog.pus
-            pu[:len(p), 0] = p["mv0x"]
-            pu[:len(p), 1] = p["mv0y"]
-            pu[:len(p), 2] = p["mv1x"]
-            pu[:len(p), 3] = p["mv1y"]
-            pu[:len(p), 4] = p["pred_flags"]
+            n = len(p)
+            pu[:n, 0] = (p["mv0x"].astype(np.int32) & 0xFFFF) | \
+                (p["mv0y"].astype(np.int32) << 16)
+            pu[:n, 1] = (p["mv1x"].astype(np.int32) & 0xFFFF) | \
+                (p["mv1y"].astype(np.int32) << 16)
+            meta = p["pred_flags"].astype(np.int32) & 3
             for l in (0, 1):
                 slot = np.array([slot_map.get(int(v), 0)
                                  for v in p[f"ref_dpb{l}"]], np.int32)
-                pu[:len(p), 5 + l] = slot
-                pu[:len(p), 7 + l] = np.maximum(
-                    p[f"ref_idx{l}"].astype(np.int32), 0)
-            pu[:len(p), 9] = p["slice"]
+                meta |= (slot & 63) << (2 + 6 * l)
+                meta |= (np.maximum(p[f"ref_idx{l}"].astype(np.int32), 0)
+                         & 15) << (14 + 4 * l)
+            pu[:n, 2] = meta
+            pu[:n, 3] = p["slice"]
 
         # --- MC segments (Pallas path): PU x cell-band work units ---
         seg_host = {}
@@ -1527,7 +1608,7 @@ class FusedDecoder:
                     prog.pus, l, H, W, sub_x, sub_y, remap)
                 kcap = self._grow("segk", max(K, 1))
                 for pc, d in (("l", luma), ("c", chrom)):
-                    for f in ("slot", "wy", "wx", "fy", "fx", "x0", "w"):
+                    for f in ("a", "b"):
                         a = np.zeros((n_bands, kcap), np.int32)
                         a[:, :d[f].shape[1]] = d[f]
                         seg_host[f"sg{l}{pc}.{f}"] = a
@@ -1543,15 +1624,15 @@ class FusedDecoder:
                 continue
             b = bins.get(lg)
             tcap = self._grow(f"tu{lg}", b["n"] if b else 1)
-            ccap = self._grow(f"co{lg}", len(b["cval"]) if b else 1)
+            ccap = self._grow(f"co{lg}", len(b["cv"]) if b else 1)
             lgs.append(lg)
             host[f"bin{lg}.qp"] = _pad_rows(b["qp"] if b else z0, tcap)
             host[f"bin{lg}.flags"] = _pad_rows(b["flags"] if b else z0, tcap)
             host[f"bin{lg}.mid"] = _pad_rows(b["mid"] if b else z0, tcap)
-            host[f"bin{lg}.cval"] = _pad_rows(b["cval"] if b else z0, ccap)
-            host[f"bin{lg}.cpos"] = _pad_rows(b["cpos"] if b else z0, ccap)
-            host[f"bin{lg}.crow"] = _pad_rows(b["crow"] if b else z0, ccap,
-                                              fill=1 << 30)
+            host[f"bin{lg}.cv"] = _pad_rows(b["cv"] if b else z0, ccap)
+            coff = b["coff"] if b else np.zeros(1, np.int32)
+            host[f"bin{lg}.coff"] = _pad_rows(coff, tcap + 1,
+                                              fill=int(coff[-1]))
             if self._has_ccp:
                 host[f"bin{lg}.ccp_row"] = _pad_rows(
                     b["ccp_row"] if b else z0, tcap, fill=-1)
@@ -1567,16 +1648,13 @@ class FusedDecoder:
                     band, srow, x0s = mcp.plan_residual_segments(
                         sc, 1 << lg, ORc)
                     n_bands = (H + 3) // 4
-                    cnt, sr, xr, K = mcp.pack_band_segments(
+                    cnt, sw, K = mcp.pack_band_segments(
                         band, srow, x0s, n_bands)
                     kcap = self._grow(f"rk{lg}{ch}", K)
-                    srp = np.zeros((n_bands, kcap), np.int32)
-                    xrp = np.zeros((n_bands, kcap), np.int32)
-                    srp[:, :sr.shape[1]] = sr
-                    xrp[:, :xr.shape[1]] = xr
+                    swp = np.zeros((n_bands, kcap), np.int32)
+                    swp[:, :sw.shape[1]] = sw
                     host[f"rs{lg}{ch}.n"] = cnt
-                    host[f"rs{lg}{ch}.srow"] = srp
-                    host[f"rs{lg}{ch}.x0"] = xrp
+                    host[f"rs{lg}{ch}.sw"] = swp
                 else:
                     host[f"bin{lg}.sc_{ch}"] = _pad_rows(sc, cap, fill=-1)
 
@@ -1614,9 +1692,8 @@ class FusedDecoder:
                 host[f"bin{lg}.qp"] = _pad_rows(z0, tcap)
                 host[f"bin{lg}.flags"] = _pad_rows(z0, tcap)
                 host[f"bin{lg}.mid"] = _pad_rows(z0, tcap)
-                host[f"bin{lg}.cval"] = _pad_rows(z0, ccap)
-                host[f"bin{lg}.cpos"] = _pad_rows(z0, ccap)
-                host[f"bin{lg}.crow"] = _pad_rows(z0, ccap, fill=1 << 30)
+                host[f"bin{lg}.cv"] = _pad_rows(z0, ccap)
+                host[f"bin{lg}.coff"] = np.zeros(tcap + 1, np.int32)
                 if self._has_ccp:
                     host[f"bin{lg}.ccp_row"] = _pad_rows(z0, tcap, fill=-1)
                     host[f"bin{lg}.ccp_scale"] = _pad_rows(z0, tcap)
@@ -1628,9 +1705,7 @@ class FusedDecoder:
                             kcap = self.caps.get(f"rk{lg}{ch}", 1) or 1
                             host[f"rs{lg}{ch}.n"] = np.zeros(n_bands,
                                                              np.int32)
-                            host[f"rs{lg}{ch}.srow"] = np.zeros(
-                                (n_bands, kcap), np.int32)
-                            host[f"rs{lg}{ch}.x0"] = np.zeros(
+                            host[f"rs{lg}{ch}.sw"] = np.zeros(
                                 (n_bands, kcap), np.int32)
                     else:
                         host[f"bin{lg}.sc_{ch}"] = _pad_rows(
@@ -1650,7 +1725,6 @@ class FusedDecoder:
         recs[:len(prog.slice_records)] = prog.slice_records
         host["slice_recs"] = recs
         host["pu"] = pu
-        host["pu_idx"] = prog.pu_idx
         if self.use_pallas_mc:
             # PU slot fields hold DPB-ring positions: index POCs by slot
             pocs_by_slot = np.full(2 * MAX_REFS + 1, NOREF, np.int32)
@@ -1662,10 +1736,18 @@ class FusedDecoder:
                 [prog.ref_pocs[i] if i < len(prog.ref_pocs) else NOREF
                  for i in range(MAX_REFS)], np.int32)
         host["mc_on"] = np.array([1 if len(prog.pus) else 0], np.int32)
-        host["qp4"] = prog.qp_y.astype(np.int32)
-        host["nzc4"] = prog.nonzero_coeff.astype(np.int32)
-        host["dbf4"] = prog.deblock_flags.astype(np.int32)
-        host["cu4"] = prog.cu_info.astype(np.int32)
+        # per-4x4 grids in one word: qp(8) | nzc(1) | dbf(4) | cu(4) |
+        # pu_idx+1 (15, 0 = uncovered) — pu_idx spills to its own field
+        # only when the PU count exceeds 15 bits
+        g = (prog.qp_y.astype(np.int32) & 0xFF) | \
+            ((prog.nonzero_coeff.astype(np.int32) & 1) << 8) | \
+            ((prog.deblock_flags.astype(np.int32) & 0xF) << 9) | \
+            ((prog.cu_info.astype(np.int32) & 0xF) << 13)
+        if self.caps["pu"] < (1 << 15) - 1:
+            host["g4"] = g | ((prog.pu_idx.astype(np.int32) + 1) << 17)
+        else:
+            host["g4"] = g
+            host["pu_idx"] = prog.pu_idx.astype(np.int32)
         host["slice_idx"] = prog.slice_idx.astype(np.int32)
         host["slice_addr"] = prog.slice_addr.astype(np.int32)
         host["tile_id"] = prog.tile_id.astype(np.int32)
@@ -1821,21 +1903,18 @@ class FusedDecoder:
             ent(f"bin{lg}.qp", 0, lg, 0, (tcap,))
             ent(f"bin{lg}.flags", 1, lg, 0, (tcap,))
             ent(f"bin{lg}.mid", 2, lg, 0, (tcap,))
-            ent(f"bin{lg}.cval", 3, lg, 0, (ccap,))
-            ent(f"bin{lg}.cpos", 4, lg, 0, (ccap,))
-            ent(f"bin{lg}.crow", 5, lg, 0, (ccap,))
+            ent(f"bin{lg}.cv", 3, lg, 0, (ccap,))
+            ent(f"bin{lg}.coff", 4, lg, 0, (tcap + 1,))
             for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
                 if self.caps[f"sc{lg}{ch}"]:
                     kcap = self.caps.get(f"rk{lg}{ch}", 1) or 1
                     ent(f"rs{lg}{ch}.n", 6, lg, c, (n_bands,))
-                    ent(f"rs{lg}{ch}.srow", 7, lg, c, (n_bands, kcap))
-                    ent(f"rs{lg}{ch}.x0", 8, lg, c, (n_bands, kcap))
+                    ent(f"rs{lg}{ch}.sw", 7, lg, c, (n_bands, kcap))
         segk = self.caps["segk"] or 1
         for l in lists:
             ent(f"sg{l}n", 9, l, 0, (n_bands,))
             for pc, tag in ((0, "l"), (1, "c")):
-                for fi, f in enumerate(("slot", "wy", "wx", "fy", "fx",
-                                        "x0", "w")):
+                for fi, f in enumerate(("a", "b")):
                     ent(f"sg{l}{tag}.{f}", 10 + fi, l, pc, (n_bands, segk))
         ent("irec", 17, 0, 0, (self.caps["nintra"], IREC_COLS))
         ent("nsteps", 18, 0, 0, (3,))
@@ -1843,13 +1922,13 @@ class FusedDecoder:
             cap = self.caps[f"pcm{c}"]
             ent(f"pcm{c}", 19, c, 0, (cap, 2) if cap else (0, 2))
         ent("slice_recs", 20, 0, 0, (n_slices, 208))
-        ent("pu", 21, 0, 0, (self.caps["pu"], 10))
+        ent("pu", 21, 0, 0, (self.caps["pu"], 4))
         pb = tuple(prog.pu_idx.shape)
-        ent("pu_idx", 22, 0, 0, pb)
-        ent("qp4", 23, 0, 0, pb)
-        ent("nzc4", 24, 0, 0, pb)
-        ent("dbf4", 25, 0, 0, pb)
-        ent("cu4", 26, 0, 0, pb)
+        if self.caps["pu"] < (1 << 15) - 1:
+            ent("g4", 23, 0, 1, pb)   # p1=1: pu_idx merged into the word
+        else:
+            ent("pu_idx", 22, 0, 0, pb)
+            ent("g4", 23, 0, 0, pb)
         sh = (prog.ctb_h, prog.ctb_w)
         ent("slice_idx", 27, 0, 0, sh)
         ent("slice_addr", 28, 0, 0, sh)

@@ -77,7 +77,7 @@ def plan_segments(pus: np.ndarray, list_idx: int, H: int, W: int,
     n_bands = (H + 3) // 4
     sel = np.nonzero((pus["pred_flags"] & (1 << list_idx)) != 0)[0]
     empty = {k: np.zeros((n_bands, 1), np.int32) for k in
-             ("slot", "wy", "wx", "fy", "fx", "x0", "w")}
+             ("slot", "wy", "wx", "fy", "fx", "x0", "w", "a", "b")}
     if not len(sel):
         z = np.zeros(n_bands, np.int32)
         return empty, dict(empty), z, 1
@@ -123,6 +123,7 @@ def plan_segments(pus: np.ndarray, list_idx: int, H: int, W: int,
         "fy": pack(mvy[il] & 3), "fx": pack(mvx[il] & 3),
         "x0": pack(x[il]), "w": pack(w[il]),
     }
+    luma["a"], luma["b"] = pack_seg_words(luma)
 
     # chroma: fractional precision depends on subsampling (8.5.4.2.3)
     shx = 3 if sub_x == 2 else 2
@@ -141,7 +142,20 @@ def plan_segments(pus: np.ndarray, list_idx: int, H: int, W: int,
         "fy": pack(fcy), "fx": pack(fcx),
         "x0": pack(x[il] // sub_x), "w": pack(cw),
     }
+    chroma["a"], chroma["b"] = pack_seg_words(chroma)
     return luma, chroma, counts, K
+
+
+def pack_seg_words(d):
+    """Two wire words per segment (the 50 MB/s transfer tunnel is the
+    decode bottleneck): A = wy | wx<<12 | fy<<25 | fx<<28,
+    B = (x0>>1) | w<<12 | slot<<19.  x0 is always even (PU geometry is
+    4-aligned in luma, >=2-aligned in chroma)."""
+    a = (d["wy"] & 0xFFF) | ((d["wx"] & 0x1FFF) << 12) | \
+        ((d["fy"] & 7) << 25) | ((d["fx"] & 7) << 28)
+    b = ((d["x0"] >> 1) & 0xFFF) | ((d["w"] & 0x7F) << 12) | \
+        ((d["slot"] & 0x3F) << 19)
+    return a.astype(np.int32), b.astype(np.int32)
 
 
 def _scalar_coef(frac, table, k):
@@ -161,7 +175,7 @@ def _roll_ladder(win, rem, nbits, axis, size):
     return win
 
 
-def _mc_kernel(nseg, slot, wy, wx, fy, fx, x0, wv, refs, out, scratch, sem,
+def _mc_kernel(nseg, sa, sb, refs, out, scratch, sem,
                *, OR, T, FH, Hpad, Wout, bd, KMAX, table, G):
     # nseg is scalar-prefetched; the per-band segment rows arrive as SMEM
     # blocks (1, KMAX) so SMEM holds one band's parameters, not the whole
@@ -185,8 +199,9 @@ def _mc_kernel(nseg, slot, wy, wx, fy, fx, x0, wv, refs, out, scratch, sem,
         return jnp.minimum(j * G + i, KMAX - 1)
 
     def win_origin(k):
-        row = slot[0, 0, k] * Hpad + wy[0, 0, k]
-        col = wx[0, 0, k]
+        wa, wb = sa[0, 0, k], sb[0, 0, k]
+        row = ((wb >> 19) & 0x3F) * Hpad + (wa & 0xFFF)
+        col = (wa >> 12) & 0x1FFF
         r8 = pl.multiple_of((row // 8) * 8, 8)
         c128 = pl.multiple_of((col // 128) * 128, 128)
         return row, col, r8, c128
@@ -219,13 +234,14 @@ def _mc_kernel(nseg, slot, wy, wx, fy, fx, x0, wv, refs, out, scratch, sem,
             row, col, r8, c128 = win_origin(ks[i])
             rows.append(row - r8)
             win_offs.append(col - c128)
-            fys.append(fy[0, 0, ks[i]])
-            fxs.append(fx[0, 0, ks[i]])
-            xs = x0[0, 0, ks[i]]
+            wa, wb = sa[0, 0, ks[i]], sb[0, 0, ks[i]]
+            fys.append((wa >> 25) & 7)
+            fxs.append((wa >> 28) & 7)
+            xs = (wb & 0xFFF) * 2
             base = jnp.minimum((xs // 128) * 128, Wout - FW)
             bases.append(base)
             offs.append(xs - base)
-            ws.append(wv[0, 0, ks[i]])
+            ws.append((wb >> 12) & 0x7F)
 
         # per-row broadcast of per-segment scalars (Mosaic has no 1-D
         # vector reshape: build [rows, 1] vectors via iota block-selects)
@@ -301,7 +317,7 @@ def _wrap16(x):
 @functools.partial(jax.jit, static_argnames=("OR", "T", "Hpad", "Wout",
                                              "n_bands", "KMAX", "bd",
                                              "interpret", "G"))
-def mc_stripes(refs2d, nseg, slot, wy, wx, fy, fx, x0, wv, *, OR: int,
+def mc_stripes(refs2d, nseg, sa, sb, *, OR: int,
                T: int, Hpad: int, Wout: int, n_bands: int, KMAX: int,
                bd: int, interpret: bool = False, G: int = 8):
     """Run the segment MC kernel; returns [n_bands, OR, Wout] stripes at
@@ -318,7 +334,7 @@ def mc_stripes(refs2d, nseg, slot, wy, wx, fy, fx, x0, wv, *, OR: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_bands,),
-        in_specs=[seg_spec] * 7 + [pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[seg_spec] * 2 + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, OR, Wout), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, G, FH, FW), jnp.int32),
@@ -329,9 +345,7 @@ def mc_stripes(refs2d, nseg, slot, wy, wx, fy, fx, x0, wv, *, OR: int,
         out_shape=jax.ShapeDtypeStruct((n_bands, OR, Wout), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(nseg, slot[:, None, :], wy[:, None, :], wx[:, None, :],
-      fy[:, None, :], fx[:, None, :], x0[:, None, :], wv[:, None, :],
-      refs2d)
+    )(nseg, sa[:, None, :], sb[:, None, :], refs2d)
 
 
 def default_interpret():
@@ -377,14 +391,13 @@ def pack_band_segments(band, srow, x0, n_bands: int):
     counts = np.zeros(n_bands, np.int32)
     if len(bs):
         np.add.at(counts, bs, 1)
-    out_s = np.zeros((n_bands, K), np.int32)
-    out_x = np.zeros((n_bands, K), np.int32)
-    out_s[bs, k_of] = srow[order]
-    out_x[bs, k_of] = x0[order]
-    return counts, out_s, out_x, K
+    out_w = np.zeros((n_bands, K), np.int32)
+    out_w[bs, k_of] = (srow[order] & 0xFFFFF) | \
+        (((x0[order] >> 1) & 0xFFF) << 20)
+    return counts, out_w, K
 
 
-def _res_kernel(nseg, srow, x0, rows_hbm, out, scratch, sem, *, OR, S, Wout,
+def _res_kernel(nseg, sw, rows_hbm, out, scratch, sem, *, OR, S, Wout,
                 G):
     # nseg scalar-prefetched; srow/x0 arrive as per-band SMEM blocks.
     # G segments per iteration (same batching as _mc_kernel).
@@ -392,14 +405,14 @@ def _res_kernel(nseg, srow, x0, rows_hbm, out, scratch, sem, *, OR, S, Wout,
     out[0] = jnp.zeros((OR, Wout), jnp.int32)
     n = nseg[band]
     ngroups = (n + G - 1) // G
-    KMAX = srow.shape[2]
+    KMAX = sw.shape[2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (OR, FW), 1)
 
     def seg_k(j, i):
         return jnp.minimum(j * G + i, KMAX - 1)
 
     def start_dma(sl, i, k):
-        row0 = srow[0, 0, k] * OR
+        row0 = (sw[0, 0, k] & 0xFFFFF) * OR
         r8 = pl.multiple_of((row0 // 8) * 8, 8)
         return pltpu.make_async_copy(rows_hbm.at[pl.ds(r8, 16), :],
                                      scratch.at[sl, i], sem.at[sl, i])
@@ -421,9 +434,10 @@ def _res_kernel(nseg, srow, x0, rows_hbm, out, scratch, sem, *, OR, S, Wout,
         rems, offs, bases = [], [], []
         for i in range(G):
             start_dma(sl, i, ks[i]).wait()
-            row0 = srow[0, 0, ks[i]] * OR
+            w = sw[0, 0, ks[i]]
+            row0 = (w & 0xFFFFF) * OR
             rems.append(row0 - (row0 // 8) * 8)
-            xs = x0[0, 0, ks[i]]
+            xs = ((w >> 20) & 0xFFF) * 2
             base = jnp.minimum((xs // 128) * 128, Wout - FW)
             bases.append(base)
             offs.append(xs - base)
@@ -469,7 +483,7 @@ def _res_kernel(nseg, srow, x0, rows_hbm, out, scratch, sem, *, OR, S, Wout,
 
 @functools.partial(jax.jit, static_argnames=("OR", "S", "Wout", "n_bands",
                                              "interpret", "G"))
-def residual_stripes(bin_res, nseg, srow, x0, *, OR: int, S: int, Wout: int,
+def residual_stripes(bin_res, nseg, sw, *, OR: int, S: int, Wout: int,
                      n_bands: int, interpret: bool = False, G: int = 8):
     """Scatter one size-bin's TU residuals into [n_bands, OR, Wout] stripes.
 
@@ -484,13 +498,13 @@ def residual_stripes(bin_res, nseg, srow, x0, *, OR: int, S: int, Wout: int,
                    ((0, 8), (0, 0), (0, 128 - S)))
     rows = rows.reshape((N * per + 8) * OR, 128)
     kern = functools.partial(_res_kernel, OR=OR, S=S, Wout=Wout, G=G)
-    K = srow.shape[1]
+    K = sw.shape[1]
     seg_spec = pl.BlockSpec((1, 1, K), lambda b, *_: (b, 0, 0),
                             memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_bands,),
-        in_specs=[seg_spec, seg_spec, pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[seg_spec, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, OR, Wout), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, G, 16, 128), jnp.int32),
@@ -501,4 +515,4 @@ def residual_stripes(bin_res, nseg, srow, x0, *, OR: int, S: int, Wout: int,
         out_shape=jax.ShapeDtypeStruct((n_bands, OR, Wout), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(nseg, srow[:, None, :], x0[:, None, :], rows)
+    )(nseg, sw[:, None, :], rows)

@@ -40,30 +40,30 @@ enum PackKey : int {
   kKeyBinQp = 0,
   kKeyBinFlags,
   kKeyBinMid,
-  kKeyBinCval,
-  kKeyBinCpos,
-  kKeyBinCrow,
+  kKeyBinCv,    // packed (value<<16 | pos) coefficient words
+  kKeyBinCoff,  // per-bin-row coefficient start offsets [tcap+1]
+  kKeyBinCrowUnused,
   kKeyResN,
-  kKeyResSrow,
-  kKeyResX0,
+  kKeyResSw,  // packed srow | (x0>>1)<<20
+  kKeyResX0Unused,
   kKeySegN,
-  kKeySegSlot,
-  kKeySegWy,
-  kKeySegWx,
-  kKeySegFy,
-  kKeySegFx,
-  kKeySegX0,
-  kKeySegW,
+  kKeySegA,  // packed wy | wx<<12 | fy<<25 | fx<<28
+  kKeySegB,  // packed (x0>>1) | w<<12 | slot<<19
+  kKeySegWxUnused,
+  kKeySegFyUnused,
+  kKeySegFxUnused,
+  kKeySegX0Unused,
+  kKeySegWUnused,
   kKeyIrec,
   kKeyNsteps,
   kKeyPcm,
   kKeySliceRecs,
   kKeyPu,
   kKeyPuIdx,
-  kKeyQp4,
-  kKeyNzc4,
-  kKeyDbf4,
-  kKeyCu4,
+  kKeyG4,  // qp | nzc<<8 | dbf<<16 | cu<<24
+  kKeyNzc4Unused,
+  kKeyDbf4Unused,
+  kKeyCu4Unused,
   kKeySliceIdx,
   kKeySliceAddr,
   kKeySliceCtb,  // unused (reserved)
@@ -84,7 +84,7 @@ constexpr int kPcmFill = 1 << 30;
 struct TuBin {
   std::vector<int32_t> rows;          // TU indices (into prog.tus)
   std::vector<int32_t> qp, flags, mid;
-  std::vector<int32_t> cval, cpos, crow;
+  std::vector<int32_t> cv, coff;  // packed coeff words + row offsets
   // inter residual scatter (row-in-bin, x, y) per channel
   std::vector<int32_t> sc[3];  // flattened triples
 };
@@ -93,7 +93,7 @@ struct SegPlan {
   // per-(list, plane-class) field arrays, flattened [band-major arrival]
   // stored as (band, k, 7 fields); built densely below
   std::vector<int32_t> counts;           // [n_bands]
-  std::vector<int32_t> f[2][7];          // [pc][field] ragged by (band,k)
+  std::vector<int32_t> f[2][2];          // [pc][word] ragged by (band,k)
   std::vector<int32_t> band_of, k_of;    // per segment
   int maxk = 0;
 };
@@ -127,11 +127,13 @@ void bin_tus(PackState& ps) {
       mid = (lg == 5) ? (intra ? 0 : 1) : (tu.cidx + (intra ? 0 : 3));
     }
     b.mid.push_back(mid);
+    if (b.coff.empty()) b.coff.push_back(0);
     for (int j = 0; j < tu.ncoeff; j++) {
-      b.cval.push_back((int32_t)cval[tu.coeff_start + j]);
-      b.cpos.push_back((int32_t)cpos[tu.coeff_start + j]);
-      b.crow.push_back(row);
+      int32_t v = (int32_t)cval[tu.coeff_start + j];
+      int32_t p = (int32_t)cpos[tu.coeff_start + j];
+      b.cv.push_back(((v & 0xFFFF) << 16) | (p & 0xFFFF));
     }
+    b.coff.push_back((int32_t)b.cv.size());
     if (!intra && tu.ncoeff > 0 && tu.cidx < 3) {
       auto& s = b.sc[tu.cidx];
       s.push_back(row);
@@ -170,13 +172,10 @@ void plan_segments(const PackState& ps, int l, const int32_t* remap,
       int ox = x + (mvx >> 2) - 3;
       oy = std::min(std::max(oy, -(4 + 8 - 2)), H - 1) + kPadT;
       ox = std::min(std::max(ox, -(w + 8 - 2)), W - 1) + kPadL;
-      sp.f[0][0].push_back(slot);
-      sp.f[0][1].push_back(oy);
-      sp.f[0][2].push_back(ox);
-      sp.f[0][3].push_back(mvy & 3);
-      sp.f[0][4].push_back(mvx & 3);
-      sp.f[0][5].push_back(x);
-      sp.f[0][6].push_back(w);
+      sp.f[0][0].push_back((oy & 0xFFF) | ((ox & 0x1FFF) << 12) |
+                           ((mvy & 3 & 7) << 25) | ((mvx & 3 & 7) << 28));
+      sp.f[0][1].push_back(((x >> 1) & 0xFFF) | ((w & 0x7F) << 12) |
+                           ((slot & 0x3F) << 19));
       // chroma
       int fcx = (sub_x == 2) ? (mvx & 7) : ((mvx & 3) << 1);
       int fcy = (sub_y == 2) ? (mvy & 7) : ((mvy & 3) << 1);
@@ -186,13 +185,10 @@ void plan_segments(const PackState& ps, int l, const int32_t* remap,
       int ocx = x / sub_x + (mvx >> shx) - 1;
       ocy = std::min(std::max(ocy, -((4 / sub_y) + 4 - 2)), Hc - 1) + kPadT;
       ocx = std::min(std::max(ocx, -(cw + 4 - 2)), Wc - 1) + kPadL;
-      sp.f[1][0].push_back(slot);
-      sp.f[1][1].push_back(ocy);
-      sp.f[1][2].push_back(ocx);
-      sp.f[1][3].push_back(fcy);
-      sp.f[1][4].push_back(fcx);
-      sp.f[1][5].push_back(x / sub_x);
-      sp.f[1][6].push_back(cw);
+      sp.f[1][0].push_back((ocy & 0xFFF) | ((ocx & 0x1FFF) << 12) |
+                           ((fcy & 7) << 25) | ((fcx & 7) << 28));
+      sp.f[1][1].push_back((((x / sub_x) >> 1) & 0xFFF) |
+                           ((cw & 0x7F) << 12) | ((slot & 0x3F) << 19));
     }
   }
 }
@@ -297,7 +293,7 @@ LIBDE265_API int tde265_pack_caps(de265_decoder_context* ctx, int idx,
   for (int lg = 2; lg <= 5; lg++) {
     const TuBin& b = ps.bins[lg - 2];
     caps[lg - 2] = (int32_t)b.qp.size();
-    caps[4 + lg - 2] = (int32_t)b.cval.size();
+    caps[4 + lg - 2] = (int32_t)b.cv.size();
     for (int c = 0; c < 3; c++) {
       caps[8 + (lg - 2) * 3 + c] = (int32_t)(b.sc[c].size() / 3);
       ResPlan rp;
@@ -374,25 +370,30 @@ LIBDE265_API int tde265_pack_feed(de265_decoder_context* ctx, int idx,
         memcpy(dst, v.data(), v.size() * 4);
         break;
       }
-      case kKeyBinCval:
-      case kKeyBinCpos: {
+      case kKeyBinCv: {
         const TuBin& b = ps.bins[p0 - 2];
-        const std::vector<int32_t>& v =
-            (key == kKeyBinCval) ? b.cval : b.cpos;
         memset(dst, 0, total * 4);
-        memcpy(dst, v.data(), v.size() * 4);
+        memcpy(dst, b.cv.data(), b.cv.size() * 4);
         break;
       }
-      case kKeyBinCrow: {
+      case kKeyBinCoff: {
+        // [tcap + 1] row start offsets; rows beyond the bin's TU count
+        // hold the total so the device-side searchsorted maps padding
+        // past the last used coefficient
         const TuBin& b = ps.bins[p0 - 2];
-        memcpy(dst, b.crow.data(), b.crow.size() * 4);
-        for (int64_t i = (int64_t)b.crow.size(); i < total; i++)
-          dst[i] = kCrowFill;
+        int32_t tot = b.cv.empty() ? 0 : (int32_t)b.cv.size();
+        size_t n = b.coff.size();
+        memcpy(dst, b.coff.data(), n * 4);
+        if (b.coff.empty()) {
+          dst[0] = 0;
+          n = 1;
+          tot = 0;
+        }
+        for (int64_t i = (int64_t)n; i < total; i++) dst[i] = tot;
         break;
       }
       case kKeyResN:
-      case kKeyResSrow:
-      case kKeyResX0: {
+      case kKeyResSw: {
         ResPlan& rp = res[p0 - 2][p1];
         if (!res_done[p0 - 2][p1]) {
           plan_residual(ps, p0, p1, rp);
@@ -403,25 +404,19 @@ LIBDE265_API int tde265_pack_feed(de265_decoder_context* ctx, int idx,
                  std::min<int64_t>(total, rp.counts.size()) * 4);
         } else {
           memset(dst, 0, total * 4);
-          const std::vector<int32_t>& v =
-              (key == kKeyResSrow) ? rp.srow : rp.x0;
           // dst is [n_bands, K]; scatter by (band, k) arrival order
           std::vector<int32_t> kc(ps.n_bands, 0);
-          for (size_t i = 0; i < v.size(); i++) {
+          for (size_t i = 0; i < rp.srow.size(); i++) {
             int band = rp.band_of[i];
-            dst[(int64_t)band * d1 + kc[band]++] = v[i];
+            dst[(int64_t)band * d1 + kc[band]++] =
+                (rp.srow[i] & 0xFFFFF) | (((rp.x0[i] >> 1) & 0xFFF) << 20);
           }
         }
         break;
       }
       case kKeySegN:
-      case kKeySegSlot:
-      case kKeySegWy:
-      case kKeySegWx:
-      case kKeySegFy:
-      case kKeySegFx:
-      case kKeySegX0:
-      case kKeySegW: {
+      case kKeySegA:
+      case kKeySegB: {
         int l = p0;
         SegPlan& sp = seg[l];
         if (!seg_done[l]) {
@@ -433,7 +428,7 @@ LIBDE265_API int tde265_pack_feed(de265_decoder_context* ctx, int idx,
                  std::min<int64_t>(total, sp.counts.size()) * 4);
         } else {
           int pc = p1;  // 0 = luma, 1 = chroma
-          int field = key - kKeySegSlot;
+          int field = key - kKeySegA;
           memset(dst, 0, total * 4);
           const std::vector<int32_t>& v = sp.f[pc][field];
           for (size_t i = 0; i < v.size(); i++)
@@ -497,41 +492,39 @@ LIBDE265_API int tde265_pack_feed(de265_decoder_context* ctx, int idx,
         break;
       }
       case kKeyPu: {
+        // 4 words per PU: mv0 (x|y<<16), mv1, meta, slice
         memset(dst, 0, total * 4);
         const auto& pus = prog->pus;
         for (size_t i = 0; i < pus.size(); i++) {
           const PuRec& p = pus[i];
-          int32_t* r = dst + i * 10;
-          r[0] = p.mv[0].x;
-          r[1] = p.mv[0].y;
-          r[2] = p.mv[1].x;
-          r[3] = p.mv[1].y;
-          r[4] = p.pred_flags;
+          int32_t* r = dst + i * 4;
+          r[0] = ((int32_t)p.mv[0].x & 0xFFFF) | ((int32_t)p.mv[0].y << 16);
+          r[1] = ((int32_t)p.mv[1].x & 0xFFFF) | ((int32_t)p.mv[1].y << 16);
+          int32_t meta = p.pred_flags & 3;
           for (int l = 0; l < 2; l++) {
             int v = p.ref_dpb[l];
-            r[5 + l] = slot_lut[std::min(std::max(v + 1, 0), 16)];
-            r[7 + l] = std::max((int)p.ref_idx[l], 0);
+            int slot = slot_lut[std::min(std::max(v + 1, 0), 16)];
+            meta |= (slot & 63) << (2 + 6 * l);
+            meta |= (std::max((int)p.ref_idx[l], 0) & 15) << (14 + 4 * l);
           }
-          r[9] = p.slice;
+          r[2] = meta;
+          r[3] = p.slice;
         }
         break;
       }
       case kKeyPuIdx:
         memcpy(dst, s->pu_idx.data(), s->pu_idx.size() * 4);
         break;
-      case kKeyQp4:
-        for (size_t i = 0; i < s->qp_y.size(); i++) dst[i] = s->qp_y[i];
-        break;
-      case kKeyNzc4:
-        for (size_t i = 0; i < s->nonzero_coeff.size(); i++)
-          dst[i] = s->nonzero_coeff[i];
-        break;
-      case kKeyDbf4:
-        for (size_t i = 0; i < s->deblock_flags.size(); i++)
-          dst[i] = s->deblock_flags[i];
-        break;
-      case kKeyCu4:
-        for (size_t i = 0; i < s->cu_info.size(); i++) dst[i] = s->cu_info[i];
+      case kKeyG4:
+        // qp(8) | nzc(1) | dbf(4) | cu(4) [| pu_idx+1 << 17 when p1 = 1]
+        for (size_t i = 0; i < s->qp_y.size(); i++) {
+          int32_t g = ((int32_t)(u8)s->qp_y[i]) |
+                      (((int32_t)s->nonzero_coeff[i] & 1) << 8) |
+                      (((int32_t)s->deblock_flags[i] & 0xF) << 9) |
+                      (((int32_t)s->cu_info[i] & 0xF) << 13);
+          if (p1) g |= (s->pu_idx[i] + 1) << 17;
+          dst[i] = g;
+        }
         break;
       case kKeySliceIdx:
         for (size_t i = 0; i < s->slice_idx.size(); i++)

@@ -115,9 +115,8 @@ def test_mc_pallas_matches_xla(seed, chroma):
     n_bands = H // 4
     Wout = max(256, (Wp + 127) & ~127)
     stripes = mp.mc_stripes(
-        refs2d, jnp.asarray(counts),
-        *[jnp.asarray(segs[k]) for k in
-          ("slot", "wy", "wx", "fy", "fx", "x0", "w")],
+        refs2d, jnp.asarray(counts), jnp.asarray(segs["a"]),
+        jnp.asarray(segs["b"]),
         OR=OR, T=T, Hpad=hp, Wout=Wout, n_bands=n_bands, KMAX=K, bd=bd,
         interpret=True)
     got_plane = np.asarray(stripes).reshape(n_bands * OR, Wout)[:Hp, :Wp]
@@ -165,11 +164,11 @@ def test_residual_stripes_matches_scatter(lg, OR):
         exp[y:y + s, x:x + s] += bin_res[i]
 
     band, srow, x0 = mp.plan_residual_segments(sc, s, OR)
-    cnt, sr, xr, K = mp.pack_band_segments(band, srow, x0, n_bands)
+    cnt, sw, K = mp.pack_band_segments(band, srow, x0, n_bands)
     Wout = max(256, (W + 127) & ~127)
     stripes = mp.residual_stripes(
-        jnp.asarray(bin_res), jnp.asarray(cnt), jnp.asarray(sr),
-        jnp.asarray(xr), OR=OR, S=s, Wout=Wout, n_bands=n_bands,
+        jnp.asarray(bin_res), jnp.asarray(cnt), jnp.asarray(sw),
+        OR=OR, S=s, Wout=Wout, n_bands=n_bands,
         interpret=True)
     got = np.asarray(stripes).reshape(n_bands * OR, Wout)[:H, :W]
     assert np.array_equal(got, exp), np.argwhere(got != exp)[:5]
