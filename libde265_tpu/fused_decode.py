@@ -1890,7 +1890,25 @@ class FusedDecoder:
         lgs = [lg for lg in (2, 3, 4, 5) if self.caps[f"tu{lg}"] > 0]
 
         # key -> (native key id, p0, p1, shape); MUST yield exactly the
-        # key set and shapes the numpy packer produces
+        # key set and shapes the numpy packer produces.  The table only
+        # changes when a watermark grows: cache it on a caps signature
+        # (rebuilding it cost ~12 ms/frame at 1080p).
+        sig = (tuple(sorted(self.caps.items())), tuple(lists),
+               tuple(prog.pu_idx.shape), (prog.ctb_h, prog.ctb_w),
+               n_bands, n_slices, tuple(sorted(self._intra_lgs)),
+               self._has_ccp)
+        cached = getattr(self, "_layout_cache", None)
+        if cached is not None and cached[0] == sig:
+            layout, earr, n_ent, total = cached[1]
+            buf = np.empty(max(total, 1), np.int32)
+            aux = np.zeros(25, np.int32)
+            for k, v in slot_map.items():
+                aux[k + 1] = v
+            for i in range(MAX_REFS):
+                aux[17 + i] = slot_map.get(i, 0)
+            return self._pack_native_fill(prog, layout, earr, n_ent, aux,
+                                          buf, total, lgs, n_slices,
+                                          slot_map, slot_row)
         shapes = {}
         ids = {}
 
@@ -1960,12 +1978,21 @@ class FusedDecoder:
                     row[4 + j] = d
                 n_ent += 1
             total += size
+        layout = tuple(layout)
+        self._layout_cache = (sig, (layout, earr, n_ent, total))
         buf = np.empty(max(total, 1), np.int32)
         aux = np.zeros(25, np.int32)
         for k, v in slot_map.items():
             aux[k + 1] = v
         for i in range(MAX_REFS):
             aux[17 + i] = slot_map.get(i, 0)
+        return self._pack_native_fill(prog, layout, earr, n_ent, aux, buf,
+                                      total, lgs, n_slices, slot_map,
+                                      slot_row)
+
+    def _pack_native_fill(self, prog, layout, earr, n_ent, aux, buf, total,
+                          lgs, n_slices, slot_map, slot_row):
+        import ctypes as ct
         dec, idx = prog.src
         rc = dec._lib.tde265_pack_feed(
             dec._ctx, idx, earr.ctypes.data_as(ct.c_void_p), n_ent,
@@ -1983,7 +2010,7 @@ class FusedDecoder:
                 buf[off] = 1 if len(prog.pus) else 0
             elif k == "slot_row":
                 buf[off:off + 3] = slot_row
-        return tuple(layout), buf, lgs, n_slices
+        return layout, buf, lgs, n_slices
 
     def _store(self, poc, planes, prog=None):
         if self.use_pallas_mc and prog is not None:

@@ -90,10 +90,12 @@ struct TuBin {
 };
 
 struct SegPlan {
-  // per-(list, plane-class) field arrays, flattened [band-major arrival]
-  // stored as (band, k, 7 fields); built densely below
+  // per-(list, plane-class) packed word arrays, band-major arrival order.
+  // The B word carries no slot: the DPB ring remap is applied at emission
+  // so one plan serves both the caps call and any remap.
   std::vector<int32_t> counts;           // [n_bands]
   std::vector<int32_t> f[2][2];          // [pc][word] ragged by (band,k)
+  std::vector<int32_t> slotidx;          // per segment: clamped ref_dpb
   std::vector<int32_t> band_of, k_of;    // per segment
   int maxk = 0;
 };
@@ -144,8 +146,7 @@ void bin_tus(PackState& ps) {
 }
 
 // MC segments for one reference list: mirrors ops/mc_pallas.plan_segments.
-void plan_segments(const PackState& ps, int l, const int32_t* remap,
-                   SegPlan& sp) {
+void plan_segments(const PackState& ps, int l, SegPlan& sp) {
   const auto& pus = ps.prog->pus;
   const int H = ps.H, W = ps.W;
   const int sub_x = ps.sub_x, sub_y = ps.sub_y;
@@ -157,8 +158,7 @@ void plan_segments(const PackState& ps, int l, const int32_t* remap,
     const PuRec& p = pus[i];
     if (!(p.pred_flags & (1 << l))) continue;
     int mvx = p.mv[l].x, mvy = p.mv[l].y;
-    int slot = std::max((int)p.ref_dpb[l], 0);
-    slot = remap[std::min(std::max(slot, 0), 7)];
+    int slot = std::min(std::max((int)p.ref_dpb[l], 0), 7);
     int x = p.x, y = p.y, w = p.w, h = p.h;
     int rows = h >> 2;
     for (int iw = 0; iw < rows; iw++) {
@@ -167,6 +167,7 @@ void plan_segments(const PackState& ps, int l, const int32_t* remap,
       sp.maxk = std::max(sp.maxk, k + 1);
       sp.band_of.push_back(band);
       sp.k_of.push_back(k);
+      sp.slotidx.push_back(slot);
       // luma
       int oy = (y + 4 * iw) + (mvy >> 2) - 3;
       int ox = x + (mvx >> 2) - 3;
@@ -174,8 +175,7 @@ void plan_segments(const PackState& ps, int l, const int32_t* remap,
       ox = std::min(std::max(ox, -(w + 8 - 2)), W - 1) + kPadL;
       sp.f[0][0].push_back((oy & 0xFFF) | ((ox & 0x1FFF) << 12) |
                            ((mvy & 3 & 7) << 25) | ((mvx & 3 & 7) << 28));
-      sp.f[0][1].push_back(((x >> 1) & 0xFFF) | ((w & 0x7F) << 12) |
-                           ((slot & 0x3F) << 19));
+      sp.f[0][1].push_back(((x >> 1) & 0xFFF) | ((w & 0x7F) << 12));
       // chroma
       int fcx = (sub_x == 2) ? (mvx & 7) : ((mvx & 3) << 1);
       int fcy = (sub_y == 2) ? (mvy & 7) : ((mvy & 3) << 1);
@@ -188,7 +188,7 @@ void plan_segments(const PackState& ps, int l, const int32_t* remap,
       sp.f[1][0].push_back((ocy & 0xFFF) | ((ocx & 0x1FFF) << 12) |
                            ((fcy & 7) << 25) | ((fcx & 7) << 28));
       sp.f[1][1].push_back((((x / sub_x) >> 1) & 0xFFF) |
-                           ((cw & 0x7F) << 12) | ((slot & 0x3F) << 19));
+                           ((cw & 0x7F) << 12));
     }
   }
 }
@@ -272,6 +272,32 @@ void init_state(PackState& ps, FrameProgram* prog) {
   bin_tus(ps);
 }
 
+// one-entry plan cache: tde265_pack_caps and tde265_pack_feed are called
+// back-to-back for the same picture every frame; binning + segment planning
+// is ~half the native pack cost, so reuse the state between the two calls
+// (single-threaded per decoder context by construction)
+struct CachedState {
+  de265_decoder_context* ctx = nullptr;
+  int idx = -1;
+  const FrameProgram* prog = nullptr;
+  PackState ps;
+  SegPlan seg[2];
+  bool seg_done[2] = {false, false};
+};
+CachedState g_cache;
+
+PackState& cached_state(de265_decoder_context* ctx, int idx,
+                        FrameProgram* prog) {
+  if (g_cache.ctx == ctx && g_cache.idx == idx && g_cache.prog == prog)
+    return g_cache.ps;
+  g_cache = CachedState();
+  g_cache.ctx = ctx;
+  g_cache.idx = idx;
+  g_cache.prog = prog;
+  init_state(g_cache.ps, prog);
+  return g_cache.ps;
+}
+
 }  // namespace
 
 extern "C" {
@@ -287,8 +313,7 @@ LIBDE265_API int tde265_pack_caps(de265_decoder_context* ctx, int idx,
                                   int32_t* caps) {
   FrameProgram* prog = internal_program_at(ctx, idx);
   if (!prog || !prog->snapshot) return -1;
-  PackState ps;
-  init_state(ps, prog);
+  PackState& ps = cached_state(ctx, idx, prog);
   memset(caps, 0, 64 * sizeof(int32_t));
   for (int lg = 2; lg <= 5; lg++) {
     const TuBin& b = ps.bins[lg - 2];
@@ -301,10 +326,11 @@ LIBDE265_API int tde265_pack_caps(de265_decoder_context* ctx, int idx,
       caps[20 + (lg - 2) * 3 + c] = std::max(rp.maxk, 1);
     }
   }
-  static const int32_t ident[8] = {0, 1, 2, 3, 4, 5, 6, 7};
   for (int l = 0; l < 2; l++) {
-    SegPlan sp;
-    plan_segments(ps, l, ident, sp);
+    SegPlan& sp = g_cache.seg[l];
+    sp = SegPlan();
+    plan_segments(ps, l, sp);
+    g_cache.seg_done[l] = true;
     caps[32 + l] = std::max(sp.maxk, 1);
   }
   caps[34] = (int32_t)prog->intras.size();
@@ -334,15 +360,19 @@ LIBDE265_API int tde265_pack_feed(de265_decoder_context* ctx, int idx,
                                   int64_t out_len) {
   FrameProgram* prog = internal_program_at(ctx, idx);
   if (!prog || !prog->snapshot) return -1;
-  PackState ps;
-  init_state(ps, prog);
+  PackState& ps = cached_state(ctx, idx, prog);
   const FrameProgram::Snapshot* s = ps.snap;
   const int32_t* slot_lut = aux;       // [17]: ref_dpb+1 -> ring slot
   const int32_t* remap = aux + 17;     // [8]: ref index -> ring slot
 
-  // lazily computed shared plans
-  SegPlan seg[2];
-  bool seg_done[2] = {false, false};
+  // shared plans: reuse the caps call's (remap applies at emission)
+  SegPlan* seg[2] = {&g_cache.seg[0], &g_cache.seg[1]};
+  SegPlan local[2];
+  for (int l = 0; l < 2; l++)
+    if (!g_cache.seg_done[l]) {
+      plan_segments(ps, l, local[l]);
+      seg[l] = &local[l];
+    }
   ResPlan res[4][3];
   bool res_done[4][3] = {};
   PcmPlan pcm;
@@ -417,22 +447,21 @@ LIBDE265_API int tde265_pack_feed(de265_decoder_context* ctx, int idx,
       case kKeySegN:
       case kKeySegA:
       case kKeySegB: {
-        int l = p0;
-        SegPlan& sp = seg[l];
-        if (!seg_done[l]) {
-          plan_segments(ps, l, remap, sp);
-          seg_done[l] = true;
-        }
+        const SegPlan& sp = *seg[p0];
         if (key == kKeySegN) {
           memcpy(dst, sp.counts.data(),
                  std::min<int64_t>(total, sp.counts.size()) * 4);
         } else {
           int pc = p1;  // 0 = luma, 1 = chroma
-          int field = key - kKeySegA;
+          bool bword = key == kKeySegB;
           memset(dst, 0, total * 4);
-          const std::vector<int32_t>& v = sp.f[pc][field];
-          for (size_t i = 0; i < v.size(); i++)
-            dst[(int64_t)sp.band_of[i] * d1 + sp.k_of[i]] = v[i];
+          const std::vector<int32_t>& v = sp.f[pc][bword ? 1 : 0];
+          for (size_t i = 0; i < v.size(); i++) {
+            int32_t w = v[i];
+            if (bword)
+              w |= (remap[sp.slotidx[i]] & 0x3F) << 19;
+            dst[(int64_t)sp.band_of[i] * d1 + sp.k_of[i]] = w;
+          }
         }
         break;
       }
