@@ -403,6 +403,16 @@ def _scatter_intra_bins(irec, intra_bins, scap: int):
 
 
 def _intra_scan_all(planes, bins_by_plane, bin_res, st, nsteps):
+    if st.get("pallas_intra", False):
+        from .ops import intra_border_pallas as ibp
+        padded = [ibp.pad_plane_for_scan(p) for p in planes]
+        out = _intra_scan_all_inner(padded, bins_by_plane, bin_res, st,
+                                    nsteps)
+        return [ibp.unpad_plane(p) for p in out]
+    return _intra_scan_all_inner(planes, bins_by_plane, bin_res, st, nsteps)
+
+
+def _intra_scan_all_inner(planes, bins_by_plane, bin_res, st, nsteps):
     """One lax.fori_loop over super-wave steps, all planes advancing
     together (the three plane scans are mutually independent, so the total
     step count is the max over planes, not the sum).
@@ -436,7 +446,10 @@ def _intra_scan_all(planes, bins_by_plane, bin_res, st, nsteps):
                     resid = jnp.where((rrow >= 0)[:, None, None],
                                       bin_res[lg][jnp.clip(rrow, 0)], 0)
                     return _wave_body(pl, meta, aw, resid, *tables[lg],
-                                      s=1 << lg, bit_depth=bd)
+                                      s=1 << lg, bit_depth=bd,
+                                      pallas=st.get("pallas_intra", False),
+                                      interpret=st.get("pallas_interp",
+                                                       False))
 
                 # per-bin depth gate: a step beyond this bin's plan depth
                 # for THIS frame is a no-op — at ~3ms/step of small-op
@@ -450,7 +463,8 @@ def _intra_scan_all(planes, bins_by_plane, bin_res, st, nsteps):
 
 
 def _wave_body(plane, meta, aw, resid, P0, P1, WT, s: int,
-               bit_depth: int):
+               bit_depth: int, pallas: bool = False,
+               interpret: bool = False):
     """One super-wave step: predict + residual-add K same-size blocks.
 
     Same math as ops.intra_wave.intra_wave_kernel (spec 8.4.4.2).  The
@@ -470,15 +484,28 @@ def _wave_body(plane, meta, aw, resid, P0, P1, WT, s: int,
     lg = s.bit_length() - 1
     Hc, Wc = plane.shape
 
-    # border geometry: k<2s left column (bottom->top), k=2s corner,
-    # k>2s top row (left->right); clip keeps never-read unavailable
-    # positions in bounds
     k = jnp.arange(nb)
-    yy = jnp.where(k[None, :] < n2, y0[:, None] + (n2 - 1) - k[None, :],
-                   y0[:, None] - 1)
-    xx = jnp.where(k[None, :] <= n2, x0[:, None] - 1,
-                   x0[:, None] + k[None, :] - n2 - 1)
-    pos = jnp.clip(yy, 0, Hc - 1) * Wc + jnp.clip(xx, 0, Wc - 1)
+    if pallas:
+        # DMA border fetch from the PADDED plane (ops/intra_border_pallas):
+        # XLA's generic gather on the live plane costs ~0.4 ms/step at
+        # 1080p; the per-block top-row + left-column copies are ~10x less
+        from .ops import intra_border_pallas as ibp
+        y0p = y0 + ibp.PAD_LT
+        x0p = x0 + ibp.PAD_LT
+        tops, lefts = ibp.border_gather(plane, y0p, x0p, s=s,
+                                        interpret=interpret)
+        b_raw = jnp.concatenate(
+            [jnp.flip(lefts.T, axis=1), tops], axis=1)
+    else:
+        # border geometry: k<2s left column (bottom->top), k=2s corner,
+        # k>2s top row (left->right); clip keeps never-read unavailable
+        # positions in bounds
+        yy = jnp.where(k[None, :] < n2, y0[:, None] + (n2 - 1) - k[None, :],
+                       y0[:, None] - 1)
+        xx = jnp.where(k[None, :] <= n2, x0[:, None] - 1,
+                       x0[:, None] + k[None, :] - n2 - 1)
+        pos = jnp.clip(yy, 0, Hc - 1) * Wc + jnp.clip(xx, 0, Wc - 1)
+        b_raw = plane.reshape(-1)[pos]
     # substitution chain from availability bits: each sample takes the last
     # available sample at or before it, else the first available one
     avail = (aw[:, k >> 5] >> (k & 31)) & 1
@@ -487,8 +514,7 @@ def _wave_body(plane, meta, aw, resid, P0, P1, WT, s: int,
     first = jnp.argmax(avail, axis=1).astype(jnp.int32)
     subst = jnp.where(last >= 0, last, first[:, None])
 
-    b = plane.reshape(-1)[pos]
-    b = jnp.take_along_axis(b, subst, axis=1)
+    b = jnp.take_along_axis(b_raw, subst, axis=1)
     b = jnp.where(unavail[:, None], 1 << (bit_depth - 1), b)
 
     corner = b[:, n2]
@@ -549,6 +575,12 @@ def _wave_body(plane, meta, aw, resid, P0, P1, WT, s: int,
                      jnp.where((mode == 1)[:, None, None], dcp, ang))
     out = jnp.clip(pred + resid, 0, maxv)
 
+    if pallas:
+        # valid blocks occupy the leading slots of a step by construction
+        nv = valid.sum().astype(jnp.int32)[None]
+        return ibp.block_scatter(plane, out, y0 + ibp.PAD_LT,
+                                 x0 + ibp.PAD_LT, nv, s=s,
+                                 interpret=interpret)
     # padded entries scatter out of bounds and are dropped (valid blocks of
     # one step are disjoint transform blocks, so updates never collide)
     rows = jnp.where(valid, y0, 1 << 28)[:, None, None] + \
@@ -1523,6 +1555,8 @@ class FusedDecoder:
             "fuse_store": bool(self.use_pallas_mc),
             "has_ccp": self._has_ccp,
             "has_rdpcm": self._has_rdpcm,
+            "pallas_intra": bool(self.use_pallas_mc),
+            "pallas_interp": jax.default_backend() not in ("tpu", "axon"),
         }.items()))
 
         dbuf = self._sparse_upload(buf)

@@ -400,7 +400,7 @@ class ShardedTileDecoder:
         for pt in per_tile:
             for lg, b in pt["bins"].items():
                 caps[f"tu{lg}"] = max(caps.get(f"tu{lg}", 1), b["n"])
-                caps[f"co{lg}"] = max(caps.get(f"co{lg}", 1), len(b["cval"]))
+                caps[f"co{lg}"] = max(caps.get(f"co{lg}", 1), len(b["cv"]))
                 for ch in ("y", "cb", "cr"):
                     caps[f"sc{lg}{ch}"] = max(caps.get(f"sc{lg}{ch}", 0),
                                               len(b[f"sc_{ch}"]))
@@ -415,6 +415,23 @@ class ShardedTileDecoder:
             feed[name] = jnp.asarray(np.stack(arrs))
 
         z0 = np.zeros(0, np.int32)
+
+        def bin_fld(pt, lg, fld):
+            if lg not in pt["bins"]:
+                return z0
+            b = pt["bins"][lg]
+            if fld in b:
+                return b[fld]
+            # derive the unpacked coefficient views from the wire-compact
+            # fields (_bin_tus now emits cv/coff; see fused_decode)
+            if fld == "cval":
+                return b["cv"] >> 16
+            if fld == "cpos":
+                return b["cv"] & 0xFFFF
+            coff = b["coff"]
+            return np.repeat(np.arange(len(coff) - 1, dtype=np.int32),
+                             np.diff(coff))
+
         for lg in lgs:
             tcap, ccap = caps[f"tu{lg}"], caps[f"co{lg}"]
             for fld, cap, fill in (("qp", tcap, 0), ("flags", tcap, 0),
@@ -422,8 +439,7 @@ class ShardedTileDecoder:
                                    ("cpos", ccap, 0),
                                    ("crow", ccap, 1 << 30)):
                 stack(f"bin{lg}.{fld}", [
-                    fd._pad_rows(pt["bins"][lg][fld] if lg in pt["bins"]
-                                 else z0, cap, fill=fill)
+                    fd._pad_rows(bin_fld(pt, lg, fld), cap, fill=fill)
                     for pt in per_tile])
             for ch in ("y", "cb", "cr"):
                 cap = caps[f"sc{lg}{ch}"]

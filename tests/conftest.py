@@ -19,9 +19,31 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Make the CPU suite hermetic against accelerator-service outages: jax is
+# pre-imported in this venv with the axon plugin factory registered, and
+# backend initialization blocks forever while the service is unreachable
+# (observed round 3) even for CPU queries.  Deregister the non-CPU
+# factories before anything initializes backends, and strip the plugin
+# path for subprocesses the tests spawn.
+import sys
+
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and "axon" not in p)
+
 import jax
 
+try:
+    from jax._src import xla_bridge as _xb
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+
 jax.config.update("jax_platform_name", "cpu")
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 
 def pytest_sessionstart(session):
