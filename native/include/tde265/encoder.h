@@ -101,8 +101,9 @@ struct EncoderConfig {
   // against each reference (fades) and signal a pred_weight_table
   bool weighted_pred = false;
   // sign-data hiding: skip the DC-most sign per qualifying sub-block and
-  // carry it in the level-sum parity (spec 7.4.9.11)
-  bool sign_hiding = false;
+  // carry it in the level-sum parity (spec 7.4.9.11). Default-on: with the
+  // RDOQ-tier parity fix (rdoq_sign_fix) it measures -0.4..-0.6% BD-rate.
+  bool sign_hiding = true;
   // transform-skip for 4x4 TBs (chosen per TB by SSD + level-cost proxy)
   bool transform_skip = false;
   // constrained intra prediction (intra borders exclude inter samples)
@@ -356,6 +357,11 @@ int cabac_ctx_bits(const ContextModel& m, int bin);
 void rdoq_quantize(i32* levels, const i32* coeffs, int qp, int log2,
                    int cidx, int scan_idx, int bd, bool intra,
                    const ContextTable& ctx, double lambda);
+
+// RDOQ-aware sign-data-hiding parity fix (rdoq.cc): picks the +-1 level
+// adjustment minimizing D + lambda*R under the RDOQ error scale.
+void rdoq_sign_fix(i32* levels, const i32* coeffs, int qp, int log2,
+                   int scan_idx, int bd, double lambda);
 
 void quantize(i32* levels, const i32* coeffs, int n, int qp, int log2_size,
               int bit_depth, bool intra);

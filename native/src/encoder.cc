@@ -2163,6 +2163,13 @@ void Encoder::estimate_sao() {
 // coefficient's magnitude by +-1 when the parity disagrees.
 void Encoder::apply_sign_hiding(i32* levels, int log2, int scan_idx,
                                 const i32* coeffs, int qpp, int bd) {
+  if (coeffs && cfg_.rdoq) {
+    // RDOQ-tier parity fix: same pixel-domain error scale + tuned lambda
+    // as the level decisions (rdoq.cc); the plain heuristic below
+    // measured +13% BD-rate on GOP content
+    rdoq_sign_fix(levels, coeffs, qpp, log2, scan_idx, bd, rd_lambda());
+    return;
+  }
   int n = 1 << log2;
   const ScanPos* scan_sub = scan_order(log2 - 2, scan_idx);
   const ScanPos* scan_pos = scan_order(2, scan_idx);
