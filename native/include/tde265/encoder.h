@@ -68,6 +68,11 @@ struct EncoderConfig {
   // POC, no DPB reset) instead of IDR — exercises the decoder's non-IDR
   // IRAP paths (spec 8.1 NoRaslOutputFlag, POC derivation across CRA)
   bool open_gop = false;
+  // open-GOP leading pictures are RADL instead of RASL: the leading B
+  // references ONLY its CRA (forward, positive-delta RPS), so it stays
+  // decodable when tuning in at the CRA (spec 7.4.2.2: RADL may not
+  // reference any picture preceding the IRAP in decode order)
+  bool radl = false;
   // rate-distortion optimized quantization (CABAC-state rate estimates)
   bool rdoq = true;
   // hierarchical-B (IbP): odd display positions buffer and encode as B
@@ -300,7 +305,8 @@ class Encoder {
   }
   void encode_bpyramid_(std::vector<u8>* out, const void* y, int stride_y,
                         const void* cb, const void* cr, int stride_c);
-  void encode_pending_(std::vector<u8>* out, bool as_b);
+  void encode_pending_(std::vector<u8>* out, bool as_b,
+                       bool radl_only_cra = false);
 
  public:
   // drain the reorder buffer (b-pyramid): encodes a buffered trailing

@@ -144,6 +144,7 @@ de265_error en265_set_parameter_bool(en265_encoder_context* ctx,
   if (p == "dependent-slices") C(ctx)->cfg.dependent_slices = (value != 0);
   if (p == "amp") C(ctx)->cfg.amp = (value != 0);
   if (p == "open-gop") C(ctx)->cfg.open_gop = (value != 0);
+  if (p == "radl") C(ctx)->cfg.radl = (value != 0);
   if (p == "rdoq") C(ctx)->cfg.rdoq = (value != 0);
   if (p == "b-pyramid") C(ctx)->cfg.b_pyramid = (value != 0);
   return DE265_OK;
@@ -194,7 +195,8 @@ const char** en265_list_parameters(en265_encoder_context*) {
       "lt-ref",       "weighted-pred",   "sign-hiding",
       "transform-skip", "constrained-intra", "ccp",
       "across-tiles", "rect-parts",      "dependent-slices",
-      "amp",          "open-gop",        "rdoq",
+      "amp",          "open-gop",        "radl",
+      "rdoq",
       "b-pyramid",    "intra-mode-algo", "me-algo",
       "cb-split-algo", nullptr};
   return params;

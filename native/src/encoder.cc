@@ -882,9 +882,10 @@ void Encoder::encode_bpyramid_(std::vector<u8>* out, const void* y,
     poc_ = poc;
     cur_refs_ = PicRefs();
     cur_rps_ = PicRps();
-    if (intra && !cur_is_idr_ && pending_.valid) {
+    if (intra && !cur_is_idr_ && pending_.valid && !cfg_.radl) {
       // CRA keep-alive: retain the pre-CRA even picture (the pending
-      // RASL's L0 reference) in the foll set
+      // RASL's L0 reference) in the foll set. RADL mode needs no
+      // keep-alive: the leading picture references only the CRA.
       cur_rps_.n_neg = 1;
       cur_rps_.neg_delta[0] = 2;
       cur_rps_.neg_used[0] = false;
@@ -922,8 +923,14 @@ void Encoder::encode_bpyramid_(std::vector<u8>* out, const void* y,
       // semantics, decoder counterpart decoder.cc NoRaslOutputFlag
       encode_now(true, false, (int)d, y, stride_y, cb, cr, stride_c);
       rotate_even();
-      nal_type_override_ = NAL_RASL_R;
-      encode_pending_(out, /*as_b=*/true);
+      if (cfg_.radl) {
+        // RADL leading P: references only the CRA (decodable on tune-in)
+        nal_type_override_ = NAL_RADL_R;
+        encode_pending_(out, /*as_b=*/false, /*radl_only_cra=*/true);
+      } else {
+        nal_type_override_ = NAL_RASL_R;
+        encode_pending_(out, /*as_b=*/true);
+      }
       nal_type_override_ = -1;
       return;
     }
@@ -973,7 +980,8 @@ void Encoder::encode_bpyramid_(std::vector<u8>* out, const void* y,
   if (pending_.valid) encode_pending_(out, /*as_b=*/true);
 }
 
-void Encoder::encode_pending_(std::vector<u8>* out, bool as_b) {
+void Encoder::encode_pending_(std::vector<u8>* out, bool as_b,
+                              bool radl_only_cra) {
   PendingSrc ps = std::move(pending_);
   pending_ = PendingSrc();
   src16_ = ps.is16;
@@ -985,7 +993,16 @@ void Encoder::encode_pending_(std::vector<u8>* out, bool as_b) {
   poc_ = p;
   cur_refs_ = PicRefs();
   cur_rps_ = PicRps();
-  if (as_b) {
+  if (radl_only_cra) {
+    // RADL leading picture: L0 = {the CRA} only (forward reference,
+    // positive-delta RPS) — spec 7.4.2.2 forbids RADL from referencing
+    // anything that precedes its IRAP in decode order
+    cur_refs_.n0 = 1;
+    cur_refs_.l0[0] = ref_frame_.get();
+    cur_refs_.poc0[0] = p + 1;
+    cur_rps_.n_pos = 1;
+    cur_rps_.pos_delta = 1;
+  } else if (as_b) {
     cur_refs_.n0 = 1;
     cur_refs_.l0[0] = bref_prev_.get();
     cur_refs_.poc0[0] = p - 1;

@@ -157,6 +157,13 @@ MATRIX = {
                                        "b-pyramid": True,
                                        "open-gop": True},
                                frames=10), "exact"),
+    # RADL variant: the leading picture references ONLY its CRA, so it
+    # decodes even on tune-in (spec 7.4.2.2)
+    "radl_open_pyramid": (dict(params={"intra-period": 4,
+                                       "b-pyramid": True,
+                                       "open-gop": True,
+                                       "radl": True},
+                               frames=10), "exact"),
 }
 
 
@@ -175,6 +182,10 @@ def build(outdir: pathlib.Path):
     # decoders must skip the RASLs identically
     rasl = (outdir / "rasl_open_pyramid.h265").read_bytes()
     emit("rasl_tune_in", _cut_at_cra(rasl), "exact")
+    # RADL tune-in: unlike RASL, the leading picture must be DECODED and
+    # output (it references nothing before the CRA)
+    radl = (outdir / "radl_open_pyramid.h265").read_bytes()
+    emit("radl_tune_in", _cut_at_cra(radl), "exact")
 
     cra = (outdir / "open_gop_cra.h265").read_bytes()
     # BLA: splice-point relabel of the CRA stream (same slice syntax; the
