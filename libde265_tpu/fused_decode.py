@@ -53,6 +53,7 @@ from .ops import transform as tx
 from .ops.intra import IntraContext
 from .ops.intra_wave import border_plan, build_mode_tables
 from .ops.mc import EPEL_FILTERS, QPEL_FILTERS
+from .ops import coef_pallas as cfp
 from .ops import mc_pallas as mcp
 from .ops.sao import EO_D
 from .tpu_decode import (_chroma_qp_map, _edge_params_jnp, _mc_plane, _merge,
@@ -890,14 +891,23 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, st):
 
     # ---- residual bins (sparse->dense scatter + dequant + IDCT) ----
     bin_res = {}
+    ccaps = dict(zip((2, 3, 4, 5), st.get("ccaps", (0, 0, 0, 0))))
     for lg in st["lgs"] if st.get("run_residual", True) else ():
         s = 1 << lg
         bf = feed[f"bin{lg}"]
-        crow = bf["crow"]
-        cpos = bf["cpos"]
-        levels = jnp.zeros((bf["qp"].shape[0], s, s), jnp.int32)
-        levels = levels.at[crow, cpos >> 6, cpos & 63].set(
-            bf["cval"], mode="drop", unique_indices=True)
+        if st.get("pallas_coef", False):
+            # TPU-native CSR densify (DMA windows + MXU one-hot matmul)
+            # instead of XLA's serializing generic scatter
+            levels = cfp.densify_bin(
+                bf["cv"], bf["coff"], N=bf["qp"].shape[0], S=s,
+                CAP=max(ccaps.get(lg, 1), 1),
+                interpret=st.get("pallas_interp", False))
+        else:
+            crow = bf["crow"]
+            cpos = bf["cpos"]
+            levels = jnp.zeros((bf["qp"].shape[0], s, s), jnp.int32)
+            levels = levels.at[crow, cpos >> 6, cpos & 63].set(
+                bf["cval"], mode="drop", unique_indices=True)
         flags = bf["flags"]
         tskip = (flags & TU_TRANSFORM_SKIP) != 0
         use_dst = (flags & TU_USE_DST) != 0
@@ -1188,16 +1198,21 @@ def _compiled_impl(refs_y, refs_cb, refs_cr, buf, sf_tables, st, layout):
             feed.setdefault(parts[0], {})[parts[1]] = a
         else:
             feed[k] = a
-    _expand_feed(feed)
-    return _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, dict(st))
+    std = dict(st)
+    _expand_feed(feed, keep_csr=std.get("pallas_coef", False))
+    return _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, std)
 
 
-def _expand_feed(feed):
+def _expand_feed(feed, keep_csr=False):
     """Expand the wire-compact feed fields in-graph (the transfer tunnel
     is the decode bottleneck at ~50 MB/s, so every field crosses packed and
-    is unpacked here with a few vector ops)."""
+    is unpacked here with a few vector ops).  With keep_csr the coefficient
+    stream stays CSR (cv/coff) for the Pallas densify kernel and the
+    searchsorted row derivation is skipped entirely."""
     for k, d in feed.items():
         if not (k.startswith("bin") and isinstance(d, dict) and "cv" in d):
+            continue
+        if keep_csr:
             continue
         cv, coff = d.pop("cv"), d.pop("coff")
         i = jnp.arange(cv.shape[0], dtype=jnp.int32)
@@ -1254,6 +1269,7 @@ class FusedDecoder:
         for lg in (2, 3, 4, 5):
             self.caps[f"tu{lg}"] = 0
             self.caps[f"co{lg}"] = 0
+            self.caps[f"cc{lg}"] = 0  # max coefficients per TU (densify)
             for ch in ("y", "cb", "cr"):
                 self.caps[f"sc{lg}{ch}"] = 0
         for c in range(3):
@@ -1272,6 +1288,8 @@ class FusedDecoder:
         # native C++ feed packer (feedpack.cc); numpy fallback for programs
         # without a live native source or when TDE_NO_NATIVE_PACK is set
         self._no_native_pack = bool(os.environ.get("TDE_NO_NATIVE_PACK"))
+        # A/B escape hatch: fall back to the XLA scatter densify
+        self._no_pallas_coef = bool(os.environ.get("TDE_NO_PALLAS_COEF"))
         self.caps["segk"] = 0
         # persistent replicate-padded DPB ring (device-resident, in-place
         # slot updates via buffer donation); slot MAX_REFS stays gray
@@ -1306,6 +1324,8 @@ class FusedDecoder:
             for lg, b in bins.items():
                 self._grow(f"tu{lg}", b["n"])
                 self._grow(f"co{lg}", len(b["cv"]))
+                self._grow(f"cc{lg}",
+                           int(np.diff(b["coff"]).max(initial=1)))
                 for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
                     self._grow(f"sc{lg}{ch}", len(b[f"sc_{ch}"]))
                     if self.use_pallas_mc and len(b[f"sc_{ch}"]):
@@ -1556,6 +1576,10 @@ class FusedDecoder:
             "has_ccp": self._has_ccp,
             "has_rdpcm": self._has_rdpcm,
             "pallas_intra": bool(self.use_pallas_mc),
+            "pallas_coef": bool(self.use_pallas_mc) and
+            not self._no_pallas_coef,
+            "ccaps": tuple(max(self.caps.get(f"cc{lg}", 1), 1)
+                           for lg in (2, 3, 4, 5)),
             "pallas_interp": jax.default_backend() not in ("tpu", "axon"),
         }.items()))
 
@@ -1659,6 +1683,8 @@ class FusedDecoder:
             b = bins.get(lg)
             tcap = self._grow(f"tu{lg}", b["n"] if b else 1)
             ccap = self._grow(f"co{lg}", len(b["cv"]) if b else 1)
+            self._grow(f"cc{lg}",
+                       int(np.diff(b["coff"]).max(initial=1)) if b else 1)
             lgs.append(lg)
             host[f"bin{lg}.qp"] = _pad_rows(b["qp"] if b else z0, tcap)
             host[f"bin{lg}.flags"] = _pad_rows(b["flags"] if b else z0, tcap)
@@ -1852,6 +1878,7 @@ class FusedDecoder:
                 continue
             self._grow(f"tu{lg}", n_tu)
             self._grow(f"co{lg}", int(caps[4 + i]))
+            self._grow(f"cc{lg}", max(int(caps[45 + i]), 1))
             for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
                 scn = int(caps[8 + i * 3 + c])
                 self._grow(f"sc{lg}{ch}", scn)
@@ -1896,6 +1923,7 @@ class FusedDecoder:
             if n_tu or self.caps[f"tu{lg}"]:
                 self._grow(f"tu{lg}", max(n_tu, 1))
                 self._grow(f"co{lg}", max(n_co, 1))
+                self._grow(f"cc{lg}", max(int(caps[45 + i]), 1))
             for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
                 cap = self._grow(f"sc{lg}{ch}", int(caps[8 + i * 3 + c]))
                 if cap:

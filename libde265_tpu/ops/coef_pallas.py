@@ -1,0 +1,181 @@
+"""Pallas TPU kernel: CSR coefficient list -> dense [N, S, S] level blocks.
+
+The wire-compact feed ships each size-bin's residual coefficients as one
+packed CSR stream (cv = (val<<16)|pos sorted by TU, coff = per-TU row
+offsets — fused_decode._bin_tus / feedpack.cc bin_tus).  Densifying that
+on device with `levels.at[crow, y, x].set(val)` lowers through XLA's
+generic scatter, which serializes per update on TPU — measured as the
+dominant residual-section cost at 1080p (PARITY.md cost model).  This
+kernel replaces it with the TPU-native pipeline:
+
+  * one contiguous DMA per G-TU group (CSR rows are adjacent, so a
+    group's coefficients are ONE [Lr, 128] HBM window), double-buffered
+    across grid steps;
+  * per-TU window extraction in VMEM: dynamic sublane slice + the
+    binary lane-roll alignment trick (same pattern as mc_pallas
+    _res_kernel);
+  * densification as a BATCHED MXU MATMUL: out[g, y, x] =
+    sum_j (fy[j]==y) * ((fx[j]==x) * val[j]) — positions are unique
+    within a TU, so every output sum has at most one nonzero term and
+    f32 accumulation is exact (|val| < 2^15 < 2^24).
+
+Reference behavior counterpart: the per-TU coefficient scan in
+/root/reference/libde265/slice.cc residual_coding -> transform input;
+here the whole frame's TU bins densify in one fused device section.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# per-bin group size: more TUs per DMA for the small (numerous) bins
+_GROUP = {4: 32, 8: 16, 16: 8, 32: 8}
+
+
+def _densify_kernel(rowstart, starts, cnts, cv_hbm, out, chunk, sem, *,
+                    G, S, CAP, Lr, Rw, ngroups):
+    g = pl.program_id(0)
+
+    def dma(slot, grp):
+        return pltpu.make_async_copy(
+            cv_hbm.at[pl.ds(rowstart[grp], Lr), :], chunk.at[slot],
+            sem.at[slot])
+
+    @pl.when(g == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(g + 1 < ngroups)
+    def _():
+        dma((g + 1) % 2, g + 1).start()
+
+    dma(g % 2, g).wait()
+    cvb = chunk[g % 2]  # [Lr, 128]
+    base = rowstart[g] * 128
+
+    # per-TU windows at dynamic sublane offsets
+    wins, ls, cs = [], [], []
+    for i in range(G):
+        e = starts[0, i] - base
+        wins.append(jax.lax.dynamic_slice(cvb, (e // 128, 0), (Rw, 128)))
+        ls.append(e % 128)
+        cs.append(cnts[0, i])
+    w = jnp.stack(wins)  # [G, Rw, 128]
+
+    # lane-align each window: left-rotate row r by l_i (binary rolls)
+    blk = w.reshape(G * Rw, 128)
+    rowblk = jax.lax.broadcasted_iota(jnp.int32, (G * Rw, 1), 0) // Rw
+    lrow = jnp.zeros((G * Rw, 1), jnp.int32)
+    lvec = jnp.zeros((G, 1, 1), jnp.int32)
+    cvec = jnp.zeros((G, 1, 1), jnp.int32)
+    gblk = jax.lax.broadcasted_iota(jnp.int32, (G, 1, 1), 0)
+    for i in range(G):
+        lrow = jnp.where(rowblk == i, ls[i], lrow)
+        lvec = jnp.where(gblk == i, ls[i], lvec)
+        cvec = jnp.where(gblk == i, cs[i], cvec)
+    for b in range(7):
+        sh = 1 << b
+        rolled = pltpu.roll(blk, shift=128 - sh, axis=1)
+        blk = jnp.where((lrow & sh) != 0, rolled, blk)
+    blk = blk.reshape(G, Rw, 128)
+
+    # merge adjacent rotated rows into the contiguous window
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, Rw - 1, 128), 2)
+    words = jnp.where(lane < 128 - lvec, blk[:, :-1, :], blk[:, 1:, :])
+
+    # coefficient fields; coefficient j of TU i is valid iff j < cnt_i
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (G, Rw - 1, 128), 1) * 128 + \
+        jax.lax.broadcasted_iota(jnp.int32, (G, Rw - 1, 128), 2)
+    valid = jidx < cvec
+    val = jnp.where(valid, words >> 16, 0)
+    pos = words & 0xFFFF
+    fy = jnp.where(valid, pos >> 6, -1)
+    fx = pos & 63
+
+    # MXU densify: out[g,y,x] = sum_j 1[fy==y] * (1[fx==x] * val[j]);
+    # positions are unique per TU -> at most one nonzero term per output,
+    # so f32 is exact
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
+    my = (fy[..., None] == iy).astype(jnp.float32)
+    mxv = (fx[..., None] == iy).astype(jnp.float32) * \
+        val[..., None].astype(jnp.float32)
+    acc = jax.lax.dot_general(
+        my, mxv, (((1, 2), (1, 2)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    out[...] = acc.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("N", "S", "CAP", "interpret"))
+def densify_bin(cv, coff, *, N: int, S: int, CAP: int,
+                interpret: bool = False):
+    """Dense [N, S, S] int32 level blocks from the bin's CSR feed.
+
+    cv:   [C] int32 packed (val<<16)|((y<<6)|x), CSR-ordered by TU row.
+    coff: [N+1] int32 per-TU offsets (padded rows repeat the total).
+    CAP:  static max coefficients per TU (stream watermark, <= S*S).
+    """
+    if N == 0:
+        return jnp.zeros((0, S, S), jnp.int32)
+    G = _GROUP[S]
+    CAP = max(8, min(CAP, S * S))
+    Np = ((N + G - 1) // G) * G
+    ngroups = Np // G
+    # window rows per TU; the chunk must cover the worst-case window of
+    # the group's LAST TU (start misalignment + full preceding TUs), so
+    # a bare (G*CAP+127)//128+1 would let dynamic_slice clamp and
+    # return misaligned rows
+    Rw = (CAP + 127) // 128 + 1
+    Lr = (G * CAP + 127) // 128 + Rw
+
+    coff = jnp.pad(coff, (0, Np + 1 - coff.shape[0]),
+                   mode="edge") if coff.shape[0] < Np + 1 else coff
+    starts = coff[:Np].reshape(ngroups, G)
+    ends = coff[1:Np + 1].reshape(ngroups, G)
+    cnts = jnp.minimum(ends - starts, CAP)
+    rowstart = starts[:, 0] // 128
+
+    # slack so every group DMA window stays in-bounds
+    crows = (cv.shape[0] + 127) // 128 + Lr + 1
+    cv2d = jnp.pad(cv, (0, crows * 128 - cv.shape[0])).reshape(crows, 128)
+
+    kern = functools.partial(_densify_kernel, G=G, S=S, CAP=CAP, Lr=Lr,
+                             Rw=Rw, ngroups=ngroups)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ngroups,),
+            in_specs=[
+                pl.BlockSpec((1, G), lambda g, rs: (g, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, G), lambda g, rs: (g, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((G, S, S), lambda g, rs: (g, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((2, Lr, 128), jnp.int32),
+                            pltpu.SemaphoreType.DMA((2,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Np, S, S), jnp.int32),
+        interpret=interpret,
+    )(rowstart, starts, cnts, cv2d)
+    return out[:N]
+
+
+def densify_ref(cv, coff, *, N: int, S: int):
+    """Numpy oracle for tests: the XLA-scatter semantics."""
+    out = np.zeros((N, S, S), np.int64)
+    cv = np.asarray(cv).astype(np.int64)
+    coff = np.asarray(coff)
+    for t in range(N):
+        for j in range(int(coff[t]), int(coff[t + 1])):
+            w = int(cv[j])
+            val = np.int32(w) >> 16
+            p = w & 0xFFFF
+            out[t, p >> 6, p & 63] = val
+    return out.astype(np.int32)

@@ -19,12 +19,15 @@ enum Stage {
   kDeblock,
   kSao,
   kOther,
+  // parse sub-stages (nested inside kParse; subtract when summing)
+  kResidual,
   kNumStages,
 };
 
 inline const char* stage_name(int s) {
   static const char* names[] = {"parse",   "intra", "transform", "inter",
-                                "deblock", "sao",   "other"};
+                                "deblock", "sao",   "other",
+                                "-residual"};
   return names[s];
 }
 

@@ -26,6 +26,8 @@ struct ScanPos {
 };
 // scan_idx: 0 diag(up-right), 1 horizontal, 2 vertical; log2_size 0..5.
 const ScanPos* scan_order(int log2_size, int scan_idx);
+// inverse table: [(y << log2_size) + x] -> scan position index
+const u16* scan_order_inv(int log2_size, int scan_idx);
 
 // sig_coeff_flag context increment (spec 9.3.4.2.5); shared by the residual
 // reader (residual.cc) and writer (encoder.cc).

@@ -2998,7 +2998,7 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
 void Encoder::write_residual(int x0c, int y0c, int log2, int cidx,
                              const i32* levels, int scan_idx, bool tskip) {
   CabacEncoder& c = *cabac_;
-  const bool trace = getenv("TDE_RES_TRACE") != nullptr;
+  static const bool trace = getenv("TDE_RES_TRACE") != nullptr;
   int n = 1 << log2;
   const ScanPos* scan_sub = scan_order(log2 - 2, scan_idx);
   const ScanPos* scan_pos = scan_order(2, scan_idx);

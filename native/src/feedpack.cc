@@ -309,6 +309,7 @@ extern "C" {
 //  [34] n_intras  [35] n_steps  [36..38] steps per plane
 //  [39..41] pcm scatter count per plane
 //  [42] use_l1  [43] has_inter  [44] n_slices
+//  [45..48] max coefficients per TU per lg (Pallas densify CAP)
 LIBDE265_API int tde265_pack_caps(de265_decoder_context* ctx, int idx,
                                   int32_t* caps) {
   FrameProgram* prog = internal_program_at(ctx, idx);
@@ -319,6 +320,10 @@ LIBDE265_API int tde265_pack_caps(de265_decoder_context* ctx, int idx,
     const TuBin& b = ps.bins[lg - 2];
     caps[lg - 2] = (int32_t)b.qp.size();
     caps[4 + lg - 2] = (int32_t)b.cv.size();
+    int32_t maxc = 0;
+    for (size_t r = 0; r + 1 < b.coff.size(); r++)
+      maxc = std::max(maxc, b.coff[r + 1] - b.coff[r]);
+    caps[45 + lg - 2] = maxc;
     for (int c = 0; c < 3; c++) {
       caps[8 + (lg - 2) * 3 + c] = (int32_t)(b.sc[c].size() / 3);
       ResPlan rp;

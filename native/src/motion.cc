@@ -11,7 +11,7 @@
 
 // Debug hook: set TDE_MV_DEBUG="x,y,poc" to trace one PU's derivation.
 static bool mv_debug_match(int xP, int yP, int poc) {
-  const char* env = getenv("TDE_MV_DEBUG");
+  static const char* env = getenv("TDE_MV_DEBUG");
   if (!env) return false;
   int dx, dy, dpoc;
   if (sscanf(env, "%d,%d,%d", &dx, &dy, &dpoc) != 3) return false;

@@ -6,6 +6,7 @@
 #include <cstring>
 
 #include "tde265/decoder.h"
+#include "tde265/perf.h"
 #include "tde265/syntax.h"
 
 namespace tde265 {
@@ -60,8 +61,9 @@ int intra_scan_idx(int log2_size, int mode, int cidx, const Sps& sps) {
 }  // namespace
 
 bool SliceParser::residual_coding(int x0, int y0, int log2_size, int cidx) {
+  perf::Scope ps(perf::kResidual);
   const int size = 1 << log2_size;
-  const bool trace = getenv("TDE_RES_TRACE") != nullptr;
+  static const bool trace = getenv("TDE_RES_TRACE") != nullptr;
 
   if (cidx == 0) {
     // mark nonzero-coefficient flag over the TU area (deblock bS input)
@@ -141,24 +143,13 @@ bool SliceParser::residual_coding(int x0, int y0, int log2_size, int cidx) {
   const ScanPos* scan_sub = scan_order(log2_size - 2, scan_idx);
   const ScanPos* scan_pos = scan_order(2, scan_idx);
 
-  // --- find last sub-block / last scan pos ---
+  // --- find last sub-block / last scan pos (inverse-scan LUTs) ---
   int sb_w = 1 << (log2_size - 2);
-  int last_sb = -1, last_scan_pos = -1;
-  {
-    int xs = last_x >> 2, ys = last_y >> 2;
-    for (int i = 0; i < sb_w * sb_w; i++)
-      if (scan_sub[i].x == xs && scan_sub[i].y == ys) {
-        last_sb = i;
-        break;
-      }
-    int xp = last_x & 3, yp = last_y & 3;
-    for (int n = 0; n < 16; n++)
-      if (scan_pos[n].x == xp && scan_pos[n].y == yp) {
-        last_scan_pos = n;
-        break;
-      }
-  }
-  if (last_sb < 0 || last_scan_pos < 0) return false;
+  if (last_x >= size || last_y >= size) return false;
+  int last_sb = scan_order_inv(log2_size - 2, scan_idx)
+      [((last_y >> 2) << (log2_size - 2)) + (last_x >> 2)];
+  int last_scan_pos =
+      scan_order_inv(2, scan_idx)[((last_y & 3) << 2) + (last_x & 3)];
 
   u8 csbf_neighbors[8 * 8];
   memset(csbf_neighbors, 0, sb_w * sb_w);

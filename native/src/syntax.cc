@@ -20,6 +20,21 @@ namespace {
 struct ScanTables {
   // [log2size][scanIdx][pos]
   std::vector<ScanPos> tables[6][3];
+  // inverse: [log2size][scanIdx][(y<<lg)+x] -> scan position index
+  std::vector<u16> inv[6][3];
+
+  void build_inverse() {
+    for (int lg = 0; lg < 6; lg++) {
+      int n = 1 << lg;
+      for (int s = 0; s < 3; s++) {
+        auto& iv = inv[lg][s];
+        iv.resize(n * n);
+        const auto& t = tables[lg][s];
+        for (int i = 0; i < n * n; i++)
+          iv[(t[i].y << lg) + t[i].x] = (u16)i;
+      }
+    }
+  }
 
   ScanTables() {
     for (int lg = 0; lg < 6; lg++) {
@@ -60,6 +75,7 @@ struct ScanTables {
           ver[i].y = (u8)y;
         }
     }
+    build_inverse();
   }
 };
 const ScanTables g_scans;
@@ -67,6 +83,10 @@ const ScanTables g_scans;
 
 const ScanPos* scan_order(int log2_size, int scan_idx) {
   return g_scans.tables[log2_size][scan_idx].data();
+}
+
+const u16* scan_order_inv(int log2_size, int scan_idx) {
+  return g_scans.inv[log2_size][scan_idx].data();
 }
 
 // ---------------------------------------------------------------------------
