@@ -156,6 +156,53 @@ class CabacDecoder {
     return v;
   }
 
+  // coeff_abs_level_remaining (spec 9.3.3.9): truncated-rice prefix +
+  // EG(rice) hybrid.  Bypass bins are the binary expansion of the
+  // offset/range fraction, so SIXTEEN of them are one integer division;
+  // the whole prefix+terminator+suffix decodes from that lookahead in
+  // the common case (the bit-serial prefix loop is a data-dependent
+  // branch per bin — inherently mispredicted).  Unconsumed bins are
+  // pushed back exactly (nested-floor identity: the quotient of the
+  // truncated window equals the truncated quotient).  Returns -1 on a
+  // corrupt >32-bit prefix.
+  inline i32 decode_coeff_remaining(int rice) {
+    if (g_bin_trace) return decode_coeff_remaining_slow(rice);
+    u32 v = (offset_ << 16) | read_bits(16);
+    u32 q = v / range_;
+    int prefix = __builtin_clz(~(q << 16));  // leading ones, <= 16
+    int j;
+    i32 rem;
+    if (prefix <= 3) {
+      j = prefix + 1 + rice;
+      rem = (i32)((u32)(prefix << rice) +
+                  ((q >> (16 - j)) & ((1u << rice) - 1)));
+    } else if (prefix < 16 && 2 * prefix - 2 + rice <= 16) {
+      int nb = prefix - 3 + rice;
+      j = prefix + 1 + nb;
+      u32 suf = (q >> (16 - j)) & ((1u << nb) - 1);
+      rem = (i32)((((1u << (prefix - 3)) + 2u) << rice) + suf);
+    } else {
+      // rare long prefix: push the whole window back, go bit-serial
+      unread_bits(16, v & 0xFFFF);
+      return decode_coeff_remaining_slow(rice);
+    }
+    offset_ = (v >> (16 - j)) - (q >> (16 - j)) * range_;
+    unread_bits(16 - j, v & ((1u << (16 - j)) - 1));
+    return rem;
+  }
+
+  i32 decode_coeff_remaining_slow(int rice) {
+    int prefix = 0;
+    while (decode_bypass()) {
+      prefix++;
+      if (prefix > 32) return -1;
+    }
+    if (prefix <= 3)
+      return (i32)((u32)(prefix << rice) + decode_bypass_bits(rice));
+    return (i32)((((1u << (prefix - 3)) + 2u) << rice) +
+                 decode_bypass_bits(prefix - 3 + rice));
+  }
+
   // Spec 9.3.4.3.5 DecodeTerminate.
   inline int decode_terminate() {
     range_ -= 2;
@@ -219,6 +266,13 @@ class CabacDecoder {
     cache_ <<= n;
     ncache_ -= n;
     return v;
+  }
+
+  // Push back the last n bits read (values in the low n of `bits`).
+  inline void unread_bits(int n, u32 bits) {
+    if (!n) return;
+    cache_ = (cache_ >> n) | ((u64)bits << (64 - n));
+    ncache_ += n;
   }
 
   const u8* p_ = nullptr;

@@ -332,18 +332,9 @@ bool SliceParser::residual_coding(int x0, int y0, int log2_size, int cidx) {
       i32 base = coeff_base[n];
       i32 remaining = 0;
       if (has_max_base[n]) {
-        // bypass-coded TR/EGk hybrid (spec 9.3.3.9)
-        int prefix = 0;
-        while (cabac_.decode_bypass()) {
-          prefix++;
-          if (prefix > 32) return false;
-        }
-        if (prefix <= 3) {
-          remaining = (prefix << rice) + (int)cabac_.decode_bypass_bits(rice);
-        } else {
-          remaining = (i32)((((1u << (prefix - 3)) + 3 - 1) << rice) +
-                            cabac_.decode_bypass_bits(prefix - 3 + rice));
-        }
+        // bypass-coded TR/EGk hybrid (spec 9.3.3.9), batched decode
+        remaining = cabac_.decode_coeff_remaining(rice);
+        if (remaining < 0) return false;
         if (base + remaining > 3 * (1 << rice)) rice = min_i(rice + 1, 4);
         if (sps_->persistent_rice_adaptation_enabled && first_remaining) {
           u8& sc = stat_coeff_[sb_type];
