@@ -178,6 +178,35 @@ IREC_COLS = 15
 AVAIL_WORDS = 5  # ceil((4*32+1)/32) for the largest block size
 
 
+def _pack_irec(irec: np.ndarray) -> np.ndarray:
+    """Wire-compact intra records: [n, 15] int32 -> [8, n] column-major.
+
+    w0 = mode(6) | edge(4)<<6 | flags(4)<<10 | cidx(2)<<14 | lg(3)<<16 |
+         step(13)<<19;  w1 = y0(16) | x0(16)<<16;
+    w2 = (rrow+1)(22) | slot(10)<<22 (rrow rides +1: -1 = no residual);
+    w3..w7 = availability words.
+    Column-major so the sparse-block upload skips the mostly-zero high
+    availability words (only 32x32 blocks use all five)."""
+    n = irec.shape[0]
+    p = np.zeros((8, n), np.int32)
+    p[0] = (irec[:, 0] | (irec[:, 1] << 6) | (irec[:, 4] << 10) |
+            (irec[:, 8] << 14) | (irec[:, 9] << 16) | (irec[:, 6] << 19))
+    p[1] = irec[:, 2] | (irec[:, 3] << 16)
+    p[2] = (irec[:, 5] + 1) | (irec[:, 7] << 22)
+    p[3:8] = irec[:, 10:15].T
+    return p
+
+
+def _unpack_irec(p):
+    """In-graph inverse of _pack_irec: [8, cap] -> [cap, 15] int32."""
+    w0, w1, w2 = p[0], p[1], p[2]
+    cols = [w0 & 63, (w0 >> 6) & 15, w1 & 0xFFFF, (w1 >> 16) & 0xFFFF,
+            (w0 >> 10) & 15, (w2 & 0x3FFFFF) - 1, (w0 >> 19) & 0x1FFF,
+            (w2 >> 22) & 0x3FF, (w0 >> 14) & 3, (w0 >> 16) & 7,
+            p[3], p[4], p[5], p[6], p[7]]
+    return jnp.stack(cols, axis=1)
+
+
 def _avail_words(av: np.ndarray) -> np.ndarray:
     """Pack a [n, nb] bool availability matrix into [n, AVAIL_WORDS] int32
     (little-endian bit order, bit k of word k>>5 = sample k)."""
@@ -1220,6 +1249,8 @@ def _expand_feed(feed, keep_csr=False):
         d["crow"] = jnp.where(i < coff[-1], crow, 1 << 30)
         d["cval"] = cv >> 16            # arithmetic: value is signed 16-bit
         d["cpos"] = cv & 0xFFFF
+    if "irecp" in feed:
+        feed["irec"] = _unpack_irec(feed.pop("irecp"))
     if "g4" in feed:
         g4 = feed.pop("g4")
         feed["qp4"] = g4 & 0xFF
@@ -1740,8 +1771,10 @@ class FusedDecoder:
                 self._intra_lgs.add((_PLANE_CLASS[int(c)], int(lg)))
         host["nsteps"] = nsteps_pc
         ncap = self._grow("nintra", max(len(irec), 1))
-        host["irec"] = _pad_rows(irec, ncap) if len(irec) else \
-            np.zeros((ncap, IREC_COLS), np.int32)
+        irecp = np.zeros((8, ncap), np.int32)
+        if len(irec):
+            irecp[:, :len(irec)] = _pack_irec(irec)
+        host["irecp"] = irecp
 
         # intra residuals reference bin_res[lg]: make sure those bins exist
         for (pcls, lg) in self._intra_lgs:
@@ -1996,7 +2029,7 @@ class FusedDecoder:
             for pc, tag in ((0, "l"), (1, "c")):
                 for fi, f in enumerate(("a", "b")):
                     ent(f"sg{l}{tag}.{f}", 10 + fi, l, pc, (n_bands, segk))
-        ent("irec", 17, 0, 0, (self.caps["nintra"], IREC_COLS))
+        ent("irecp", 17, 0, 0, (8, self.caps["nintra"]))
         ent("nsteps", 18, 0, 0, (3,))
         for c in range(3):
             cap = self.caps[f"pcm{c}"]

@@ -471,28 +471,28 @@ LIBDE265_API int tde265_pack_feed(de265_decoder_context* ctx, int idx,
         break;
       }
       case kKeyIrec: {
+        // wire-compact column-major records (fused_decode._pack_irec):
+        // w0 = mode|edge<<6|flags<<10|cidx<<14|lg<<16|step<<19,
+        // w1 = y|x<<16, w2 = rrow|slot<<22, w3..w7 = availability words
         memset(dst, 0, total * 4);
         const auto& intras = prog->intras;
+        const int64_t nc = d1;  // column capacity
         for (size_t i = 0; i < intras.size(); i++) {
-          int32_t* r = dst + i * kIrecCols;
           const IntraRec& rec = intras[i];
-          r[0] = rec.mode;
-          r[1] = s->ip_edge[i];
-          r[2] = rec.y;
-          r[3] = rec.x;
           int fl = (int)s->ip_flags[i] | 8;
-          r[4] = fl;
-          r[5] = s->ip_rrow[i];
-          r[6] = s->ip_step[i];
-          r[7] = s->ip_slot[i];
-          r[8] = rec.cidx;
-          r[9] = rec.log2_size;
+          dst[i] = rec.mode | (s->ip_edge[i] << 6) | (fl << 10) |
+                   (rec.cidx << 14) | (rec.log2_size << 16) |
+                   ((int32_t)s->ip_step[i] << 19);
+          dst[nc + i] = rec.y | ((int32_t)rec.x << 16);
+          dst[2 * nc + i] =
+              (s->ip_rrow[i] + 1) | ((int32_t)s->ip_slot[i] << 22);
           // availability bitmask from the substitution chain
           int nb = 4 * (1 << rec.log2_size) + 1;
           const int32_t* bsub = s->ip_border_sub.data() + s->ip_border_off[i];
           if ((fl & 1) == 0) {
             for (int k = 0; k < nb; k++)
-              if (bsub[k] == k) r[10 + (k >> 5)] |= 1 << (k & 31);
+              if (bsub[k] == k)
+                dst[(3 + (k >> 5)) * nc + i] |= 1 << (k & 31);
           }
         }
         break;
