@@ -120,23 +120,40 @@ def _bin_tus(prog: FrameProgramData):
         t = tus[sel]
         tu_bin_lg[sel] = lg
         tu_bin_row[sel] = np.arange(n)
-        # ragged gather of the sparse coefficient segments
+        # ragged gather of the sparse coefficient segments.  Wire format:
+        # 16-bit entries val6|pos10 (99.99% of levels fit +-31; pos is
+        # y*S+x), TWO per int32 word, each TU's run padded to an even
+        # entry count (val=0 pad — significant levels are never 0, so
+        # pads are self-masking).  |val|>31 escapes ship as (cfx, cfv)
+        # correction scatter-adds applied after densification.  coff is
+        # in ENTRY units (always even) — 2 B/coeff crosses the wire.
+        S = 1 << lg
         starts = t["coeff_start"].astype(np.int64)
         ncs = t["ncoeff"].astype(np.int64)
-        total = int(ncs.sum())
-        coff = np.concatenate([[0], np.cumsum(ncs)]).astype(np.int32)
-        if total:
-            base = np.repeat(starts - np.concatenate(
-                [[0], np.cumsum(ncs)[:-1]]), ncs)
-            cidx_flat = np.arange(total, dtype=np.int64) + base
-            cval = prog.coeff_val[cidx_flat].astype(np.int32)
-            cpos = prog.coeff_pos[cidx_flat].astype(np.int32)
-            # one packed word per coefficient: value (high 16, signed) |
-            # position (low 16); the bin row is derived on device from the
-            # per-row offsets (coff) — 4 B/coeff crosses the wire, not 12
-            cv = ((cval & 0xFFFF) << 16) | (cpos & 0xFFFF)
+        ncs_p = (ncs + 1) & ~1
+        total_p = int(ncs_p.sum())
+        coff = np.concatenate([[0], np.cumsum(ncs_p)]).astype(np.int32)
+        if total_p:
+            off_p = np.concatenate([[0], np.cumsum(ncs_p)[:-1]])
+            runs = np.repeat(np.arange(n), ncs_p)
+            j_in = np.arange(total_p, dtype=np.int64) - np.repeat(off_p,
+                                                                  ncs_p)
+            valid = j_in < np.repeat(ncs, ncs_p)
+            src = np.clip(np.repeat(starts, ncs_p) + j_in, 0,
+                          len(prog.coeff_val) - 1)
+            cval = np.where(valid, prog.coeff_val[src].astype(np.int32), 0)
+            cposw = np.where(valid, prog.coeff_pos[src].astype(np.int32), 0)
+            p10 = (cposw >> 6) * S + (cposw & 63)
+            cl = np.clip(cval, -31, 31)
+            ent = ((cl & 63) << 10) | p10
+            cv = (ent[0::2] & 0xFFFF) | (ent[1::2] << 16)
+            esc = valid & (cval != cl)
+            cfx = (runs[esc] * S * S + p10[esc]).astype(np.int32)
+            cfv = (cval - cl)[esc].astype(np.int32)
         else:
             cv = np.zeros(0, np.int32)
+            cfx = np.zeros(0, np.int32)
+            cfv = np.zeros(0, np.int32)
         flags = t["flags"].astype(np.int32)
         intra = (flags & TU_INTRA) != 0
         cidx = t["cidx"].astype(np.int32)
@@ -148,7 +165,7 @@ def _bin_tus(prog: FrameProgramData):
         else:
             mid = np.zeros(n, np.int32)
         b = {"qp": t["qp"].astype(np.int32), "flags": flags, "mid": mid,
-             "n": n, "cv": cv, "coff": coff}
+             "n": n, "cv": cv, "coff": coff, "cfx": cfx, "cfv": cfv}
         b["ccp_scale"] = tu_ccp_scale[sel]
         ppr = tu_ccp_partner[sel]
         b["ccp_row"] = np.where(
@@ -937,6 +954,14 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, st):
             levels = jnp.zeros((bf["qp"].shape[0], s, s), jnp.int32)
             levels = levels.at[crow, cpos >> 6, cpos & 63].set(
                 bf["cval"], mode="drop", unique_indices=True)
+        if "cfx" in bf:
+            # escape corrections: the 6-bit wire value clamps to +-31;
+            # the full-precision delta scatter-adds here (rare)
+            cfx, cfv = bf["cfx"], bf["cfv"]
+            rr = jnp.where(cfx >= 0, jnp.clip(cfx, 0) // (s * s), 1 << 30)
+            pp = jnp.clip(cfx, 0) % (s * s)
+            levels = levels.at[rr, pp // s, pp % s].add(
+                cfv, mode="drop", unique_indices=True)
         flags = bf["flags"]
         tskip = (flags & TU_TRANSFORM_SKIP) != 0
         use_dst = (flags & TU_USE_DST) != 0
@@ -1243,12 +1268,22 @@ def _expand_feed(feed, keep_csr=False):
             continue
         if keep_csr:
             continue
+        # expand the 16-bit-entry stream (val6|pos10 pairs) for the XLA
+        # scatter path: interleave halves, sign-extend, re-derive y/x.
+        # Entries with val 0 are TU-run pads — masked via crow.
         cv, coff = d.pop("cv"), d.pop("coff")
-        i = jnp.arange(cv.shape[0], dtype=jnp.int32)
+        s = 1 << int(k[3:])
+        lo = cv & 0xFFFF
+        hi = (cv >> 16) & 0xFFFF
+        ent = jnp.stack([lo, hi], axis=1).reshape(-1)
+        v6 = (ent >> 10) & 63
+        cval = (v6 ^ 32) - 32
+        p10 = ent & 1023
+        i = jnp.arange(ent.shape[0], dtype=jnp.int32)
         crow = jnp.searchsorted(coff, i, side="right").astype(jnp.int32) - 1
-        d["crow"] = jnp.where(i < coff[-1], crow, 1 << 30)
-        d["cval"] = cv >> 16            # arithmetic: value is signed 16-bit
-        d["cpos"] = cv & 0xFFFF
+        d["crow"] = jnp.where((i < coff[-1]) & (cval != 0), crow, 1 << 30)
+        d["cval"] = cval
+        d["cpos"] = ((p10 // s) << 6) | (p10 % s)
     if "irecp" in feed:
         feed["irec"] = _unpack_irec(feed.pop("irecp"))
     if "g4" in feed:
@@ -1300,7 +1335,8 @@ class FusedDecoder:
         for lg in (2, 3, 4, 5):
             self.caps[f"tu{lg}"] = 0
             self.caps[f"co{lg}"] = 0
-            self.caps[f"cc{lg}"] = 0  # max coefficients per TU (densify)
+            self.caps[f"cc{lg}"] = 0  # max entries per TU (densify CAP)
+            self.caps[f"cf{lg}"] = 0  # escape corrections (|val| > 31)
             for ch in ("y", "cb", "cr"):
                 self.caps[f"sc{lg}{ch}"] = 0
         for c in range(3):
@@ -1357,6 +1393,7 @@ class FusedDecoder:
                 self._grow(f"co{lg}", len(b["cv"]))
                 self._grow(f"cc{lg}",
                            int(np.diff(b["coff"]).max(initial=1)))
+                self._grow(f"cf{lg}", len(b["cfx"]))
                 for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
                     self._grow(f"sc{lg}{ch}", len(b[f"sc_{ch}"]))
                     if self.use_pallas_mc and len(b[f"sc_{ch}"]):
@@ -1724,6 +1761,12 @@ class FusedDecoder:
             coff = b["coff"] if b else np.zeros(1, np.int32)
             host[f"bin{lg}.coff"] = _pad_rows(coff, tcap + 1,
                                               fill=int(coff[-1]))
+            fcap = self._grow(f"cf{lg}", len(b["cfx"]) if b else 0)
+            if fcap:
+                host[f"bin{lg}.cfx"] = _pad_rows(
+                    b["cfx"] if b else z0, fcap, fill=-1)
+                host[f"bin{lg}.cfv"] = _pad_rows(b["cfv"] if b else z0,
+                                                 fcap)
             if self._has_ccp:
                 host[f"bin{lg}.ccp_row"] = _pad_rows(
                     b["ccp_row"] if b else z0, tcap, fill=-1)
@@ -1912,6 +1955,7 @@ class FusedDecoder:
             self._grow(f"tu{lg}", n_tu)
             self._grow(f"co{lg}", int(caps[4 + i]))
             self._grow(f"cc{lg}", max(int(caps[45 + i]), 1))
+            self._grow(f"cf{lg}", int(caps[49 + i]))
             for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
                 scn = int(caps[8 + i * 3 + c])
                 self._grow(f"sc{lg}{ch}", scn)
@@ -1957,6 +2001,7 @@ class FusedDecoder:
                 self._grow(f"tu{lg}", max(n_tu, 1))
                 self._grow(f"co{lg}", max(n_co, 1))
                 self._grow(f"cc{lg}", max(int(caps[45 + i]), 1))
+                self._grow(f"cf{lg}", int(caps[49 + i]))
             for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
                 cap = self._grow(f"sc{lg}{ch}", int(caps[8 + i * 3 + c]))
                 if cap:
@@ -2018,6 +2063,10 @@ class FusedDecoder:
             ent(f"bin{lg}.mid", 2, lg, 0, (tcap,))
             ent(f"bin{lg}.cv", 3, lg, 0, (ccap,))
             ent(f"bin{lg}.coff", 4, lg, 0, (tcap + 1,))
+            if self.caps[f"cf{lg}"]:
+                fcap = self.caps[f"cf{lg}"]
+                ent(f"bin{lg}.cfx", 5, lg, 0, (fcap,))
+                ent(f"bin{lg}.cfv", 8, lg, 0, (fcap,))
             for c, ch in ((0, "y"), (1, "cb"), (2, "cr")):
                 if self.caps[f"sc{lg}{ch}"]:
                     kcap = self.caps.get(f"rk{lg}{ch}", 1) or 1

@@ -1,23 +1,28 @@
 """Pallas TPU kernel: CSR coefficient list -> dense [N, S, S] level blocks.
 
 The wire-compact feed ships each size-bin's residual coefficients as one
-packed CSR stream (cv = (val<<16)|pos sorted by TU, coff = per-TU row
-offsets — fused_decode._bin_tus / feedpack.cc bin_tus).  Densifying that
-on device with `levels.at[crow, y, x].set(val)` lowers through XLA's
+packed CSR stream of 16-bit entries — val6|pos10 with pos = y*S+x, TWO
+entries per int32 word, each TU's run padded to an even entry count with
+val=0 entries (significant levels are never 0, so pads are
+self-masking); coff holds per-TU ENTRY offsets (always even).  |val|>31
+escapes are fixed downstream by a correction scatter-add
+(fused_decode._bin_tus / feedpack.cc bin_tus).
+
+Densifying with `levels.at[crow, y, x].set(val)` lowers through XLA's
 generic scatter, which serializes per update on TPU — measured as the
 dominant residual-section cost at 1080p (PARITY.md cost model).  This
 kernel replaces it with the TPU-native pipeline:
 
   * one contiguous DMA per G-TU group (CSR rows are adjacent, so a
-    group's coefficients are ONE [Lr, 128] HBM window), double-buffered
-    across grid steps;
+    group's words are ONE [Lr, 128] HBM window), double-buffered across
+    grid steps;
   * per-TU window extraction in VMEM: dynamic sublane slice + the
     binary lane-roll alignment trick (same pattern as mc_pallas
     _res_kernel);
-  * densification as a BATCHED MXU MATMUL: out[g, y, x] =
-    sum_j (fy[j]==y) * ((fx[j]==x) * val[j]) — positions are unique
-    within a TU, so every output sum has at most one nonzero term and
-    f32 accumulation is exact (|val| < 2^15 < 2^24).
+  * densification as a BATCHED MXU MATMUL per halfword stream:
+    out[g, y, x] = sum_j 1[fy[j]==y] * (1[fx[j]==x] * val[j]) —
+    positions are unique within a TU, so every output sum has at most
+    one nonzero term and f32 accumulation is exact (|val| <= 31).
 
 Reference behavior counterpart: the per-TU coefficient scan in
 /root/reference/libde265/slice.cc residual_coding -> transform input;
@@ -38,7 +43,7 @@ _GROUP = {4: 32, 8: 16, 16: 8, 32: 8}
 
 
 def _densify_kernel(rowstart, starts, cnts, cv_hbm, out, chunk, sem, *,
-                    G, S, CAP, Lr, Rw, ngroups):
+                    G, S, CAPW, Lr, Rw, ngroups):
     g = pl.program_id(0)
 
     def dma(slot, grp):
@@ -55,13 +60,14 @@ def _densify_kernel(rowstart, starts, cnts, cv_hbm, out, chunk, sem, *,
         dma((g + 1) % 2, g + 1).start()
 
     dma(g % 2, g).wait()
-    cvb = chunk[g % 2]  # [Lr, 128]
+    cvb = chunk[g % 2]  # [Lr, 128] int32 words
     base = rowstart[g] * 128
 
-    # per-TU windows at dynamic sublane offsets
+    # per-TU word windows at dynamic sublane offsets (starts are in
+    # ENTRY units; words = entries/2, runs are even-padded)
     wins, ls, cs = [], [], []
     for i in range(G):
-        e = starts[0, i] - base
+        e = (starts[0, i] >> 1) - base
         wins.append(jax.lax.dynamic_slice(cvb, (e // 128, 0), (Rw, 128)))
         ls.append(e % 128)
         cs.append(cnts[0, i])
@@ -84,29 +90,32 @@ def _densify_kernel(rowstart, starts, cnts, cv_hbm, out, chunk, sem, *,
         blk = jnp.where((lrow & sh) != 0, rolled, blk)
     blk = blk.reshape(G, Rw, 128)
 
-    # merge adjacent rotated rows into the contiguous window
+    # merge adjacent rotated rows into the contiguous word window
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, Rw - 1, 128), 2)
     words = jnp.where(lane < 128 - lvec, blk[:, :-1, :], blk[:, 1:, :])
 
-    # coefficient fields; coefficient j of TU i is valid iff j < cnt_i
-    jidx = jax.lax.broadcasted_iota(jnp.int32, (G, Rw - 1, 128), 1) * 128 + \
-        jax.lax.broadcasted_iota(jnp.int32, (G, Rw - 1, 128), 2)
-    valid = jidx < cvec
-    val = jnp.where(valid, words >> 16, 0)
-    pos = words & 0xFFFF
-    fy = jnp.where(valid, pos >> 6, -1)
-    fx = pos & 63
-
-    # MXU densify: out[g,y,x] = sum_j 1[fy==y] * (1[fx==x] * val[j]);
-    # positions are unique per TU -> at most one nonzero term per output,
-    # so f32 is exact
+    # word index within the TU; entry validity per halfword
+    widx = jax.lax.broadcasted_iota(jnp.int32, (G, Rw - 1, 128), 1) * 128 + \
+        lane
     iy = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
-    my = (fy[..., None] == iy).astype(jnp.float32)
-    mxv = (fx[..., None] == iy).astype(jnp.float32) * \
-        val[..., None].astype(jnp.float32)
-    acc = jax.lax.dot_general(
-        my, mxv, (((1, 2), (1, 2)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+    acc = None
+    for h in (0, 1):
+        ent = (words >> (16 * h)) & 0xFFFF
+        valid = (2 * widx + h) < cvec
+        v6 = (ent >> 10) & 63
+        val = jnp.where(valid, (v6 ^ 32) - 32, 0)
+        p10 = ent & 1023
+        fy = jnp.where(valid, p10 // S, -1)
+        fx = p10 & (S - 1)
+        # MXU densify: positions unique per TU -> at most one nonzero
+        # term per output, f32 exact
+        my = (fy[..., None] == iy).astype(jnp.float32)
+        mxv = (fx[..., None] == iy).astype(jnp.float32) * \
+            val[..., None].astype(jnp.float32)
+        d = jax.lax.dot_general(
+            my, mxv, (((1, 2), (1, 2)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
     out[...] = acc.astype(jnp.int32)
 
 
@@ -115,35 +124,37 @@ def densify_bin(cv, coff, *, N: int, S: int, CAP: int,
                 interpret: bool = False):
     """Dense [N, S, S] int32 level blocks from the bin's CSR feed.
 
-    cv:   [C] int32 packed (val<<16)|((y<<6)|x), CSR-ordered by TU row.
-    coff: [N+1] int32 per-TU offsets (padded rows repeat the total).
-    CAP:  static max coefficients per TU (stream watermark, <= S*S).
+    cv:   [W] int32, two 16-bit val6|pos10 entries per word, CSR-ordered.
+    coff: [N+1] int32 per-TU ENTRY offsets (even; padded rows repeat the
+          total).
+    CAP:  static max entries per TU (stream watermark, <= S*S, even).
     """
     if N == 0:
         return jnp.zeros((0, S, S), jnp.int32)
     G = _GROUP[S]
-    CAP = max(8, min(CAP, S * S))
+    CAP = max(8, min((CAP + 1) & ~1, S * S))
+    CAPW = CAP // 2
     Np = ((N + G - 1) // G) * G
     ngroups = Np // G
     # window rows per TU; the chunk must cover the worst-case window of
     # the group's LAST TU (start misalignment + full preceding TUs), so
-    # a bare (G*CAP+127)//128+1 would let dynamic_slice clamp and
+    # a bare (G*CAPW+127)//128+1 would let dynamic_slice clamp and
     # return misaligned rows
-    Rw = (CAP + 127) // 128 + 1
-    Lr = (G * CAP + 127) // 128 + Rw
+    Rw = (CAPW + 127) // 128 + 1
+    Lr = (G * CAPW + 127) // 128 + Rw
 
     coff = jnp.pad(coff, (0, Np + 1 - coff.shape[0]),
                    mode="edge") if coff.shape[0] < Np + 1 else coff
     starts = coff[:Np].reshape(ngroups, G)
     ends = coff[1:Np + 1].reshape(ngroups, G)
     cnts = jnp.minimum(ends - starts, CAP)
-    rowstart = starts[:, 0] // 128
+    rowstart = (starts[:, 0] >> 1) // 128
 
     # slack so every group DMA window stays in-bounds
     crows = (cv.shape[0] + 127) // 128 + Lr + 1
     cv2d = jnp.pad(cv, (0, crows * 128 - cv.shape[0])).reshape(crows, 128)
 
-    kern = functools.partial(_densify_kernel, G=G, S=S, CAP=CAP, Lr=Lr,
+    kern = functools.partial(_densify_kernel, G=G, S=S, CAPW=CAPW, Lr=Lr,
                              Rw=Rw, ngroups=ngroups)
     out = pl.pallas_call(
         kern,
@@ -168,14 +179,19 @@ def densify_bin(cv, coff, *, N: int, S: int, CAP: int,
 
 
 def densify_ref(cv, coff, *, N: int, S: int):
-    """Numpy oracle for tests: the XLA-scatter semantics."""
+    """Numpy oracle for tests: expand halfword entries, scatter."""
     out = np.zeros((N, S, S), np.int64)
     cv = np.asarray(cv).astype(np.int64)
     coff = np.asarray(coff)
+    ent = np.stack([cv & 0xFFFF, (cv >> 16) & 0xFFFF], axis=1).reshape(-1) \
+        if len(cv) else np.zeros(0, np.int64)
     for t in range(N):
         for j in range(int(coff[t]), int(coff[t + 1])):
-            w = int(cv[j])
-            val = np.int32(w) >> 16
-            p = w & 0xFFFF
-            out[t, p >> 6, p & 63] = val
+            e = int(ent[j])
+            v6 = (e >> 10) & 63
+            val = (v6 ^ 32) - 32
+            if val == 0:
+                continue  # pad entry
+            p = e & 1023
+            out[t, p // S, p % S] = val
     return out.astype(np.int32)

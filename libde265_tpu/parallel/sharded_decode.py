@@ -423,17 +423,36 @@ class ShardedTileDecoder:
             if fld in b:
                 return b[fld]
             # derive the unpacked coefficient views from the wire-compact
-            # fields (_bin_tus now emits cv/coff; see fused_decode)
+            # 16-bit-entry stream (val6|pos10 pairs per word, even-padded
+            # runs; _bin_tus / fused_decode._expand_feed counterpart)
+            s = 1 << lg
+            cv = b["cv"].astype(np.int64)
+            ent = np.stack([cv & 0xFFFF, (cv >> 16) & 0xFFFF],
+                           axis=1).reshape(-1).astype(np.int32)
+            v6 = (ent >> 10) & 63
+            cval = (v6 ^ 32) - 32
             if fld == "cval":
-                return b["cv"] >> 16
+                # fold the |val|>31 escape corrections back in (host-side:
+                # this path scatters full-precision cval directly)
+                coff = b["coff"]
+                for fx, dv in zip(b.get("cfx", z0), b.get("cfv", z0)):
+                    r, p = int(fx) // (s * s), int(fx) % (s * s)
+                    sl = ent[int(coff[r]):int(coff[r + 1])]
+                    j = np.nonzero((sl & 1023) == p)[0]
+                    if len(j):
+                        cval[int(coff[r]) + j[0]] += int(dv)
+                return cval
             if fld == "cpos":
-                return b["cv"] & 0xFFFF
+                p10 = ent & 1023
+                return ((p10 // s) << 6) | (p10 % s)
             coff = b["coff"]
-            return np.repeat(np.arange(len(coff) - 1, dtype=np.int32),
+            crow = np.repeat(np.arange(len(coff) - 1, dtype=np.int32),
                              np.diff(coff))
+            # val=0 entries are TU-run pads: mask them out of the scatter
+            return np.where(cval[:len(crow)] != 0, crow, 1 << 30)
 
         for lg in lgs:
-            tcap, ccap = caps[f"tu{lg}"], caps[f"co{lg}"]
+            tcap, ccap = caps[f"tu{lg}"], 2 * caps[f"co{lg}"]
             for fld, cap, fill in (("qp", tcap, 0), ("flags", tcap, 0),
                                    ("mid", tcap, 0), ("cval", ccap, 0),
                                    ("cpos", ccap, 0),

@@ -40,12 +40,12 @@ enum PackKey : int {
   kKeyBinQp = 0,
   kKeyBinFlags,
   kKeyBinMid,
-  kKeyBinCv,    // packed (value<<16 | pos) coefficient words
-  kKeyBinCoff,  // per-bin-row coefficient start offsets [tcap+1]
-  kKeyBinCrowUnused,
+  kKeyBinCv,    // two 16-bit val6|pos10 entries per word (even runs)
+  kKeyBinCoff,  // per-bin-row ENTRY start offsets [tcap+1]
+  kKeyBinCfx,   // escape corrections: row*S*S + pos (pad -1)
   kKeyResN,
   kKeyResSw,  // packed srow | (x0>>1)<<20
-  kKeyResX0Unused,
+  kKeyBinCfv,   // escape corrections: value delta
   kKeySegN,
   kKeySegA,  // packed wy | wx<<12 | fy<<25 | fx<<28
   kKeySegB,  // packed (x0>>1) | w<<12 | slot<<19
@@ -84,7 +84,8 @@ constexpr int kPcmFill = 1 << 30;
 struct TuBin {
   std::vector<int32_t> rows;          // TU indices (into prog.tus)
   std::vector<int32_t> qp, flags, mid;
-  std::vector<int32_t> cv, coff;  // packed coeff words + row offsets
+  std::vector<int32_t> cv, coff;  // halfword-entry words + entry offsets
+  std::vector<int32_t> cfx, cfv;  // |val|>31 escape corrections
   // inter residual scatter (row-in-bin, x, y) per channel
   std::vector<int32_t> sc[3];  // flattened triples
 };
@@ -130,12 +131,30 @@ void bin_tus(PackState& ps) {
     }
     b.mid.push_back(mid);
     if (b.coff.empty()) b.coff.push_back(0);
+    // 16-bit entries val6|pos10, two per word; runs even-padded with
+    // val=0 entries (mirrors fused_decode._bin_tus)
+    int32_t pend = 0;
+    int half = 0;
     for (int j = 0; j < tu.ncoeff; j++) {
       int32_t v = (int32_t)cval[tu.coeff_start + j];
       int32_t p = (int32_t)cpos[tu.coeff_start + j];
-      b.cv.push_back(((v & 0xFFFF) << 16) | (p & 0xFFFF));
+      int32_t p10 = ((p >> 6) << lg) | (p & 63);
+      int32_t cl = v < -31 ? -31 : (v > 31 ? 31 : v);
+      if (cl != v) {
+        b.cfx.push_back(row * (1 << (2 * lg)) + p10);
+        b.cfv.push_back(v - cl);
+      }
+      int32_t e = ((cl & 63) << 10) | p10;
+      if (half == 0) {
+        pend = e;
+        half = 1;
+      } else {
+        b.cv.push_back(pend | (e << 16));
+        half = 0;
+      }
     }
-    b.coff.push_back((int32_t)b.cv.size());
+    if (half) b.cv.push_back(pend);
+    b.coff.push_back(b.coff.back() + ((tu.ncoeff + 1) & ~1));
     if (!intra && tu.ncoeff > 0 && tu.cidx < 3) {
       auto& s = b.sc[tu.cidx];
       s.push_back(row);
@@ -309,7 +328,8 @@ extern "C" {
 //  [34] n_intras  [35] n_steps  [36..38] steps per plane
 //  [39..41] pcm scatter count per plane
 //  [42] use_l1  [43] has_inter  [44] n_slices
-//  [45..48] max coefficients per TU per lg (Pallas densify CAP)
+//  [45..48] max coefficient entries per TU per lg (Pallas densify CAP)
+//  [49..52] escape-correction count per lg (|val| > 31)
 LIBDE265_API int tde265_pack_caps(de265_decoder_context* ctx, int idx,
                                   int32_t* caps) {
   FrameProgram* prog = internal_program_at(ctx, idx);
@@ -324,6 +344,7 @@ LIBDE265_API int tde265_pack_caps(de265_decoder_context* ctx, int idx,
     for (size_t r = 0; r + 1 < b.coff.size(); r++)
       maxc = std::max(maxc, b.coff[r + 1] - b.coff[r]);
     caps[45 + lg - 2] = maxc;
+    caps[49 + lg - 2] = (int32_t)b.cfx.size();
     for (int c = 0; c < 3; c++) {
       caps[8 + (lg - 2) * 3 + c] = (int32_t)(b.sc[c].size() / 3);
       ResPlan rp;
@@ -416,15 +437,26 @@ LIBDE265_API int tde265_pack_feed(de265_decoder_context* ctx, int idx,
         // hold the total so the device-side searchsorted maps padding
         // past the last used coefficient
         const TuBin& b = ps.bins[p0 - 2];
-        int32_t tot = b.cv.empty() ? 0 : (int32_t)b.cv.size();
+        int32_t tot = b.coff.empty() ? 0 : b.coff.back();
         size_t n = b.coff.size();
         memcpy(dst, b.coff.data(), n * 4);
         if (b.coff.empty()) {
           dst[0] = 0;
           n = 1;
-          tot = 0;
         }
         for (int64_t i = (int64_t)n; i < total; i++) dst[i] = tot;
+        break;
+      }
+      case kKeyBinCfx: {
+        const TuBin& b = ps.bins[p0 - 2];
+        for (int64_t i = 0; i < total; i++) dst[i] = -1;
+        memcpy(dst, b.cfx.data(), b.cfx.size() * 4);
+        break;
+      }
+      case kKeyBinCfv: {
+        const TuBin& b = ps.bins[p0 - 2];
+        memset(dst, 0, total * 4);
+        memcpy(dst, b.cfv.data(), b.cfv.size() * 4);
         break;
       }
       case kKeyResN:
