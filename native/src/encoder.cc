@@ -399,7 +399,11 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
       }
     }
     if (sps_->temporal_mvp_enabled)
-      bw->write_flag(stype != SLICE_I);  // slice_temporal_mvp_enabled
+      // must mirror the candidate derivation's actual state: the
+      // b-pyramid path runs with TMVP off (sh_->temporal_mvp_enabled =
+      // false), and writing 1 here would make decoders derive a
+      // temporal candidate the encoder never considered
+      bw->write_flag(sh_->temporal_mvp_enabled);
   }
   if (sps_->sao_enabled) {
     bw->write_flag(true);  // slice_sao_luma
@@ -415,7 +419,7 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
       bw->write_flag(false);  // defaults (= 1)
     }
     if (stype == SLICE_B) bw->write_flag(false);  // mvd_l1_zero
-    if (sps_->temporal_mvp_enabled) {
+    if (sh_->temporal_mvp_enabled) {
       if (stype == SLICE_B) bw->write_flag(true);  // collocated_from_l0
       if (nrefs > 1) bw->write_uvlc(0);  // collocated_ref_idx
     }
@@ -660,6 +664,20 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
       l1_dpb_map_[i] = at;
     }
     sh_->temporal_mvp_enabled = false;
+    if (pps_->weighted_pred || pps_->weighted_bipred) {
+      // identity explicit weights (the reorder driver does not run the
+      // fade estimator): without this the shared recon would multiply
+      // by the default-zero weights while decoders parse identity
+      WeightedPredParams& wp = sh_->wp;
+      wp.luma_log2_weight_denom = 6;
+      wp.chroma_log2_weight_denom = 6;
+      for (int l = 0; l < 2; l++)
+        for (int i = 0; i < 16; i++) {
+          wp.luma_weight[l][i] = 1 << 6;
+          wp.chroma_weight[l][i][0] = 1 << 6;
+          wp.chroma_weight[l][i][1] = 1 << 6;
+        }
+    }
   } else if (!cur_is_intra_pic_) {
     int nrefs = min_i(cfg_.num_refs, since_irap_());
     Frame* refs[2] = {ref_frame_.get(), ref_frame2_.get()};

@@ -164,6 +164,33 @@ MATRIX = {
                                        "open-gop": True,
                                        "radl": True},
                                frames=10), "exact"),
+    # --- cross-feature stress (rounds out the conformance breadth) ---
+    "main10_tiles_wpp": (dict(depth=10, params={"tile-cols": 2,
+                                                "intra-period": 4}),
+                         "exact"),
+    "pyramid_ltref_weighted": (dict(params={"intra-period": 6,
+                                            "b-pyramid": True},
+                                    bools=["lt-ref", "weighted-pred",
+                                           "tmvp"],
+                                    frames=9), "exact"),
+    "radl_dep_slices": (dict(params={"intra-period": 4, "b-pyramid": True,
+                                     "open-gop": True, "radl": True,
+                                     "ctbs-per-slice": 3},
+                             bools=["dependent-slices"],
+                             frames=8, H=128), "exact"),
+    "rd_split_amp_sao": (dict(params={"intra-period": 6,
+                                      "cb-split-algo": "rd"},
+                              bools=["amp", "rect-parts", "sao"]),
+                         "exact"),
+    "hi_qp_sdh_tskip": (dict(qp=47, bools=["transform-skip"]), "exact"),
+    "lo_qp_escape_stress": (dict(qp=12, params={"intra-period": 4}),
+                            "exact"),
+    "chroma_qp_offsets": (dict(params={"intra-period": 4,
+                                       "cb-qp-offset": -6,
+                                       "cr-qp-offset": 6},
+                               bools=["sao"]), "exact"),
+    "tiny_64x64": (dict(W=64, H=64, params={"intra-period": 3},
+                        frames=5), "exact"),
 }
 
 
