@@ -663,7 +663,12 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
       }
       l1_dpb_map_[i] = at;
     }
-    sh_->temporal_mvp_enabled = false;
+    // TMVP rides the shared derivation (motion.cc collocated_mv) with
+    // the collocated picture = L0[0]; its motion field is populated by
+    // the shared recon
+    sh_->temporal_mvp_enabled = sps_->temporal_mvp_enabled;
+    sh_->collocated_from_l0 = true;
+    sh_->collocated_ref_idx = 0;
     if (pps_->weighted_pred || pps_->weighted_bipred) {
       // identity explicit weights (the reorder driver does not run the
       // fade estimator): without this the shared recon would multiply
