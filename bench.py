@@ -51,7 +51,7 @@ def bench_host_decode(build, stream, n_frames, binary=None):
     if not Path(exe).exists() or not Path(stream).exists():
         return None
     best = 0.0
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         r = subprocess.run([exe, "-q", stream], capture_output=True)
         dt = time.perf_counter() - t0
@@ -79,6 +79,30 @@ def _ref_sse_decoder():
     except Exception:
         return None
     return str(exe) if exe.exists() else None
+
+
+def _device_phase_subprocess(stream_path, n_passes, timeout_s):
+    """Run bench_device_decode in a subprocess with a hard timeout.
+
+    When the axon relay is unreachable, jax BLOCKS FOREVER in backend
+    initialization (observed round 3) — an in-process call would hang the
+    whole benchmark and lose even the host numbers.  Returns the result
+    dict, or None (with a reason in the second slot) on timeout/failure.
+    """
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--device-phase",
+             stream_path, str(n_passes)],
+            capture_output=True, timeout=max(60, timeout_s), text=True)
+    except subprocess.TimeoutExpired:
+        return None, "device phase timed out (accelerator unreachable?)"
+    if r.returncode != 0:
+        return None, (r.stderr or r.stdout or "")[-180:]
+    try:
+        return json.loads(r.stdout.strip().splitlines()[-1]), None
+    except Exception as e:  # noqa: BLE001
+        return None, f"unparseable device-phase output: {e}"
 
 
 def bench_device_decode(stream_bytes, n_passes=5):
@@ -258,12 +282,14 @@ def main():
     if ref_fps:
         extras["ref_sse_fps_girlshy"] = round(ref_fps, 1)
 
-    # --- TPU end-to-end on girlshy ---
+    # --- TPU end-to-end on girlshy (subprocess: survives a dead relay) ---
     value, unit, metric, vs = None, "fps", "tpu_e2e_decode_fps_girlshy", None
     try:
         if _left() < 240:
             raise TimeoutError("budget too small for the device phase")
-        r = bench_device_decode(open(girl, "rb").read())
+        r, why = _device_phase_subprocess(girl, 5, _left() - 180)
+        if not r and why:
+            extras["tpu_error"] = why[:200]
         if r:
             extras["tpu_parse_fps"] = round(r["parse_fps"], 1)
             extras["tpu_device_fps"] = round(r["device"]["median"], 2)
@@ -291,7 +317,10 @@ def main():
             strm = mk(build)
             if not strm:
                 continue
-            r = bench_device_decode(open(strm, "rb").read(), n_passes=passes)
+            r, why = _device_phase_subprocess(strm, passes,
+                                              min(_left() - 60, 900))
+            if not r and why:
+                extras[f"tpu_{tag}_error"] = why[:200]
             if r:
                 n = r["n"]
                 key = "e2e" if "e2e" in r else "device"
@@ -322,4 +351,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "--device-phase":
+        res = bench_device_decode(open(sys.argv[2], "rb").read(),
+                                  n_passes=int(sys.argv[3]))
+        print(json.dumps(res))
+    else:
+        main()
