@@ -118,16 +118,15 @@ class CabacEncoder {
 
   void encode_bin(ContextModel* m, int bin) {
     if (g_bin_trace) bin_trace("ctx", bin, m);
-    u32 lps = kCabacRangeTabLps[m->state][(range_ >> 6) & 3];
+    u32 sm = m->sm;
+    u32 lps = kCabacRangeTabLps[sm >> 1][(range_ >> 6) & 3];
     range_ -= lps;
-    if (bin != m->mps) {
+    int is_lps = (u32)bin != (sm & 1);
+    if (is_lps) {
       low_ += range_;
       range_ = lps;
-      if (m->state == 0) m->mps = (u8)(1 - m->mps);
-      m->state = kCabacTransIdxLps[m->state];
-    } else {
-      m->state = kCabacTransIdxMps[m->state];
     }
+    m->sm = kCabacNextSm[(is_lps << 7) | sm];
     renorm();
   }
 

@@ -15,11 +15,11 @@
 namespace tde265 {
 
 struct ContextModel {
-  u8 state = 0;  // pStateIdx 0..62
-  u8 mps = 0;    // valMps
-  bool operator==(const ContextModel& o) const {
-    return state == o.state && mps == o.mps;
-  }
+  // merged (pStateIdx << 1) | valMps: ONE byte load/store per bin in
+  // decode_bin, with a single 256-entry transition table covering the
+  // state advance AND the state-0 MPS flip
+  u8 sm = 0;
+  bool operator==(const ContextModel& o) const { return sm == o.sm; }
 };
 
 // Spec Tables 9-46/9-47, shared by the decoder and encoder engines.
@@ -28,6 +28,8 @@ extern const u8 kCabacTransIdxMps[64];
 extern const u8 kCabacTransIdxLps[64];
 // merged (is_lps << 6) | state transition table (fast path)
 extern const u8 kCabacNextState[128];
+// merged-byte transition: index (is_lps << 7) | sm -> next sm
+extern const u8 kCabacNextSm[256];
 
 // Context table layout: one enum of offsets, sized kNumContexts total.
 // Grouping mirrors HEVC Table 9-4 syntax elements.
@@ -105,15 +107,14 @@ class CabacDecoder {
   // merged kCabacNextState table with no data-dependent branch.
   inline int decode_bin(ContextModel* m) {
     u32 q = (range_ >> 6) & 3;
-    u32 st = m->state;
-    u32 lps = kCabacRangeTabLps[st][q];
+    u32 sm = m->sm;
+    u32 lps = kCabacRangeTabLps[sm >> 1][q];
     u32 rmps = range_ - lps;
     u32 is_lps = (u32)(-(i32)(offset_ >= rmps));  // all-ones on the LPS path
-    int bin = (int)((m->mps ^ is_lps) & 1);
+    int bin = (int)((sm ^ is_lps) & 1);
     offset_ -= rmps & is_lps;
     range_ = rmps ^ ((rmps ^ lps) & is_lps);
-    m->mps ^= (u8)(is_lps & (u32)(st == 0));
-    m->state = kCabacNextState[((is_lps & 1) << 6) | st];
+    m->sm = kCabacNextSm[(is_lps & 128) | sm];
     // RenormD, all shifts at once: range_ is in [2,255] when renorm is needed.
     if (range_ < 256) {
       int n = 8 - ilog2_of(range_);

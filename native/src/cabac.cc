@@ -16,7 +16,7 @@ static struct BinTraceInit {
 void bin_trace(const char* kind, int bin, const void* ctx) {
   if (ctx) {
     const ContextModel* m = (const ContextModel*)ctx;
-    printf("BIN %s %d s%d m%d\n", kind, bin, m->state, m->mps);
+    printf("BIN %s %d s%d m%d\n", kind, bin, m->sm >> 1, m->sm & 1);
   } else {
     printf("BIN %s %d -\n", kind, bin);
   }
@@ -75,6 +75,28 @@ const u8 kCabacNextState[128] = {
     33, 33, 34, 34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63,
 };
 
+// Merged-byte transitions for the single-load/store decode_bin fast path:
+// index (is_lps << 7) | (state << 1 | mps); LPS at state 0 flips MPS.
+// Generated from kCabacTransIdxMps/kCabacTransIdxLps (Tables 9-41).
+const u8 kCabacNextSm[256] = {
+      2,   3,   4,   5,   6,   7,   8,   9,  10,  11,  12,  13,  14,  15,  16,  17,
+     18,  19,  20,  21,  22,  23,  24,  25,  26,  27,  28,  29,  30,  31,  32,  33,
+     34,  35,  36,  37,  38,  39,  40,  41,  42,  43,  44,  45,  46,  47,  48,  49,
+     50,  51,  52,  53,  54,  55,  56,  57,  58,  59,  60,  61,  62,  63,  64,  65,
+     66,  67,  68,  69,  70,  71,  72,  73,  74,  75,  76,  77,  78,  79,  80,  81,
+     82,  83,  84,  85,  86,  87,  88,  89,  90,  91,  92,  93,  94,  95,  96,  97,
+     98,  99, 100, 101, 102, 103, 104, 105, 106, 107, 108, 109, 110, 111, 112, 113,
+    114, 115, 116, 117, 118, 119, 120, 121, 122, 123, 124, 125, 124, 125, 126, 127,
+      1,   0,   0,   1,   2,   3,   4,   5,   4,   5,   8,   9,   8,   9,  10,  11,
+     12,  13,  14,  15,  16,  17,  18,  19,  18,  19,  22,  23,  22,  23,  24,  25,
+     26,  27,  26,  27,  30,  31,  30,  31,  32,  33,  32,  33,  36,  37,  36,  37,
+     38,  39,  38,  39,  42,  43,  42,  43,  44,  45,  44,  45,  46,  47,  48,  49,
+     48,  49,  50,  51,  52,  53,  52,  53,  54,  55,  54,  55,  56,  57,  58,  59,
+     58,  59,  60,  61,  60,  61,  60,  61,  62,  63,  64,  65,  64,  65,  66,  67,
+     66,  67,  66,  67,  68,  69,  68,  69,  70,  71,  70,  71,  70,  71,  72,  73,
+     72,  73,  72,  73,  74,  75,  74,  75,  74,  75,  76,  77,  76,  77, 126, 127,
+};
+
 // ---------------------------------------------------------------------------
 // Context initialization (spec 9.3.2.2).
 // ---------------------------------------------------------------------------
@@ -85,8 +107,9 @@ void init_models(ContextModel* m, const int* init_values, int n, int qp) {
     int slope = (init_values[i] >> 4) * 5 - 45;
     int inter = ((init_values[i] & 15) << 3) - 16;
     int pre = clip3(1, 126, ((slope * clip3(0, 51, qp)) >> 4) + inter);
-    m[i].mps = pre > 63 ? 1 : 0;
-    m[i].state = (u8)(m[i].mps ? pre - 64 : 63 - pre);
+    int mps = pre > 63 ? 1 : 0;
+    int state = mps ? pre - 64 : 63 - pre;
+    m[i].sm = (u8)((state << 1) | mps);
   }
 }
 

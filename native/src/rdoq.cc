@@ -48,7 +48,8 @@ struct EntropyBits {
 const EntropyBits g_eb;
 
 inline int ctx_bits(const ContextModel& m, int bin) {
-  return g_eb.b[(m.state << 1) | (bin != m.mps)];
+  // index = (state << 1) | (bin != mps) == (sm & ~1) | ((sm ^ bin) & 1)
+  return g_eb.b[(m.sm & ~1) | ((m.sm ^ (u32)bin) & 1)];
 }
 
 }  // namespace

@@ -62,12 +62,12 @@ TDE_TEST(context_init_known_values) {
   // initValue=154 gives preCtxState: slope=(9*5-45)=0, inter=(10<<3)-16=64
   // -> pre=64 -> mps=1, state=0 (the "uniform" context).
   // CTX_CU_QP_DELTA_ABS has initValue 154:
-  TDE_CHECK_EQ(t[CTX_CU_QP_DELTA_ABS].state, 0);
-  TDE_CHECK_EQ(t[CTX_CU_QP_DELTA_ABS].mps, 1);
+  TDE_CHECK_EQ(t[CTX_CU_QP_DELTA_ABS].sm >> 1, 0);
+  TDE_CHECK_EQ(t[CTX_CU_QP_DELTA_ABS].sm & 1, 1);
   // Same init at different QPs stays uniform for slope 0.
   t.init(0, 40);
-  TDE_CHECK_EQ(t[CTX_CU_QP_DELTA_ABS].state, 0);
-  TDE_CHECK_EQ(t[CTX_CU_QP_DELTA_ABS].mps, 1);
+  TDE_CHECK_EQ(t[CTX_CU_QP_DELTA_ABS].sm >> 1, 0);
+  TDE_CHECK_EQ(t[CTX_CU_QP_DELTA_ABS].sm & 1, 1);
 }
 
 TDE_TEST(cabac_bypass_batch_equals_single) {
