@@ -75,6 +75,11 @@ struct EncoderConfig {
   bool radl = false;
   // rate-distortion optimized quantization (CABAC-state rate estimates)
   bool rdoq = true;
+  // 2 = two-level pyramid (closed GOP): anchors every 4 pictures, a
+  // mid B referencing both anchors, and level-2 b pictures referencing
+  // their nearest anchor/mid pair (decode order A4 B2 b1 b3;
+  // max_num_reorder_pics = 2). 1 = the flat IbP pyramid below.
+  int pyramid_levels = 1;
   // hierarchical-B (IbP): odd display positions buffer and encode as B
   // pictures referencing the surrounding even (P/I) pictures; POC order
   // differs from decode order (max_num_reorder_pics = 1)
@@ -220,6 +225,8 @@ class Encoder {
   int sad_luma(int x0, int y0, int n) const;
   i64 ssd_luma_rect(int x0, int y0, int w, int h) const;
   double rd_lambda() const;
+  // per-picture QP with the pyramid-level offset applied
+  int pic_qp() const { return clip3(1, 51, cfg_.qp + pic_qp_delta_); }
   int sad_luma_rect(int x0, int y0, int w, int h) const;
   PbMotion predict_inter(int x0, int y0, int n, const PbMotion& m,
                          bool emit_op);
@@ -279,7 +286,8 @@ class Encoder {
     bool neg_used[3] = {true, true, true};  // used_by_curr (false = foll:
                                             // kept for a later RASL)
     int n_pos = 0;
-    int pos_delta = 0;
+    int pos_delta[2] = {0, 0};      // positive poc distances, ascending
+    bool pos_used[2] = {true, true};
   };
   PicRps cur_rps_;
   bool cur_is_b_ = false;
@@ -295,8 +303,11 @@ class Encoder {
     int sy = 0, sc = 0;
   };
   PendingSrc pending_;
+  PendingSrc pend3_[3];  // 2-level pyramid: sources at anchor+1..+3
+  int pic_qp_delta_ = 0;  // pyramid-level QP offset of the current picture
   u32 display_count_ = 0;
   std::unique_ptr<Frame> bref_prev_;  // previous even recon (b's L0)
+  std::unique_ptr<Frame> bmid_;       // 2-level pyramid: the mid B recon
   bool pyr_override_ = false;
   std::vector<Frame*> picture_refs_;  // refs pushed for this picture
   void derive_luma_mpm(int x0, int y0, int cand[3]);
@@ -307,6 +318,14 @@ class Encoder {
                         const void* cb, const void* cr, int stride_c);
   void encode_pending_(std::vector<u8>* out, bool as_b,
                        bool radl_only_cra = false);
+  // 2-level pyramid driver (closed GOP)
+  void encode_bpyramid2_(std::vector<u8>* out, const void* y, int stride_y,
+                         const void* cb, const void* cr, int stride_c);
+  void stash_src_(PendingSrc& ps, int pos, int abs, const void* y, int sy,
+                  const void* cb, const void* cr, int sc);
+  void encode_src_(std::vector<u8>* out, const PendingSrc& ps);
+  void emit_chunk_bs_(std::vector<u8>* out, int pos);
+  void flush_chunk2_(std::vector<u8>* out);
 
  public:
   // drain the reorder buffer (b-pyramid): encodes a buffered trailing

@@ -112,6 +112,9 @@ de265_error en265_set_parameter_int(en265_encoder_context* ctx,
     if (value != 0 && (value < 30 || value > 186))
       return DE265_ERROR_PARAMETER_PARSING;
     c->cfg.level_idc = value;
+  } else if (p == "pyramid-levels") {
+    if (value < 1 || value > 2) return DE265_ERROR_PARAMETER_PARSING;
+    c->cfg.pyramid_levels = value;
   } else if (p == "bit-depth") {
     if (value < 8 || value > 10) return DE265_ERROR_PARAMETER_PARSING;
     c->cfg.bit_depth = value;
@@ -197,7 +200,7 @@ const char** en265_list_parameters(en265_encoder_context*) {
       "across-tiles", "rect-parts",      "dependent-slices",
       "amp",          "open-gop",        "radl",
       "rdoq",
-      "b-pyramid",    "intra-mode-algo", "me-algo",
+      "b-pyramid",    "pyramid-levels",  "intra-mode-algo", "me-algo",
       "cb-split-algo", nullptr};
   return params;
 }

@@ -102,9 +102,11 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   s.conf_win_bottom = (s.pic_height_in_luma_samples - cfg.height) / sh_c;
   s.bit_depth_luma = s.bit_depth_chroma = clip3(8, 14, cfg.bit_depth);
   s.log2_max_pic_order_cnt_lsb = 8;
+  const bool pyr2 = cfg.b_pyramid && cfg.pyramid_levels >= 2 &&
+                    !cfg.open_gop && cfg.intra_period >= 4;
   for (int i = 0; i < kMaxSubLayers; i++) {
-    s.max_dec_pic_buffering[i] = 4;
-    s.max_num_reorder_pics[i] = cfg.b_pyramid ? 1 : 0;
+    s.max_dec_pic_buffering[i] = pyr2 ? 6 : 4;
+    s.max_num_reorder_pics[i] = pyr2 ? 2 : (cfg.b_pyramid ? 1 : 0);
     s.max_latency_increase[i] = 0;
   }
   s.log2_min_cb_size = cfg.min_cb_log2;
@@ -203,8 +205,8 @@ void Encoder::write_headers(std::vector<u8>* out) {
   };
   write_ptl(vps);
   vps.write_flag(false);  // sub_layer_ordering_info_present (== max layer only)
-  vps.write_uvlc(3);      // max_dec_pic_buffering_minus1
-  vps.write_uvlc(cfg_.b_pyramid ? 1 : 0);  // max_num_reorder
+  vps.write_uvlc((u32)(sps_->max_dec_pic_buffering[0] - 1));
+  vps.write_uvlc((u32)sps_->max_num_reorder_pics[0]);  // max_num_reorder
   vps.write_uvlc(0);      // max_latency_increase_plus1
   vps.write_bits(0, 6);   // max_layer_id
   vps.write_uvlc(0);      // num_layer_sets_minus1
@@ -374,8 +376,9 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
         bw->write_flag(cur_rps_.neg_used[i]);
       }
       for (int i = 0; i < np; i++) {
-        bw->write_uvlc((u32)(cur_rps_.pos_delta - 1));
-        bw->write_flag(true);
+        int prev = i ? cur_rps_.pos_delta[i - 1] : 0;
+        bw->write_uvlc((u32)(cur_rps_.pos_delta[i] - prev - 1));
+        bw->write_flag(cur_rps_.pos_used[i]);
       }
     } else {
     // st_ref_pic_set: the previous 1..num_refs pictures, all used
@@ -448,7 +451,7 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
     }
     bw->write_uvlc(0);      // five_minus_max_num_merge_cand (= 5)
   }
-  bw->write_svlc(cfg_.qp - 26);  // slice_qp_delta (init_qp = 26)
+  bw->write_svlc(pic_qp() - 26);  // slice_qp_delta (init_qp = 26)
   // deblocking override not enabled -> no per-slice deblock fields.
   // slice_loop_filter_across_slices present iff across-slices allowed in the
   // PPS and any in-loop filter is active (sliceheader.cc:234)
@@ -482,9 +485,9 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
 
   BitWriter data_bw;
   cabac_ = std::make_unique<CabacEncoder>(&data_bw);
-  ctx_.init(cur_is_intra_pic_ ? 0 : (cur_is_b_ ? 2 : 1), cfg_.qp);
+  ctx_.init(cur_is_intra_pic_ ? 0 : (cur_is_b_ ? 2 : 1), pic_qp());
   qg_first_ = true;
-  qg_prev_qp_ = last_cu_qp_ = cfg_.qp;
+  qg_prev_qp_ = last_cu_qp_ = pic_qp();
   ContextTable wpp_saved;
   bool wpp_saved_valid = false;
 
@@ -518,10 +521,10 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
       if (inherit)
         ctx_ = wpp_saved;
       else
-        ctx_.init(cur_is_intra_pic_ ? 0 : (cur_is_b_ ? 2 : 1), cfg_.qp);
+        ctx_.init(cur_is_intra_pic_ ? 0 : (cur_is_b_ ? 2 : 1), pic_qp());
       // per-substream QP-prediction reset (syntax.cc:1086-1140)
       qg_first_ = true;
-      qg_prev_qp_ = last_cu_qp_ = cfg_.qp;
+      qg_prev_qp_ = last_cu_qp_ = pic_qp();
     }
   }
 
@@ -596,8 +599,12 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
   }
 
   const bool gop = cfg_.intra_period > 1;
+  if (!pyr_override_) pic_qp_delta_ = 0;
   if (cfg_.b_pyramid && gop && !pyr_override_) {
-    encode_bpyramid_(&out, y, stride_y, cb, cr, stride_c);
+    if (cfg_.pyramid_levels >= 2 && !cfg_.open_gop && cfg_.intra_period >= 4)
+      encode_bpyramid2_(&out, y, stride_y, cb, cr, stride_c);
+    else
+      encode_bpyramid_(&out, y, stride_y, cb, cr, stride_c);
     return out;
   }
   if (!pyr_override_) {
@@ -635,7 +642,7 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
                         ? SLICE_I
                         : (cur_is_b_ ? SLICE_B : SLICE_P);
   sh_->pps = pps_;
-  sh_->slice_qp_y = cfg_.qp;
+  sh_->slice_qp_y = pic_qp();
   sh_->max_num_merge_cand = 5;
   sh_->slice_index = 0;
   sh_->loop_filter_across_slices = true;
@@ -812,10 +819,10 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
           ctx_ = dep_saved;
         } else {
           ctx_.init(cur_is_intra_pic_ ? 0 : (cur_is_b_ ? 2 : 1),
-                    cfg_.qp);
+                    pic_qp());
         }
         qg_first_ = true;
-        qg_prev_qp_ = last_cu_qp_ = cfg_.qp;
+        qg_prev_qp_ = last_cu_qp_ = pic_qp();
       }
       int cx = rs % sps_->pic_width_in_ctbs;
       int cy = rs / sps_->pic_width_in_ctbs;
@@ -899,6 +906,7 @@ void Encoder::encode_bpyramid_(std::vector<u8>* out, const void* y,
   auto encode_now = [&](bool intra, bool is_b, int poc, const void* yy,
                         int syy, const void* cbb, const void* crr, int scc) {
     pyr_override_ = true;
+    pic_qp_delta_ = is_b ? 1 : 0;  // non-anchor B: coarser QP
     cur_is_intra_pic_ = intra;
     cur_is_idr_ = intra && (!og || d == 0);
     cur_is_b_ = is_b;
@@ -924,7 +932,7 @@ void Encoder::encode_bpyramid_(std::vector<u8>* out, const void* y,
         cur_rps_.n_neg = 1;
         cur_rps_.neg_delta[0] = 1;
         cur_rps_.n_pos = 1;
-        cur_rps_.pos_delta = 1;
+        cur_rps_.pos_delta[0] = 1;
       } else {
         cur_refs_.n0 = 1;
         cur_refs_.l0[0] = ref_frame_.get();
@@ -1009,6 +1017,7 @@ void Encoder::encode_pending_(std::vector<u8>* out, bool as_b,
   pending_ = PendingSrc();
   src16_ = ps.is16;
   pyr_override_ = true;
+  pic_qp_delta_ = (as_b || radl_only_cra) ? 1 : 0;
   cur_is_intra_pic_ = false;
   cur_is_idr_ = false;
   cur_is_b_ = as_b;
@@ -1024,7 +1033,7 @@ void Encoder::encode_pending_(std::vector<u8>* out, bool as_b,
     cur_refs_.l0[0] = ref_frame_.get();
     cur_refs_.poc0[0] = p + 1;
     cur_rps_.n_pos = 1;
-    cur_rps_.pos_delta = 1;
+    cur_rps_.pos_delta[0] = 1;
   } else if (as_b) {
     cur_refs_.n0 = 1;
     cur_refs_.l0[0] = bref_prev_.get();
@@ -1035,7 +1044,7 @@ void Encoder::encode_pending_(std::vector<u8>* out, bool as_b,
     cur_rps_.n_neg = 1;
     cur_rps_.neg_delta[0] = 1;
     cur_rps_.n_pos = 1;
-    cur_rps_.pos_delta = 1;
+    cur_rps_.pos_delta[0] = 1;
   } else {
     // trailing P at a GOP/stream boundary (no future reference exists)
     cur_refs_.n0 = 1;
@@ -1062,7 +1071,264 @@ void Encoder::encode_pending_(std::vector<u8>* out, bool as_b,
 std::vector<u8> Encoder::flush_reorder() {
   std::vector<u8> out;
   if (pending_.valid) encode_pending_(&out, /*as_b=*/false);
+  flush_chunk2_(&out);
   return out;
+}
+
+// ---------------------------------------------------------------------------
+// Two-level hierarchical-B pyramid (closed GOP).  Display positions within
+// a GOP: anchors at multiples of 4 (I/P referencing the previous anchor),
+// a mid B at anchor+2 referencing both anchors, and level-2 b pictures at
+// anchor+1/+3 referencing their nearest (anchor, mid) pair.  Decode order
+// A4 B2 b1 b3; POC = display order; max_num_reorder_pics = 2.  No
+// reference-encoder counterpart (its sop-structures are low-delay only).
+// ---------------------------------------------------------------------------
+void Encoder::stash_src_(PendingSrc& ps, int pos, int abs, const void* y,
+                         int sy, const void* cb, const void* cr, int sc) {
+  ps.valid = true;
+  ps.is16 = src16_;
+  ps.pos = pos;
+  ps.abs = abs;
+  ps.sy = sy;
+  ps.sc = sc;
+  const int h = cfg_.height, ch = sps_->chroma_array_type
+                                      ? cfg_.height / sps_->sub_height_c
+                                      : 0;
+  if (src16_) {
+    const u16* yp = (const u16*)y;
+    ps.y16.assign(yp, yp + (size_t)sy * h);
+    if (ch) {
+      const u16* c1 = (const u16*)cb;
+      const u16* c2 = (const u16*)cr;
+      ps.cb16.assign(c1, c1 + (size_t)sc * ch);
+      ps.cr16.assign(c2, c2 + (size_t)sc * ch);
+    }
+  } else {
+    const u8* yp = (const u8*)y;
+    ps.y8.assign(yp, yp + (size_t)sy * h);
+    if (ch) {
+      const u8* c1 = (const u8*)cb;
+      const u8* c2 = (const u8*)cr;
+      ps.cb8.assign(c1, c1 + (size_t)sc * ch);
+      ps.cr8.assign(c2, c2 + (size_t)sc * ch);
+    }
+  }
+}
+
+void Encoder::encode_src_(std::vector<u8>* out, const PendingSrc& ps) {
+  src16_ = ps.is16;
+  std::vector<u8> bits;
+  if (ps.is16)
+    bits = encode_frame_common(ps.y16.data(), ps.sy,
+                               ps.cb16.empty() ? nullptr : ps.cb16.data(),
+                               ps.cr16.empty() ? nullptr : ps.cr16.data(),
+                               ps.sc);
+  else
+    bits = encode_frame_common(ps.y8.data(), ps.sy,
+                               ps.cb8.empty() ? nullptr : ps.cb8.data(),
+                               ps.cr8.empty() ? nullptr : ps.cr8.data(),
+                               ps.sc);
+  out->insert(out->end(), bits.begin(), bits.end());
+  pyr_override_ = false;
+}
+
+void Encoder::encode_bpyramid2_(std::vector<u8>* out, const void* y,
+                                int stride_y, const void* cb, const void* cr,
+                                int stride_c) {
+  const u32 N = (u32)cfg_.intra_period;
+  const u32 d = display_count_++;
+  const int pos = (int)(d % N);
+  const int ph = pos % 4;
+
+  if (pos != 0 && ph != 0) {
+    stash_src_(pend3_[ph - 1], pos, (int)d, y, stride_y, cb, cr, stride_c);
+    return;
+  }
+
+  auto rotate_anchor = [&]() {
+    if (!bref_prev_) bref_prev_ = std::make_unique<Frame>();
+    std::swap(bref_prev_, ref_frame_);
+    if (!ref_frame_) ref_frame_ = std::make_unique<Frame>();
+    std::swap(ref_frame_, recon_);
+    if (!recon_) recon_ = std::make_unique<Frame>();
+  };
+
+  if (pos == 0) {
+    // tail of the previous GOP, then a fresh IDR (closed GOP)
+    flush_chunk2_(out);
+    pyr_override_ = true;
+    pic_qp_delta_ = 0;
+    cur_is_intra_pic_ = true;
+    cur_is_idr_ = true;
+    cur_is_b_ = false;
+    poc_ = 0;
+    cur_refs_ = PicRefs();
+    cur_rps_ = PicRps();
+    auto bits = encode_frame_common(y, stride_y, cb, cr, stride_c);
+    out->insert(out->end(), bits.begin(), bits.end());
+    pyr_override_ = false;
+    rotate_anchor();
+    return;
+  }
+
+  // anchor P (pos % 4 == 0): references the previous anchor
+  pyr_override_ = true;
+  pic_qp_delta_ = 0;
+  cur_is_intra_pic_ = false;
+  cur_is_idr_ = false;
+  cur_is_b_ = false;
+  poc_ = pos;
+  cur_refs_ = PicRefs();
+  cur_rps_ = PicRps();
+  cur_refs_.n0 = 1;
+  cur_refs_.l0[0] = ref_frame_.get();
+  cur_refs_.poc0[0] = pos - 4;
+  cur_rps_.n_neg = 1;
+  cur_rps_.neg_delta[0] = 4;
+  auto bits = encode_frame_common(y, stride_y, cb, cr, stride_c);
+  out->insert(out->end(), bits.begin(), bits.end());
+  pyr_override_ = false;
+  rotate_anchor();  // bref_prev_ = A0, ref_frame_ = A4
+  emit_chunk_bs_(out, pos);
+}
+
+void Encoder::emit_chunk_bs_(std::vector<u8>* out, int pos) {
+  PendingSrc p1 = std::move(pend3_[0]);
+  PendingSrc p2 = std::move(pend3_[1]);
+  PendingSrc p3 = std::move(pend3_[2]);
+  for (auto& p : pend3_) p = PendingSrc();
+
+  auto begin_b = [&](int poc, int qp_delta) {
+    pyr_override_ = true;
+    pic_qp_delta_ = qp_delta;
+    cur_is_intra_pic_ = false;
+    cur_is_idr_ = false;
+    cur_is_b_ = true;
+    poc_ = poc;
+    cur_refs_ = PicRefs();
+    cur_rps_ = PicRps();
+  };
+
+  if (p2.valid) {
+    // mid B: L0 = {A0}, L1 = {A4}
+    begin_b(pos - 2, 1);   // mid level: +1
+    cur_refs_.n0 = 1;
+    cur_refs_.l0[0] = bref_prev_.get();
+    cur_refs_.poc0[0] = pos - 4;
+    cur_refs_.n1 = 1;
+    cur_refs_.l1[0] = ref_frame_.get();
+    cur_refs_.poc1[0] = pos;
+    cur_rps_.n_neg = 1;
+    cur_rps_.neg_delta[0] = 2;
+    cur_rps_.n_pos = 1;
+    cur_rps_.pos_delta[0] = 2;
+    encode_src_(out, p2);
+    if (!bmid_) bmid_ = std::make_unique<Frame>();
+    std::swap(bmid_, recon_);
+    if (!recon_) recon_ = std::make_unique<Frame>();
+  }
+  if (p1.valid) {
+    // level-2 b at anchor+1: L0 = {A0}, L1 = {B2}; A4 rides the RPS as
+    // a foll entry so it survives for b3
+    begin_b(pos - 3, 2);   // leaf level: +2
+    cur_refs_.n0 = 1;
+    cur_refs_.l0[0] = bref_prev_.get();
+    cur_refs_.poc0[0] = pos - 4;
+    cur_refs_.n1 = 1;
+    cur_refs_.l1[0] = bmid_.get();
+    cur_refs_.poc1[0] = pos - 2;
+    cur_rps_.n_neg = 1;
+    cur_rps_.neg_delta[0] = 1;
+    cur_rps_.n_pos = 2;
+    cur_rps_.pos_delta[0] = 1;
+    cur_rps_.pos_delta[1] = 3;
+    cur_rps_.pos_used[1] = false;
+    encode_src_(out, p1);
+  }
+  if (p3.valid) {
+    // level-2 b at anchor+3: L0 = {B2}, L1 = {A4}
+    begin_b(pos - 1, 2);   // leaf level: +2
+    cur_refs_.n0 = 1;
+    cur_refs_.l0[0] = bmid_.get();
+    cur_refs_.poc0[0] = pos - 2;
+    cur_refs_.n1 = 1;
+    cur_refs_.l1[0] = ref_frame_.get();
+    cur_refs_.poc1[0] = pos;
+    cur_rps_.n_neg = 1;
+    cur_rps_.neg_delta[0] = 1;
+    cur_rps_.n_pos = 1;
+    cur_rps_.pos_delta[0] = 1;
+    encode_src_(out, p3);
+  }
+}
+
+void Encoder::flush_chunk2_(std::vector<u8>* out) {
+  // partial-chunk tail (GOP end or stream flush): no future anchor exists
+  PendingSrc p1 = std::move(pend3_[0]);
+  PendingSrc p2 = std::move(pend3_[1]);
+  PendingSrc p3 = std::move(pend3_[2]);
+  for (auto& p : pend3_) p = PendingSrc();
+  if (!p1.valid && !p2.valid && !p3.valid) return;
+
+  auto begin = [&](bool is_b, int poc, int qp_delta) {
+    pyr_override_ = true;
+    pic_qp_delta_ = qp_delta;
+    cur_is_intra_pic_ = false;
+    cur_is_idr_ = false;
+    cur_is_b_ = is_b;
+    poc_ = poc;
+    cur_refs_ = PicRefs();
+    cur_rps_ = PicRps();
+  };
+
+  if (p2.valid) {
+    // trailing mid as P (ref = last anchor, delta 2)
+    begin(false, p2.pos, 1);
+    cur_refs_.n0 = 1;
+    cur_refs_.l0[0] = ref_frame_.get();
+    cur_refs_.poc0[0] = p2.pos - 2;
+    cur_rps_.n_neg = 1;
+    cur_rps_.neg_delta[0] = 2;
+    encode_src_(out, p2);
+    if (!bmid_) bmid_ = std::make_unique<Frame>();
+    std::swap(bmid_, recon_);
+    if (!recon_) recon_ = std::make_unique<Frame>();
+  }
+  if (p1.valid) {
+    if (p2.valid) {
+      // b between the anchor and the trailing mid; keep the mid alive
+      begin(true, p1.pos, 2);
+      cur_refs_.n0 = 1;
+      cur_refs_.l0[0] = ref_frame_.get();
+      cur_refs_.poc0[0] = p1.pos - 1;
+      cur_refs_.n1 = 1;
+      cur_refs_.l1[0] = bmid_.get();
+      cur_refs_.poc1[0] = p1.pos + 1;
+      cur_rps_.n_neg = 1;
+      cur_rps_.neg_delta[0] = 1;
+      cur_rps_.n_pos = 1;
+      cur_rps_.pos_delta[0] = 1;
+    } else {
+      // lone pending: trailing P off the last anchor
+      begin(false, p1.pos, 1);
+      cur_refs_.n0 = 1;
+      cur_refs_.l0[0] = ref_frame_.get();
+      cur_refs_.poc0[0] = p1.pos - 1;
+      cur_rps_.n_neg = 1;
+      cur_rps_.neg_delta[0] = 1;
+    }
+    encode_src_(out, p1);
+  }
+  if (p3.valid) {
+    // trailing P off the mid
+    begin(false, p3.pos, 2);
+    cur_refs_.n0 = 1;
+    cur_refs_.l0[0] = bmid_.get();
+    cur_refs_.poc0[0] = p3.pos - 1;
+    cur_rps_.n_neg = 1;
+    cur_rps_.neg_delta[0] = 1;
+    encode_src_(out, p3);
+  }
 }
 
 int Encoder::derive_qp_pred_enc(int x_qg, int y_qg) const {
@@ -1137,9 +1403,9 @@ void Encoder::encode_ctb(int ctb_x, int ctb_y) {
     // log-variance mapping into [-aq_range, +aq_range]
     int adj = 0;
     while (var > (i64)64 << (2 * adj) && adj < cfg_.aq_range) adj++;
-    cur_qp_ = clip3(1, 51, cfg_.qp + adj - cfg_.aq_range / 2);
+    cur_qp_ = clip3(1, 51, pic_qp() + adj - cfg_.aq_range / 2);
   } else {
-    cur_qp_ = cfg_.qp;
+    cur_qp_ = pic_qp();
   }
   if (cfg_.split_algo == EncoderConfig::SplitAlgo::kRd)
     rd_encode_cq(x0, y0, sps_->log2_ctb_size, 0);

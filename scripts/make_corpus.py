@@ -164,6 +164,11 @@ MATRIX = {
                                        "open-gop": True,
                                        "radl": True},
                                frames=10), "exact"),
+    # two-level hierarchical pyramid: anchors every 4, mid B, leaf bs
+    # (decode order A4 B2 b1 b3, reorder depth 2, per-level QP offsets)
+    "b_pyramid2": (dict(params={"intra-period": 8, "b-pyramid": True,
+                                "pyramid-levels": 2},
+                        bools=["tmvp"], frames=13), "exact"),
     # --- cross-feature stress (rounds out the conformance breadth) ---
     "main10_tiles_wpp": (dict(depth=10, params={"tile-cols": 2,
                                                 "intra-period": 4}),
