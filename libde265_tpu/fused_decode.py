@@ -1643,7 +1643,13 @@ class FusedDecoder:
             "fuse_store": bool(self.use_pallas_mc),
             "has_ccp": self._has_ccp,
             "has_rdpcm": self._has_rdpcm,
-            "pallas_intra": bool(self.use_pallas_mc),
+            # DMA border gather/block scatter: the current kernels use
+            # 1-row/1-lane DMA windows at arbitrary offsets, which this
+            # Mosaic rejects ("slice must be aligned to tiling (8)") —
+            # off until the windows are tile-aligned (TDE_PALLAS_INTRA=1
+            # to re-enable for kernel work)
+            "pallas_intra": bool(self.use_pallas_mc) and
+            bool(os.environ.get("TDE_PALLAS_INTRA")),
             "pallas_coef": bool(self.use_pallas_mc) and
             not self._no_pallas_coef,
             "ccaps": tuple(max(self.caps.get(f"cc{lg}", 1), 1)

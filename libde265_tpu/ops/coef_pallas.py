@@ -60,17 +60,19 @@ def _densify_kernel(rowstart, starts, cnts, cv_hbm, out, chunk, sem, *,
         dma((g + 1) % 2, g + 1).start()
 
     dma(g % 2, g).wait()
-    cvb = chunk[g % 2]  # [Lr, 128] int32 words
+    slot = g % 2
     base = rowstart[g] * 128
 
     # per-TU word windows at dynamic sublane offsets (starts are in
-    # ENTRY units; words = entries/2, runs are even-padded)
+    # ENTRY units; words = entries/2, runs are even-padded).  Windows are
+    # dynamic-start sublane reads of the VMEM scratch ref (loading the
+    # whole chunk and dynamic_slice-ing the value does not lower on TPU).
     wins, ls, cs = [], [], []
     for i in range(G):
-        e = (starts[0, i] >> 1) - base
-        wins.append(jax.lax.dynamic_slice(cvb, (e // 128, 0), (Rw, 128)))
+        e = (starts[0, 0, i] >> 1) - base
+        wins.append(chunk[slot, pl.ds(e // 128, Rw), :])
         ls.append(e % 128)
-        cs.append(cnts[0, i])
+        cs.append(cnts[0, 0, i])
     w = jnp.stack(wins)  # [G, Rw, 128]
 
     # lane-align each window: left-rotate row r by l_i (binary rolls)
@@ -97,7 +99,9 @@ def _densify_kernel(rowstart, starts, cnts, cv_hbm, out, chunk, sem, *,
     # word index within the TU; entry validity per halfword
     widx = jax.lax.broadcasted_iota(jnp.int32, (G, Rw - 1, 128), 1) * 128 + \
         lane
-    iy = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
+    # sublane iota (1, S, 1): one-hot rows live on sublanes, entries on
+    # lanes, so the matmul contracts the natural 128-lane dim
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
     acc = None
     for h in (0, 1):
         ent = (words >> (16 * h)) & 0xFFFF
@@ -108,14 +112,20 @@ def _densify_kernel(rowstart, starts, cnts, cv_hbm, out, chunk, sem, *,
         fy = jnp.where(valid, p10 // S, -1)
         fx = p10 & (S - 1)
         # MXU densify: positions unique per TU -> at most one nonzero
-        # term per output, f32 exact
-        my = (fy[..., None] == iy).astype(jnp.float32)
-        mxv = (fx[..., None] == iy).astype(jnp.float32) * \
-            val[..., None].astype(jnp.float32)
-        d = jax.lax.dot_general(
-            my, mxv, (((1, 2), (1, 2)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        acc = d if acc is None else acc + d
+        # term per output, f32 exact.  One batched matmul per window row
+        # (Mosaic wants a single contracting dim; int-index + trailing
+        # None lowers as an unsupported gather, hence slice_in_dim).
+        for r in range(Rw - 1):
+            fyr = jax.lax.slice_in_dim(fy, r, r + 1, axis=1)   # [G,1,128]
+            fxr = jax.lax.slice_in_dim(fx, r, r + 1, axis=1)
+            vr = jax.lax.slice_in_dim(val, r, r + 1, axis=1)
+            my = (fyr == iy).astype(jnp.float32)               # [G,S,128]
+            mxv = (fxr == iy).astype(jnp.float32) * \
+                vr.astype(jnp.float32)
+            d = jax.lax.dot_general(
+                my, mxv, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
     out[...] = acc.astype(jnp.int32)
 
 
@@ -145,10 +155,13 @@ def densify_bin(cv, coff, *, N: int, S: int, CAP: int,
 
     coff = jnp.pad(coff, (0, Np + 1 - coff.shape[0]),
                    mode="edge") if coff.shape[0] < Np + 1 else coff
-    starts = coff[:Np].reshape(ngroups, G)
-    ends = coff[1:Np + 1].reshape(ngroups, G)
+    # SMEM blocks must keep their last two dims whole (TPU lowering rule;
+    # same pattern as mc_pallas): ship the per-group tables as
+    # [ngroups, 1, G] with (1, 1, G) blocks.
+    starts = coff[:Np].reshape(ngroups, 1, G)
+    ends = coff[1:Np + 1].reshape(ngroups, 1, G)
     cnts = jnp.minimum(ends - starts, CAP)
-    rowstart = (starts[:, 0] >> 1) // 128
+    rowstart = (starts[:, 0, 0] >> 1) // 128
 
     # slack so every group DMA window stays in-bounds
     crows = (cv.shape[0] + 127) // 128 + Lr + 1
@@ -162,9 +175,9 @@ def densify_bin(cv, coff, *, N: int, S: int, CAP: int,
             num_scalar_prefetch=1,
             grid=(ngroups,),
             in_specs=[
-                pl.BlockSpec((1, G), lambda g, rs: (g, 0),
+                pl.BlockSpec((1, 1, G), lambda g, rs: (g, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, G), lambda g, rs: (g, 0),
+                pl.BlockSpec((1, 1, G), lambda g, rs: (g, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
