@@ -38,6 +38,7 @@ Reference behavior being replaced: the per-PU/TU acceleration calls of
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1321,7 +1322,6 @@ class FusedDecoder:
         self.run_sao = run_sao
         # stage attribution for profiling: TDE_FUSED_SKIP=intra,mc,residual,
         # deblock,sao compiles a program with those sections elided
-        import os
         skip = set(filter(None, os.environ.get(
             "TDE_FUSED_SKIP", "").split(",")))
         self._skip = skip

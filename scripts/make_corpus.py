@@ -236,7 +236,10 @@ def build(outdir: pathlib.Path):
 
 
 if __name__ == "__main__":
-    out = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else
-                       "/tmp/tde_corpus")
+    arg = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tde_corpus"
+    if arg.startswith("-"):
+        sys.exit(f"make_corpus.py: output dir {arg!r} looks like an option; "
+                 "usage: make_corpus.py [OUTDIR]")
+    out = pathlib.Path(arg)
     m = build(out)
     print(f"{len(m)} streams -> {out}")
