@@ -308,21 +308,30 @@ def main():
     except Exception as e:  # noqa: BLE001
         extras["tpu_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # --- TPU end-to-end on self-encoded 1080p / 4K (budget permitting) ---
-    for tag, mk, min_budget, passes in (("1080p", _encode_1080p, 600, 3),
-                                        ("4k", _encode_4k, 500, 2)):
-        if _left() < min_budget:
-            continue
+    # --- self-encoded 1080p / 4K: host numbers FIRST (cheap, independent
+    # claims — a device crash must never drop the host-vs-SSE comparison),
+    # then the TPU end-to-end phase budget permitting ---
+    for tag, mk, n_frames, min_budget, passes in (
+            ("1080p", _encode_1080p, 12, 600, 3),
+            ("4k", _encode_4k, 6, 500, 2)):
         try:
             strm = mk(build)
             if not strm:
+                continue
+            hf = bench_host_decode(build, strm, n_frames)
+            if hf:
+                extras[f"host_fps_{tag}"] = round(hf, 2)
+            if ref_bin:
+                rf = bench_host_decode(build, strm, n_frames, binary=ref_bin)
+                if rf:
+                    extras[f"ref_sse_fps_{tag}"] = round(rf, 2)
+            if _left() < min_budget:
                 continue
             r, why = _device_phase_subprocess(strm, passes,
                                               min(_left() - 60, 900))
             if not r and why:
                 extras[f"tpu_{tag}_error"] = why[:200]
             if r:
-                n = r["n"]
                 key = "e2e" if "e2e" in r else "device"
                 extras[f"tpu_e2e_fps_{tag}"] = round(r[key]["median"], 2)
                 extras[f"tpu_device_fps_{tag}"] = round(
@@ -331,12 +340,6 @@ def main():
                     r["upload_mb_frame"], 3)
                 extras[f"tpu_wire_mb_frame_{tag}"] = round(
                     r["wire_mb_frame"], 3)
-                extras[f"host_fps_{tag}"] = bench_host_decode(
-                    build, strm, n) or 0
-                if ref_bin:
-                    rf = bench_host_decode(build, strm, n, binary=ref_bin)
-                    if rf:
-                        extras[f"ref_sse_fps_{tag}"] = round(rf, 1)
         except Exception as e:  # noqa: BLE001
             extras[f"tpu_{tag}_error"] = f"{type(e).__name__}: {e}"[:200]
 
