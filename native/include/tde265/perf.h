@@ -62,6 +62,14 @@ class Scope {
   std::chrono::steady_clock::time_point t0_;
 };
 
+// --- PC sampling profiler (TDE_PROF=out.txt): SIGPROF at ~1 kHz records
+// the interrupted program counter; teardown dumps "module+offset count"
+// lines for offline addr2line aggregation (scripts/profile_lines.py).
+// This box has no perf(1); this is the line-level profiler for the hot
+// CABAC/syntax loops. ---
+void prof_start();
+void prof_report();
+
 inline void report() {
   if (!enabled()) return;
   uint64_t total = 0;

@@ -23,12 +23,14 @@ constexpr int kDpbPoolSize = 32;
 Decoder::Decoder() {
   for (int i = 0; i < kDpbPoolSize; i++)
     dpb_.push_back(std::make_unique<Frame>());
+  perf::prof_start();
 }
 
 Decoder::~Decoder() {
   if (pipelined_) pipeline_.drain();
   pipeline_.stop();
   perf::report();
+  perf::prof_report();
 }
 
 void Decoder::reset() {
