@@ -89,15 +89,25 @@ struct ContextTable {
 extern bool g_bin_trace;
 void bin_trace(const char* kind, int bin, const void* ctx);
 
+// Engine state layout: one 64-bit register `ov_` fuses the 9-bit arithmetic
+// offset with up to 55 bits of bitstream lookahead below it:
+//   ov_ = offset * 2^navail_ + (next navail_ bits of the stream)
+// Renormalization then consumes lookahead bits by *decrementing navail_* —
+// no cache shuffling on the per-bin path; `refill()` tops the register up
+// from the byte stream only every ~5 renorms.  All invariants keep ov_
+// within 64 bits: offset < range_ <= 510 (9 bits) and navail_ <= 55, and
+// every public op enters with navail_ >= 16 (refill() restores this), so a
+// 16-bit bypass batch or coeff_remaining window never underflows.
 class CabacDecoder {
  public:
   void init(const u8* data, size_t len) {
     p_ = data;
     end_ = data + len;
-    cache_ = 0;
-    ncache_ = 0;
+    ov_ = 0;
+    navail_ = 0;
     range_ = 510;
-    offset_ = read_bits(9);
+    refill();       // navail_ in [48,55] (zero-fed past end on tiny inputs)
+    navail_ -= 9;   // top 9 bits become the arithmetic offset
   }
 
   // Spec 9.3.4.3.2 DecodeDecision.  The MPS/LPS selection is branchless
@@ -110,30 +120,37 @@ class CabacDecoder {
     u32 sm = m->sm;
     u32 lps = kCabacRangeTabLps[sm >> 1][q];
     u32 rmps = range_ - lps;
-    u32 is_lps = (u32)(-(i32)(offset_ >= rmps));  // all-ones on the LPS path
+    // rmps <= 510 and navail_ <= 55 so rmps << navail_ < 2^64.
+    u64 big = (u64)rmps << navail_;
+    u64 is_lps64 = (u64)(-(i64)(ov_ >= big));  // all-ones on the LPS path
+    u32 is_lps = (u32)is_lps64;
     int bin = (int)((sm ^ is_lps) & 1);
-    offset_ -= rmps & is_lps;
+    ov_ -= big & is_lps64;
     range_ = rmps ^ ((rmps ^ lps) & is_lps);
     m->sm = kCabacNextSm[(is_lps & 128) | sm];
-    // RenormD, all shifts at once: range_ is in [2,255] when renorm is needed.
+    // RenormD, all shifts at once: range_ is in [2,255] when renorm is
+    // needed, and "shifting the offset left" is just consuming lookahead.
     if (range_ < 256) {
       int n = 8 - ilog2_of(range_);
       range_ <<= n;
-      offset_ = (offset_ << n) | read_bits(n);
+      navail_ -= n;
+      if (navail_ < 16) refill();
     }
-    if (g_bin_trace) bin_trace("ctx", bin, m);
+    if (__builtin_expect(g_bin_trace, 0)) bin_trace("ctx", bin, m);
     return bin;
   }
 
   // Spec 9.3.4.3.4 DecodeBypass.
   inline int decode_bypass() {
-    offset_ = (offset_ << 1) | read_bits(1);
+    navail_ -= 1;
+    u64 big = (u64)range_ << navail_;
     int b = 0;
-    if (offset_ >= range_) {
-      offset_ -= range_;
+    if (ov_ >= big) {
+      ov_ -= big;
       b = 1;
     }
-    if (g_bin_trace) bin_trace("byp", b, nullptr);
+    if (navail_ < 16) refill();
+    if (__builtin_expect(g_bin_trace, 0)) bin_trace("byp", b, nullptr);
     return b;
   }
 
@@ -145,11 +162,13 @@ class CabacDecoder {
   inline u32 decode_bypass_bits(int n) {
     u32 v = 0;
     while (n > 0) {
-      int k = min_i(n, 16);
-      offset_ = (offset_ << k) | read_bits(k);
-      u32 bits = offset_ / range_;
-      offset_ -= bits * range_;
-      if (g_bin_trace)
+      int k = min_i(n, 16);  // navail_ >= 16 on op entry, so k fits
+      navail_ -= k;
+      u32 off = (u32)(ov_ >> navail_);  // offset<<k | k fresh bits, < 2^25
+      u32 bits = off / range_;
+      ov_ -= (u64)(bits * range_) << navail_;
+      if (navail_ < 16) refill();
+      if (__builtin_expect(g_bin_trace, 0))
         for (int i = k - 1; i >= 0; i--) bin_trace("byp", (bits >> i) & 1, nullptr);
       v = (v << k) | bits;
       n -= k;
@@ -162,13 +181,14 @@ class CabacDecoder {
   // offset/range fraction, so SIXTEEN of them are one integer division;
   // the whole prefix+terminator+suffix decodes from that lookahead in
   // the common case (the bit-serial prefix loop is a data-dependent
-  // branch per bin — inherently mispredicted).  Unconsumed bins are
-  // pushed back exactly (nested-floor identity: the quotient of the
-  // truncated window equals the truncated quotient).  Returns -1 on a
-  // corrupt >32-bit prefix.
+  // branch per bin — inherently mispredicted).  With the fused
+  // offset+lookahead register this is a pure peek: the window is read
+  // without consuming, and only the j bins actually used are consumed
+  // (nested-floor identity: the quotient of the truncated window equals
+  // the truncated quotient).  Returns -1 on a corrupt >32-bit prefix.
   inline i32 decode_coeff_remaining(int rice) {
-    if (g_bin_trace) return decode_coeff_remaining_slow(rice);
-    u32 v = (offset_ << 16) | read_bits(16);
+    if (__builtin_expect(g_bin_trace, 0)) return decode_coeff_remaining_slow(rice);
+    u32 v = (u32)(ov_ >> (navail_ - 16));  // offset<<16 | 16-bit peek, < 2^25
     u32 q = v / range_;
     int prefix = __builtin_clz(~(q << 16));  // leading ones, <= 16
     int j;
@@ -183,12 +203,13 @@ class CabacDecoder {
       u32 suf = (q >> (16 - j)) & ((1u << nb) - 1);
       rem = (i32)((((1u << (prefix - 3)) + 2u) << rice) + suf);
     } else {
-      // rare long prefix: push the whole window back, go bit-serial
-      unread_bits(16, v & 0xFFFF);
+      // rare long prefix: nothing was consumed, go bit-serial
       return decode_coeff_remaining_slow(rice);
     }
-    offset_ = (v >> (16 - j)) - (q >> (16 - j)) * range_;
-    unread_bits(16 - j, v & ((1u << (16 - j)) - 1));
+    u32 offj = (v >> (16 - j)) - (q >> (16 - j)) * range_;
+    navail_ -= j;
+    ov_ = ((u64)offj << navail_) | (ov_ & (((u64)1 << navail_) - 1));
+    if (navail_ < 16) refill();
     return rem;
   }
 
@@ -207,11 +228,14 @@ class CabacDecoder {
   // Spec 9.3.4.3.5 DecodeTerminate.
   inline int decode_terminate() {
     range_ -= 2;
-    if (g_bin_trace) bin_trace("trm", offset_ >= range_, nullptr);
-    if (offset_ >= range_) return 1;
-    while (range_ < 256) {
-      range_ <<= 1;
-      offset_ = (offset_ << 1) | read_bits(1);
+    u64 big = (u64)range_ << navail_;
+    if (__builtin_expect(g_bin_trace, 0)) bin_trace("trm", ov_ >= big, nullptr);
+    if (ov_ >= big) return 1;
+    if (range_ < 256) {
+      int n = 8 - ilog2_of(range_);
+      range_ <<= n;
+      navail_ -= n;
+      if (navail_ < 16) refill();
     }
     return 0;
   }
@@ -235,53 +259,41 @@ class CabacDecoder {
   const u8* current_byte() const { return p_; }
   // First byte not consumed by the arithmetic engine (= ceil of the consumed
   // bit position).  This is where PCM sample data begins (spec 9.3.1
-  // re-initialization point after pcm_flag).
-  const u8* pcm_ptr() const { return p_ - (ncache_ >> 3); }
+  // re-initialization point after pcm_flag).  navail_ lookahead bits are
+  // unconsumed, so the consumed position is navail_ bits behind p_.
+  const u8* pcm_ptr() const { return p_ - (navail_ >> 3); }
 
  private:
   static inline int ilog2_of(u32 v) {
     return 31 - __builtin_clz(v);
   }
-  inline u32 read_bits(int n) {
-    if (ncache_ < n) {
-      if (end_ - p_ >= 8) {
-        // bulk refill: one 64-bit byte-swapped load tops the cache up with
-        // every whole byte that fits (vs the byte-at-a-time tail loop)
-        u64 b;
-        memcpy(&b, p_, 8);
-        b = __builtin_bswap64(b);
-        int k = (63 - ncache_) >> 3;  // bytes inserted
-        b &= ~0ull << (64 - 8 * k);
-        cache_ |= b >> ncache_;
-        ncache_ += 8 * k;
-        p_ += k;
-      } else {
-        while (ncache_ <= 56) {
-          u64 b = (p_ < end_) ? *p_++ : 0;  // feed zeros past the end
-          cache_ |= b << (56 - ncache_);
-          ncache_ += 8;
-        }
+  // Top the lookahead up to navail_ in [48,55] (whole bytes only; feeds
+  // zeros past the end like the spec's infinite-zero tail).  Called only
+  // when navail_ dropped below 16 — roughly every 4-5 renorms.
+  inline void refill() {
+    if (end_ - p_ >= 8) {
+      // one 64-bit byte-swapped load supplies all inserted bytes
+      u64 b;
+      memcpy(&b, p_, 8);
+      b = __builtin_bswap64(b);
+      int k = (55 - navail_) >> 3;  // bytes inserted, navail_ stays <= 55
+      ov_ = (ov_ << (8 * k)) | (b >> (64 - 8 * k));
+      navail_ += 8 * k;
+      p_ += k;
+    } else {
+      while (navail_ <= 47) {
+        u64 b = (p_ < end_) ? *p_++ : 0;  // feed zeros past the end
+        ov_ = (ov_ << 8) | b;
+        navail_ += 8;
       }
     }
-    u32 v = (u32)(cache_ >> (64 - n));
-    cache_ <<= n;
-    ncache_ -= n;
-    return v;
-  }
-
-  // Push back the last n bits read (values in the low n of `bits`).
-  inline void unread_bits(int n, u32 bits) {
-    if (!n) return;
-    cache_ = (cache_ >> n) | ((u64)bits << (64 - n));
-    ncache_ += n;
   }
 
   const u8* p_ = nullptr;
   const u8* end_ = nullptr;
-  u64 cache_ = 0;
-  int ncache_ = 0;
+  u64 ov_ = 0;      // offset * 2^navail_ + lookahead bits
+  int navail_ = 0;  // lookahead bits held below the offset, in [16,55]
   u32 range_ = 510;
-  u32 offset_ = 0;
 };
 
 }  // namespace tde265
