@@ -83,6 +83,12 @@ struct Frame {
   std::vector<i32> slice_addr_rs;      // SliceAddrRs of CTB (-1 = not decoded)
   std::vector<u16> slice_idx;          // index into the picture's slice list
 
+  // Availability fast path: true while the frame is single-tile and the
+  // slice currently being parsed is the one starting at CTB 0 — then
+  // z_available() reduces to a raster + Morton compare with no table loads.
+  // Set at slice-parse start, cleared when a later slice begins.
+  bool fast_avail = false;
+
   // --- picture-level state ---
   i32 poc = 0;
   i32 poc_lsb = 0;

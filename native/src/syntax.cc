@@ -95,6 +95,25 @@ const u16* scan_order_inv(int log2_size, int scan_idx) {
 bool z_available(const Frame& f, int x_curr, int y_curr, int xn, int yn) {
   if (xn < 0 || yn < 0 || xn >= f.width || yn >= f.height) return false;
   const Sps& sps = *f.sps;
+  if (f.fast_avail) {
+    // Single tile, first slice: availability is pure z-scan order — CTB
+    // raster position first, Morton order within the CTB.  Replaces two
+    // lookups into the ~0.5 MB min_tb_addr_zs table (cache misses at 1080p+)
+    // with a 16-byte LUT interleave.
+    int ctb_c =
+        (y_curr >> sps.log2_ctb_size) * f.ctb_w + (x_curr >> sps.log2_ctb_size);
+    int ctb_n = (yn >> sps.log2_ctb_size) * f.ctb_w + (xn >> sps.log2_ctb_size);
+    if (ctb_n != ctb_c) return ctb_n < ctb_c;
+    static const u8 kSpread[16] = {0,  1,  4,  5,  16, 17, 20, 21,
+                                   64, 65, 68, 69, 80, 81, 84, 85};
+    int shmin = sps.log2_min_tb_size;
+    u32 mask = (1u << (sps.log2_ctb_size - shmin)) - 1;
+    u32 mc = kSpread[((u32)x_curr >> shmin) & mask] |
+             (kSpread[((u32)y_curr >> shmin) & mask] << 1);
+    u32 mn = kSpread[((u32)xn >> shmin) & mask] |
+             (kSpread[((u32)yn >> shmin) & mask] << 1);
+    return mn <= mc;
+  }
   const Pps& pps = *f.pps;
   int ctb_c = (y_curr >> sps.log2_ctb_size) * f.ctb_w + (x_curr >> sps.log2_ctb_size);
   int ctb_n = (yn >> sps.log2_ctb_size) * f.ctb_w + (xn >> sps.log2_ctb_size);
@@ -118,6 +137,9 @@ SliceParser::SliceParser(Decoder* dec, FrameProgram* prog, Frame* frame,
     : dec_(dec), prog_(prog), frame_(frame), sh_(std::move(sh)) {
   pps_ = sh_->pps.get();
   sps_ = pps_->sps.get();
+  // single-tile + slice starting at CTB 0: z_available() fast path holds
+  // for every CTB this slice decodes; a later slice clears it.
+  frame_->fast_avail = !pps_->tiles_enabled && sh_->slice_addr_rs == 0;
 }
 
 bool SliceParser::available_zscan(int x_curr, int y_curr, int xn, int yn) const {

@@ -551,6 +551,54 @@ static void add_residual_t(pixel_t* dst, int stride, const i32* residual,
           (pixel_t)clip_bd(dst[y * stride + x] + residual[y * nT + x], bd);
 }
 
+#if defined(__AVX2__)
+// 8-bit specialization: 8 pixels per step, widen u8->i32, add, and the
+// packs/packus pair IS the clip to [0,255].  nT=4 folds two rows into one
+// step (the residual rows are contiguous).
+template <>
+void add_residual_t<u8>(u8* dst, int stride, const i32* residual, int nT,
+                        int bd) {
+  if (bd != 8) {  // unusual: 8-bit frame buffer with bd<8 declared
+    for (int y = 0; y < nT; y++)
+      for (int x = 0; x < nT; x++)
+        dst[y * stride + x] =
+            (u8)clip_bd(dst[y * stride + x] + residual[y * nT + x], bd);
+    return;
+  }
+  if (nT == 4) {
+    for (int y = 0; y < 4; y += 2) {
+      __m256i r = _mm256_loadu_si256((const __m256i*)(residual + y * 4));
+      u32 p0, p1;
+      memcpy(&p0, dst + y * stride, 4);
+      memcpy(&p1, dst + (y + 1) * stride, 4);
+      __m128i p8 = _mm_insert_epi32(_mm_cvtsi32_si128((int)p0), (int)p1, 1);
+      __m256i s = _mm256_add_epi32(_mm256_cvtepu8_epi32(p8), r);
+      __m128i w = _mm_packs_epi32(_mm256_castsi256_si128(s),
+                                  _mm256_extracti128_si256(s, 1));
+      __m128i b = _mm_packus_epi16(w, w);
+      u32 q0 = (u32)_mm_cvtsi128_si32(b);
+      u32 q1 = (u32)_mm_extract_epi32(b, 1);
+      memcpy(dst + y * stride, &q0, 4);
+      memcpy(dst + (y + 1) * stride, &q1, 4);
+    }
+    return;
+  }
+  for (int y = 0; y < nT; y++) {
+    const i32* rr = residual + y * nT;
+    u8* dd = dst + y * stride;
+    for (int x = 0; x < nT; x += 8) {
+      __m256i r = _mm256_loadu_si256((const __m256i*)(rr + x));
+      __m128i p8 = _mm_loadl_epi64((const __m128i*)(dd + x));
+      __m256i s = _mm256_add_epi32(_mm256_cvtepu8_epi32(p8), r);
+      __m128i w = _mm_packs_epi32(_mm256_castsi256_si128(s),
+                                  _mm256_extracti128_si256(s, 1));
+      __m128i b = _mm_packus_epi16(w, w);
+      _mm_storel_epi64((__m128i*)(dd + x), b);
+    }
+  }
+}
+#endif
+
 void execute_tu_scalar(const FrameProgram& prog, const TuRec& tu,
                        i32* luma_residual_cache) {
   Frame& frame = *prog.frame;
