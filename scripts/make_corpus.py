@@ -196,7 +196,105 @@ MATRIX = {
                                bools=["sao"]), "exact"),
     "tiny_64x64": (dict(W=64, H=64, params={"intra-period": 3},
                         frames=5), "exact"),
+    # --- limit / extreme-geometry stress (VERDICT r3 ask #7) ---
+    "ctb16": (dict(params={"ctb-size": 16, "intra-period": 4}), "exact"),
+    "ctb64_mincb8": (dict(params={"ctb-size": 64, "intra-period": 4},
+                          W=192, H=128), "exact"),
+    "wide_strip_1024x64": (dict(W=1024, H=64,
+                                params={"intra-period": 4}, frames=4),
+                           "exact"),
+    "tall_strip_64x512": (dict(W=64, H=512,
+                               params={"intra-period": 4}, frames=4),
+                          "exact"),
+    # picture size not a CTB multiple: conformance-window cropping paths
+    "conf_window_104x72": (dict(W=104, H=72, params={"ctb-size": 64,
+                                                     "intra-period": 4}),
+                           "exact"),
+    "qp51_max": (dict(qp=51, params={"intra-period": 4}, bools=["sao"]),
+                 "exact"),
+    # QP 0: dequant factors overflow the int32 fast path (int64 route)
+    "qp0_dequant_overflow": (dict(qp=0, frames=3), "exact"),
+    "main10_444": (dict(depth=10, chroma="444",
+                        params={"intra-period": 4}), "exact"),
+    "main10_422_scaling": (dict(depth=10, chroma="422",
+                                bools=["scaling-lists"]), "exact"),
+    "mono_400": (dict(chroma="400", params={"intra-period": 4}), "exact"),
+    "wpp_pyramid2": (dict(params={"intra-period": 8, "b-pyramid": True,
+                                  "pyramid-levels": 2},
+                          bools=["wpp", "tmvp"], H=128, frames=9),
+                     "exact"),
+    "tiles_3x3_uneven": (dict(params={"tile-cols": 3, "tile-rows": 3,
+                                      "intra-period": 4},
+                              W=160, H=160), "exact"),
+    "big_motion_me64": (dict(params={"intra-period": 12, "me-range": 64},
+                             bools=["amp", "rect-parts"],
+                             W=192, H=128, frames=12), "exact"),
+    "ltref_weighted_pyr2": (dict(params={"intra-period": 8,
+                                         "b-pyramid": True,
+                                         "pyramid-levels": 2},
+                                 bools=["lt-ref", "weighted-pred", "tmvp"],
+                                 frames=9), "exact"),
+    "tiles_8x1_onectb": (dict(params={"tile-cols": 8, "ctb-size": 32,
+                                      "intra-period": 4}, W=256, H=64),
+                         "exact"),
 }
+
+
+def _mutants(outdir, manifest, bases, per_base=3, tries=40):
+    """Fuzz-mutated *valid* streams: seeded byte flips inside slice-NAL
+    payloads, kept only when BOTH decoders (ours + the reference, when
+    present) exit cleanly.  Counterpart of the reference fuzz corpus idea
+    (/root/reference/fuzzing/stream_fuzzer.cc) but differential: the sweep
+    then enforces clean decode on both sides forever.
+    """
+    import subprocess
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    ours = repo / "build" / "tdec265"
+    ref = pathlib.Path("/tmp/refbuild/dec265/dec265")
+    if not ours.exists():
+        print("mutants: build/tdec265 missing, skipping", file=sys.stderr)
+        return
+
+    def clean(binary, path):
+        try:
+            r = subprocess.run([str(binary), "-q", str(path)],
+                               capture_output=True, timeout=60)
+            return r.returncode == 0
+        except (subprocess.TimeoutExpired, OSError):
+            return False
+
+    rng = np.random.default_rng(20260818)
+    tmp = outdir / "_mut_candidate.h265"
+    for base in bases:
+        data = (outdir / f"{base}.h265").read_bytes()
+        offs = _nal_offsets(data)
+        slice_spans = []
+        for k, off in enumerate(offs):
+            if (data[off] >> 1) & 0x3F <= 21:  # VCL NAL
+                end = offs[k + 1] - 3 if k + 1 < len(offs) else len(data)
+                if end - off > 24:
+                    slice_spans.append((off + 16, end))  # past the header
+        kept = 0
+        for _ in range(tries):
+            if kept >= per_base or not slice_spans:
+                break
+            buf = bytearray(data)
+            s, e = slice_spans[rng.integers(len(slice_spans))]
+            for _ in range(int(rng.integers(1, 4))):
+                pos = int(rng.integers(s, e))
+                buf[pos] ^= 1 << int(rng.integers(8))
+            tmp.write_bytes(bytes(buf))
+            if not clean(ours, tmp):
+                continue
+            if ref.exists() and not clean(ref, tmp):
+                continue
+            name = f"mut_{base}_{kept}"
+            (outdir / f"{name}.h265").write_bytes(bytes(buf))
+            manifest[name] = "nocrash"
+            kept += 1
+    if tmp.exists():
+        tmp.unlink()
 
 
 def build(outdir: pathlib.Path):
@@ -230,6 +328,10 @@ def build(outdir: pathlib.Path):
     emit("missing_ref", _drop_one_trail(gop), "nocrash")
     # truncation (mid-NAL end of stream)
     emit("truncated", gop[: int(len(gop) * 0.6)], "nocrash")
+
+    # fuzz-mutated valid streams (differential no-crash set)
+    _mutants(outdir, manifest,
+             ["gop_p", "wpp", "tiles_2x2", "b_pyramid2", "main10"])
 
     (outdir / "manifest.json").write_text(json.dumps(manifest, indent=1))
     return manifest
