@@ -132,6 +132,7 @@ def lib() -> ct.CDLL:
     L.de265_set_parameter_int.argtypes = [ct.c_void_p, ct.c_int, ct.c_int]
     L.de265_get_parameter_bool.argtypes = [ct.c_void_p, ct.c_int]
     L.de265_set_limit_TID.argtypes = [ct.c_void_p, ct.c_int]
+    L.de265_start_worker_threads.argtypes = [ct.c_void_p, ct.c_int]
     L.de265_get_highest_TID.argtypes = [ct.c_void_p]
     L.de265_get_version.restype = ct.c_char_p
 

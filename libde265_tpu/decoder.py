@@ -137,7 +137,7 @@ class Decoder:
 
     def __init__(self, check_hash: bool = False, keep_programs: bool = False,
                  disable_deblocking: bool = False, disable_sao: bool = False,
-                 parse_only: bool = False):
+                 parse_only: bool = False, threads: int = 0):
         self._lib = lib()
         self._ctx = self._lib.de265_new_decoder()
         if check_hash:
@@ -152,6 +152,11 @@ class Decoder:
             # host does syntax/CABAC only; pixels are reconstructed by an
             # external backend (tpu_decode.DeviceDecoder)
             self._lib.tde265_set_parse_only(self._ctx, 1)
+        if threads:
+            # with keep_programs/parse_only set above, this enables the
+            # parallel WPP-row / tile substream parse without starting the
+            # host pixel pipeline worker
+            self._lib.de265_start_worker_threads(self._ctx, threads)
 
     def __del__(self):
         if getattr(self, "_ctx", None):

@@ -53,6 +53,15 @@ class SliceParser {
   Err decode_tile_substream(const u8* data, size_t wstart, size_t wend,
                             int start_ts);
 
+  // one WPP CTB row parsed wavefront-parallel: row N trails row N-1 by two
+  // CTBs (spec availability) and inherits its CABAC context from the state
+  // saved after CTB 1 of the row above (spec 9.3.1).  Counterpart of the
+  // reference's thread_task_ctb_row (slice.cc:4732-4826), but the workers
+  // emit program fragments instead of reconstructing pixels.
+  struct WppSync;
+  Err decode_wpp_row(const u8* data, size_t wstart, size_t wend, int row,
+                     WppSync* sync);
+
   // Context tables carried across slice segments / CTB rows.
   struct ParseState {
     ContextTable ctx;
@@ -116,6 +125,10 @@ class SliceParser {
 
   // current substream management
   void start_substream(int substream_idx);
+
+  // append a worker-parsed program fragment (index/slot fixups) — shared by
+  // the parallel tile and WPP paths
+  void merge_fragment(FrameProgram& f);
 
   Decoder* dec_;
   FrameProgram* prog_;

@@ -1204,6 +1204,132 @@ bool SliceParser::decode_ctb(int ctb_x, int ctb_y) {
                          ctb_y << sps_->log2_ctb_size, sps_->log2_ctb_size, 0);
 }
 
+// Wavefront progress lattice for the parallel WPP parse: per-row completed
+// CTB counters (release/acquire ordered so a row's metadata-grid writes are
+// visible to the row below before its gate opens) plus the per-row CABAC
+// snapshots taken after CTB 1.  The analogue of the reference's per-CTB
+// de265_progress_lock (threads.h:49-68) without mutexes: parse rows are
+// milliseconds long, so waiters spin-yield.
+struct SliceParser::WppSync {
+  explicit WppSync(int rows)
+      : progress(new std::atomic<int>[rows]), state(rows) {
+    for (int r = 0; r < rows; r++) progress[r].store(0);
+  }
+  void post(int row, int n) {
+    progress[row].store(n, std::memory_order_release);
+  }
+  void wait(int row, int n) {
+    while (progress[row].load(std::memory_order_acquire) < n)
+      std::this_thread::yield();
+  }
+  std::unique_ptr<std::atomic<int>[]> progress;
+  std::vector<ParseState> state;  // [row]: ctx after CTB 1 of that row
+  std::atomic<bool> fail{false};
+};
+
+void SliceParser::merge_fragment(FrameProgram& f) {
+  const u32 tu0 = (u32)prog_->tus.size();
+  const u32 pu0 = (u32)prog_->pus.size();
+  const u32 in0 = (u32)prog_->intras.size();
+  const u32 pc0 = (u32)prog_->pcms.size();
+  const u32 co0 = (u32)prog_->coeff_val.size();
+  const u32 pd0 = (u32)prog_->pcm_data.size();
+  for (auto& t : f.tus) t.coeff_start += co0;
+  for (auto& pcm : f.pcms) pcm.data_start += pd0;
+  // remap fragment-local DPB slots into the merged reference list
+  std::vector<i8> remap(f.ref_frames.size());
+  for (size_t r = 0; r < f.ref_frames.size(); r++) {
+    int slot = -1;
+    for (size_t j = 0; j < prog_->ref_frames.size(); j++)
+      if (prog_->ref_frames[j] == f.ref_frames[r]) slot = (int)j;
+    if (slot < 0) {
+      prog_->ref_frames.push_back(f.ref_frames[r]);
+      slot = (int)prog_->ref_frames.size() - 1;
+    }
+    remap[r] = (i8)slot;
+  }
+  for (auto& pu : f.pus)
+    for (int l = 0; l < 2; l++)
+      if (pu.ref_dpb[l] >= 0) pu.ref_dpb[l] = remap[pu.ref_dpb[l]];
+  for (auto op : f.ops) {
+    switch (op.kind) {
+      case Op::kAddResidual: op.idx += tu0; break;
+      case Op::kInterPred: op.idx += pu0; break;
+      case Op::kIntraPred: op.idx += in0; break;
+      case Op::kPcm: op.idx += pc0; break;
+    }
+    prog_->ops.push_back(op);
+  }
+  prog_->tus.insert(prog_->tus.end(), f.tus.begin(), f.tus.end());
+  prog_->pus.insert(prog_->pus.end(), f.pus.begin(), f.pus.end());
+  prog_->intras.insert(prog_->intras.end(), f.intras.begin(), f.intras.end());
+  prog_->pcms.insert(prog_->pcms.end(), f.pcms.begin(), f.pcms.end());
+  prog_->coeff_val.insert(prog_->coeff_val.end(), f.coeff_val.begin(),
+                          f.coeff_val.end());
+  prog_->coeff_pos.insert(prog_->coeff_pos.end(), f.coeff_pos.begin(),
+                          f.coeff_pos.end());
+  prog_->pcm_data.insert(prog_->pcm_data.end(), f.pcm_data.begin(),
+                         f.pcm_data.end());
+}
+
+Err SliceParser::decode_wpp_row(const u8* data, size_t wstart, size_t wend,
+                                int row, WppSync* sync) {
+  data_ = data;
+  size_ = wend;
+  if (wstart > wend) {
+    sync->post(row, frame_->ctb_w);
+    return Err::InvalidSyntax;
+  }
+  cabac_.init(data + wstart, wend - wstart);
+  const int w = frame_->ctb_w;
+  const bool last_row = row == frame_->ctb_h - 1;
+
+  // CABAC inheritance from CTB 1 of the row above (9.3.1); the single-slice
+  // gate means the above-right CTB is always same-slice when it exists
+  if (row > 0 && w >= 2) {
+    sync->wait(row - 1, 2);
+    ctx_ = sync->state[row - 1].ctx;
+    memcpy(stat_coeff_, sync->state[row - 1].stat_coeff, 4);
+  } else {
+    ctx_.init(sh_->init_type, sh_->slice_qp_y);
+    memset(stat_coeff_, 0, 4);
+  }
+  qp_y_pred_ = sh_->slice_qp_y;
+  qp_y_ = sh_->slice_qp_y;
+  qp_pred_cached_ = sh_->slice_qp_y;
+  first_qg_ = true;
+
+  Err err = Err::OK;
+  for (int x = 0; x < w; x++) {
+    // spec availability: (x, row) may consult up to (x+1, row-1)
+    if (row > 0) sync->wait(row - 1, min_i(x + 2, w));
+    if (sync->fail.load(std::memory_order_relaxed)) {
+      err = Err::InvalidSyntax;  // sibling row failed: abandon quietly
+      break;
+    }
+    if (!decode_ctb(x, row)) {
+      err = Err::InvalidSyntax;
+      break;
+    }
+    if (x == 1) {
+      sync->state[row].ctx = ctx_;
+      memcpy(sync->state[row].stat_coeff, stat_coeff_, 4);
+    }
+    int end_flag = cabac_.decode_terminate();
+    // single-slice gate: end_of_slice_segment_flag is 1 exactly at the
+    // picture's last CTB
+    if (end_flag != (last_row && x == w - 1 ? 1 : 0)) {
+      err = Err::InvalidSyntax;
+      break;
+    }
+    sync->post(row, x + 1);
+  }
+  sync->post(row, w);  // unconditional: never leave a waiter hanging
+  if (err == Err::OK && !last_row)
+    cabac_.decode_terminate();  // end_of_subset_one_bit
+  return err;
+}
+
 Err SliceParser::decode(const u8* data, size_t size) {
   data_ = data;
   size_ = size;
@@ -1260,52 +1386,7 @@ Err SliceParser::decode(const u8* data, size_t size) {
       for (auto& t : threads) t.join();
       for (int i = 0; i < n_tiles; i++)
         if (errs[i] != Err::OK) return errs[i];
-      for (int i = 0; i < n_tiles; i++) {
-        FrameProgram& f = frags[i];
-        const u32 tu0 = (u32)prog_->tus.size();
-        const u32 pu0 = (u32)prog_->pus.size();
-        const u32 in0 = (u32)prog_->intras.size();
-        const u32 pc0 = (u32)prog_->pcms.size();
-        const u32 co0 = (u32)prog_->coeff_val.size();
-        const u32 pd0 = (u32)prog_->pcm_data.size();
-        for (auto& t : f.tus) t.coeff_start += co0;
-        for (auto& pcm : f.pcms) pcm.data_start += pd0;
-        // remap fragment-local DPB slots into the merged reference list
-        std::vector<i8> remap(f.ref_frames.size());
-        for (size_t r = 0; r < f.ref_frames.size(); r++) {
-          int slot = -1;
-          for (size_t j = 0; j < prog_->ref_frames.size(); j++)
-            if (prog_->ref_frames[j] == f.ref_frames[r]) slot = (int)j;
-          if (slot < 0) {
-            prog_->ref_frames.push_back(f.ref_frames[r]);
-            slot = (int)prog_->ref_frames.size() - 1;
-          }
-          remap[r] = (i8)slot;
-        }
-        for (auto& pu : f.pus)
-          for (int l = 0; l < 2; l++)
-            if (pu.ref_dpb[l] >= 0) pu.ref_dpb[l] = remap[pu.ref_dpb[l]];
-        for (auto op : f.ops) {
-          switch (op.kind) {
-            case Op::kAddResidual: op.idx += tu0; break;
-            case Op::kInterPred: op.idx += pu0; break;
-            case Op::kIntraPred: op.idx += in0; break;
-            case Op::kPcm: op.idx += pc0; break;
-          }
-          prog_->ops.push_back(op);
-        }
-        prog_->tus.insert(prog_->tus.end(), f.tus.begin(), f.tus.end());
-        prog_->pus.insert(prog_->pus.end(), f.pus.begin(), f.pus.end());
-        prog_->intras.insert(prog_->intras.end(), f.intras.begin(),
-                             f.intras.end());
-        prog_->pcms.insert(prog_->pcms.end(), f.pcms.begin(), f.pcms.end());
-        prog_->coeff_val.insert(prog_->coeff_val.end(), f.coeff_val.begin(),
-                                f.coeff_val.end());
-        prog_->coeff_pos.insert(prog_->coeff_pos.end(), f.coeff_pos.begin(),
-                                f.coeff_pos.end());
-        prog_->pcm_data.insert(prog_->pcm_data.end(), f.pcm_data.begin(),
-                               f.pcm_data.end());
-      }
+      for (int i = 0; i < n_tiles; i++) merge_fragment(frags[i]);
       // following-dependent-segment state: as the sequential path would
       // leave it (last tile's contexts)
       dec_->dependent_slice_state.ctx = workers.back()->ctx_;
@@ -1314,6 +1395,56 @@ Err SliceParser::decode(const u8* data, size_t size) {
       dec_->dependent_slice_state.valid = true;
       return Err::OK;
     }
+  }
+
+  // --- wavefront-parallel WPP parse (counterpart of the reference's
+  // decode_slice_unit_WPP + thread_task_ctb_row, decctx.cc:840-961 /
+  // slice.cc:4732-4826): row N trails row N-1 by two CTBs, inheriting the
+  // CABAC context saved after CTB 1 of the row above.  Gated to the common
+  // case — one independent slice segment covering the picture, no tiles;
+  // anything else falls through to the sequential loop below. ---
+  if (pps_->entropy_coding_sync_enabled && !pps_->tiles_enabled &&
+      dec_->requested_threads() >= 2 && !sh_->dependent_slice &&
+      sh_->slice_segment_address == 0 &&
+      (int)windows.size() == frame_->ctb_h && frame_->ctb_h > 1) {
+    const int rows = frame_->ctb_h;
+    WppSync sync(rows);
+    std::vector<FrameProgram> frags(rows);
+    std::vector<std::unique_ptr<SliceParser>> workers;
+    std::vector<Err> errs(rows, Err::OK);
+    for (int r = 0; r < rows; r++) {
+      frags[r].frame = frame_;
+      workers.push_back(
+          std::make_unique<SliceParser>(dec_, &frags[r], frame_, sh_));
+    }
+    // rows are claimed in strictly increasing order, so the oldest
+    // in-flight row can always make progress: no deadlock with any pool
+    // size (see the wait gates in decode_wpp_row)
+    std::atomic<int> next_row{0};
+    const int n_threads =
+        std::min(dec_->requested_threads(), std::min(rows, 16));
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; t++) {
+      pool.emplace_back([&] {
+        for (;;) {
+          int r = next_row.fetch_add(1, std::memory_order_relaxed);
+          if (r >= rows) return;
+          errs[r] = workers[r]->decode_wpp_row(
+              data, windows[r].first, windows[r].second, r, &sync);
+          if (errs[r] != Err::OK)
+            sync.fail.store(true, std::memory_order_relaxed);
+        }
+      });
+    }
+    for (auto& t : pool) t.join();
+    for (int r = 0; r < rows; r++)
+      if (errs[r] != Err::OK) return errs[r];
+    for (int r = 0; r < rows; r++) merge_fragment(frags[r]);
+    dec_->dependent_slice_state.ctx = workers.back()->ctx_;
+    memcpy(dec_->dependent_slice_state.stat_coeff,
+           workers.back()->stat_coeff_, 4);
+    dec_->dependent_slice_state.valid = true;
+    return Err::OK;
   }
 
   qp_y_pred_ = sh_->slice_qp_y;

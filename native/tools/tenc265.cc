@@ -11,7 +11,7 @@ int main(int argc, char** argv) {
   const char* in_path = nullptr;
   const char* out_path = "out.h265";
   int width = 0, height = 0, qp = 27, max_frames = -1, bit_depth = 8;
-  int intra_period = 0, tile_cols = 1;
+  int intra_period = 0, tile_cols = 1, wpp = 0;
 
   for (int i = 1; i < argc; i++) {
     if (!strcmp(argv[i], "-o") && i + 1 < argc) out_path = argv[++i];
@@ -22,11 +22,18 @@ int main(int argc, char** argv) {
     else if (!strcmp(argv[i], "-b") && i + 1 < argc) bit_depth = atoi(argv[++i]);
     else if (!strcmp(argv[i], "-g") && i + 1 < argc) intra_period = atoi(argv[++i]);
     else if (!strcmp(argv[i], "-T") && i + 1 < argc) tile_cols = atoi(argv[++i]);
+    else if (!strcmp(argv[i], "--wpp")) wpp = 1;
+    else if (argv[i][0] == '-' && argv[i][1]) {
+      // unknown options are fatal, not silently skipped — a typo'd flag
+      // must not produce a differently-configured stream
+      fprintf(stderr, "unknown option: %s\n", argv[i]);
+      return 1;
+    }
     else in_path = argv[i];
   }
   if (!in_path || !width || !height) {
     fprintf(stderr,
-            "usage: tenc265 -w W -h H [-q qp] [-b 8|10] [-g gop] [-T tile-cols] [-f frames] [-o out.h265] in.yuv\n");
+            "usage: tenc265 -w W -h H [-q qp] [-b 8|10] [-g gop] [-T tile-cols] [--wpp] [-f frames] [-o out.h265] in.yuv\n");
     return 1;
   }
 
@@ -39,6 +46,7 @@ int main(int argc, char** argv) {
   en265_set_parameter_int(ctx, "bit-depth", bit_depth);
   if (intra_period > 0) en265_set_parameter_int(ctx, "intra-period", intra_period);
   if (tile_cols > 1) en265_set_parameter_int(ctx, "tile-cols", tile_cols);
+  if (wpp) en265_set_parameter_bool(ctx, "wpp", 1);
   en265_start_encoder(ctx, 0);
 
   // 10-bit input is little-endian 16-bit samples (2 bytes per sample)
