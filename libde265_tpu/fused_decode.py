@@ -452,11 +452,15 @@ def _scatter_intra_bins(irec, intra_bins, scap: int):
 
 def _intra_scan_all(planes, bins_by_plane, bin_res, st, nsteps):
     if st.get("pallas_intra", False):
-        from .ops import intra_border_pallas as ibp
-        padded = [ibp.pad_plane_for_scan(p) for p in planes]
+        from .ops import intra_window_pallas as iwp
+        shapes = [p.shape for p in planes]
+        padded = []
+        for p in planes:
+            hp, wp = iwp.scan_pad_sizes(*p.shape)
+            padded.append(iwp.pad_plane_for_scan(p, hp=hp, wp=wp))
         out = _intra_scan_all_inner(padded, bins_by_plane, bin_res, st,
                                     nsteps)
-        return [ibp.unpad_plane(p) for p in out]
+        return [iwp.unpad_plane(p, *shp) for p, shp in zip(out, shapes)]
     return _intra_scan_all_inner(planes, bins_by_plane, bin_res, st, nsteps)
 
 
@@ -491,8 +495,15 @@ def _intra_scan_all_inner(planes, bins_by_plane, bin_res, st, nsteps):
                                                     keepdims=False)
                     aw = lax.dynamic_index_in_dim(v["aw"], i, 0,
                                                   keepdims=False)
-                    resid = jnp.where((rrow >= 0)[:, None, None],
-                                      bin_res[lg][jnp.clip(rrow, 0)], 0)
+                    stub = os.environ.get("TDE_WAVE_STUB", "")
+                    if stub == "all":   # perf attribution only (not bit-
+                        return pl       # exact): skip the whole wave body
+                    if stub == "resid":
+                        resid = jnp.zeros((meta.shape[0], 1 << lg, 1 << lg),
+                                          jnp.int32)
+                    else:
+                        resid = jnp.where((rrow >= 0)[:, None, None],
+                                          bin_res[lg][jnp.clip(rrow, 0)], 0)
                     return _wave_body(pl, meta, aw, resid, *tables[lg],
                                       s=1 << lg, bit_depth=bd,
                                       pallas=st.get("pallas_intra", False),
@@ -533,17 +544,22 @@ def _wave_body(plane, meta, aw, resid, P0, P1, WT, s: int,
     Hc, Wc = plane.shape
 
     k = jnp.arange(nb)
+    stub = os.environ.get("TDE_WAVE_STUB", "")
     if pallas:
-        # DMA border fetch from the PADDED plane (ops/intra_border_pallas):
-        # XLA's generic gather on the live plane costs ~0.4 ms/step at
-        # 1080p; the per-block top-row + left-column copies are ~10x less
-        from .ops import intra_border_pallas as ibp
-        y0p = y0 + ibp.PAD_LT
-        x0p = x0 + ibp.PAD_LT
-        tops, lefts = ibp.border_gather(plane, y0p, x0p, s=s,
-                                        interpret=interpret)
-        b_raw = jnp.concatenate(
-            [jnp.flip(lefts.T, axis=1), tops], axis=1)
+        # aligned window-DMA border fetch from the PADDED plane
+        # (ops/intra_window_pallas): XLA's generic gather on the live plane
+        # costs ~0.4 ms/step at 1080p; the tile-aligned window copies with
+        # in-kernel compaction are ~10x less
+        from .ops import intra_window_pallas as iwp
+        y0p = y0 + iwp.PAD_T
+        x0p = x0 + iwp.PAD_L
+        nv = valid.sum().astype(jnp.int32)
+        if stub == "gather":   # perf attribution only
+            b_raw = jnp.zeros((N, nb), jnp.int32)
+        else:
+            tops, lefts = iwp.border_gather(plane, y0p, x0p, nv, s=s,
+                                            interpret=interpret)
+            b_raw = jnp.concatenate([jnp.flip(lefts, axis=1), tops], axis=1)
     else:
         # border geometry: k<2s left column (bottom->top), k=2s corner,
         # k>2s top row (left->right); clip keeps never-read unavailable
@@ -621,14 +637,15 @@ def _wave_body(plane, meta, aw, resid, P0, P1, WT, s: int,
 
     pred = jnp.where((mode == 0)[:, None, None], planar,
                      jnp.where((mode == 1)[:, None, None], dcp, ang))
+    if stub == "pred":   # perf attribution only: pure-DC prediction
+        pred = dcp
     out = jnp.clip(pred + resid, 0, maxv)
 
     if pallas:
-        # valid blocks occupy the leading slots of a step by construction
-        nv = valid.sum().astype(jnp.int32)[None]
-        return ibp.block_scatter(plane, out, y0 + ibp.PAD_LT,
-                                 x0 + ibp.PAD_LT, nv, s=s,
-                                 interpret=interpret)
+        if stub == "scatter":   # perf attribution only
+            return plane
+        return iwp.window_scatter(plane, out, y0p, x0p, valid, s=s,
+                                  interpret=interpret)
     # padded entries scatter out of bounds and are dropped (valid blocks of
     # one step are disjoint transform blocks, so updates never collide)
     rows = jnp.where(valid, y0, 1 << 28)[:, None, None] + \
@@ -1643,13 +1660,11 @@ class FusedDecoder:
             "fuse_store": bool(self.use_pallas_mc),
             "has_ccp": self._has_ccp,
             "has_rdpcm": self._has_rdpcm,
-            # DMA border gather/block scatter: the current kernels use
-            # 1-row/1-lane DMA windows at arbitrary offsets, which this
-            # Mosaic rejects ("slice must be aligned to tiling (8)") —
-            # off until the windows are tile-aligned (TDE_PALLAS_INTRA=1
-            # to re-enable for kernel work)
+            # tile-aligned window-DMA border gather / block scatter
+            # (ops/intra_window_pallas) — default-on with the fused path;
+            # TDE_PALLAS_INTRA=0 falls back to the XLA gather/scatter
             "pallas_intra": bool(self.use_pallas_mc) and
-            bool(os.environ.get("TDE_PALLAS_INTRA")),
+            os.environ.get("TDE_PALLAS_INTRA", "1") != "0",
             "pallas_coef": bool(self.use_pallas_mc) and
             not self._no_pallas_coef,
             "ccaps": tuple(max(self.caps.get(f"cc{lg}", 1), 1)

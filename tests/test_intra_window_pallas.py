@@ -1,7 +1,7 @@
-"""Pallas border-gather / block-scatter kernels vs the XLA wave body.
+"""Pallas window-DMA gather/scatter kernels vs the XLA wave body.
 
 The fused decoder's TPU path fetches intra borders and writes blocks
-back with per-block DMA kernels (ops/intra_border_pallas) instead of
+back with tile-aligned window DMAs (ops/intra_window_pallas) instead of
 XLA's generic gather/scatter; this checks bit-equality against the XLA
 path on the same wave-step records (interpret mode on CPU).
 """
@@ -9,7 +9,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from libde265_tpu.fused_decode import _wave_body, WAVE_CAP
-from libde265_tpu.ops import intra_border_pallas as ibp
+from libde265_tpu.ops import intra_window_pallas as iwp
 from libde265_tpu.ops.intra_wave import build_mode_tables
 
 
@@ -62,12 +62,13 @@ def test_wave_body_pallas_matches_xla():
         ref = np.asarray(_wave_body(
             jnp.asarray(plane), jnp.asarray(meta), jnp.asarray(aw),
             jnp.asarray(resid), *tables, s=s, bit_depth=8))
-        padded = ibp.pad_plane_for_scan(jnp.asarray(plane))
+        hp, wp = iwp.scan_pad_sizes(H, W)
+        padded = iwp.pad_plane_for_scan(jnp.asarray(plane), hp=hp, wp=wp)
         got_p = _wave_body(
             padded, jnp.asarray(meta), jnp.asarray(aw),
             jnp.asarray(resid), *tables, s=s, bit_depth=8,
             pallas=True, interpret=True)
-        got = np.asarray(ibp.unpad_plane(got_p))
+        got = np.asarray(iwp.unpad_plane(got_p, H, W))
         assert np.array_equal(got, ref), (s, np.argwhere(got != ref)[:4])
 
 
@@ -77,12 +78,14 @@ def test_border_gather_exact_samples():
     plane = rng.integers(0, 255, (H, W)).astype(np.int32)
     ys = rng.integers(1, (H - 2 * s) // s, K) * s
     xs = rng.integers(1, (W - 2 * s) // s, K) * s
-    padded = ibp.pad_plane_for_scan(jnp.asarray(plane))
-    tops, lefts = ibp.border_gather(
-        padded, jnp.asarray(ys + ibp.PAD_LT), jnp.asarray(xs + ibp.PAD_LT),
-        s=s, interpret=True)
+    hp, wp = iwp.scan_pad_sizes(H, W)
+    padded = iwp.pad_plane_for_scan(jnp.asarray(plane), hp=hp, wp=wp)
+    tops, lefts = iwp.border_gather(
+        padded, jnp.asarray((ys + iwp.PAD_T).astype(np.int32)),
+        jnp.asarray((xs + iwp.PAD_L).astype(np.int32)),
+        jnp.int32(K), s=s, interpret=True)
     tops, lefts = np.asarray(tops), np.asarray(lefts)
     for k in range(K):
         y, x = ys[k], xs[k]
         assert np.array_equal(tops[k], plane[y - 1, x - 1:x + 2 * s])
-        assert np.array_equal(lefts[:, k], plane[y:y + 2 * s, x - 1])
+        assert np.array_equal(lefts[k], plane[y:y + 2 * s, x - 1])
