@@ -571,14 +571,22 @@ def _wave_body(plane, meta, aw, resid, P0, P1, WT, s: int,
         pos = jnp.clip(yy, 0, Hc - 1) * Wc + jnp.clip(xx, 0, Wc - 1)
         b_raw = plane.reshape(-1)[pos]
     # substitution chain from availability bits: each sample takes the last
-    # available sample at or before it, else the first available one
-    avail = (aw[:, k >> 5] >> (k & 31)) & 1
-    avidx = jnp.where(avail.astype(bool), k[None, :], -1)
-    last = lax.cummax(avidx, axis=1)
-    first = jnp.argmax(avail, axis=1).astype(jnp.int32)
-    subst = jnp.where(last >= 0, last, first[:, None])
-
-    b = jnp.take_along_axis(b_raw, subst, axis=1)
+    # available sample at or before it, else the first available one.
+    # Value-level jump-propagation ladders (log2(nb) shift+selects) replace
+    # the cummax + take_along_axis formulation — XLA lowers take_along_axis
+    # to a generic gather that costs ~0.2 ms/step on TPU at 1080p caps.
+    fil = ((aw[:, k >> 5] >> (k & 31)) & 1).astype(bool)
+    b = jnp.where(fil, b_raw, 0)
+    sh = 1
+    while sh < nb:                       # fill-forward: nearest at-or-before
+        b = jnp.where(fil, b, jnp.pad(b, ((0, 0), (sh, 0)))[:, :nb])
+        fil = fil | jnp.pad(fil, ((0, 0), (sh, 0)))[:, :nb]
+        sh *= 2
+    sh = 1
+    while sh < nb:                       # fill-backward: before the first
+        b = jnp.where(fil, b, jnp.pad(b, ((0, 0), (0, sh)))[:, sh:])
+        fil = fil | jnp.pad(fil, ((0, 0), (0, sh)))[:, sh:]
+        sh *= 2
     b = jnp.where(unavail[:, None], 1 << (bit_depth - 1), b)
 
     corner = b[:, n2]
@@ -600,8 +608,8 @@ def _wave_body(plane, meta, aw, resid, P0, P1, WT, s: int,
     else:
         filtered = jnp.where(filt[:, None], tap3, b)
 
-    left = filtered[:, n2 - 1 - jnp.arange(n2)]
-    top = filtered[:, n2 + 1 + jnp.arange(n2)]
+    left = jnp.flip(filtered[:, :n2], axis=1)
+    top = filtered[:, n2 + 1:]
     corner = filtered[:, n2]
 
     xg = jnp.arange(s)[None, None, :]
@@ -621,9 +629,20 @@ def _wave_body(plane, meta, aw, resid, P0, P1, WT, s: int,
         dce = dce.at[:, 0, 0].set(c00)
         dcp = jnp.where((edge == 1)[:, None, None], dce, dcp)
 
-    p0, p1, w = P0[mode], P1[mode], WT[mode]
-    g0 = jnp.take_along_axis(filtered, p0, axis=1)
-    g1 = jnp.take_along_axis(filtered, p1, axis=1)
+    # angular reference fetch as one-hot f32 MXU matmuls (exact: samples
+    # < 2^24) — the take_along_axis formulation is a generic TPU gather
+    # measured at ~0.45 ms/step at 1080p caps
+    ohm = (mode[:, None] == jnp.arange(35)[None, :]).astype(jnp.float32)
+    p0 = (ohm @ P0.astype(jnp.float32)).astype(jnp.int32)
+    p1 = (ohm @ P1.astype(jnp.float32)).astype(jnp.int32)
+    w = (ohm @ WT.astype(jnp.float32)).astype(jnp.int32)
+    ff = filtered.astype(jnp.float32)
+    oh0 = (p0[:, :, None] == k[None, None, :]).astype(jnp.float32)
+    oh1 = (p1[:, :, None] == k[None, None, :]).astype(jnp.float32)
+    g0 = jnp.einsum("kpn,kn->kp", oh0, ff,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    g1 = jnp.einsum("kpn,kn->kp", oh1, ff,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
     ang = (((32 - w) * g0 + w * g1 + 16) >> 5).reshape(N, s, s)
     if s < 32:
         v26 = jnp.clip(top[:, 0, None] + ((left[:, :s] - corner[:, None]) >> 1),

@@ -182,11 +182,11 @@ def border_gather(padded, y0p, x0p, nvalid, *, s: int,
     )(n1, ty8, tc, trem, tloff, ly8, padded)
 
     tops = tout.reshape(NG * 8, 256)[:K, :n2 + 1]
-    # block i of group g: left column at (rows [lrem, lrem+2s), lane i)
+    # block i of group g: left column at (rows [lrem, lrem+2s), lane i);
+    # lrem is 0 or 4 and only for s == 4, so a select beats a gather
     lo = jnp.transpose(lout[:, :, :G], (0, 2, 1)).reshape(NG * G, FHL)[:K]
     if s == 4:
-        lefts = jnp.take_along_axis(
-            lo, lrem[:, None] + jnp.arange(n2)[None, :], axis=1)
+        lefts = jnp.where((lrem == 4)[:, None], lo[:, 4:4 + n2], lo[:, :n2])
     else:
         lefts = lo[:, :n2]
     return tops, lefts
