@@ -148,5 +148,9 @@ def lib() -> ct.CDLL:
     L.tde265_pack_feed.argtypes = [ct.c_void_p, ct.c_int, ct.c_void_p,
                                    ct.c_int, ct.c_void_p, ct.c_void_p,
                                    ct.c_int64]
+    L.tde265_compact_blocks.argtypes = [ct.c_void_p, ct.c_int64, ct.c_int32,
+                                        ct.c_int32, ct.c_void_p, ct.c_void_p,
+                                        ct.c_int64]
+    L.tde265_compact_blocks.restype = ct.c_int64
     _lib = L
     return L

@@ -1711,23 +1711,61 @@ class FusedDecoder:
         B = _SPARSE_BLOCK
         total = int(buf.size)
         nb = (total + B - 1) // B
-        padded = buf if total == nb * B else \
-            np.pad(buf, (0, nb * B - total))
-        blocks = padded.reshape(nb, B)
-        nz = np.flatnonzero(blocks.any(axis=1))
-        # bucketed to 256-block (0.5 MB) steps: few expander shapes per
-        # stream, <= ~6% wire overhead from rounding
-        M = max(256, -(-len(nz) // 256) * 256)
-        if M >= nb:  # dense frame: the plain upload is no worse
+        cbix = self._compact_native(buf, total, nb, B)
+        if cbix is None:
+            padded = buf if total == nb * B else \
+                np.pad(buf, (0, nb * B - total))
+            blocks = padded.reshape(nb, B)
+            nz = np.flatnonzero(blocks.any(axis=1))
+            # bucketed to 256-block (0.5 MB) steps: few expander shapes per
+            # stream, <= ~6% wire overhead from rounding
+            M = max(256, -(-len(nz) // 256) * 256)
+            if M < nb:
+                cb = np.zeros((M, B), np.int32)
+                cb[:len(nz)] = blocks[nz]
+                ix = np.full(M, 1 << 30, np.int32)
+                ix[:len(nz)] = nz
+                cbix = cb, ix, M
+        if cbix is None or cbix[2] >= nb:
+            # dense frame: the plain upload is no worse
             self.last_wire_bytes = total * 4
             return jnp.asarray(buf)
+        cb, ix, M = cbix
         self.last_wire_bytes = (M * B + M) * 4
-        cb = np.zeros((M, B), np.int32)
-        cb[:len(nz)] = blocks[nz]
-        ix = np.full(M, 1 << 30, np.int32)
-        ix[:len(nz)] = nz
         return _expand_blocks(jnp.asarray(cb), jnp.asarray(ix),
                               total=total, B=B)
+
+    def _compact_native(self, buf, total, nb, B):
+        """Nonzero-block scan + copy in C (one ~0.5 ms pass at 1080p vs a
+        ~15 ms numpy reduction); returns (blocks[:M], idx[:M], M) or None
+        to fall back to the numpy path."""
+        if self._no_native_pack or not buf.flags.c_contiguous:
+            return None
+        try:
+            from . import _native
+            L = _native.lib()
+        except Exception:
+            return None
+        import ctypes as ct
+        # two scratch pairs, flipped per frame: the device_put may still be
+        # reading frame N's host buffer while frame N+1 packs
+        pool = getattr(self, "_cb_scratch", None)
+        if pool is None:
+            pool = [None, None, 0]
+            self._cb_scratch = pool
+        pool[2] ^= 1
+        scratch = pool[pool[2]]
+        if scratch is None or scratch[0].shape[0] < nb:
+            scratch = (np.empty((nb, B), np.int32), np.empty(nb, np.int32))
+            pool[pool[2]] = scratch
+        cb, ix = scratch
+        M = L.tde265_compact_blocks(
+            buf.ctypes.data_as(ct.c_void_p), total, B, 256,
+            cb.ctypes.data_as(ct.c_void_p), ix.ctypes.data_as(ct.c_void_p),
+            cb.shape[0])
+        if M < 0:
+            return None
+        return cb[:M], ix[:M], int(M)
 
     def _pack_numpy(self, prog: FrameProgramData, slot_map, slot_row):
         """Numpy feed packer: returns (layout, buf, lgs, n_slices)."""

@@ -642,4 +642,43 @@ LIBDE265_API int tde265_pack_feed(de265_decoder_context* ctx, int idx,
   return 0;
 }
 
+// Sparse-upload block compaction: scan `buf` (total_words int32) in blocks
+// of B words, copy the nonzero blocks contiguously into out_blocks and
+// their block indices into out_idx, then zero-pad the block count up to a
+// multiple of round_to (pad idx = 1<<30, matching the device expander's
+// drop sentinel).  Returns the padded block count M, or -1 if M would
+// exceed out_cap_blocks (caller falls back to a dense upload).  The OR
+// reduction auto-vectorizes under -march=native; the scan+copy replaces a
+// ~15 ms/frame numpy reduction at 1080p with <1 ms.
+LIBDE265_API int64_t tde265_compact_blocks(const int32_t* buf,
+                                           int64_t total_words, int32_t B,
+                                           int32_t round_to,
+                                           int32_t* out_blocks,
+                                           int32_t* out_idx,
+                                           int64_t out_cap_blocks) {
+  if (B <= 0 || round_to <= 0) return -1;
+  const int64_t nb = (total_words + B - 1) / B;
+  int64_t m = 0;
+  for (int64_t b = 0; b < nb; b++) {
+    const int32_t* src = buf + b * B;
+    const int64_t n = std::min<int64_t>(B, total_words - b * B);
+    int32_t acc = 0;
+    for (int64_t i = 0; i < n; i++) acc |= src[i];
+    if (!acc) continue;
+    if (m >= out_cap_blocks) return -1;
+    memcpy(out_blocks + m * B, src, n * 4);
+    if (n < B) memset(out_blocks + m * B + n, 0, (B - n) * 4);
+    out_idx[m] = (int32_t)b;
+    m++;
+  }
+  int64_t M = ((m + round_to - 1) / round_to) * round_to;
+  if (M == 0) M = round_to;
+  if (M > out_cap_blocks) return -1;
+  if (M > m) {
+    memset(out_blocks + m * B, 0, (M - m) * B * 4);
+    for (int64_t i = m; i < M; i++) out_idx[i] = 1 << 30;
+  }
+  return M;
+}
+
 }  // extern "C"

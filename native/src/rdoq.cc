@@ -92,7 +92,11 @@ void rdoq_quantize(i32* levels, const i32* coeffs, int qp, int log2,
   // compensates the model's systematic rate undercounts (neighbor
   // sig-context coupling and csbf savings are not credited).  Swept on
   // synthetic GOPs: x1.0 -> +2.5% BD-rate, x2.0 -> -7.4% (the optimum),
-  // x4.0 -> +2.4%.  TDE_RDOQ_LAMBDA overrides for experiments.
+  // x4.0 -> +2.4%.  Re-swept on real content (girlshy 316x240x75,
+  // QP 24-36, P-GOP 8): x1.5 -> -1.52%, x2.0 -> -0.99%, x3.0 -> +3.06%
+  // vs x1.0 — the gain is content-dependent (~-1% real vs -7% synthetic)
+  // but x2.0 stays on the good side of 1.0 for both datasets.
+  // TDE_RDOQ_LAMBDA overrides for experiments.
   static const double lam_mult = [] {
     const char* e = getenv("TDE_RDOQ_LAMBDA");
     return e ? atof(e) : 2.0;
