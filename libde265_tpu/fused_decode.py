@@ -44,6 +44,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import pipeline
 from .decoder import (OP_INTRA, OP_RESIDUAL, TU_INTRA, TU_RDPCM,
@@ -776,7 +778,14 @@ def _edge_ok_jnp(emap, feed, recs, sidx, cs, Hc, Wc, st):
 
 def _deblock_section(planes, feed, recs, cell, skip4, st):
     """Deblock V+H (luma+chroma) — tpu_decode._filter_kernel body driven by
-    in-jit derived metadata."""
+    in-jit derived metadata.
+
+    TDE_DEBLOCK_SKIP=v,h,cv,ch elides sub-passes at trace time (stage
+    attribution experiments only — the output is wrong with any part
+    skipped; run one variant per process so the jit cache is not reused
+    across env changes)."""
+    _dbg_skip = set(filter(None, os.environ.get(
+        "TDE_DEBLOCK_SKIP", "").split(",")))
     H, W, sub_x, sub_y = st["H"], st["W"], st["sub_x"], st["sub_y"]
     bd, bdc = st["bd"], st["bdc"]
     has_chroma = not st["mono"]
@@ -833,11 +842,12 @@ def _deblock_section(planes, feed, recs, cell, skip4, st):
     pv = _edge_params_jnp(meta, vertical=True)
     params_v = {k: _pad_edge0_cols(v, Ev) for k, v in pv.items()
                 if k not in ("cqo", "tco")}
-    pad = jnp.zeros((H, W + 8), jnp.int32).at[:, 4:4 + W].set(y)
-    y = dbk._luma_pass(pad, params_v["bs"], params_v["beta"],
-                       params_v["tc"], params_v["no_p"],
-                       params_v["no_q"], bit_depth=bd)[:, 4:4 + W]
-    if has_chroma:
+    if "v" not in _dbg_skip:
+        pad = jnp.zeros((H, W + 8), jnp.int32).at[:, 4:4 + W].set(y)
+        y = dbk._luma_pass(pad, params_v["bs"], params_v["beta"],
+                           params_v["tc"], params_v["no_p"],
+                           params_v["no_q"], bit_depth=bd)[:, 4:4 + W]
+    if has_chroma and "cv" not in _dbg_skip:
         segs = jnp.arange(0, Ev, sub_x)
         cqo = [_pad_edge0_cols(c, Ev) for c in pv["cqo"]]
         tco = _pad_edge0_cols(jnp.broadcast_to(pv["tco"], pv["bs"].shape), Ev)
@@ -869,11 +879,12 @@ def _deblock_section(planes, feed, recs, cell, skip4, st):
 
     ph_t = {k: _pad0_rows(v).T for k, v in ph.items()
             if k not in ("cqo", "tco")}
-    pad = jnp.zeros((W, H + 8), jnp.int32).at[:, 4:4 + H].set(y.T)
-    y = dbk._luma_pass(pad, ph_t["bs"], ph_t["beta"], ph_t["tc"],
-                       ph_t["no_p"], ph_t["no_q"],
-                       bit_depth=bd)[:, 4:4 + H].T
-    if has_chroma:
+    if "h" not in _dbg_skip:
+        pad = jnp.zeros((W, H + 8), jnp.int32).at[:, 4:4 + H].set(y.T)
+        y = dbk._luma_pass(pad, ph_t["bs"], ph_t["beta"], ph_t["tc"],
+                           ph_t["no_p"], ph_t["no_q"],
+                           bit_depth=bd)[:, 4:4 + H].T
+    if has_chroma and "ch" not in _dbg_skip:
         segs_h = jnp.arange(0, Eh, sub_y)
         cqo_h = [_pad0_rows(jnp.broadcast_to(c, ph["bs"].shape)).T
                  for c in ph["cqo"]]
@@ -1245,21 +1256,54 @@ def _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st, pb_h, pb_w,
     return y_plane, cb_plane, cr_plane
 
 
-_SPARSE_BLOCK = 512  # words per sparse-upload block (2 KB)
+_SPARSE_BLOCK = 1024  # words per sparse-upload block (4 KB = 8x128 int32
+#                       tile, so the Pallas expander's blocks are aligned)
 
 
 @functools.partial(jax.jit, static_argnames=("total", "B"))
 def _expand_blocks(blocks, idx, *, total, B):
     """Reassemble the full feed buffer from its nonzero blocks on device.
 
-    The host->device tunnel is the decode bottleneck (~50 MB/s measured),
-    so watermark padding must never cross the wire: the host ships only
-    the blocks containing data plus their indices, and this tiny program
+    Watermark padding must never cross the wire: the host ships only the
+    blocks containing data plus their indices, and this tiny program
     scatters them into the zero-filled full-size buffer the main frame
-    program expects.  One compile per (block-count bucket, total)."""
+    program expects.  One compile per (block-count bucket, total).
+
+    XLA fallback formulation (CPU path): on TPU the scatter lowers to a
+    serialized generic-scatter loop that cost ~40 ms/frame at 1080p —
+    the device path uses _expand_blocks_pallas instead."""
     nb = (total + B - 1) // B
     full = jnp.zeros((nb, B), jnp.int32).at[idx].set(blocks, mode="drop")
     return full.reshape(-1)[:total]
+
+
+def _expand_kernel(inv, blk, out):
+    out[...] = jnp.where(inv[pl.program_id(0)] >= 0, blk[...], 0)
+
+
+@functools.partial(jax.jit, static_argnames=("total", "B", "interpret"))
+def _expand_blocks_pallas(blocks, inv, *, total, B, interpret=False):
+    """Pallas expander: grid over output blocks; block b streams compact
+    row inv[b] (prefetch-dependent index map) or zero-fills.  Replaces the
+    XLA scatter in _expand_blocks (~40 ms -> sub-ms at 1080p)."""
+    nb = (total + B - 1) // B
+    M = blocks.shape[0]
+    R = B // 128                    # 128-lane rows per sparse block
+    src = blocks.reshape(M * R, 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(
+            (R, 128), lambda b, inv: (jnp.maximum(inv[b], 0), 0))],
+        out_specs=pl.BlockSpec((R, 128), lambda b, inv: (b, 0)),
+    )
+    out = pl.pallas_call(
+        _expand_kernel,
+        out_shape=jax.ShapeDtypeStruct((nb * R, 128), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(inv, src)
+    return out.reshape(-1)[:total]
 
 
 @functools.partial(jax.jit, static_argnames=("st", "layout"),
@@ -1732,6 +1776,13 @@ class FusedDecoder:
             return jnp.asarray(buf)
         cb, ix, M = cbix
         self.last_wire_bytes = (M * B + M) * 4
+        if jax.default_backend() in ("tpu", "axon"):
+            # inverse map: output block -> compact row (-1 = zero block)
+            inv = np.full(nb, -1, np.int32)
+            valid = ix < nb
+            inv[ix[valid]] = np.flatnonzero(valid)
+            return _expand_blocks_pallas(jnp.asarray(cb), jnp.asarray(inv),
+                                         total=total, B=B)
         return _expand_blocks(jnp.asarray(cb), jnp.asarray(ix),
                               total=total, B=B)
 

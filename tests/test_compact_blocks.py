@@ -58,6 +58,32 @@ def test_cap_overflow_returns_minus_one():
     assert M == -1
 
 
+def test_pallas_expander_matches_xla():
+    """_expand_blocks_pallas (interpret) vs the XLA scatter formulation."""
+    from libde265_tpu.fused_decode import (_expand_blocks,
+                                           _expand_blocks_pallas)
+    import jax.numpy as jnp
+
+    B = _SPARSE_BLOCK
+    rng = np.random.default_rng(3)
+    for total in (700 * B + 333, 300 * B):
+        nb = (total + B - 1) // B
+        nz = np.sort(rng.choice(nb, 40, replace=False)).astype(np.int32)
+        M = 256
+        cb = np.zeros((M, B), np.int32)
+        cb[:len(nz)] = rng.integers(-99, 99, (len(nz), B))
+        ix = np.full(M, 1 << 30, np.int32)
+        ix[:len(nz)] = nz
+        inv = np.full(nb, -1, np.int32)
+        inv[nz] = np.arange(len(nz))
+        ref = np.asarray(_expand_blocks(jnp.asarray(cb), jnp.asarray(ix),
+                                        total=total, B=B))
+        got = np.asarray(_expand_blocks_pallas(
+            jnp.asarray(cb), jnp.asarray(inv), total=total, B=B,
+            interpret=True))
+        assert np.array_equal(got, ref)
+
+
 def test_sparse_upload_roundtrip():
     """FusedDecoder._sparse_upload reassembles the exact buffer on device
     through the native compaction path."""
