@@ -158,6 +158,9 @@ class Encoder {
                           const std::vector<u32>* entry_sizes = nullptr,
                           bool dependent = false);
   void encode_slice_substreams(std::vector<u8>* out);
+  void emit_substream_slice_nal(std::vector<u8>* out, const BitWriter& data_bw,
+                                const std::vector<u32>& raw_bounds,
+                                int slice_addr);
   void encode_ctb(int ctb_x, int ctb_y);
   void encode_cq(int x0, int y0, int log2_size, int depth);
   void encode_cq_leaf(int x0, int y0, int log2_size, int depth,

@@ -112,6 +112,11 @@ struct Frame {
 
   void alloc(std::shared_ptr<const Sps> sps, std::shared_ptr<const Pps> pps);
   void release();  // back to Unused, keep allocations for reuse
+  // Re-clear the per-4x4 / per-CTB parse metadata to alloc() defaults without
+  // touching pixels.  Used when an abandoned parallel parse attempt must be
+  // retried sequentially: deblock_flags accumulates with |=, so stale bits
+  // from the partial attempt would otherwise survive the re-parse.
+  void reset_parse_metadata();
 
   u8* plane_ptr(int c) { return plane[c].data(); }
   const u8* plane_ptr(int c) const { return plane[c].data(); }

@@ -477,59 +477,87 @@ void Encoder::write_slice_header(BitWriter* bw, int ctb_rs,
 // Slice-data emission with substreams (WPP rows / tiles), entry points and
 // emulation-prevention-aware offsets (spec 7.4.7.1 entry_point_offset).
 // Mirrors the decoder's substream walk in syntax.cc SliceParser::decode.
+// Honors cfg_.ctbs_per_slice: the picture splits into independent slice
+// segments along the tile-scan order, each carrying only the entry points
+// of the substream boundaries it contains; WPP context inheritance at a row
+// start applies only when the above-right CTB is in the same slice
+// (spec 9.3.1 availability), exactly as the decoder checks it.
 void Encoder::encode_slice_substreams(std::vector<u8>* out) {
   const Sps& s = *sps_;
   const Pps& p = *pps_;
   int n_ctbs = s.pic_size_in_ctbs;
   int pw = s.pic_width_in_ctbs;
+  const int per_slice =
+      (cfg_.ctbs_per_slice > 0) ? cfg_.ctbs_per_slice : n_ctbs;
 
-  BitWriter data_bw;
-  cabac_ = std::make_unique<CabacEncoder>(&data_bw);
-  ctx_.init(cur_is_intra_pic_ ? 0 : (cur_is_b_ ? 2 : 1), pic_qp());
-  qg_first_ = true;
-  qg_prev_qp_ = last_cu_qp_ = pic_qp();
   ContextTable wpp_saved;
   bool wpp_saved_valid = false;
+  u16 slice_no = 0;
 
-  std::vector<u32> raw_bounds;  // cumulative RBSP offsets of substream ends
-  for (int ts = 0; ts < n_ctbs; ts++) {
-    int rs = p.ctb_ts_to_rs[ts];
-    int cx = rs % pw, cy = rs / pw;
-    recon_->slice_addr_rs[rs] = 0;
-    recon_->slice_idx[rs] = 0;
-    if (sps_->sao_enabled) write_sao(cx, cy);
-    encode_ctb(cx, cy);
-    if (p.entropy_coding_sync_enabled && cx == 1) {
-      wpp_saved = ctx_;
-      wpp_saved_valid = true;
+  for (int slice_start = 0; slice_start < n_ctbs;
+       slice_start += per_slice, slice_no++) {
+    const int slice_end = min_i(slice_start + per_slice, n_ctbs);  // excl, ts
+    const int slice_addr = p.ctb_ts_to_rs[slice_start];
+
+    BitWriter data_bw;
+    cabac_ = std::make_unique<CabacEncoder>(&data_bw);
+    ctx_.init(cur_is_intra_pic_ ? 0 : (cur_is_b_ ? 2 : 1), pic_qp());
+    qg_first_ = true;
+    qg_prev_qp_ = last_cu_qp_ = pic_qp();
+
+    std::vector<u32> raw_bounds;  // cumulative RBSP offsets of substream ends
+    for (int ts = slice_start; ts < slice_end; ts++) {
+      int rs = p.ctb_ts_to_rs[ts];
+      int cx = rs % pw, cy = rs / pw;
+      recon_->slice_addr_rs[rs] = slice_addr;
+      recon_->slice_idx[rs] = slice_no;
+      if (sps_->sao_enabled) write_sao(cx, cy);
+      encode_ctb(cx, cy);
+      if (p.entropy_coding_sync_enabled && cx == 1) {
+        wpp_saved = ctx_;
+        wpp_saved_valid = true;
+      }
+      if (ts == slice_end - 1) {
+        cabac_->encode_terminate(1);  // end_of_slice_segment_flag
+        break;
+      }
+      cabac_->encode_terminate(0);
+      int next_rs = p.ctb_ts_to_rs[ts + 1];
+      int next_cx = next_rs % pw, next_cy = next_rs / pw;
+      bool new_row = p.entropy_coding_sync_enabled && next_cx == 0;
+      bool new_tile = p.tiles_enabled && !p.same_tile(rs, next_rs);
+      if (new_row || new_tile) {
+        cabac_->encode_terminate(1);  // end_of_subset_one_bit (flush + align)
+        raw_bounds.push_back((u32)data_bw.rbsp().size());
+        cabac_ = std::make_unique<CabacEncoder>(&data_bw);
+        // inherit iff the above-right CTB is available in THIS slice
+        // (mirrors syntax.cc decode() row-start availability check)
+        int above_rs = (next_cy - 1) * pw + min_i(1, pw - 1);
+        bool inherit = new_row && !new_tile && next_cy > 0 &&
+                       wpp_saved_valid && pw >= 2 &&
+                       recon_->slice_addr_rs[above_rs] == slice_addr &&
+                       p.same_tile(next_rs, above_rs);
+        if (inherit)
+          ctx_ = wpp_saved;
+        else
+          ctx_.init(cur_is_intra_pic_ ? 0 : (cur_is_b_ ? 2 : 1), pic_qp());
+        // per-substream QP-prediction reset (syntax.cc:1086-1140)
+        qg_first_ = true;
+        qg_prev_qp_ = last_cu_qp_ = pic_qp();
+      }
     }
-    if (ts == n_ctbs - 1) {
-      cabac_->encode_terminate(1);  // end_of_slice_segment_flag
-      break;
-    }
-    cabac_->encode_terminate(0);
-    int next_rs = p.ctb_ts_to_rs[ts + 1];
-    int next_cx = next_rs % pw, next_cy = next_rs / pw;
-    bool new_row = p.entropy_coding_sync_enabled && next_cx == 0;
-    bool new_tile = p.tiles_enabled && !p.same_tile(rs, next_rs);
-    if (new_row || new_tile) {
-      cabac_->encode_terminate(1);  // end_of_subset_one_bit (flush + align)
-      raw_bounds.push_back((u32)data_bw.rbsp().size());
-      cabac_ = std::make_unique<CabacEncoder>(&data_bw);
-      bool inherit = new_row && !new_tile && next_cy > 0 && wpp_saved_valid &&
-                     pw >= 2;
-      if (inherit)
-        ctx_ = wpp_saved;
-      else
-        ctx_.init(cur_is_intra_pic_ ? 0 : (cur_is_b_ ? 2 : 1), pic_qp());
-      // per-substream QP-prediction reset (syntax.cc:1086-1140)
-      qg_first_ = true;
-      qg_prev_qp_ = last_cu_qp_ = pic_qp();
-    }
+
+    emit_substream_slice_nal(out, data_bw, raw_bounds, slice_addr);
   }
+}
 
-  // entry_point_offsets are in the STUFFED byte stream; iterate since the
-  // header bytes (which contain the offsets) feed the emulation scan state
+// Entry-point fixpoint + NAL emission for one substream-carrying slice.
+// entry_point_offsets are in the STUFFED byte stream; iterate since the
+// header bytes (which contain the offsets) feed the emulation scan state.
+void Encoder::emit_substream_slice_nal(std::vector<u8>* out,
+                                       const BitWriter& data_bw,
+                                       const std::vector<u32>& raw_bounds,
+                                       int slice_addr) {
   std::vector<u32> stuffed = raw_bounds;
   std::vector<u8> header_rbsp;
   const std::vector<u8>& data = data_bw.rbsp();
@@ -538,7 +566,7 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
     for (size_t i = 0; i < stuffed.size(); i++)
       sizes[i] = stuffed[i] - (i ? stuffed[i - 1] : 0);
     BitWriter hb;
-    write_slice_header(&hb, 0, sizes.empty() ? nullptr : &sizes);
+    write_slice_header(&hb, slice_addr, sizes.empty() ? nullptr : &sizes);
     header_rbsp = hb.rbsp();
     // simulate emulation prevention over header||data
     std::vector<u32> ns(raw_bounds.size());

@@ -29,6 +29,17 @@ void Frame::alloc(std::shared_ptr<const Sps> s, std::shared_ptr<const Pps> p) {
 
   pb_w = ceil_div(width, 4);
   pb_h = ceil_div(height, 4);
+  ctb_w = s->pic_width_in_ctbs;
+  ctb_h = s->pic_height_in_ctbs;
+  reset_parse_metadata();
+
+  state = PicState::InProgress;
+  needed_for_output = false;
+  is_long_term = false;
+  integrity_ok = true;
+}
+
+void Frame::reset_parse_metadata() {
   // motion keeps its default-constructed intra=true for CUs that never call
   // set_motion (intra CUs), so it must be re-initialized every picture
   motion.assign((size_t)pb_w * pb_h, PbMotion());
@@ -39,17 +50,9 @@ void Frame::alloc(std::shared_ptr<const Sps> s, std::shared_ptr<const Pps> p) {
   intra_mode_c.assign((size_t)pb_w * pb_h, 1);
   cu_info.assign((size_t)pb_w * pb_h, 0);
   ct_depth.assign((size_t)pb_w * pb_h, 0);
-
-  ctb_w = s->pic_width_in_ctbs;
-  ctb_h = s->pic_height_in_ctbs;
   sao.assign((size_t)ctb_w * ctb_h, SaoParams());
   slice_addr_rs.assign((size_t)ctb_w * ctb_h, -1);
   slice_idx.assign((size_t)ctb_w * ctb_h, 0);
-
-  state = PicState::InProgress;
-  needed_for_output = false;
-  is_long_term = false;
-  integrity_ok = true;
 }
 
 void Frame::release() {

@@ -1384,16 +1384,25 @@ Err SliceParser::decode(const u8* data, size_t size) {
         });
       }
       for (auto& t : threads) t.join();
-      for (int i = 0; i < n_tiles; i++)
-        if (errs[i] != Err::OK) return errs[i];
-      for (int i = 0; i < n_tiles; i++) merge_fragment(frags[i]);
-      // following-dependent-segment state: as the sequential path would
-      // leave it (last tile's contexts)
-      dec_->dependent_slice_state.ctx = workers.back()->ctx_;
-      memcpy(dec_->dependent_slice_state.stat_coeff,
-             workers.back()->stat_coeff_, 4);
-      dec_->dependent_slice_state.valid = true;
-      return Err::OK;
+      bool any_err = false;
+      for (int i = 0; i < n_tiles; i++) any_err |= errs[i] != Err::OK;
+      if (!any_err) {
+        for (int i = 0; i < n_tiles; i++) merge_fragment(frags[i]);
+        // following-dependent-segment state: as the sequential path would
+        // leave it (last tile's contexts)
+        dec_->dependent_slice_state.ctx = workers.back()->ctx_;
+        memcpy(dec_->dependent_slice_state.stat_coeff,
+               workers.back()->stat_coeff_, 4);
+        dec_->dependent_slice_state.valid = true;
+        return Err::OK;
+      }
+      // A failed parallel attempt is not a verdict: the entry-point count
+      // matching the tile count does not prove the slice covers every tile
+      // to its end (end_of_slice_segment_flag may legally fire mid-tile).
+      // Only the sequential loop below can distinguish that from genuine
+      // corruption — wipe the partial metadata (deblock_flags is |=-
+      // accumulated) and re-parse sequentially.
+      frame_->reset_parse_metadata();
     }
   }
 
@@ -1437,14 +1446,24 @@ Err SliceParser::decode(const u8* data, size_t size) {
       });
     }
     for (auto& t : pool) t.join();
-    for (int r = 0; r < rows; r++)
-      if (errs[r] != Err::OK) return errs[r];
-    for (int r = 0; r < rows; r++) merge_fragment(frags[r]);
-    dec_->dependent_slice_state.ctx = workers.back()->ctx_;
-    memcpy(dec_->dependent_slice_state.stat_coeff,
-           workers.back()->stat_coeff_, 4);
-    dec_->dependent_slice_state.valid = true;
-    return Err::OK;
+    bool any_err = false;
+    for (int r = 0; r < rows; r++) any_err |= errs[r] != Err::OK;
+    if (!any_err) {
+      for (int r = 0; r < rows; r++) merge_fragment(frags[r]);
+      dec_->dependent_slice_state.ctx = workers.back()->ctx_;
+      memcpy(dec_->dependent_slice_state.stat_coeff,
+             workers.back()->stat_coeff_, 4);
+      dec_->dependent_slice_state.valid = true;
+      return Err::OK;
+    }
+    // windows.size() == ctb_h also holds for a conformant multi-slice
+    // picture whose first slice touches every CTB row but ends mid-row —
+    // decode_wpp_row's single-slice end-flag gate then fires on a legal
+    // stream.  The slice header cannot distinguish the two cases, so any
+    // row failure falls back to the sequential substream loop, which is
+    // the authority on genuine syntax errors.  Partial metadata from the
+    // abandoned attempt must be wiped first (|=-accumulated edge flags).
+    frame_->reset_parse_metadata();
   }
 
   qp_y_pred_ = sh_->slice_qp_y;

@@ -278,3 +278,51 @@ TDE_TEST(decoder_reset_seek) {
   }
   TDE_CHECK_EQ(frames, 2);
 }
+
+TDE_TEST(wpp_multislice_midrow_fallback) {
+  // A conformant picture whose FIRST slice touches every CTB row but ends
+  // mid-row: its entry-point count equals ctb_h, so the parallel-WPP gate
+  // in SliceParser::decode() fires, the last row worker hits
+  // end_of_slice_segment_flag before the picture's last CTB, and the
+  // parser must fall back to the sequential loop (not report
+  // InvalidSyntax).  Advisor finding r4 #1.  4x3 CTBs at CTB 16; slice 1 =
+  // CTBs 0..8 (ends mid-row-2), slice 2 = CTBs 9..11.
+  int W = 64, H = 48;
+  std::vector<u8> cb, cr;
+  auto y = test_frame(W, H, cb, cr);
+  EncoderConfig cfg;
+  cfg.width = W;
+  cfg.height = H;
+  cfg.qp = 30;
+  cfg.ctb_log2 = 4;
+  cfg.wpp = true;
+  cfg.ctbs_per_slice = 9;
+  Encoder enc(cfg);
+  auto bits = enc.encode_frame(y.data(), W, cb.data(), cr.data(), W / 2);
+  TDE_CHECK(bits.size() > 50);
+
+  // multithreaded decode must take the parallel gate, fail, fall back, and
+  // still produce the exact reconstruction
+  for (int threads : {0, 4}) {
+    Decoder dec;
+    dec.disable_deblocking = true;
+    if (threads) dec.start_worker_threads(threads);
+    dec.push_data(bits.data(), bits.size());
+    dec.flush_data();
+    int more = 1;
+    Frame* df = nullptr;
+    while (more) {
+      more = 0;
+      dec.decode(&more);
+      if ((df = dec.peek_next_picture()) != nullptr) break;
+    }
+    TDE_CHECK(df != nullptr);
+    if (!df) continue;
+    int diffs = 0;
+    for (int c = 0; c < 3; c++)
+      for (int yy = 0; yy < df->plane_height(c); yy++)
+        for (int xx = 0; xx < df->plane_width(c); xx++)
+          if (*df->px8(c, xx, yy) != *enc.recon().px8(c, xx, yy)) diffs++;
+    TDE_CHECK_EQ(diffs, 0);
+  }
+}
