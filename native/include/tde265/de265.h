@@ -146,9 +146,20 @@ LIBDE265_API const struct de265_image* de265_get_next_picture(de265_decoder_cont
 LIBDE265_API void de265_release_next_picture(de265_decoder_context*);
 LIBDE265_API de265_error de265_get_warning(de265_decoder_context*);
 
-/* === custom allocation (accepted; internal allocation used) === */
+/* === custom allocation: the embedder may own output pixel memory.
+   get_buffer is invoked once per picture when its geometry is known; the
+   embedder attaches planes with de265_set_image_plane, and the decoder
+   copies the final picture into them before it is returned by
+   de265_peek/get_next_picture.  release_buffer fires when the picture's
+   slot is recycled or the decoder is freed. === */
+typedef enum de265_image_format {
+  de265_image_format_mono8 = 1,
+  de265_image_format_YUV420P8 = 2,
+  de265_image_format_YUV422P8 = 3,
+  de265_image_format_YUV444P8 = 4
+} de265_image_format;
 struct de265_image_spec {
-  int format;
+  enum de265_image_format format;
   int width, height;
   int alignment;
   int crop_left, crop_right, crop_top, crop_bottom;

@@ -115,6 +115,20 @@ class Decoder {
   // copies in the program snapshots
   bool parse_only = false;
 
+  // Image-allocation hook seam (reference de265.h:332-368 semantics,
+  // installed by de265_set_image_allocation_functions): on_frame_alloc
+  // fires once a new picture's geometry is known (the embedder may attach
+  // external planes via de265_set_image_plane); on_frame_release fires
+  // when the picture's DPB slot is recycled or the decoder goes away.
+  std::function<void(Frame*)> on_frame_alloc;
+  std::function<void(Frame*)> on_frame_release;
+  void release_ext_buffers();  // fire on_frame_release for every acquired
+
+  // Header-dump file descriptors (de265_set_parameter_int DUMP_*_HEADERS,
+  // reference de265.h:402-405): -1 = off.
+  int dump_vps_fd = -1, dump_sps_fd = -1, dump_pps_fd = -1,
+      dump_slice_fd = -1;
+
   // --- introspection ---
   std::vector<Warning> warnings;
   Warning get_warning();

@@ -64,6 +64,16 @@ struct Frame {
   int stride[3] = {0, 0, 0};  // in pixels
   void* plane_user_data[3] = {nullptr, nullptr, nullptr};
 
+  // Externally-owned output planes (de265_set_image_plane, reference
+  // de265.h:332-368): the embedder supplies pixel memory from its
+  // get_buffer hook; the decoder copies the final picture out before it is
+  // handed to the application.  Reconstruction itself stays in the
+  // SoA-internal planes (reference pictures are read from them).
+  u8* ext_plane[3] = {nullptr, nullptr, nullptr};
+  int ext_stride[3] = {0, 0, 0};  // in pixels
+  bool ext_acquired = false;      // get_buffer succeeded for this picture
+  bool ext_copied = false;        // final pixels copied to ext planes
+
   // --- per-4x4 metadata (luma coords / 4) ---
   int pb_w = 0, pb_h = 0;
   std::vector<PbMotion> motion;        // pb_w * pb_h

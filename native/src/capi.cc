@@ -58,6 +58,8 @@ struct tde265_ctx {
   SecurityLimits limits_storage;
   de265_security_limits limits_c;
   int acceleration = de265_acceleration_AUTO;
+  de265_image_allocation alloc_funcs = {nullptr, nullptr};
+  void* alloc_userdata = nullptr;
 };
 
 static inline tde265_ctx* C(de265_decoder_context* ctx) {
@@ -90,6 +92,11 @@ de265_decoder_context* de265_new_decoder(void) {
 }
 
 de265_error de265_free_decoder(de265_decoder_context* ctx) {
+  // hand external buffers back while the context is fully alive, then
+  // detach the hooks so ~Decoder doesn't re-enter them mid-destruction
+  C(ctx)->dec.release_ext_buffers();
+  C(ctx)->dec.on_frame_alloc = nullptr;
+  C(ctx)->dec.on_frame_release = nullptr;
   delete C(ctx);
   return DE265_OK;
 }
@@ -229,10 +236,14 @@ const uint8_t* de265_get_image_plane(const de265_image* img, int channel,
                                      int* out_stride) {
   Frame* f = F(img);
   const Sps& sps = *f->sps;
-  int sub_x = (channel == 0) ? 1 : 1;  // crop offsets are in chroma units for chroma
-  (void)sub_x;
   int left = sps.conf_win_left * (channel == 0 ? sps.sub_width_c : 1);
   int top = sps.conf_win_top * (channel == 0 ? sps.sub_height_c : 1);
+  // embedder-owned plane (de265_set_image_plane): hand back its memory
+  if (f->ext_plane[channel]) {
+    if (out_stride) *out_stride = f->ext_stride[channel] * f->bytes_pp;
+    return f->ext_plane[channel] +
+           ((size_t)top * f->ext_stride[channel] + left) * f->bytes_pp;
+  }
   if (out_stride) *out_stride = f->stride[channel] * f->bytes_pp;
   return f->plane_ptr(channel) +
          ((size_t)top * f->stride[channel] + left) * f->bytes_pp;
@@ -288,16 +299,69 @@ int de265_get_image_matrix_coefficients(const de265_image* img) {
 }
 
 // ---------------------------------------------------------------------------
-// allocation hooks (tde265 owns pixel memory; hooks accepted as no-ops)
+// allocation hooks (reference de265.h:332-368): the embedder's get_buffer
+// runs once per picture; planes it attaches via de265_set_image_plane
+// receive the final pixels before the picture is handed out.
+// Reconstruction itself stays in tde265's internal SoA planes (the device
+// feed and reference-picture reads depend on that layout), so embedder
+// memory is filled by one copy at output time — the observable contract
+// (hook order, buffer ownership, pixel content) matches the reference.
 // ---------------------------------------------------------------------------
 static de265_image_allocation g_default_alloc = {nullptr, nullptr};
 
-void de265_set_image_allocation_functions(de265_decoder_context*,
-                                          de265_image_allocation*, void*) {}
+void de265_set_image_allocation_functions(de265_decoder_context* ctx,
+                                          de265_image_allocation* af,
+                                          void* userdata) {
+  tde265_ctx* c = C(ctx);
+  if (!af || !af->get_buffer) {  // back to internal allocation
+    c->alloc_funcs = {nullptr, nullptr};
+    c->dec.on_frame_alloc = nullptr;
+    c->dec.on_frame_release = nullptr;
+    return;
+  }
+  c->alloc_funcs = *af;
+  c->alloc_userdata = userdata;
+  c->dec.on_frame_alloc = [ctx, c](Frame* f) {
+    const Sps& sps = *f->sps;
+    de265_image_spec spec = {};
+    switch (f->chroma_format) {
+      case 0: spec.format = de265_image_format_mono8; break;
+      case 2: spec.format = de265_image_format_YUV422P8; break;
+      case 3: spec.format = de265_image_format_YUV444P8; break;
+      default: spec.format = de265_image_format_YUV420P8; break;
+    }
+    spec.width = f->width;
+    spec.height = f->height;
+    spec.alignment = 16;
+    spec.crop_left = sps.conf_win_left * sps.sub_width_c;
+    spec.crop_right = sps.conf_win_right * sps.sub_width_c;
+    spec.crop_top = sps.conf_win_top * sps.sub_height_c;
+    spec.crop_bottom = sps.conf_win_bottom * sps.sub_height_c;
+    spec.visible_width = spec.width - spec.crop_left - spec.crop_right;
+    spec.visible_height = spec.height - spec.crop_top - spec.crop_bottom;
+    int ok = c->alloc_funcs.get_buffer(ctx, &spec,
+                                       reinterpret_cast<de265_image*>(f),
+                                       c->alloc_userdata);
+    f->ext_acquired = ok != 0;
+    f->ext_copied = false;
+  };
+  c->dec.on_frame_release = [ctx, c](Frame* f) {
+    if (c->alloc_funcs.release_buffer)
+      c->alloc_funcs.release_buffer(ctx, reinterpret_cast<de265_image*>(f),
+                                    c->alloc_userdata);
+  };
+}
 const de265_image_allocation* de265_get_default_image_allocation_functions(void) {
   return &g_default_alloc;
 }
-void de265_set_image_plane(de265_image*, int, void*, int, void*) {}
+void de265_set_image_plane(de265_image* img, int cIdx, void* mem, int stride,
+                           void* userdata) {
+  if (!img || cIdx < 0 || cIdx > 2) return;
+  Frame* f = F(img);
+  f->ext_plane[cIdx] = static_cast<u8*>(mem);
+  f->ext_stride[cIdx] = stride;  // pixels (== bytes at 8-bit)
+  f->plane_user_data[cIdx] = userdata;
+}
 
 // Plane (re)allocation on an image, mirroring the reference's
 // de265_alloc_image_plane/de265_free_image_plane (image.cc:69-107).  tde265
@@ -343,16 +407,14 @@ void de265_get_image_spec_from_image(const de265_image* img,
                                      de265_image_spec* spec) {
   if (!img || !spec) return;
   const Frame* f = F(img);
-  // format codes follow the reference's de265_image_format enum:
-  // 1=YUV420P8, 2=YUV422P8, 3=YUV444P8, 4=mono8 (de265.h:328-333 there).
-  int fmt = 1;
+  // format codes follow the reference's de265_image_format enum
+  // (de265.h:325-330 there: mono8=1, YUV420P8=2, YUV422P8=3, YUV444P8=4)
   switch (f->chroma_format) {
-    case 0: fmt = 4; break;
-    case 1: fmt = 1; break;
-    case 2: fmt = 2; break;
-    case 3: fmt = 3; break;
+    case 0: spec->format = de265_image_format_mono8; break;
+    case 2: spec->format = de265_image_format_YUV422P8; break;
+    case 3: spec->format = de265_image_format_YUV444P8; break;
+    default: spec->format = de265_image_format_YUV420P8; break;
   }
-  spec->format = fmt;
   spec->width = f->width;
   spec->height = f->height;
   spec->alignment = 16;
@@ -427,10 +489,17 @@ de265_error de265_set_parameter_int(de265_decoder_context* ctx,
       C(ctx)->acceleration = value;
       return DE265_OK;
     case DE265_DECODER_PARAM_DUMP_SPS_HEADERS:
+      C(ctx)->dec.dump_sps_fd = value;
+      return DE265_OK;
     case DE265_DECODER_PARAM_DUMP_VPS_HEADERS:
+      C(ctx)->dec.dump_vps_fd = value;
+      return DE265_OK;
     case DE265_DECODER_PARAM_DUMP_PPS_HEADERS:
+      C(ctx)->dec.dump_pps_fd = value;
+      return DE265_OK;
     case DE265_DECODER_PARAM_DUMP_SLICE_HEADERS:
-      return DE265_OK;  // header dumping: accepted (logs not implemented)
+      C(ctx)->dec.dump_slice_fd = value;
+      return DE265_OK;
     default:
       return DE265_ERROR_PARAMETER_PARSING;
   }

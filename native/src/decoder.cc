@@ -29,12 +29,24 @@ Decoder::Decoder() {
 Decoder::~Decoder() {
   if (pipelined_) pipeline_.drain();
   pipeline_.stop();
+  release_ext_buffers();
   perf::report();
   perf::prof_report();
 }
 
+void Decoder::release_ext_buffers() {
+  for (auto& f : dpb_) {
+    if (!f->ext_acquired) continue;
+    if (on_frame_release) on_frame_release(f.get());
+    f->ext_acquired = false;
+    f->ext_copied = false;
+    f->ext_plane[0] = f->ext_plane[1] = f->ext_plane[2] = nullptr;
+  }
+}
+
 void Decoder::reset() {
   if (pipelined_) pipeline_.drain();
+  release_ext_buffers();
   nal_parser_.reset();
   for (auto& f : dpb_) f->release();
   output_queue_.clear();
@@ -171,12 +183,66 @@ Err Decoder::decode_nal(std::unique_ptr<NalUnit> nal) {
   }
 }
 
+// Header dumping to user-provided file descriptors
+// (DE265_DECODER_PARAM_DUMP_*_HEADERS, reference de265.h:402-405).  The
+// text layout is our own; the contract is "a human-readable dump of the
+// parsed header arrives on the configured fd".
+static void dump_vps(int fd, const Vps& v) {
+  dprintf(fd, "----------------- VPS -----------------\n");
+  dprintf(fd, "video_parameter_set_id : %d\n", v.vps_id);
+  dprintf(fd, "vps_max_sub_layers     : %d\n", v.max_sub_layers);
+}
+
+static void dump_sps(int fd, const Sps& s) {
+  dprintf(fd, "----------------- SPS -----------------\n");
+  dprintf(fd, "seq_parameter_set_id   : %d\n", s.sps_id);
+  dprintf(fd, "profile/level          : idc %d / %d\n",
+          s.ptl.general_profile_idc, s.ptl.general_level_idc);
+  dprintf(fd, "chroma_format_idc      : %d\n", s.chroma_format_idc);
+  dprintf(fd, "pic size (luma)        : %dx%d\n",
+          s.pic_width_in_luma_samples, s.pic_height_in_luma_samples);
+  dprintf(fd, "conformance window     : l%d r%d t%d b%d\n", s.conf_win_left,
+          s.conf_win_right, s.conf_win_top, s.conf_win_bottom);
+  dprintf(fd, "bit depth (Y/C)        : %d/%d\n", s.bit_depth_luma,
+          s.bit_depth_chroma);
+  dprintf(fd, "CTB size               : %d\n", 1 << s.log2_ctb_size);
+  dprintf(fd, "max_pic_order_cnt_lsb  : %u\n", s.max_pic_order_cnt_lsb);
+  dprintf(fd, "sao / amp / pcm        : %d / %d / %d\n", (int)s.sao_enabled,
+          (int)s.amp_enabled, (int)s.pcm_enabled);
+}
+
+static void dump_pps(int fd, const Pps& p) {
+  dprintf(fd, "----------------- PPS -----------------\n");
+  dprintf(fd, "pic_parameter_set_id   : %d\n", p.pps_id);
+  dprintf(fd, "seq_parameter_set_id   : %d\n", p.sps ? p.sps->sps_id : -1);
+  dprintf(fd, "init_qp                : %d\n", p.init_qp);
+  dprintf(fd, "cu_qp_delta_enabled    : %d\n", (int)p.cu_qp_delta_enabled);
+  dprintf(fd, "tiles                  : %s (%dx%d)\n",
+          p.tiles_enabled ? "on" : "off", p.num_tile_columns,
+          p.num_tile_rows);
+  dprintf(fd, "entropy_coding_sync    : %d\n",
+          (int)p.entropy_coding_sync_enabled);
+  dprintf(fd, "weighted pred (P/B)    : %d/%d\n", (int)p.weighted_pred,
+          (int)p.weighted_bipred);
+}
+
+static void dump_slice_header(int fd, const SliceHeader& sh) {
+  dprintf(fd, "----------------- Slice -----------------\n");
+  dprintf(fd, "slice_segment_address  : %d%s\n", sh.slice_segment_address,
+          sh.dependent_slice ? " (dependent)" : "");
+  dprintf(fd, "slice_type             : %s\n",
+          sh.slice_type == 0 ? "B" : (sh.slice_type == 1 ? "P" : "I"));
+  dprintf(fd, "slice_qp               : %d\n", sh.slice_qp_y);
+  dprintf(fd, "num_entry_points       : %d\n", sh.num_entry_points);
+}
+
 Err Decoder::read_vps(BitReader& br) {
   auto v = std::make_unique<Vps>();
   if (!v->parse(br)) {
     add_warning(Warning::SpsHeaderInvalid);
     return Err::InvalidSyntax;
   }
+  if (dump_vps_fd >= 0) dump_vps(dump_vps_fd, *v);
   vps_[v->vps_id] = std::move(v);
   return Err::OK;
 }
@@ -213,6 +279,7 @@ Err Decoder::read_sps(BitReader& br) {
             max_ps)
       add_warning(Warning::LevelLimitsExceeded);
   }
+  if (dump_sps_fd >= 0) dump_sps(dump_sps_fd, *s);
   sps_[s->sps_id] = std::move(s);
   return Err::OK;
 }
@@ -232,6 +299,7 @@ Err Decoder::read_pps(BitReader& br) {
     add_warning(Warning::PpsHeaderInvalid);
     return Err::InvalidSyntax;
   }
+  if (dump_pps_fd >= 0) dump_pps(dump_pps_fd, *p);
   pps_[p->pps_id] = std::move(p);
   return Err::OK;
 }
@@ -277,6 +345,7 @@ Err Decoder::read_slice(std::unique_ptr<NalUnit> nal) {
   } else {
     sh->slice_addr_rs = sh->slice_segment_address;
   }
+  if (dump_slice_fd >= 0) dump_slice_header(dump_slice_fd, *sh);
 
   // --- picture boundary ---
   if (sh->first_slice_in_pic) {
@@ -397,6 +466,14 @@ Err Decoder::start_new_picture(std::shared_ptr<SliceHeader> sh, int nal_type,
     if (!f) return Err::ImageBufferFull;
   }
 
+  // recycled slot: hand the previous external buffer back first
+  if (f->ext_acquired) {
+    if (on_frame_release) on_frame_release(f);
+    f->ext_acquired = false;
+    f->ext_copied = false;
+    f->ext_plane[0] = f->ext_plane[1] = f->ext_plane[2] = nullptr;
+  }
+
   f->alloc(sps, pps);
   f->pts = pts;
   f->user_data = user_data;
@@ -420,6 +497,7 @@ Err Decoder::start_new_picture(std::shared_ptr<SliceHeader> sh, int nal_type,
 
   f->needed_for_output = sh->pic_output_flag;
   f->state = PicState::InProgress;
+  if (on_frame_alloc) on_frame_alloc(f);
   return Err::OK;
 }
 
@@ -491,7 +569,14 @@ Frame* Decoder::generate_concealment_frame(i32 poc) {
   add_warning(Warning::NonexistingReferencePicture);
   Frame* f = alloc_frame();
   if (!f) return nullptr;
+  if (f->ext_acquired) {  // recycled slot: release the old buffer
+    if (on_frame_release) on_frame_release(f);
+    f->ext_acquired = false;
+    f->ext_copied = false;
+    f->ext_plane[0] = f->ext_plane[1] = f->ext_plane[2] = nullptr;
+  }
   f->alloc(cur_frame_->sps, cur_frame_->pps);
+  if (on_frame_alloc) on_frame_alloc(f);
   // mid-gray
   int n_planes = (f->chroma_format == 0) ? 1 : 3;
   for (int c = 0; c < n_planes; c++) {
@@ -903,6 +988,19 @@ Frame* Decoder::peek_next_picture() {
   if (f->pending) {  // pixels must be final before the caller sees them
     f->pending->wait();
     f->pending.reset();
+  }
+  // embedder-owned planes (de265_set_image_plane): the final picture is
+  // copied out exactly once, before the application first sees it
+  if (f->ext_acquired && !f->ext_copied) {
+    for (int c = 0; c < 3; c++) {
+      if (!f->ext_plane[c]) continue;
+      const size_t rowbytes = (size_t)f->plane_width(c) * f->bytes_pp;
+      for (int y = 0; y < f->plane_height(c); y++)
+        memcpy(f->ext_plane[c] + (size_t)y * f->ext_stride[c] * f->bytes_pp,
+               f->plane[c].data() + (size_t)y * f->stride[c] * f->bytes_pp,
+               rowbytes);
+    }
+    f->ext_copied = true;
   }
   if (async_hash_fail_.exchange(false)) add_warning(Warning::ChecksumMismatch);
   return f;

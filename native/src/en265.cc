@@ -410,7 +410,12 @@ void en265_get_image_spec(en265_encoder_context* ctx, int width, int height,
   (void)ctx;
   if (!out_spec) return;
   memset(out_spec, 0, sizeof(*out_spec));
-  out_spec->format = (int)chroma;
+  switch (chroma) {
+    case de265_chroma_mono: out_spec->format = de265_image_format_mono8; break;
+    case de265_chroma_422: out_spec->format = de265_image_format_YUV422P8; break;
+    case de265_chroma_444: out_spec->format = de265_image_format_YUV444P8; break;
+    default: out_spec->format = de265_image_format_YUV420P8; break;
+  }
   // encoder pads to coding-block alignment; callers see the visible size
   int pw = (width + 7) & ~7, ph = (height + 7) & ~7;
   out_spec->width = pw;
