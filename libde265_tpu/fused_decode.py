@@ -52,6 +52,7 @@ from .decoder import (OP_INTRA, OP_RESIDUAL, TU_INTRA, TU_RDPCM,
                       TU_RDPCM_VERTICAL, TU_TQ_BYPASS, TU_TRANSFORM_SKIP,
                       TU_USE_DST, FrameProgramData)
 from .ops import deblock as dbk
+from .ops import deblock_pallas as dbp
 from .ops import transform as tx
 from .ops.intra import IntraContext
 from .ops.intra_wave import border_plan, build_mode_tables
@@ -64,6 +65,33 @@ from .tpu_decode import (_chroma_qp_map, _edge_params_jnp, _mc_plane, _merge,
 
 MAX_REFS = 8
 NOREF = -(10 ** 6)
+
+_warned_debug_knobs = False
+
+
+def _warn_debug_knobs():
+    """TDE_WAVE_STUB / TDE_DEBLOCK_SKIP elide compute for stage-attribution
+    experiments and make every decoded frame WRONG; they are read at trace
+    time, so a leaked env var would silently poison the jit cache for the
+    whole process.  Refuse unless TDE_DEBUG_KNOBS=1 also opts in, and even
+    then shout once."""
+    global _warned_debug_knobs
+    active = [k for k in ("TDE_WAVE_STUB", "TDE_DEBLOCK_SKIP")
+              if os.environ.get(k)]
+    if not active:
+        return
+    if os.environ.get("TDE_DEBUG_KNOBS") != "1":
+        raise RuntimeError(
+            f"{'/'.join(active)} is set: these knobs produce WRONG pixels "
+            "and are for stage-attribution experiments only. Set "
+            "TDE_DEBUG_KNOBS=1 to confirm, in a fresh process.")
+    if not _warned_debug_knobs:
+        _warned_debug_knobs = True
+        import warnings
+        warnings.warn(
+            f"{'/'.join(active)} active: decoder output is NOT bit-exact "
+            "(stage-attribution mode); do not reuse this process for "
+            "correctness runs.", RuntimeWarning, stacklevel=2)
 
 # intra super-wave per-step capacities (blocks of size 1<<lg per scan step);
 # a step's overflow spills to the next step.  Sized so spills are rare —
@@ -838,15 +866,25 @@ def _deblock_section(planes, feed, recs, cell, skip4, st):
     cb = planes[1] if has_chroma else planes[0]
     cr = planes[2] if has_chroma else planes[0]
     Ev, Eh = W // 8, H // 8
+    # Pallas single-sweep passes (natural layout for BOTH orientations —
+    # no full-plane transposes); the XLA chain stays as the CPU-test path
+    use_pl = bool(st.get("pallas_deblock", False))
+    interp = bool(st.get("pallas_interp", dbp.default_interpret()))
 
     pv = _edge_params_jnp(meta, vertical=True)
     params_v = {k: _pad_edge0_cols(v, Ev) for k, v in pv.items()
                 if k not in ("cqo", "tco")}
     if "v" not in _dbg_skip:
         pad = jnp.zeros((H, W + 8), jnp.int32).at[:, 4:4 + W].set(y)
-        y = dbk._luma_pass(pad, params_v["bs"], params_v["beta"],
-                           params_v["tc"], params_v["no_p"],
-                           params_v["no_q"], bit_depth=bd)[:, 4:4 + W]
+        if use_pl:
+            y = dbp.luma_pass(pad, params_v["bs"], params_v["beta"],
+                              params_v["tc"], params_v["no_p"],
+                              params_v["no_q"], bit_depth=bd,
+                              interpret=interp)[:, 4:4 + W]
+        else:
+            y = dbk._luma_pass(pad, params_v["bs"], params_v["beta"],
+                               params_v["tc"], params_v["no_p"],
+                               params_v["no_q"], bit_depth=bd)[:, 4:4 + W]
     if has_chroma and "cv" not in _dbg_skip:
         segs = jnp.arange(0, Ev, sub_x)
         cqo = [_pad_edge0_cols(c, Ev) for c in pv["cqo"]]
@@ -863,12 +901,18 @@ def _deblock_section(planes, feed, recs, cell, skip4, st):
         Hc = H // sub_y
         padc = jnp.zeros((2, Hc, W // sub_x + 8), jnp.int32)
         padc = padc.at[:, :, 2:2 + W // sub_x].set(jnp.stack([cb, cr]))
-        outc = jax.vmap(
-            lambda p, t: dbk._chroma_pass(
-                p, t, params_v["no_p"][:, segs][:, :Ec],
-                params_v["no_q"][:, segs][:, :Ec],
-                bit_depth=bdc, rows_per_seg=4 // sub_y))(
-            padc, tc_c[:, :, :Ec])
+        if use_pl:
+            outc = dbp.chroma_pass_stacked(
+                padc, tc_c[:, :, :Ec], params_v["no_p"][:, segs][:, :Ec],
+                params_v["no_q"][:, segs][:, :Ec], bit_depth=bdc,
+                rows_per_seg=4 // sub_y, interpret=interp)
+        else:
+            outc = jax.vmap(
+                lambda p, t: dbk._chroma_pass(
+                    p, t, params_v["no_p"][:, segs][:, :Ec],
+                    params_v["no_q"][:, segs][:, :Ec],
+                    bit_depth=bdc, rows_per_seg=4 // sub_y))(
+                padc, tc_c[:, :, :Ec])
         cb, cr = outc[0, :, 2:2 + W // sub_x], outc[1, :, 2:2 + W // sub_x]
 
     ph = _edge_params_jnp(meta, vertical=False)
@@ -877,37 +921,56 @@ def _deblock_section(planes, feed, recs, cell, skip4, st):
         return jnp.concatenate(
             [jnp.zeros((1, a.shape[1]), a.dtype), a], axis=0)[:Eh]
 
-    ph_t = {k: _pad0_rows(v).T for k, v in ph.items()
+    # natural [Eh, W/4] orientation (edge e at picture y = 8e)
+    ph_n = {k: _pad0_rows(v) for k, v in ph.items()
             if k not in ("cqo", "tco")}
+    ph_t = {k: v.T for k, v in ph_n.items()}
     if "h" not in _dbg_skip:
-        pad = jnp.zeros((W, H + 8), jnp.int32).at[:, 4:4 + H].set(y.T)
-        y = dbk._luma_pass(pad, ph_t["bs"], ph_t["beta"], ph_t["tc"],
-                           ph_t["no_p"], ph_t["no_q"],
-                           bit_depth=bd)[:, 4:4 + H].T
+        if use_pl:
+            pad = jnp.zeros((H + 8, W), jnp.int32).at[4:4 + H, :].set(y)
+            y = dbp.luma_pass_h(pad, ph_n["bs"], ph_n["beta"], ph_n["tc"],
+                                ph_n["no_p"], ph_n["no_q"], bit_depth=bd,
+                                interpret=interp)[4:4 + H, :]
+        else:
+            pad = jnp.zeros((W, H + 8), jnp.int32).at[:, 4:4 + H].set(y.T)
+            y = dbk._luma_pass(pad, ph_t["bs"], ph_t["beta"], ph_t["tc"],
+                               ph_t["no_p"], ph_t["no_q"],
+                               bit_depth=bd)[:, 4:4 + H].T
     if has_chroma and "ch" not in _dbg_skip:
         segs_h = jnp.arange(0, Eh, sub_y)
-        cqo_h = [_pad0_rows(jnp.broadcast_to(c, ph["bs"].shape)).T
+        cqo_n = [_pad0_rows(jnp.broadcast_to(c, ph["bs"].shape))
                  for c in ph["cqo"]]
-        tco_h = _pad0_rows(jnp.broadcast_to(ph["tco"], ph["bs"].shape)).T
+        tco_n = _pad0_rows(jnp.broadcast_to(ph["tco"], ph["bs"].shape))
         Ech = (H // sub_y) // 8
-        qpi = (ph_t["qp_l"][:, segs_h][None] +
-               jnp.stack([c[:, segs_h] for c in cqo_h]))
+        qpi = (ph_n["qp_l"][segs_h, :][None] +
+               jnp.stack([c[segs_h, :] for c in cqo_n]))
         qpc = _chroma_qp_map(qpi, is420)
         tc_c = jnp.asarray(dbk.TC_TABLE)[
-            jnp.clip(qpc + 2 + tco_h[None, :, segs_h], 0, 53)] << (bdc - 8)
-        tc_c = jnp.where(ph_t["bs"][None, :, segs_h] == 2, tc_c, 0)
+            jnp.clip(qpc + 2 + tco_n[None, segs_h, :], 0, 53)] << (bdc - 8)
+        tc_c = jnp.where(ph_n["bs"][None, segs_h, :] == 2, tc_c, 0)
         Wc = W // sub_x
-        padc = jnp.zeros((2, Wc, H // sub_y + 8), jnp.int32)
-        padc = padc.at[:, :, 2:2 + H // sub_y].set(
-            jnp.stack([cb.T, cr.T]))
-        outc = jax.vmap(
-            lambda p, t: dbk._chroma_pass(
-                p, t, ph_t["no_p"][:, segs_h][:, :Ech],
-                ph_t["no_q"][:, segs_h][:, :Ech],
-                bit_depth=bdc, rows_per_seg=4 // sub_x))(
-            padc, tc_c[:, :, :Ech])
-        cb = outc[0, :, 2:2 + H // sub_y].T
-        cr = outc[1, :, 2:2 + H // sub_y].T
+        if use_pl:
+            padc = jnp.zeros((2, H // sub_y + 8, Wc), jnp.int32)
+            padc = padc.at[:, 2:2 + H // sub_y, :].set(jnp.stack([cb, cr]))
+            outc = dbp.chroma_pass_stacked_h(
+                padc, tc_c[:, :Ech, :], ph_n["no_p"][segs_h, :][:Ech],
+                ph_n["no_q"][segs_h, :][:Ech], bit_depth=bdc,
+                cols_per_seg=4 // sub_x, interpret=interp)
+            cb = outc[0, 2:2 + H // sub_y, :]
+            cr = outc[1, 2:2 + H // sub_y, :]
+        else:
+            padc = jnp.zeros((2, Wc, H // sub_y + 8), jnp.int32)
+            padc = padc.at[:, :, 2:2 + H // sub_y].set(
+                jnp.stack([cb.T, cr.T]))
+            tc_t = jnp.swapaxes(tc_c, 1, 2)
+            outc = jax.vmap(
+                lambda p, t: dbk._chroma_pass(
+                    p, t, ph_t["no_p"][:, segs_h][:, :Ech],
+                    ph_t["no_q"][:, segs_h][:, :Ech],
+                    bit_depth=bdc, rows_per_seg=4 // sub_x))(
+                padc, tc_t[:, :, :Ech])
+            cb = outc[0, :, 2:2 + H // sub_y].T
+            cr = outc[1, :, 2:2 + H // sub_y].T
 
     return [y, cb, cr] if has_chroma else [y]
 
@@ -1398,6 +1461,7 @@ class FusedDecoder:
     """
 
     def __init__(self, run_deblock=True, run_sao=True):
+        _warn_debug_knobs()
         self.run_deblock = run_deblock
         self.run_sao = run_sao
         # stage attribution for profiling: TDE_FUSED_SKIP=intra,mc,residual,
@@ -1730,6 +1794,11 @@ class FusedDecoder:
             os.environ.get("TDE_PALLAS_INTRA", "1") != "0",
             "pallas_coef": bool(self.use_pallas_mc) and
             not self._no_pallas_coef,
+            # transpose-free single-sweep deblock passes (ops/deblock_pallas)
+            # — default-on with the fused path; TDE_PALLAS_DEBLOCK=0 falls
+            # back to the XLA chain
+            "pallas_deblock": bool(self.use_pallas_mc) and
+            os.environ.get("TDE_PALLAS_DEBLOCK", "1") != "0",
             "ccaps": tuple(max(self.caps.get(f"cc{lg}", 1), 1)
                            for lg in (2, 3, 4, 5)),
             "pallas_interp": jax.default_backend() not in ("tpu", "axon"),
@@ -1755,6 +1824,7 @@ class FusedDecoder:
         B = _SPARSE_BLOCK
         total = int(buf.size)
         nb = (total + B - 1) // B
+        self._cb_scratch_slot = None
         cbix = self._compact_native(buf, total, nb, B)
         if cbix is None:
             padded = buf if total == nb * B else \
@@ -1775,16 +1845,24 @@ class FusedDecoder:
             self.last_wire_bytes = total * 4
             return jnp.asarray(buf)
         cb, ix, M = cbix
-        self.last_wire_bytes = (M * B + M) * 4
+        dcb = jnp.asarray(cb)
+        if getattr(self, "_cb_scratch_slot", None) is not None:
+            # the compact buffer lives in a reused scratch slot: hold the
+            # device array so the slot's NEXT reuse can block on this
+            # transfer (jnp.asarray makes no guarantee the host memory was
+            # consumed at return)
+            self._cb_scratch_pending[self._cb_scratch_slot] = dcb
         if jax.default_backend() in ("tpu", "axon"):
-            # inverse map: output block -> compact row (-1 = zero block)
+            # inverse map: output block -> compact row (-1 = zero block);
+            # this path ships inv (nb entries), not ix (M entries)
+            self.last_wire_bytes = (M * B + nb) * 4
             inv = np.full(nb, -1, np.int32)
             valid = ix < nb
             inv[ix[valid]] = np.flatnonzero(valid)
-            return _expand_blocks_pallas(jnp.asarray(cb), jnp.asarray(inv),
+            return _expand_blocks_pallas(dcb, jnp.asarray(inv),
                                          total=total, B=B)
-        return _expand_blocks(jnp.asarray(cb), jnp.asarray(ix),
-                              total=total, B=B)
+        self.last_wire_bytes = (M * B + M) * 4
+        return _expand_blocks(dcb, jnp.asarray(ix), total=total, B=B)
 
     def _compact_native(self, buf, total, nb, B):
         """Nonzero-block scan + copy in C (one ~0.5 ms pass at 1080p vs a
@@ -1798,13 +1876,20 @@ class FusedDecoder:
         except Exception:
             return None
         import ctypes as ct
-        # two scratch pairs, flipped per frame: the device_put may still be
-        # reading frame N's host buffer while frame N+1 packs
+        # two scratch pairs, flipped per frame; before reusing a slot, block
+        # on the device upload previously built from it so a pipeline deeper
+        # than two frames cannot overwrite host memory a pending transfer
+        # still reads
         pool = getattr(self, "_cb_scratch", None)
         if pool is None:
             pool = [None, None, 0]
             self._cb_scratch = pool
+            self._cb_scratch_pending = [None, None]
         pool[2] ^= 1
+        pending = self._cb_scratch_pending[pool[2]]
+        if pending is not None:
+            pending.block_until_ready()
+            self._cb_scratch_pending[pool[2]] = None
         scratch = pool[pool[2]]
         if scratch is None or scratch[0].shape[0] < nb:
             scratch = (np.empty((nb, B), np.int32), np.empty(nb, np.int32))
@@ -1816,6 +1901,7 @@ class FusedDecoder:
             cb.shape[0])
         if M < 0:
             return None
+        self._cb_scratch_slot = pool[2]
         return cb[:M], ix[:M], int(M)
 
     def _pack_numpy(self, prog: FrameProgramData, slot_map, slot_row):

@@ -58,6 +58,7 @@ if "--child" in sys.argv:
 for name, skip in VARIANTS:
     env = dict(os.environ)
     env["TDE_DEBLOCK_SKIP"] = skip
+    env["TDE_DEBUG_KNOBS"] = "1"  # opt in: outputs are intentionally wrong
     r = subprocess.run([sys.executable, __file__, STREAM, "--child"],
                        env=env, capture_output=True, text=True, timeout=2400)
     line = [ln for ln in r.stdout.splitlines() if ln.startswith("RESULT")]
