@@ -105,6 +105,22 @@ def _device_phase_subprocess(stream_path, n_passes, timeout_s):
         return None, f"unparseable device-phase output: {e}"
 
 
+def _tunnel_probe():
+    """Measured host->device tunnel throughput for random content (the
+    wire-floor denominator; zeros are cheaper, repeats are NOT dedup'd)."""
+    import numpy as np
+    import jax.numpy as jnp
+    n = int(4e6 / 4)
+    b = np.random.default_rng(7).integers(1, 2 ** 30, n, np.int32)
+    ts = []
+    for r in range(2):
+        t0 = time.perf_counter()
+        x = jnp.asarray(b + r)
+        float(x[-1])
+        ts.append(time.perf_counter() - t0)
+    return n * 4 / min(ts) / 1e6
+
+
 def bench_device_decode(stream_bytes, n_passes=5):
     """Honest end-to-end TPU decode of a real stream.
 
@@ -113,10 +129,14 @@ def bench_device_decode(stream_bytes, n_passes=5):
     (parse || pack || execute wall-clock from bytes to last frame, the
     production path, libde265_tpu/stream.py).  Throughput stats are
     median/min/max over passes — the shared axon chip swings severalfold
-    with neighbour load, so a single number is not trustworthy.
+    with neighbour load, so a single number is not trustworthy.  bitexact
+    compares the device planes of the first GOP against the scalar oracle
+    (the reference never publishes perf without `-c` verification;
+    /root/reference/scripts/ci-run.sh:43-57 discipline).
     """
     import statistics
 
+    import numpy as np
     import jax
     import jax.numpy as jnp
     from libde265_tpu import Decoder
@@ -208,6 +228,30 @@ def bench_device_decode(stream_bytes, n_passes=5):
         float(csum(outs[-1]))
         e2e_dts.append(time.perf_counter() - t0)
 
+    # --- bit-exactness gate: device planes vs the scalar oracle on the
+    # first GOP (a fast-but-wrong kernel must flip this to False) ---
+    bitexact = None
+    try:
+        k = min(6, n)
+        dec2 = Decoder(keep_programs=True)   # full scalar reconstruction
+        oracle = []
+        for f in dec2.decode_all(stream_bytes):
+            oracle.append(f)
+            if len(oracle) >= k:
+                break
+        fd.dpb.clear()
+        fd._order.clear()
+        bitexact = True
+        for i in range(k):
+            p = dec2.get_program(i)
+            out = fd.decode(p)
+            for c in range(len(out)):
+                if not np.array_equal(np.asarray(out[c]),
+                                      p.planes[c].astype(np.int32)):
+                    bitexact = False
+    except Exception:
+        bitexact = False
+
     def stats(dts):
         fps = sorted(n / d for d in dts)
         return {"median": statistics.median(fps), "min": fps[0],
@@ -215,7 +259,13 @@ def bench_device_decode(stream_bytes, n_passes=5):
 
     r = {"n": n, "parse_fps": n / t_parse, "upload_mb_frame": upload_mb,
          "wire_mb_frame": wire_mb,
-         "device": stats(dev_dts)}
+         "device": stats(dev_dts), "bitexact": bitexact}
+    try:
+        mbps = _tunnel_probe()
+        r["tunnel_mbps"] = round(mbps, 1)
+        r["wire_floor_ms"] = round(wire_mb / mbps * 1e3, 1)
+    except Exception:
+        pass
     if split:
         r["stage_split"] = split
     if e2e_dts:
@@ -242,7 +292,7 @@ def _synth_yuv(path, w, h, frames):
 def _encode_stream(build, w, h, frames, tag, qp=32):
     """Self-encoded P-GOP stream for the large-frame benchmarks."""
     yuv = f"/tmp/bench{tag}.yuv"
-    out = f"/tmp/bench{tag}.h265"
+    out = f"/tmp/bench{tag}_{frames}f.h265"
     if Path(out).exists():
         return out
     _synth_yuv(yuv, w, h, frames)
@@ -257,11 +307,13 @@ def _encode_stream(build, w, h, frames, tag, qp=32):
 
 
 def _encode_1080p(build):
-    return _encode_stream(build, 1920, 1088, 12, "1080")
+    # 48 frames: the host ~30 fps numbers need >= 1.5 s per run to resolve
+    # the SSE-vs-host margin above the ±40% neighbour noise (VERDICT r4)
+    return _encode_stream(build, 1920, 1088, 48, "1080")
 
 
 def _encode_4k(build):
-    return _encode_stream(build, 3840, 2176, 6, "4k", qp=35)
+    return _encode_stream(build, 3840, 2176, 16, "4k", qp=35)
 
 
 def main():
@@ -297,6 +349,10 @@ def main():
                 round(r["device"]["min"], 2), round(r["device"]["max"], 2)]
             extras["tpu_upload_mb_frame"] = round(r["upload_mb_frame"], 3)
             extras["tpu_wire_mb_frame"] = round(r["wire_mb_frame"], 3)
+            extras["tpu_bitexact"] = r.get("bitexact")
+            if "tunnel_mbps" in r:
+                extras["tunnel_mbps"] = r["tunnel_mbps"]
+                extras["wire_floor_ms"] = r["wire_floor_ms"]
             if "stage_split" in r:
                 extras["tpu_stage_split"] = r["stage_split"]
             if "e2e" in r:
@@ -312,8 +368,8 @@ def main():
     # claims — a device crash must never drop the host-vs-SSE comparison),
     # then the TPU end-to-end phase budget permitting ---
     for tag, mk, n_frames, min_budget, passes in (
-            ("1080p", _encode_1080p, 12, 600, 3),
-            ("4k", _encode_4k, 6, 500, 2)):
+            ("1080p", _encode_1080p, 48, 600, 3),
+            ("4k", _encode_4k, 16, 500, 2)):
         try:
             strm = mk(build)
             if not strm:
@@ -340,6 +396,11 @@ def main():
                     r["upload_mb_frame"], 3)
                 extras[f"tpu_wire_mb_frame_{tag}"] = round(
                     r["wire_mb_frame"], 3)
+                extras[f"tpu_bitexact_{tag}"] = r.get("bitexact")
+                if "wire_floor_ms" in r:
+                    extras[f"wire_floor_ms_{tag}"] = r["wire_floor_ms"]
+                if "stage_split" in r:
+                    extras[f"tpu_stage_split_{tag}"] = r["stage_split"]
         except Exception as e:  # noqa: BLE001
             extras[f"tpu_{tag}_error"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -152,36 +152,56 @@ def _bin_tus(prog: FrameProgramData):
         tu_bin_lg[sel] = lg
         tu_bin_row[sel] = np.arange(n)
         # ragged gather of the sparse coefficient segments.  Wire format:
-        # 16-bit entries val6|pos10 (99.99% of levels fit +-31; pos is
-        # y*S+x), TWO per int32 word, each TU's run padded to an even
-        # entry count (val=0 pad — significant levels are never 0, so
-        # pads are self-masking).  |val|>31 escapes ship as (cfx, cfv)
-        # correction scatter-adds applied after densification.  coff is
-        # in ENTRY units (always even) — 2 B/coeff crosses the wire.
+        # 8-bit entries, FOUR per int32 word (little-endian byte order),
+        # positions delta-coded in raster order per TU: a running position
+        # P starts at -1; an entry with val!=0 advances P by dpos+1 and
+        # emits level `val` (4-bit signed, clamped to +-7) at P; a zero
+        # byte (val==0) advances P by 15 and emits nothing — so both gap
+        # bridges and the pad to 4-entry multiples are plain zeros.
+        # |val|>7 escapes ship as (cfx, cfv) correction scatter-adds
+        # applied after densification.  coff is in ENTRY units (multiples
+        # of 4) — ~1.2 B/coeff crosses the wire vs 2 B for the previous
+        # val6|pos10 halfword format (measured -0.24 MB/frame at 1080p).
         S = 1 << lg
         starts = t["coeff_start"].astype(np.int64)
         ncs = t["ncoeff"].astype(np.int64)
-        ncs_p = (ncs + 1) & ~1
-        total_p = int(ncs_p.sum())
-        coff = np.concatenate([[0], np.cumsum(ncs_p)]).astype(np.int32)
-        if total_p:
-            off_p = np.concatenate([[0], np.cumsum(ncs_p)[:-1]])
-            runs = np.repeat(np.arange(n), ncs_p)
-            j_in = np.arange(total_p, dtype=np.int64) - np.repeat(off_p,
-                                                                  ncs_p)
-            valid = j_in < np.repeat(ncs, ncs_p)
-            src = np.clip(np.repeat(starts, ncs_p) + j_in, 0,
+        total = int(ncs.sum())
+        if total:
+            off = np.concatenate([[0], np.cumsum(ncs)[:-1]])
+            runs = np.repeat(np.arange(n), ncs)
+            j_in = np.arange(total, dtype=np.int64) - np.repeat(off, ncs)
+            src = np.clip(np.repeat(starts, ncs) + j_in, 0,
                           len(prog.coeff_val) - 1)
-            cval = np.where(valid, prog.coeff_val[src].astype(np.int32), 0)
-            cposw = np.where(valid, prog.coeff_pos[src].astype(np.int32), 0)
+            cval = prog.coeff_val[src].astype(np.int32)
+            cposw = prog.coeff_pos[src].astype(np.int32)
             p10 = (cposw >> 6) * S + (cposw & 63)
-            cl = np.clip(cval, -31, 31)
-            ent = ((cl & 63) << 10) | p10
-            cv = (ent[0::2] & 0xFFFF) | (ent[1::2] << 16)
-            esc = valid & (cval != cl)
+            # sort by position within each TU (positions unique per TU)
+            order = np.argsort(runs * (S * S) + p10, kind="stable")
+            runs, p10, cval = runs[order], p10[order], cval[order]
+            prev = np.empty(total, np.int64)
+            prev[1:] = p10[:-1]
+            prev[np.concatenate([[0], off[1:][ncs[1:] > 0]]).astype(
+                np.int64)] = -1
+            gaps = p10 - prev - 1
+            adv = gaps // 15                  # leading zero (advance) bytes
+            cnt_c = adv + 1                   # bytes per coefficient
+            ent_per_tu = np.zeros(n, np.int64)
+            np.add.at(ent_per_tu, runs, cnt_c)
+            coff = np.concatenate(
+                [[0], np.cumsum((ent_per_tu + 3) & ~3)]).astype(np.int32)
+            cum = np.cumsum(cnt_c)
+            cum0 = np.concatenate([[0], cum])
+            within_incl = cum - cum0[np.repeat(off, ncs)]
+            cl = np.clip(cval, -7, 7)
+            bytestream = np.zeros(int(coff[-1]), np.uint8)
+            bytestream[coff[runs] + within_incl - 1] = \
+                ((gaps - 15 * adv) & 0xF) | ((cl & 0xF) << 4)
+            cv = bytestream.view(np.int32)
+            esc = cval != cl
             cfx = (runs[esc] * S * S + p10[esc]).astype(np.int32)
             cfv = (cval - cl)[esc].astype(np.int32)
         else:
+            coff = np.zeros(n + 1, np.int32)
             cv = np.zeros(0, np.int32)
             cfx = np.zeros(0, np.int32)
             cfv = np.zeros(0, np.int32)
@@ -1066,8 +1086,8 @@ def _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, st):
             levels = levels.at[crow, cpos >> 6, cpos & 63].set(
                 bf["cval"], mode="drop", unique_indices=True)
         if "cfx" in bf:
-            # escape corrections: the 6-bit wire value clamps to +-31;
-            # the full-precision delta scatter-adds here (rare)
+            # escape corrections: the 4-bit wire value clamps to +-7;
+            # the full-precision delta scatter-adds here (~1.5% of levels)
             cfx, cfv = bf["cfx"], bf["cfv"]
             rr = jnp.where(cfx >= 0, jnp.clip(cfx, 0) // (s * s), 1 << 30)
             pp = jnp.clip(cfx, 0) % (s * s)
@@ -1237,23 +1257,26 @@ def _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st, pb_h, pb_w,
         kk = st["segk"]
         interp = jax.default_backend() not in ("tpu", "axon")
 
-        def seg_args(l, pc):
-            return [feed[f"sg{l}n"], feed[f"sg{l}{pc}.a"],
-                    feed[f"sg{l}{pc}.b"]]
+        def seg_args(l):
+            return [feed[f"sg{l}n"], feed[f"sg{l}i"], feed["pu_wire"]]
 
         for l in (0, 1) if use_l1 else (0,):
-            sy = mcp.mc_stripes(refs_y, *seg_args(l, "l"), OR=4, T=8,
+            sy = mcp.mc_stripes(refs_y, *seg_args(l), OR=4, T=8,
                                 Hpad=hp, Wout=wout_l, n_bands=pb_h,
-                                KMAX=kk, bd=bd, interpret=interp)
+                                KMAX=kk, bd=bd, l=l, chroma=False,
+                                Hdim=H, Wdim=W, sub_x=sub_x, sub_y=sub_y,
+                                interpret=interp)
             blk = sy[:, :, :W].reshape(pb_h, 4, pb_w, 4).transpose(
                 0, 2, 1, 3).reshape(N, 4, 4)
             preds_l.append(blk)
             if has_chroma:
                 for refs_c, acc in ((refs_cb, preds_cb),
                                     (refs_cr, preds_cr)):
-                    sc = mcp.mc_stripes(refs_c, *seg_args(l, "c"), OR=csv,
+                    sc = mcp.mc_stripes(refs_c, *seg_args(l), OR=csv,
                                         T=4, Hpad=hpc, Wout=wout_c,
                                         n_bands=pb_h, KMAX=kk, bd=bdc,
+                                        l=l, chroma=True, Hdim=Hc, Wdim=Wc,
+                                        sub_x=sub_x, sub_y=sub_y,
                                         interpret=interp)
                     acc.append(sc[:, :, :Wc].reshape(
                         pb_h, csv, pb_w, cs).transpose(
@@ -1397,11 +1420,11 @@ def _compiled_impl(refs_y, refs_cb, refs_cr, buf, sf_tables, st, layout):
         else:
             feed[k] = a
     std = dict(st)
-    _expand_feed(feed, keep_csr=std.get("pallas_coef", False))
+    _expand_feed(feed, keep_csr=std.get("pallas_coef", False), std=std)
     return _frame_fn(refs_y, refs_cb, refs_cr, feed, sf_tables, std)
 
 
-def _expand_feed(feed, keep_csr=False):
+def _expand_feed(feed, keep_csr=False, std=None):
     """Expand the wire-compact feed fields in-graph (the transfer tunnel
     is the decode bottleneck at ~50 MB/s, so every field crosses packed and
     is unpacked here with a few vector ops).  With keep_csr the coefficient
@@ -1410,27 +1433,70 @@ def _expand_feed(feed, keep_csr=False):
     for k, d in feed.items():
         if not (k.startswith("bin") and isinstance(d, dict) and "cv" in d):
             continue
+        if "tm" in d:
+            # TU meta halfwords: qp7 (signed) | flags6<<7 | mid3<<13
+            tm = d.pop("tm")
+            h = jnp.stack([tm & 0xFFFF, (tm >> 16) & 0xFFFF],
+                          axis=1).reshape(-1)[:d["coff"].shape[0] - 1]
+            d["qp"] = ((h & 0x7F) ^ 64) - 64
+            d["flags"] = (h >> 7) & 0x3F
+            d["mid"] = (h >> 13) & 7
         if keep_csr:
             continue
-        # expand the 16-bit-entry stream (val6|pos10 pairs) for the XLA
-        # scatter path: interleave halves, sign-extend, re-derive y/x.
-        # Entries with val 0 are TU-run pads — masked via crow.
+        # expand the byte-entry stream for the XLA scatter path: positions
+        # are delta-coded per TU (zero bytes advance by 15 and emit
+        # nothing), so re-derive them with one cumsum + per-row rebase.
         cv, coff = d.pop("cv"), d.pop("coff")
         s = 1 << int(k[3:])
-        lo = cv & 0xFFFF
-        hi = (cv >> 16) & 0xFFFF
-        ent = jnp.stack([lo, hi], axis=1).reshape(-1)
-        v6 = (ent >> 10) & 63
-        cval = (v6 ^ 32) - 32
-        p10 = ent & 1023
+        ent = jnp.stack([(cv >> (8 * h)) & 0xFF for h in range(4)],
+                        axis=1).reshape(-1)
+        cval = ((ent >> 4) ^ 8) - 8
+        step = jnp.where(cval == 0, 15, (ent & 0xF) + 1)
         i = jnp.arange(ent.shape[0], dtype=jnp.int32)
         crow = jnp.searchsorted(coff, i, side="right").astype(jnp.int32) - 1
+        C = jnp.cumsum(step)
+        Cexcl = jnp.concatenate([jnp.zeros(1, C.dtype), C])
+        pos = C - Cexcl[jnp.clip(coff[jnp.clip(crow, 0)], 0, C.shape[0])] - 1
         d["crow"] = jnp.where((i < coff[-1]) & (cval != 0), crow, 1 << 30)
         d["cval"] = cval
+        p10 = jnp.clip(pos, 0, s * s - 1)
         d["cpos"] = ((p10 // s) << 6) | (p10 % s)
     if "irecp" in feed:
         feed["irec"] = _unpack_irec(feed.pop("irecp"))
-    if "g4" in feed:
+    pu = feed.get("pu")
+    if pu is not None and pu.shape[1] in (4, 5):
+        if pu.shape[1] == 5:
+            # keep the raw 5-word SoA for the segment-MC kernel (it
+            # re-derives windows from mv/meta/geo via scalar prefetch)
+            feed["pu_wire"] = pu
+        mv0, mv1, meta, sl = pu[:, 0], pu[:, 1], pu[:, 2], pu[:, 3]
+        feed["pu"] = jnp.stack(
+            [(mv0 << 16) >> 16, mv0 >> 16, (mv1 << 16) >> 16, mv1 >> 16,
+             meta & 3, (meta >> 2) & 63, (meta >> 8) & 63,
+             (meta >> 14) & 15, (meta >> 18) & 15, sl], axis=1)
+    if "g4" in feed and std is not None and std.get("g4_half"):
+        # halfword grid (two cells per word): qp8 | nzc1<<8 | dbf4<<9 |
+        # cu3<<13; the per-cell PU index never crosses the wire — it is
+        # painted on device from the segment index feed
+        g4p = feed.pop("g4")
+        pb_h = g4p.shape[0]
+        W4 = (std["W"] + 3) // 4
+        g4 = jnp.stack([g4p & 0xFFFF, (g4p >> 16) & 0xFFFF],
+                       axis=2).reshape(pb_h, -1)[:, :W4]
+        feed["qp4"] = g4 & 0xFF
+        feed["nzc4"] = (g4 >> 8) & 1
+        feed["dbf4"] = (g4 >> 9) & 0xF
+        feed["cu4"] = (g4 >> 13) & 0x7
+        if "sg0i" in feed:
+            L = 2 if "sg1i" in feed else 1
+            nseg2 = jnp.stack([feed[f"sg{l}n"] for l in range(L)])
+            sidx2 = jnp.stack([feed[f"sg{l}i"] for l in range(L)], axis=1)
+            feed["pu_idx"] = mcp.paint_pu_idx(
+                nseg2, sidx2, feed["pu_wire"], n_bands=pb_h, W4=W4, L=L,
+                interpret=bool(std.get("pallas_interp", False)))
+        else:  # intra-only stream: no inter coverage
+            feed["pu_idx"] = jnp.full((pb_h, W4), -1, jnp.int32)
+    elif "g4" in feed:
         g4 = feed.pop("g4")
         feed["qp4"] = g4 & 0xFF
         feed["nzc4"] = (g4 >> 8) & 1
@@ -1438,13 +1504,6 @@ def _expand_feed(feed, keep_csr=False):
         feed["cu4"] = (g4 >> 13) & 0xF
         if "pu_idx" not in feed:
             feed["pu_idx"] = ((g4 >> 17) & 0x7FFF) - 1
-    pu = feed.get("pu")
-    if pu is not None and pu.shape[1] == 4:
-        mv0, mv1, meta, sl = pu[:, 0], pu[:, 1], pu[:, 2], pu[:, 3]
-        feed["pu"] = jnp.stack(
-            [(mv0 << 16) >> 16, mv0 >> 16, (mv1 << 16) >> 16, mv1 >> 16,
-             meta & 3, (meta >> 2) & 63, (meta >> 8) & 63,
-             (meta >> 14) & 15, (meta >> 18) & 15, sl], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -1578,8 +1637,8 @@ class FusedDecoder:
                 self._grow(f"pcm{c}", len(pcm[c]))
             if self.use_pallas_mc and len(prog.pus):
                 for l in (0, 1):
-                    _, _, _, K = mcp.plan_segments(
-                        prog.pus, l, prog.height, prog.width, sub_x, sub_y)
+                    _, _, K = mcp.plan_segment_indices(
+                        prog.pus, l, prog.height)
                     self._grow("segk", K)
 
     # -- helpers --
@@ -1799,6 +1858,8 @@ class FusedDecoder:
             # back to the XLA chain
             "pallas_deblock": bool(self.use_pallas_mc) and
             os.environ.get("TDE_PALLAS_DEBLOCK", "1") != "0",
+            # halfword g4 grid + device-painted pu_idx (wire cut)
+            "g4_half": bool(self.use_pallas_mc),
             "ccaps": tuple(max(self.caps.get(f"cc{lg}", 1), 1)
                            for lg in (2, 3, 4, 5)),
             "pallas_interp": jax.default_backend() not in ("tpu", "axon"),
@@ -1911,33 +1972,18 @@ class FusedDecoder:
         sub_x = W // prog.chroma_width if has_chroma else 1
         sub_y = H // prog.chroma_height if has_chroma else 1
 
-        # --- PU SoA [Pcap, 10] ---
+        # --- PU SoA [Pcap, 5] (wire format, see mcp.pus_to_wire) ---
         pcap = self._grow("pu", max(len(prog.pus), 1))
-        # 4 words per PU: mv0 (x|y<<16), mv1, meta (pf | slot0<<2 |
-        # slot1<<8 | ridx0<<14 | ridx1<<18), slice
-        pu = np.zeros((pcap, 4), np.int32)
+        pu = np.zeros((pcap, 5), np.int32)
         if len(prog.pus):
-            p = prog.pus
-            n = len(p)
-            pu[:n, 0] = (p["mv0x"].astype(np.int32) & 0xFFFF) | \
-                (p["mv0y"].astype(np.int32) << 16)
-            pu[:n, 1] = (p["mv1x"].astype(np.int32) & 0xFFFF) | \
-                (p["mv1y"].astype(np.int32) << 16)
-            meta = p["pred_flags"].astype(np.int32) & 3
-            for l in (0, 1):
-                slot = np.array([slot_map.get(int(v), 0)
-                                 for v in p[f"ref_dpb{l}"]], np.int32)
-                meta |= (slot & 63) << (2 + 6 * l)
-                meta |= (np.maximum(p[f"ref_idx{l}"].astype(np.int32), 0)
-                         & 15) << (14 + 4 * l)
-            pu[:n, 2] = meta
-            pu[:n, 3] = p["slice"]
+            pw = mcp.pus_to_wire(prog.pus, slot_map)
+            pu[:pw.shape[0]] = pw
 
-        # --- MC segments (Pallas path): PU x cell-band work units ---
+        # --- MC segments (Pallas path): PU x cell-band work units.  Only
+        # the per-segment PU index crosses the wire; windows are re-derived
+        # in-kernel from the PU SoA ---
         seg_host = {}
         if self.use_pallas_mc:
-            remap = np.array([slot_map.get(i, 0) for i in range(MAX_REFS)],
-                             np.int32)
             n_bands = (H + 3) // 4
             lists = (0, 1) if self._use_l1 or (
                 len(prog.pus) and bool((prog.pus["pred_flags"] & 2).any())) \
@@ -1945,14 +1991,11 @@ class FusedDecoder:
             for l in lists:
                 if l == 1:
                     self._use_l1 = True
-                luma, chrom, counts, K = mcp.plan_segments(
-                    prog.pus, l, H, W, sub_x, sub_y, remap)
+                counts, sidx, K = mcp.plan_segment_indices(prog.pus, l, H)
                 kcap = self._grow("segk", max(K, 1))
-                for pc, d in (("l", luma), ("c", chrom)):
-                    for f in ("a", "b"):
-                        a = np.zeros((n_bands, kcap), np.int32)
-                        a[:, :d[f].shape[1]] = d[f]
-                        seg_host[f"sg{l}{pc}.{f}"] = a
+                a = np.zeros((n_bands, (kcap + 1) // 2), np.int32)
+                a[:, :sidx.shape[1]] = sidx
+                seg_host[f"sg{l}i"] = a
                 seg_host[f"sg{l}n"] = counts.astype(np.int32)
 
         # --- TU bins ---
@@ -1969,9 +2012,13 @@ class FusedDecoder:
             self._grow(f"cc{lg}",
                        int(np.diff(b["coff"]).max(initial=1)) if b else 1)
             lgs.append(lg)
-            host[f"bin{lg}.qp"] = _pad_rows(b["qp"] if b else z0, tcap)
-            host[f"bin{lg}.flags"] = _pad_rows(b["flags"] if b else z0, tcap)
-            host[f"bin{lg}.mid"] = _pad_rows(b["mid"] if b else z0, tcap)
+            # TU meta, two per word: qp7 (signed) | flags6<<7 | mid3<<13
+            tm16 = np.zeros(tcap + (tcap & 1), np.int32)
+            if b:
+                nb = len(b["qp"])
+                tm16[:nb] = (b["qp"] & 0x7F) | ((b["flags"] & 0x3F) << 7) \
+                    | ((b["mid"] & 7) << 13)
+            host[f"bin{lg}.tm"] = tm16[0::2] | (tm16[1::2] << 16)
             host[f"bin{lg}.cv"] = _pad_rows(b["cv"] if b else z0, ccap)
             coff = b["coff"] if b else np.zeros(1, np.int32)
             host[f"bin{lg}.coff"] = _pad_rows(coff, tcap + 1,
@@ -2087,18 +2134,31 @@ class FusedDecoder:
                 [prog.ref_pocs[i] if i < len(prog.ref_pocs) else NOREF
                  for i in range(MAX_REFS)], np.int32)
         host["mc_on"] = np.array([1 if len(prog.pus) else 0], np.int32)
-        # per-4x4 grids in one word: qp(8) | nzc(1) | dbf(4) | cu(4) |
-        # pu_idx+1 (15, 0 = uncovered) — pu_idx spills to its own field
-        # only when the PU count exceeds 15 bits
-        g = (prog.qp_y.astype(np.int32) & 0xFF) | \
-            ((prog.nonzero_coeff.astype(np.int32) & 1) << 8) | \
-            ((prog.deblock_flags.astype(np.int32) & 0xF) << 9) | \
-            ((prog.cu_info.astype(np.int32) & 0xF) << 13)
-        if self.caps["pu"] < (1 << 15) - 1:
-            host["g4"] = g | ((prog.pu_idx.astype(np.int32) + 1) << 17)
+        if self.use_pallas_mc:
+            # halfword grid, two horizontally adjacent cells per word:
+            # qp(8) | nzc(1) | dbf(4) | cu(3); pu_idx is painted on device
+            # from the segment index feed (mcp.paint_pu_idx)
+            g16 = (prog.qp_y.astype(np.int32) & 0xFF) | \
+                ((prog.nonzero_coeff.astype(np.int32) & 1) << 8) | \
+                ((prog.deblock_flags.astype(np.int32) & 0xF) << 9) | \
+                ((prog.cu_info.astype(np.int32) & 0x7) << 13)
+            pbh, pbw = g16.shape
+            if pbw & 1:
+                g16 = np.pad(g16, ((0, 0), (0, 1)))
+            host["g4"] = g16[:, 0::2] | (g16[:, 1::2] << 16)
         else:
-            host["g4"] = g
-            host["pu_idx"] = prog.pu_idx.astype(np.int32)
+            # per-4x4 grids in one word: qp(8) | nzc(1) | dbf(4) | cu(4) |
+            # pu_idx+1 (15, 0 = uncovered) — pu_idx spills to its own field
+            # only when the PU count exceeds 15 bits
+            g = (prog.qp_y.astype(np.int32) & 0xFF) | \
+                ((prog.nonzero_coeff.astype(np.int32) & 1) << 8) | \
+                ((prog.deblock_flags.astype(np.int32) & 0xF) << 9) | \
+                ((prog.cu_info.astype(np.int32) & 0xF) << 13)
+            if self.caps["pu"] < (1 << 15) - 1:
+                host["g4"] = g | ((prog.pu_idx.astype(np.int32) + 1) << 17)
+            else:
+                host["g4"] = g
+                host["pu_idx"] = prog.pu_idx.astype(np.int32)
         host["slice_idx"] = prog.slice_idx.astype(np.int32)
         host["slice_addr"] = prog.slice_addr.astype(np.int32)
         host["tile_id"] = prog.tile_id.astype(np.int32)
@@ -2273,9 +2333,8 @@ class FusedDecoder:
 
         for lg in lgs:
             tcap, ccap = self.caps[f"tu{lg}"], self.caps[f"co{lg}"]
-            ent(f"bin{lg}.qp", 0, lg, 0, (tcap,))
-            ent(f"bin{lg}.flags", 1, lg, 0, (tcap,))
-            ent(f"bin{lg}.mid", 2, lg, 0, (tcap,))
+            # TU meta, two per word: qp7 (signed) | flags6<<7 | mid3<<13
+            ent(f"bin{lg}.tm", 0, lg, 0, ((tcap + 1) // 2,))
             ent(f"bin{lg}.cv", 3, lg, 0, (ccap,))
             ent(f"bin{lg}.coff", 4, lg, 0, (tcap + 1,))
             if self.caps[f"cf{lg}"]:
@@ -2290,22 +2349,18 @@ class FusedDecoder:
         segk = self.caps["segk"] or 1
         for l in lists:
             ent(f"sg{l}n", 9, l, 0, (n_bands,))
-            for pc, tag in ((0, "l"), (1, "c")):
-                for fi, f in enumerate(("a", "b")):
-                    ent(f"sg{l}{tag}.{f}", 10 + fi, l, pc, (n_bands, segk))
+            # two 16-bit PU indices per word; windows re-derived in-kernel
+            ent(f"sg{l}i", 12, l, 0, (n_bands, (segk + 1) // 2))
         ent("irecp", 17, 0, 0, (8, self.caps["nintra"]))
         ent("nsteps", 18, 0, 0, (3,))
         for c in range(3):
             cap = self.caps[f"pcm{c}"]
             ent(f"pcm{c}", 19, c, 0, (cap, 2) if cap else (0, 2))
         ent("slice_recs", 20, 0, 0, (n_slices, 208))
-        ent("pu", 21, 0, 0, (self.caps["pu"], 4))
+        ent("pu", 21, 0, 0, (self.caps["pu"], 5))
         pb = tuple(prog.pu_idx.shape)
-        if self.caps["pu"] < (1 << 15) - 1:
-            ent("g4", 23, 0, 1, pb)   # p1=1: pu_idx merged into the word
-        else:
-            ent("pu_idx", 22, 0, 0, pb)
-            ent("g4", 23, 0, 0, pb)
+        # p1=2: halfword pairs (qp8|nzc1|dbf4|cu3), pu_idx painted on device
+        ent("g4", 23, 0, 2, (pb[0], (pb[1] + 1) // 2))
         sh = (prog.ctb_h, prog.ctb_w)
         ent("slice_idx", 27, 0, 0, sh)
         ent("slice_addr", 28, 0, 0, sh)

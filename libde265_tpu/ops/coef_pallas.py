@@ -1,10 +1,12 @@
 """Pallas TPU kernel: CSR coefficient list -> dense [N, S, S] level blocks.
 
 The wire-compact feed ships each size-bin's residual coefficients as one
-packed CSR stream of 16-bit entries — val6|pos10 with pos = y*S+x, TWO
-entries per int32 word, each TU's run padded to an even entry count with
-val=0 entries (significant levels are never 0, so pads are
-self-masking); coff holds per-TU ENTRY offsets (always even).  |val|>31
+packed CSR stream of 8-bit entries, FOUR per int32 word (little-endian
+byte order), positions delta-coded in raster order per TU: a running
+position P starts at -1; an entry with val!=0 (4-bit signed, clamped to
++-7) advances P by dpos+1 and emits `val` at P; a zero byte advances P by
+15 and emits nothing — so gap bridges and the pad to 4-entry multiples are
+plain zeros.  coff holds per-TU ENTRY offsets (multiples of 4).  |val|>7
 escapes are fixed downstream by a correction scatter-add
 (fused_decode._bin_tus / feedpack.cc bin_tus).
 
@@ -19,10 +21,12 @@ kernel replaces it with the TPU-native pipeline:
   * per-TU window extraction in VMEM: dynamic sublane slice + the
     binary lane-roll alignment trick (same pattern as mc_pallas
     _res_kernel);
-  * densification as a BATCHED MXU MATMUL per halfword stream:
+  * position recovery as a lane prefix-sum of the per-entry advance
+    (7 masked shift-adds + a tiny static cross-row carry);
+  * densification as a BATCHED MXU MATMUL per byte stream:
     out[g, y, x] = sum_j 1[fy[j]==y] * (1[fx[j]==x] * val[j]) —
     positions are unique within a TU, so every output sum has at most
-    one nonzero term and f32 accumulation is exact (|val| <= 31).
+    one nonzero term and f32 accumulation is exact (|val| <= 7).
 
 Reference behavior counterpart: the per-TU coefficient scan in
 /root/reference/libde265/slice.cc residual_coding -> transform input;
@@ -64,12 +68,12 @@ def _densify_kernel(rowstart, starts, cnts, cv_hbm, out, chunk, sem, *,
     base = rowstart[g] * 128
 
     # per-TU word windows at dynamic sublane offsets (starts are in
-    # ENTRY units; words = entries/2, runs are even-padded).  Windows are
-    # dynamic-start sublane reads of the VMEM scratch ref (loading the
-    # whole chunk and dynamic_slice-ing the value does not lower on TPU).
+    # ENTRY units; words = entries/4, runs are padded to 4-multiples).
+    # Windows are dynamic-start sublane reads of the VMEM scratch ref
+    # (loading the whole chunk and dynamic_slice-ing does not lower).
     wins, ls, cs = [], [], []
     for i in range(G):
-        e = (starts[0, 0, i] >> 1) - base
+        e = (starts[0, 0, i] >> 2) - base
         wins.append(chunk[slot, pl.ds(e // 128, Rw), :])
         ls.append(e % 128)
         cs.append(cnts[0, 0, i])
@@ -96,21 +100,49 @@ def _densify_kernel(rowstart, starts, cnts, cv_hbm, out, chunk, sem, *,
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, Rw - 1, 128), 2)
     words = jnp.where(lane < 128 - lvec, blk[:, :-1, :], blk[:, 1:, :])
 
-    # word index within the TU; entry validity per halfword
+    # word index within the TU; entry validity per byte
     widx = jax.lax.broadcasted_iota(jnp.int32, (G, Rw - 1, 128), 1) * 128 + \
         lane
+
+    # per-byte value / advance step (invalid entries advance by 0 so the
+    # running position of valid entries is unaffected)
+    vals, steps = [], []
+    for h in range(4):
+        ent = (words >> (8 * h)) & 0xFF
+        valid = (4 * widx + h) < cvec
+        v = jnp.where(valid, ((ent >> 4) ^ 8) - 8, 0)
+        vals.append(v)
+        steps.append(jnp.where(
+            valid, jnp.where(v == 0, 15, (ent & 0xF) + 1), 0))
+
+    # running position: lane prefix-sum of the per-WORD advance within
+    # each window row, plus a static cross-row carry
+    word_step = steps[0] + steps[1] + steps[2] + steps[3]
+    ps = word_step
+    for b in range(7):
+        sh = 1 << b
+        rolled = pltpu.roll(ps, shift=sh, axis=2)
+        ps = ps + jnp.where(lane >= sh, rolled, 0)   # inclusive prefix
+    rowsum = jnp.sum(word_step, axis=2, keepdims=True)   # [G, Rw-1, 1]
+    parts = []
+    run = jnp.zeros((G, 1, 1), jnp.int32)
+    for r in range(Rw - 1):
+        parts.append(run)
+        run = run + rowsum[:, r:r + 1, :]
+    rowbase = jnp.concatenate(parts, axis=1) if Rw - 1 > 1 else parts[0]
+    p_excl = rowbase + ps - word_step     # position sum before this word
+
     # sublane iota (1, S, 1): one-hot rows live on sublanes, entries on
     # lanes, so the matmul contracts the natural 128-lane dim
     iy = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
     acc = None
-    for h in (0, 1):
-        ent = (words >> (16 * h)) & 0xFFFF
-        valid = (2 * widx + h) < cvec
-        v6 = (ent >> 10) & 63
-        val = jnp.where(valid, (v6 ^ 32) - 32, 0)
-        p10 = ent & 1023
-        fy = jnp.where(valid, p10 // S, -1)
-        fx = p10 & (S - 1)
+    carry = p_excl
+    for h in range(4):
+        pos = carry + steps[h] - 1        # this entry's position (val!=0)
+        carry = carry + steps[h]
+        val = vals[h]
+        fy = jnp.where(val != 0, pos // S, -1)
+        fx = pos & (S - 1)
         # MXU densify: positions unique per TU -> at most one nonzero
         # term per output, f32 exact.  One batched matmul per window row
         # (Mosaic wants a single contracting dim; int-index + trailing
@@ -134,16 +166,17 @@ def densify_bin(cv, coff, *, N: int, S: int, CAP: int,
                 interpret: bool = False):
     """Dense [N, S, S] int32 level blocks from the bin's CSR feed.
 
-    cv:   [W] int32, two 16-bit val6|pos10 entries per word, CSR-ordered.
-    coff: [N+1] int32 per-TU ENTRY offsets (even; padded rows repeat the
-          total).
-    CAP:  static max entries per TU (stream watermark, <= S*S, even).
+    cv:   [W] int32, four 8-bit delta entries per word, CSR-ordered.
+    coff: [N+1] int32 per-TU ENTRY offsets (multiples of 4; padded rows
+          repeat the total).
+    CAP:  static max entries per TU (stream watermark; can exceed S*S
+          because gap bridges cost extra zero entries).
     """
     if N == 0:
         return jnp.zeros((0, S, S), jnp.int32)
     G = _GROUP[S]
-    CAP = max(8, min((CAP + 1) & ~1, S * S))
-    CAPW = CAP // 2
+    CAP = max(8, (CAP + 3) & ~3)
+    CAPW = CAP // 4
     Np = ((N + G - 1) // G) * G
     ngroups = Np // G
     # window rows per TU; the chunk must cover the worst-case window of
@@ -161,7 +194,7 @@ def densify_bin(cv, coff, *, N: int, S: int, CAP: int,
     starts = coff[:Np].reshape(ngroups, 1, G)
     ends = coff[1:Np + 1].reshape(ngroups, 1, G)
     cnts = jnp.minimum(ends - starts, CAP)
-    rowstart = (starts[:, 0, 0] >> 1) // 128
+    rowstart = (starts[:, 0, 0] >> 2) // 128
 
     # slack so every group DMA window stays in-bounds
     crows = (cv.shape[0] + 127) // 128 + Lr + 1
@@ -192,19 +225,21 @@ def densify_bin(cv, coff, *, N: int, S: int, CAP: int,
 
 
 def densify_ref(cv, coff, *, N: int, S: int):
-    """Numpy oracle for tests: expand halfword entries, scatter."""
+    """Numpy oracle for tests: walk the delta-byte entries, scatter."""
     out = np.zeros((N, S, S), np.int64)
     cv = np.asarray(cv).astype(np.int64)
     coff = np.asarray(coff)
-    ent = np.stack([cv & 0xFFFF, (cv >> 16) & 0xFFFF], axis=1).reshape(-1) \
-        if len(cv) else np.zeros(0, np.int64)
+    ent = np.stack([(cv >> (8 * h)) & 0xFF for h in range(4)],
+                   axis=1).reshape(-1) if len(cv) else np.zeros(0, np.int64)
     for t in range(N):
+        p = -1
         for j in range(int(coff[t]), int(coff[t + 1])):
             e = int(ent[j])
-            v6 = (e >> 10) & 63
-            val = (v6 ^ 32) - 32
+            val = ((e >> 4) ^ 8) - 8
             if val == 0:
-                continue  # pad entry
-            p = e & 1023
-            out[t, p // S, p % S] = val
+                p += 15
+                continue
+            p += (e & 0xF) + 1
+            if 0 <= p < S * S:
+                out[t, p // S, p % S] = val
     return out.astype(np.int32)

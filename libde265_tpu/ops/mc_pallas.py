@@ -65,39 +65,32 @@ def pad_plane(plane, hp: int, wp: int):
                    mode="edge")
 
 
-def plan_segments(pus: np.ndarray, list_idx: int, H: int, W: int,
-                  sub_x: int, sub_y: int, slot_remap: np.ndarray = None):
-    """Explode the PUs of one reference list into per-cell-band segments.
+def plan_segment_indices(pus: np.ndarray, list_idx: int, H: int):
+    """Explode the PUs of one reference list into per-cell-band segments,
+    shipping only the PU INDEX per segment (the window origin, filter phase
+    and output placement are pure functions of (PU record, band) and are
+    re-derived in-kernel from the scalar-prefetched PU SoA).
 
-    Returns (luma, chroma) dicts of [n_bands, K] int32 arrays:
-      slot, wy, wx (padded-plane window origins, pre-clamped), fy, fx,
-      x0 (output column), w (output width); plus per-band counts n[band].
-    K is the max segments per band (caller watermarks it).
+    Returns per-band counts [n_bands], sidx [n_bands, ceil(K/2)] with two
+    16-bit PU indices per int32 word (band-major arrival order = PU
+    emission order, so overlap resolution matches cell rasterization), and
+    K (max segments per band; caller watermarks it).
     """
     n_bands = (H + 3) // 4
-    sel = np.nonzero((pus["pred_flags"] & (1 << list_idx)) != 0)[0]
-    empty = {k: np.zeros((n_bands, 1), np.int32) for k in
-             ("slot", "wy", "wx", "fy", "fx", "x0", "w", "a", "b")}
+    sel = np.nonzero((pus["pred_flags"] & (1 << list_idx)) != 0)[0] \
+        if len(pus) else np.zeros(0, np.int64)
     if not len(sel):
-        z = np.zeros(n_bands, np.int32)
-        return empty, dict(empty), z, 1
+        return (np.zeros(n_bands, np.int32),
+                np.zeros((n_bands, 1), np.int32), 1)
 
     p = pus[sel]
-    mvx = p[f"mv{list_idx}x"].astype(np.int32)
-    mvy = p[f"mv{list_idx}y"].astype(np.int32)
-    slot = np.maximum(p[f"ref_dpb{list_idx}"].astype(np.int32), 0)
-    if slot_remap is not None:
-        slot = slot_remap[np.clip(slot, 0, len(slot_remap) - 1)]
-    x, y = p["x"].astype(np.int32), p["y"].astype(np.int32)
-    w, h = p["w"].astype(np.int32), p["h"].astype(np.int32)
-
-    rows = h >> 2
+    y = p["y"].astype(np.int32)
+    rows = p["h"].astype(np.int32) >> 2
     tot = int(rows.sum())
-    idx = np.repeat(np.arange(len(p)), rows)
+    pidx = np.repeat(sel.astype(np.int32), rows)
     within = np.arange(tot) - np.repeat(np.cumsum(rows) - rows, rows)
-    band = (y[idx] >> 2) + within
+    band = np.repeat(y >> 2, rows) + within
 
-    # per-band slot assignment (segments stay in PU emission order)
     order = np.argsort(band, kind="stable")
     bs = band[order]
     first = np.searchsorted(bs, bs)
@@ -106,56 +99,42 @@ def plan_segments(pus: np.ndarray, list_idx: int, H: int, W: int,
     counts = np.zeros(n_bands, np.int32)
     np.add.at(counts, band, 1)
 
-    def pack(values):
-        a = np.zeros((n_bands, K), np.int32)
-        a[bs, k_of] = values[order]
-        return a
-
-    il, iw = idx, within
-    # luma: window origin (padded coords), clamped so the replicate padding
-    # reproduces per-sample edge clamping (all-outside windows saturate)
-    oy = (y[il] + 4 * iw) + (mvy[il] >> 2) - 3
-    ox = x[il] + (mvx[il] >> 2) - 3
-    oy = np.clip(oy, -(4 + 8 - 2), H - 1) + PADT
-    ox = np.clip(ox, -(w[il] + 8 - 2), W - 1) + PADL
-    luma = {
-        "slot": pack(slot[il]), "wy": pack(oy), "wx": pack(ox),
-        "fy": pack(mvy[il] & 3), "fx": pack(mvx[il] & 3),
-        "x0": pack(x[il]), "w": pack(w[il]),
-    }
-    luma["a"], luma["b"] = pack_seg_words(luma)
-
-    # chroma: fractional precision depends on subsampling (8.5.4.2.3)
-    shx = 3 if sub_x == 2 else 2
-    shy = 3 if sub_y == 2 else 2
-    fcx = (mvx[il] & 7) if sub_x == 2 else ((mvx[il] & 3) << 1)
-    fcy = (mvy[il] & 7) if sub_y == 2 else ((mvy[il] & 3) << 1)
-    cw = w[il] // sub_x
-    cyb = (y[il] + 4 * iw) // sub_y          # chroma rows of this band
-    ocy = cyb + (mvy[il] >> shy) - 1
-    ocx = x[il] // sub_x + (mvx[il] >> shx) - 1
-    Hc, Wc = H // sub_y, W // sub_x
-    ocy = np.clip(ocy, -((4 // sub_y) + 4 - 2), Hc - 1) + PADT
-    ocx = np.clip(ocx, -(cw + 4 - 2), Wc - 1) + PADL
-    chroma = {
-        "slot": pack(slot[il]), "wy": pack(ocy), "wx": pack(ocx),
-        "fy": pack(fcy), "fx": pack(fcx),
-        "x0": pack(x[il] // sub_x), "w": pack(cw),
-    }
-    chroma["a"], chroma["b"] = pack_seg_words(chroma)
-    return luma, chroma, counts, K
+    sw = np.zeros((n_bands, (K + 1) // 2), np.int32)
+    np.bitwise_or.at(sw, (bs, k_of >> 1),
+                     pidx[order] << (16 * (k_of & 1)))
+    return counts, sw, K
 
 
-def pack_seg_words(d):
-    """Two wire words per segment (the 50 MB/s transfer tunnel is the
-    decode bottleneck): A = wy | wx<<12 | fy<<25 | fx<<28,
-    B = (x0>>1) | w<<12 | slot<<19.  x0 is always even (PU geometry is
-    4-aligned in luma, >=2-aligned in chroma)."""
-    a = (d["wy"] & 0xFFF) | ((d["wx"] & 0x1FFF) << 12) | \
-        ((d["fy"] & 7) << 25) | ((d["fx"] & 7) << 28)
-    b = ((d["x0"] >> 1) & 0xFFF) | ((d["w"] & 0x7F) << 12) | \
-        ((d["slot"] & 0x3F) << 19)
-    return a.astype(np.int32), b.astype(np.int32)
+def pus_to_wire(pus: np.ndarray, slot_map=None):
+    """The 5-word wire PU SoA (matches feedpack.cc kKeyPu): mv0 (x|y<<16),
+    mv1, meta (pf | slot0<<2 | slot1<<8 | ridx0<<14 | ridx1<<18), slice,
+    geo (x/4 | y/4<<11 | (w/4-1)<<22 | (h/4-1)<<27)."""
+    n = len(pus)
+    pu = np.zeros((max(n, 1), 5), np.int32)
+    if not n:
+        return pu
+    p = pus
+    pu[:n, 0] = (p["mv0x"].astype(np.int32) & 0xFFFF) | \
+        (p["mv0y"].astype(np.int32) << 16)
+    pu[:n, 1] = (p["mv1x"].astype(np.int32) & 0xFFFF) | \
+        (p["mv1y"].astype(np.int32) << 16)
+    meta = p["pred_flags"].astype(np.int32) & 3
+    for l in (0, 1):
+        raw = p[f"ref_dpb{l}"].astype(np.int32)
+        if slot_map is not None:
+            slot = np.array([slot_map.get(int(v), 0) for v in raw], np.int32)
+        else:
+            slot = np.maximum(raw, 0)
+        meta |= (slot & 63) << (2 + 6 * l)
+        meta |= (np.maximum(p[f"ref_idx{l}"].astype(np.int32), 0)
+                 & 15) << (14 + 4 * l)
+    pu[:n, 2] = meta
+    pu[:n, 3] = p["slice"]
+    pu[:n, 4] = (p["x"].astype(np.int32) >> 2) | \
+        ((p["y"].astype(np.int32) >> 2) << 11) | \
+        (((p["w"].astype(np.int32) >> 2) - 1) << 22) | \
+        (((p["h"].astype(np.int32) >> 2) - 1) << 27)
+    return pu
 
 
 def _scalar_coef(frac, table, k):
@@ -175,11 +154,15 @@ def _roll_ladder(win, rem, nbits, axis, size):
     return win
 
 
-def _mc_kernel(nseg, sa, sb, refs, out, scratch, sem,
-               *, OR, T, FH, Hpad, Wout, bd, KMAX, table, G):
-    # nseg is scalar-prefetched; the per-band segment rows arrive as SMEM
-    # blocks (1, KMAX) so SMEM holds one band's parameters, not the whole
-    # [n_bands, KMAX] tables (which exhaust the 1 MB SMEM at 1080p+).
+def _mc_kernel(nseg, pu, sidx, refs, out, scratch, sem,
+               *, OR, T, FH, Hpad, Wout, bd, KMAX, table, G,
+               l, chroma, Hdim, Wdim, sub_x, sub_y):
+    # nseg and the 5-word PU SoA are scalar-prefetched (SMEM-resident); the
+    # per-band segment PU indices arrive as SMEM blocks (1, ceil(KMAX/2))
+    # with two 16-bit indices per word.  Everything else about a segment —
+    # window origin, filter phase, output placement — is a pure function of
+    # (PU record, band, plane class) and is re-derived here with a handful
+    # of scalar ops, so the wire carries 2 bytes per segment instead of 8.
     #
     # Segments are processed G at a time: the per-group filter math runs as
     # a handful of [G*FH, FW] vector ops (the per-segment phase/alignment
@@ -198,10 +181,42 @@ def _mc_kernel(nseg, sa, sb, refs, out, scratch, sem,
     def seg_k(j, i):
         return jnp.minimum(j * G + i, KMAX - 1)
 
+    def seg_params(k):
+        """(row, col, fy, fx, xs, w) re-derived from the PU record.
+        Mirrors the host planning that plan_segments used to do (clamped
+        window origins in padded coords; spec 8.5.4.2.2/8.5.4.2.3)."""
+        word = sidx[0, 0, k >> 1]
+        idx = (word >> ((k & 1) * 16)) & 0xFFFF
+        mvw = pu[idx, l]
+        mvx = (mvw << 16) >> 16
+        mvy = mvw >> 16
+        slot = (pu[idx, 2] >> (2 + 6 * l)) & 63
+        geo = pu[idx, 4]
+        x = (geo & 0x7FF) * 4
+        w = (((geo >> 22) & 0x1F) + 1) * 4
+        if not chroma:
+            oy = jnp.clip(4 * band + (mvy >> 2) - 3,
+                          -(4 + T - 2), Hdim - 1) + PADT
+            ox = jnp.clip(x + (mvx >> 2) - 3,
+                          -(w + T - 2), Wdim - 1) + PADL
+            fy = mvy & 3
+            fx = mvx & 3
+            xs, ws = x, w
+        else:
+            shx = 3 if sub_x == 2 else 2
+            shy = 3 if sub_y == 2 else 2
+            fx = (mvx & 7) if sub_x == 2 else ((mvx & 3) << 1)
+            fy = (mvy & 7) if sub_y == 2 else ((mvy & 3) << 1)
+            cw = w // sub_x
+            oy = jnp.clip((4 // sub_y) * band + (mvy >> shy) - 1,
+                          -((4 // sub_y) + T - 2), Hdim - 1) + PADT
+            ox = jnp.clip(x // sub_x + (mvx >> shx) - 1,
+                          -(cw + T - 2), Wdim - 1) + PADL
+            xs, ws = x // sub_x, cw
+        return slot * Hpad + oy, ox, fy, fx, xs, ws
+
     def win_origin(k):
-        wa, wb = sa[0, 0, k], sb[0, 0, k]
-        row = ((wb >> 19) & 0x3F) * Hpad + (wa & 0xFFF)
-        col = (wa >> 12) & 0x1FFF
+        row, col, *_ = seg_params(k)
         r8 = pl.multiple_of((row // 8) * 8, 8)
         c128 = pl.multiple_of((col // 128) * 128, 128)
         return row, col, r8, c128
@@ -231,17 +246,19 @@ def _mc_kernel(nseg, sa, sb, refs, out, scratch, sem,
             [], [], [], [], [], [], []
         for i in range(G):
             start_dma(sl, i, ks[i]).wait()
-            row, col, r8, c128 = win_origin(ks[i])
+            row, col, fy, fx, xs, w = seg_params(ks[i])
+            r8 = (row // 8) * 8
+            c128 = (col // 128) * 128
             rows.append(row - r8)
             win_offs.append(col - c128)
-            wa, wb = sa[0, 0, ks[i]], sb[0, 0, ks[i]]
-            fys.append((wa >> 25) & 7)
-            fxs.append((wa >> 28) & 7)
-            xs = (wb & 0xFFF) * 2
+            fys.append(fy)
+            fxs.append(fx)
             base = jnp.minimum((xs // 128) * 128, Wout - FW)
             bases.append(base)
             offs.append(xs - base)
-            ws.append((wb >> 12) & 0x7F)
+            # segments beyond this band's count are index-0 padding: their
+            # windows are valid DMAs but must merge nothing
+            ws.append(jnp.where(j * G + i < n, w, 0))
 
         # per-row broadcast of per-segment scalars (Mosaic has no 1-D
         # vector reshape: build [rows, 1] vectors via iota block-selects)
@@ -316,40 +333,106 @@ def _wrap16(x):
 
 @functools.partial(jax.jit, static_argnames=("OR", "T", "Hpad", "Wout",
                                              "n_bands", "KMAX", "bd",
-                                             "interpret", "G"))
-def mc_stripes(refs2d, nseg, sa, sb, *, OR: int,
+                                             "interpret", "G", "l",
+                                             "chroma", "Hdim", "Wdim",
+                                             "sub_x", "sub_y"))
+def mc_stripes(refs2d, nseg, sidx, pu, *, OR: int,
                T: int, Hpad: int, Wout: int, n_bands: int, KMAX: int,
-               bd: int, interpret: bool = False, G: int = 8):
+               bd: int, l: int = 0, chroma: bool = False, Hdim: int = 0,
+               Wdim: int = 0, sub_x: int = 2, sub_y: int = 2,
+               interpret: bool = False, G: int = 8):
     """Run the segment MC kernel; returns [n_bands, OR, Wout] stripes at
-    intermediate scale.  G segments are processed per loop iteration."""
+    intermediate scale.  G segments are processed per loop iteration.
+
+    sidx: [n_bands, ceil(KMAX/2)] packed per-band PU indices (two 16-bit
+    indices per word); pu: the [Pcap, 5] wire PU SoA (pus_to_wire);
+    Hdim/Wdim are THIS plane class's picture dims.
+    """
     FH = 24 if T == 8 else 16
     table = tuple(tuple(int(v) for v in row)
                   for row in (QPEL_FILTERS if T == 8 else EPEL_FILTERS))
     kern = functools.partial(_mc_kernel, OR=OR, T=T, FH=FH, Hpad=Hpad,
-                             Wout=Wout, bd=bd, KMAX=KMAX, table=table, G=G)
-    # SMEM blocks must keep their last two dims whole: ship the tables as
-    # [n_bands, 1, KMAX] and block (1, 1, KMAX)
-    seg_spec = pl.BlockSpec((1, 1, KMAX), lambda b, *_: (b, 0, 0),
+                             Wout=Wout, bd=bd, KMAX=KMAX, table=table, G=G,
+                             l=l, chroma=chroma, Hdim=Hdim, Wdim=Wdim,
+                             sub_x=sub_x, sub_y=sub_y)
+    KP = (KMAX + 1) // 2
+    # SMEM blocks must keep their last two dims whole: ship the index table
+    # as [n_bands, 1, KP] and block (1, 1, KP)
+    seg_spec = pl.BlockSpec((1, 1, KP), lambda b, *_: (b, 0, 0),
                             memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_bands,),
-        in_specs=[seg_spec] * 2 + [pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[seg_spec, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, OR, Wout), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, G, FH, FW), jnp.int32),
                         pltpu.SemaphoreType.DMA((2, G))],
     )
+    sidx = sidx[:, :KP]
+    if sidx.shape[1] < KP:
+        sidx = jnp.pad(sidx, ((0, 0), (0, KP - sidx.shape[1])))
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n_bands, OR, Wout), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(nseg, sa[:, None, :], sb[:, None, :], refs2d)
+    )(nseg, pu, sidx[:, None, :], refs2d)
 
 
 def default_interpret():
     return jax.default_backend() not in ("tpu", "axon")
+
+
+def _paint_kernel(nseg, pu, sidx, out, *, L, KMAX, W4P):
+    """Rasterize the per-4x4-cell PU index map from the segment index feed
+    (PUs never overlap in conformant HEVC, so paint order is irrelevant;
+    the union over lists covers every inter PU)."""
+    band = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W4P), 1)
+    row = jnp.full((1, W4P), -1, jnp.int32)
+    for l in range(L):
+        def body(k, row, l=l):
+            word = sidx[0, l, k >> 1]
+            idx = (word >> ((k & 1) * 16)) & 0xFFFF
+            geo = pu[idx, 4]
+            x4 = geo & 0x7FF
+            w4 = ((geo >> 22) & 0x1F) + 1
+            m = (lane >= x4) & (lane < x4 + w4)
+            return jnp.where(m, idx, row)
+        row = jax.lax.fori_loop(0, nseg[l, band], body, row)
+    out[0] = row[0]
+
+
+@functools.partial(jax.jit, static_argnames=("n_bands", "W4", "L",
+                                             "interpret"))
+def paint_pu_idx(nseg2, sidx2, pu, *, n_bands: int, W4: int, L: int,
+                 interpret: bool = False):
+    """[n_bands, W4] per-cell PU index (-1 = not inter-covered) from the
+    per-list segment index feed.  nseg2: [L, n_bands]; sidx2:
+    [n_bands, L, KP]; pu: the [Pcap, 5] wire PU SoA.
+
+    Replaces shipping pu_idx per cell over the wire (0.26 MB/frame at
+    1080p); bit-identical to the native parse-time paint because PUs
+    partition CUs (disjoint rectangles)."""
+    W4P = max(128, (W4 + 127) & ~127)
+    KP = sidx2.shape[2]
+    kern = functools.partial(_paint_kernel, L=L, KMAX=KP * 2, W4P=W4P)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_bands,),
+        in_specs=[pl.BlockSpec((1, L, KP), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, W4P), lambda b, *_: (b, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_bands, W4P), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(nseg2, pu, sidx2)
+    return out[:, :W4]
 
 
 # ---------------------------------------------------------------------------

@@ -423,36 +423,38 @@ class ShardedTileDecoder:
             if fld in b:
                 return b[fld]
             # derive the unpacked coefficient views from the wire-compact
-            # 16-bit-entry stream (val6|pos10 pairs per word, even-padded
-            # runs; _bin_tus / fused_decode._expand_feed counterpart)
+            # byte-entry stream (delta positions, zero bytes advance by 15;
+            # _bin_tus / fused_decode._expand_feed counterpart)
             s = 1 << lg
             cv = b["cv"].astype(np.int64)
-            ent = np.stack([cv & 0xFFFF, (cv >> 16) & 0xFFFF],
+            ent = np.stack([(cv >> (8 * h)) & 0xFF for h in range(4)],
                            axis=1).reshape(-1).astype(np.int32)
-            v6 = (ent >> 10) & 63
-            cval = (v6 ^ 32) - 32
-            if fld == "cval":
-                # fold the |val|>31 escape corrections back in (host-side:
-                # this path scatters full-precision cval directly)
-                coff = b["coff"]
-                for fx, dv in zip(b.get("cfx", z0), b.get("cfv", z0)):
-                    r, p = int(fx) // (s * s), int(fx) % (s * s)
-                    sl = ent[int(coff[r]):int(coff[r + 1])]
-                    j = np.nonzero((sl & 1023) == p)[0]
-                    if len(j):
-                        cval[int(coff[r]) + j[0]] += int(dv)
-                return cval
-            if fld == "cpos":
-                p10 = ent & 1023
-                return ((p10 // s) << 6) | (p10 % s)
+            val = ((ent >> 4) ^ 8) - 8
+            step = np.where(val == 0, 15, (ent & 0xF) + 1)
             coff = b["coff"]
             crow = np.repeat(np.arange(len(coff) - 1, dtype=np.int32),
                              np.diff(coff))
-            # val=0 entries are TU-run pads: mask them out of the scatter
-            return np.where(cval[:len(crow)] != 0, crow, 1 << 30)
+            C = np.cumsum(step)
+            Cexcl = np.concatenate([[0], C])
+            pos = C - Cexcl[coff[crow]] - 1
+            if fld == "cval":
+                # fold the |val|>7 escape corrections back in (host-side:
+                # this path scatters full-precision cval directly)
+                for fx, dv in zip(b.get("cfx", z0), b.get("cfv", z0)):
+                    r, p = int(fx) // (s * s), int(fx) % (s * s)
+                    lo, hi = int(coff[r]), int(coff[r + 1])
+                    j = np.nonzero((pos[lo:hi] == p) & (val[lo:hi] != 0))[0]
+                    if len(j):
+                        val[lo + j[0]] += int(dv)
+                return val
+            if fld == "cpos":
+                p10 = np.clip(pos, 0, s * s - 1)
+                return ((p10 // s) << 6) | (p10 % s)
+            # zero (advance/pad) bytes emit nothing: mask from the scatter
+            return np.where(val != 0, crow, 1 << 30)
 
         for lg in lgs:
-            tcap, ccap = caps[f"tu{lg}"], 2 * caps[f"co{lg}"]
+            tcap, ccap = caps[f"tu{lg}"], 4 * caps[f"co{lg}"]
             for fld, cap, fill in (("qp", tcap, 0), ("flags", tcap, 0),
                                    ("mid", tcap, 0), ("cval", ccap, 0),
                                    ("cpos", ccap, 0),

@@ -64,7 +64,23 @@ class PipelinedDecoder:
         Returns the list of device plane tuples (undispatched only if
         on_frame consumed them).  on_frame(i, planes) is called per frame
         as its program is dispatched (planes are async device arrays).
+
+        On a single-core host the parse thread CONTENDS with feed packing
+        instead of overlapping it (BENCH_r04: e2e 8.58 < device 9.75 fps at
+        1080p), so the pipeline drops to sequential parse-then-decode there.
         """
+        import os
+        if (os.cpu_count() or 1) < 2:
+            dec = Decoder(parse_only=True, keep_programs=True)
+            list(dec.decode_all(data))
+            outs = []
+            for i in range(dec.num_programs()):
+                planes = self.fd.decode(dec.get_program(i))
+                if on_frame is not None:
+                    on_frame(i, planes)
+                else:
+                    outs.append(planes)
+            return outs
         dec = Decoder(parse_only=True, keep_programs=True)
         done = threading.Event()
         err = []

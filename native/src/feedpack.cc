@@ -47,9 +47,9 @@ enum PackKey : int {
   kKeyResSw,  // packed srow | (x0>>1)<<20
   kKeyBinCfv,   // escape corrections: value delta
   kKeySegN,
-  kKeySegA,  // packed wy | wx<<12 | fy<<25 | fx<<28
-  kKeySegB,  // packed (x0>>1) | w<<12 | slot<<19
-  kKeySegWxUnused,
+  kKeySegAUnused,  // was: packed window words (windows now re-derived
+  kKeySegBUnused,  // in-kernel from the PU SoA + band)
+  kKeySegIdx,  // two 16-bit PU indices per word, [n_bands, ceil(K/2)]
   kKeySegFyUnused,
   kKeySegFxUnused,
   kKeySegX0Unused,
@@ -91,12 +91,12 @@ struct TuBin {
 };
 
 struct SegPlan {
-  // per-(list, plane-class) packed word arrays, band-major arrival order.
-  // The B word carries no slot: the DPB ring remap is applied at emission
-  // so one plan serves both the caps call and any remap.
+  // per-list segment -> PU index map, band-major arrival order (= PU
+  // emission order, so overlap resolution matches cell rasterization).
+  // Window origins / filter phases / placement are re-derived in-kernel
+  // from the PU SoA (mc_pallas._mc_kernel seg_params).
   std::vector<int32_t> counts;           // [n_bands]
-  std::vector<int32_t> f[2][2];          // [pc][word] ragged by (band,k)
-  std::vector<int32_t> slotidx;          // per segment: clamped ref_dpb
+  std::vector<int32_t> puidx;            // per segment: PU index
   std::vector<int32_t> band_of, k_of;    // per segment
   int maxk = 0;
 };
@@ -131,30 +131,41 @@ void bin_tus(PackState& ps) {
     }
     b.mid.push_back(mid);
     if (b.coff.empty()) b.coff.push_back(0);
-    // 16-bit entries val6|pos10, two per word; runs even-padded with
-    // val=0 entries (mirrors fused_decode._bin_tus)
-    int32_t pend = 0;
-    int half = 0;
+    // 8-bit delta entries, four per word (little-endian): a running
+    // position P starts at -1; val!=0 (4-bit signed, clamped +-7)
+    // advances P by dpos+1 and emits; a zero byte advances P by 15 and
+    // emits nothing (gap bridges + pad-to-4 are plain zeros).  |val|>7
+    // escapes ship as (cfx, cfv) corrections.  Mirrors
+    // fused_decode._bin_tus; positions sorted ascending per TU.
+    thread_local std::vector<std::pair<int32_t, int32_t>> pv;
+    pv.clear();
     for (int j = 0; j < tu.ncoeff; j++) {
       int32_t v = (int32_t)cval[tu.coeff_start + j];
       int32_t p = (int32_t)cpos[tu.coeff_start + j];
       int32_t p10 = ((p >> 6) << lg) | (p & 63);
-      int32_t cl = v < -31 ? -31 : (v > 31 ? 31 : v);
-      if (cl != v) {
-        b.cfx.push_back(row * (1 << (2 * lg)) + p10);
-        b.cfv.push_back(v - cl);
-      }
-      int32_t e = ((cl & 63) << 10) | p10;
-      if (half == 0) {
-        pend = e;
-        half = 1;
-      } else {
-        b.cv.push_back(pend | (e << 16));
-        half = 0;
-      }
+      pv.emplace_back(p10, v);
     }
-    if (half) b.cv.push_back(pend);
-    b.coff.push_back(b.coff.back() + ((tu.ncoeff + 1) & ~1));
+    std::sort(pv.begin(), pv.end());
+    int32_t nbytes = 0;
+    int32_t P = -1;
+    auto put = [&](int32_t byte) {
+      if ((nbytes & 3) == 0) b.cv.push_back(0);
+      b.cv.back() |= byte << (8 * (nbytes & 3));
+      nbytes++;
+    };
+    for (auto& e : pv) {
+      int32_t g = e.first - P - 1;
+      for (int k = 0; k < g / 15; k++) put(0);
+      int32_t cl = e.second < -7 ? -7 : (e.second > 7 ? 7 : e.second);
+      if (cl != e.second) {
+        b.cfx.push_back(row * (1 << (2 * lg)) + e.first);
+        b.cfv.push_back(e.second - cl);
+      }
+      put((g % 15) | ((cl & 0xF) << 4));
+      P = e.first;
+    }
+    while (nbytes & 3) nbytes++;  // zero pad rides in the pushed word
+    b.coff.push_back(b.coff.back() + nbytes);
     if (!intra && tu.ncoeff > 0 && tu.cidx < 3) {
       auto& s = b.sc[tu.cidx];
       s.push_back(row);
@@ -164,50 +175,22 @@ void bin_tus(PackState& ps) {
   }
 }
 
-// MC segments for one reference list: mirrors ops/mc_pallas.plan_segments.
+// MC segments for one reference list: mirrors
+// ops/mc_pallas.plan_segment_indices.
 void plan_segments(const PackState& ps, int l, SegPlan& sp) {
   const auto& pus = ps.prog->pus;
-  const int H = ps.H, W = ps.W;
-  const int sub_x = ps.sub_x, sub_y = ps.sub_y;
-  const int shx = (sub_x == 2) ? 3 : 2;
-  const int shy = (sub_y == 2) ? 3 : 2;
-  const int Hc = H / sub_y, Wc = W / sub_x;
   sp.counts.assign(ps.n_bands, 0);
   for (size_t i = 0; i < pus.size(); i++) {
     const PuRec& p = pus[i];
     if (!(p.pred_flags & (1 << l))) continue;
-    int mvx = p.mv[l].x, mvy = p.mv[l].y;
-    int slot = std::min(std::max((int)p.ref_dpb[l], 0), 7);
-    int x = p.x, y = p.y, w = p.w, h = p.h;
-    int rows = h >> 2;
+    int rows = p.h >> 2;
     for (int iw = 0; iw < rows; iw++) {
-      int band = (y >> 2) + iw;
+      int band = (p.y >> 2) + iw;
       int k = sp.counts[band]++;
       sp.maxk = std::max(sp.maxk, k + 1);
       sp.band_of.push_back(band);
       sp.k_of.push_back(k);
-      sp.slotidx.push_back(slot);
-      // luma
-      int oy = (y + 4 * iw) + (mvy >> 2) - 3;
-      int ox = x + (mvx >> 2) - 3;
-      oy = std::min(std::max(oy, -(4 + 8 - 2)), H - 1) + kPadT;
-      ox = std::min(std::max(ox, -(w + 8 - 2)), W - 1) + kPadL;
-      sp.f[0][0].push_back((oy & 0xFFF) | ((ox & 0x1FFF) << 12) |
-                           ((mvy & 3 & 7) << 25) | ((mvx & 3 & 7) << 28));
-      sp.f[0][1].push_back(((x >> 1) & 0xFFF) | ((w & 0x7F) << 12));
-      // chroma
-      int fcx = (sub_x == 2) ? (mvx & 7) : ((mvx & 3) << 1);
-      int fcy = (sub_y == 2) ? (mvy & 7) : ((mvy & 3) << 1);
-      int cw = w / sub_x;
-      int cyb = (y + 4 * iw) / sub_y;
-      int ocy = cyb + (mvy >> shy) - 1;
-      int ocx = x / sub_x + (mvx >> shx) - 1;
-      ocy = std::min(std::max(ocy, -((4 / sub_y) + 4 - 2)), Hc - 1) + kPadT;
-      ocx = std::min(std::max(ocx, -(cw + 4 - 2)), Wc - 1) + kPadL;
-      sp.f[1][0].push_back((ocy & 0xFFF) | ((ocx & 0x1FFF) << 12) |
-                           ((fcy & 7) << 25) | ((fcx & 7) << 28));
-      sp.f[1][1].push_back((((x / sub_x) >> 1) & 0xFFF) |
-                           ((cw & 0x7F) << 12));
+      sp.puidx.push_back((int32_t)i);
     }
   }
 }
@@ -389,9 +372,7 @@ LIBDE265_API int tde265_pack_feed(de265_decoder_context* ctx, int idx,
   PackState& ps = cached_state(ctx, idx, prog);
   const FrameProgram::Snapshot* s = ps.snap;
   const int32_t* slot_lut = aux;       // [17]: ref_dpb+1 -> ring slot
-  const int32_t* remap = aux + 17;     // [8]: ref index -> ring slot
-
-  // shared plans: reuse the caps call's (remap applies at emission)
+  // shared plans: reuse the caps call's (slots ride in the PU meta word)
   SegPlan* seg[2] = {&g_cache.seg[0], &g_cache.seg[1]};
   SegPlan local[2];
   for (int l = 0; l < 2; l++)
@@ -415,15 +396,15 @@ LIBDE265_API int tde265_pack_feed(de265_decoder_context* ctx, int idx,
     if (off + total > out_len) return -2;
     int32_t* dst = out + off;
     switch (key) {
-      case kKeyBinQp:
-      case kKeyBinFlags:
-      case kKeyBinMid: {
+      case kKeyBinQp: {
+        // TU meta, two per word: qp7 (signed) | flags6<<7 | mid3<<13
         const TuBin& b = ps.bins[p0 - 2];
-        const std::vector<int32_t>& v = (key == kKeyBinQp)      ? b.qp
-                                        : (key == kKeyBinFlags) ? b.flags
-                                                                : b.mid;
         memset(dst, 0, total * 4);
-        memcpy(dst, v.data(), v.size() * 4);
+        for (size_t i = 0; i < b.qp.size(); i++) {
+          int32_t h = (b.qp[i] & 0x7F) | ((b.flags[i] & 0x3F) << 7) |
+                      ((b.mid[i] & 7) << 13);
+          dst[i >> 1] |= h << (16 * (i & 1));
+        }
         break;
       }
       case kKeyBinCv: {
@@ -482,22 +463,18 @@ LIBDE265_API int tde265_pack_feed(de265_decoder_context* ctx, int idx,
         break;
       }
       case kKeySegN:
-      case kKeySegA:
-      case kKeySegB: {
+      case kKeySegIdx: {
         const SegPlan& sp = *seg[p0];
         if (key == kKeySegN) {
           memcpy(dst, sp.counts.data(),
                  std::min<int64_t>(total, sp.counts.size()) * 4);
         } else {
-          int pc = p1;  // 0 = luma, 1 = chroma
-          bool bword = key == kKeySegB;
+          // two 16-bit PU indices per word (dst is [n_bands, ceil(K/2)])
           memset(dst, 0, total * 4);
-          const std::vector<int32_t>& v = sp.f[pc][bword ? 1 : 0];
-          for (size_t i = 0; i < v.size(); i++) {
-            int32_t w = v[i];
-            if (bword)
-              w |= (remap[sp.slotidx[i]] & 0x3F) << 19;
-            dst[(int64_t)sp.band_of[i] * d1 + sp.k_of[i]] = w;
+          for (size_t i = 0; i < sp.puidx.size(); i++) {
+            int k = sp.k_of[i];
+            dst[(int64_t)sp.band_of[i] * d1 + (k >> 1)] |=
+                sp.puidx[i] << (16 * (k & 1));
           }
         }
         break;
@@ -558,12 +535,13 @@ LIBDE265_API int tde265_pack_feed(de265_decoder_context* ctx, int idx,
         break;
       }
       case kKeyPu: {
-        // 4 words per PU: mv0 (x|y<<16), mv1, meta, slice
+        // 5 words per PU: mv0 (x|y<<16), mv1, meta, slice,
+        // geo (x/4 | y/4<<11 | (w/4-1)<<22 | (h/4-1)<<27)
         memset(dst, 0, total * 4);
         const auto& pus = prog->pus;
         for (size_t i = 0; i < pus.size(); i++) {
           const PuRec& p = pus[i];
-          int32_t* r = dst + i * 4;
+          int32_t* r = dst + i * 5;
           r[0] = ((int32_t)p.mv[0].x & 0xFFFF) | ((int32_t)p.mv[0].y << 16);
           r[1] = ((int32_t)p.mv[1].x & 0xFFFF) | ((int32_t)p.mv[1].y << 16);
           int32_t meta = p.pred_flags & 3;
@@ -575,23 +553,44 @@ LIBDE265_API int tde265_pack_feed(de265_decoder_context* ctx, int idx,
           }
           r[2] = meta;
           r[3] = p.slice;
+          r[4] = ((int32_t)p.x >> 2) | (((int32_t)p.y >> 2) << 11) |
+                 ((((int32_t)p.w >> 2) - 1) << 22) |
+                 ((((int32_t)p.h >> 2) - 1) << 27);
         }
         break;
       }
       case kKeyPuIdx:
         memcpy(dst, s->pu_idx.data(), s->pu_idx.size() * 4);
         break;
-      case kKeyG4:
-        // qp(8) | nzc(1) | dbf(4) | cu(4) [| pu_idx+1 << 17 when p1 = 1]
-        for (size_t i = 0; i < s->qp_y.size(); i++) {
-          int32_t g = ((int32_t)(u8)s->qp_y[i]) |
-                      (((int32_t)s->nonzero_coeff[i] & 1) << 8) |
-                      (((int32_t)s->deblock_flags[i] & 0xF) << 9) |
-                      (((int32_t)s->cu_info[i] & 0xF) << 13);
-          if (p1) g |= (s->pu_idx[i] + 1) << 17;
-          dst[i] = g;
+      case kKeyG4: {
+        // p1=2: halfword pairs (qp8 | nzc1<<8 | dbf4<<9 | cu3<<13), two
+        // horizontally adjacent cells per word; pu_idx is painted on
+        // device from the segment index feed.  p1<2: legacy word grid
+        // (qp8|nzc1|dbf4|cu4 [| pu_idx+1<<17 when p1=1]).
+        auto cell = [&](size_t i, int cumask) {
+          return ((int32_t)(u8)s->qp_y[i]) |
+                 (((int32_t)s->nonzero_coeff[i] & 1) << 8) |
+                 (((int32_t)s->deblock_flags[i] & 0xF) << 9) |
+                 (((int32_t)s->cu_info[i] & cumask) << 13);
+        };
+        if (p1 == 2) {
+          memset(dst, 0, total * 4);
+          int pbw = (int)(s->qp_y.size() / std::max(d0, 1));
+          for (int r = 0; r < d0; r++)
+            for (int c = 0; c < pbw; c++) {
+              size_t i = (size_t)r * pbw + c;
+              dst[(int64_t)r * d1 + (c >> 1)] |= cell(i, 0x7)
+                  << (16 * (c & 1));
+            }
+        } else {
+          for (size_t i = 0; i < s->qp_y.size(); i++) {
+            int32_t g = cell(i, 0xF);
+            if (p1) g |= (s->pu_idx[i] + 1) << 17;
+            dst[i] = g;
+          }
         }
         break;
+      }
       case kKeySliceIdx:
         for (size_t i = 0; i < s->slice_idx.size(); i++)
           dst[i] = s->slice_idx[i];

@@ -110,14 +110,14 @@ def test_mc_pallas_matches_xla(seed, chroma):
     padded = np.stack([np.asarray(mp.pad_plane(jnp.asarray(r), hp, wp))
                        for r in ref])
     refs2d = jnp.asarray(padded.reshape(R * hp, wp))
-    luma, chroma_segs, counts, K = mp.plan_segments(pus, 0, H, W, sub, sub)
-    segs = chroma_segs if chroma else luma
+    counts, sidx, K = mp.plan_segment_indices(pus, 0, H)
+    puw = mp.pus_to_wire(pus)
     n_bands = H // 4
     Wout = max(256, (Wp + 127) & ~127)
     stripes = mp.mc_stripes(
-        refs2d, jnp.asarray(counts), jnp.asarray(segs["a"]),
-        jnp.asarray(segs["b"]),
+        refs2d, jnp.asarray(counts), jnp.asarray(sidx), jnp.asarray(puw),
         OR=OR, T=T, Hpad=hp, Wout=Wout, n_bands=n_bands, KMAX=K, bd=bd,
+        l=0, chroma=chroma, Hdim=Hp, Wdim=Wp, sub_x=sub, sub_y=sub,
         interpret=True)
     got_plane = np.asarray(stripes).reshape(n_bands * OR, Wout)[:Hp, :Wp]
 
@@ -139,6 +139,50 @@ def test_mc_pallas_matches_xla(seed, chroma):
 
     assert np.array_equal(got_plane[mask], exp_plane[mask]), (
         np.argwhere((got_plane != exp_plane) & mask)[:5])
+
+
+@pytest.mark.parametrize("seed,use_l1", [(3, False), (4, True), (5, True)])
+def test_paint_pu_idx_matches_raster(seed, use_l1):
+    """Device-side pu_idx painting vs the host rasterization (disjoint
+    PUs; the union of list-0/list-1 segments covers every inter PU)."""
+    rng = np.random.default_rng(seed)
+    H, W = 64, 96
+    pb_h, pb_w = H // 4, W // 4
+    # disjoint PU rectangles on an 8x8 grid
+    pus = []
+    for by in range(0, H, 16):
+        for bx in range(0, W, 16):
+            if rng.random() < 0.3:
+                continue  # intra hole
+            r = np.zeros(1, PU_DTYPE)[0]
+            r["x"], r["y"] = bx, by
+            r["w"], r["h"] = 16, 16
+            pf = int(rng.integers(1, 4)) if use_l1 else 1
+            r["pred_flags"] = pf
+            pus.append(r)
+    pus = np.array(pus, PU_DTYPE)
+
+    exp = np.full((pb_h, pb_w), -1, np.int32)
+    for i, p in enumerate(pus):
+        exp[p["y"] // 4:(p["y"] + p["h"]) // 4,
+            p["x"] // 4:(p["x"] + p["w"]) // 4] = i
+
+    L = 2 if use_l1 else 1
+    counts, sidxs = [], []
+    kp = 1
+    for l in range(L):
+        c, s, K = mp.plan_segment_indices(pus, l, H)
+        counts.append(c)
+        sidxs.append(s)
+        kp = max(kp, s.shape[1])
+    sidx2 = np.zeros((pb_h, L, kp), np.int32)
+    for l in range(L):
+        sidx2[:, l, :sidxs[l].shape[1]] = sidxs[l]
+    got = np.asarray(mp.paint_pu_idx(
+        jnp.asarray(np.stack(counts)), jnp.asarray(sidx2),
+        jnp.asarray(mp.pus_to_wire(pus)), n_bands=pb_h, W4=pb_w, L=L,
+        interpret=True))
+    assert np.array_equal(got, exp), np.argwhere(got != exp)[:5]
 
 
 @pytest.mark.parametrize("lg,OR", [(2, 4), (3, 4), (4, 4), (5, 4),
