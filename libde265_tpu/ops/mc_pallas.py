@@ -384,24 +384,27 @@ def default_interpret():
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _paint_kernel(nseg, pu, sidx, out, *, L, KMAX, W4P):
+def _paint_kernel(nseg, pu, sidx, out, *, L, W4P, BB):
     """Rasterize the per-4x4-cell PU index map from the segment index feed
     (PUs never overlap in conformant HEVC, so paint order is irrelevant;
-    the union over lists covers every inter PU)."""
-    band = pl.program_id(0)
+    the union over lists covers every inter PU).  BB bands per program —
+    Mosaic requires the output block's sublane dim to be 8-divisible."""
+    g = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, W4P), 1)
-    row = jnp.full((1, W4P), -1, jnp.int32)
-    for l in range(L):
-        def body(k, row, l=l):
-            word = sidx[0, l, k >> 1]
-            idx = (word >> ((k & 1) * 16)) & 0xFFFF
-            geo = pu[idx, 4]
-            x4 = geo & 0x7FF
-            w4 = ((geo >> 22) & 0x1F) + 1
-            m = (lane >= x4) & (lane < x4 + w4)
-            return jnp.where(m, idx, row)
-        row = jax.lax.fori_loop(0, nseg[l, band], body, row)
-    out[0] = row[0]
+    for b8 in range(BB):
+        band = g * BB + b8
+        row = jnp.full((1, W4P), -1, jnp.int32)
+        for l in range(L):
+            def body(k, row, l=l, b8=b8):
+                word = sidx[b8, l, k >> 1]
+                idx = (word >> ((k & 1) * 16)) & 0xFFFF
+                geo = pu[idx, 4]
+                x4 = geo & 0x7FF
+                w4 = ((geo >> 22) & 0x1F) + 1
+                m = (lane >= x4) & (lane < x4 + w4)
+                return jnp.where(m, idx, row)
+            row = jax.lax.fori_loop(0, nseg[l, band], body, row)
+        out[b8] = row[0]
 
 
 @functools.partial(jax.jit, static_argnames=("n_bands", "W4", "L",
@@ -417,22 +420,26 @@ def paint_pu_idx(nseg2, sidx2, pu, *, n_bands: int, W4: int, L: int,
     partition CUs (disjoint rectangles)."""
     W4P = max(128, (W4 + 127) & ~127)
     KP = sidx2.shape[2]
-    kern = functools.partial(_paint_kernel, L=L, KMAX=KP * 2, W4P=W4P)
+    BB = 8
+    NB = ((n_bands + BB - 1) // BB) * BB
+    nseg2 = jnp.pad(nseg2, ((0, 0), (0, NB - n_bands)))
+    sidx2 = jnp.pad(sidx2, ((0, NB - n_bands), (0, 0), (0, 0)))
+    kern = functools.partial(_paint_kernel, L=L, W4P=W4P, BB=BB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_bands,),
-        in_specs=[pl.BlockSpec((1, L, KP), lambda b, *_: (b, 0, 0),
+        grid=(NB // BB,),
+        in_specs=[pl.BlockSpec((BB, L, KP), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec((1, W4P), lambda b, *_: (b, 0),
+        out_specs=pl.BlockSpec((BB, W4P), lambda b, *_: (b, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n_bands, W4P), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((NB, W4P), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(nseg2, pu, sidx2)
-    return out[:, :W4]
+    return out[:n_bands, :W4]
 
 
 # ---------------------------------------------------------------------------

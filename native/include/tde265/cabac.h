@@ -195,6 +195,7 @@ class CabacDecoder {
     i32 rem;
     if (prefix <= 3) {
       j = prefix + 1 + rice;
+      if (j > 16) return decode_coeff_remaining_slow(rice);  // rice >= 13
       rem = (i32)((u32)(prefix << rice) +
                   ((q >> (16 - j)) & ((1u << rice) - 1)));
     } else if (prefix < 16 && 2 * prefix - 2 + rice <= 16) {

@@ -127,6 +127,19 @@ struct EncoderConfig {
   int cr_qp_offset = 0;
   int num_refs = 1;  // reference pictures in L0 (1 or 2; 2 exercises
                      // ref_idx signalling and cross-distance MV scaling)
+  // RExt SPS flags for decoder-differential corpus streams.  The writer
+  // mirrors every SYNTAX impact (persistent-Rice binarization state,
+  // explicit_rdpcm_flag emission, sign-hiding interactions); the
+  // reconstruction-only effects (coefficient rotation, RDPCM recon) are
+  // intentionally NOT mirrored in the encoder recon — these streams exist
+  // to diff OUR decoder against the reference decoder on identical bits,
+  // so encode-side reference drift is harmless (and expected).
+  bool rext_persistent_rice = false;
+  bool rext_ts_rotation = false;
+  bool rext_implicit_rdpcm = false;   // forces sign_hiding off (the
+                                      // decoder-side SDH disable would
+                                      // otherwise need mode-aware mirroring)
+  bool rext_explicit_rdpcm = false;
   // intra mode candidate set searched per CU
   std::vector<int> intra_candidates = {0, 1, 10, 26, 2, 18, 34};
 };
@@ -244,7 +257,10 @@ class Encoder {
   void write_pu_syntax(const PuMotionSyntax& syn, int x0, int y0);
   void write_intra_luma_mode(int x0, int y0, int mode);
   void write_residual(int x0c, int y0c, int log2_size, int cidx,
-                      const i32* levels, int scan_idx, bool tskip = false);
+                      const i32* levels, int scan_idx, bool tskip = false,
+                      bool cu_intra = true);
+  u8 stat_coeff_enc_[4] = {0, 0, 0, 0};  // persistent-Rice stats (RExt),
+                                         // reset per slice like the decoder
   static int map_dm_chroma(int luma_mode);
   int chroma_qp(int qp_y, int cidx) const;
 

@@ -150,6 +150,13 @@ de265_error en265_set_parameter_bool(en265_encoder_context* ctx,
   if (p == "radl") C(ctx)->cfg.radl = (value != 0);
   if (p == "rdoq") C(ctx)->cfg.rdoq = (value != 0);
   if (p == "b-pyramid") C(ctx)->cfg.b_pyramid = (value != 0);
+  if (p == "rext-persistent-rice")
+    C(ctx)->cfg.rext_persistent_rice = (value != 0);
+  if (p == "rext-ts-rotation") C(ctx)->cfg.rext_ts_rotation = (value != 0);
+  if (p == "rext-implicit-rdpcm")
+    C(ctx)->cfg.rext_implicit_rdpcm = (value != 0);
+  if (p == "rext-explicit-rdpcm")
+    C(ctx)->cfg.rext_explicit_rdpcm = (value != 0);
   return DE265_OK;
 }
 
@@ -199,7 +206,8 @@ const char** en265_list_parameters(en265_encoder_context*) {
       "transform-skip", "constrained-intra", "ccp",
       "across-tiles", "rect-parts",      "dependent-slices",
       "amp",          "open-gop",        "radl",
-      "rdoq",
+      "rdoq",         "rext-persistent-rice", "rext-ts-rotation",
+      "rext-implicit-rdpcm", "rext-explicit-rdpcm",
       "b-pyramid",    "pyramid-levels",  "intra-mode-algo", "me-algo",
       "cb-split-algo", nullptr};
   return params;

@@ -132,6 +132,14 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   }
   s.temporal_mvp_enabled = cfg.tmvp;
   s.strong_intra_smoothing_enabled = true;
+  // RExt decoder-differential flags (see EncoderConfig comment)
+  s.range_extension = cfg.rext_persistent_rice || cfg.rext_ts_rotation ||
+                      cfg.rext_implicit_rdpcm || cfg.rext_explicit_rdpcm;
+  s.transform_skip_rotation_enabled = cfg.rext_ts_rotation;
+  s.implicit_rdpcm_enabled = cfg.rext_implicit_rdpcm;
+  s.explicit_rdpcm_enabled = cfg.rext_explicit_rdpcm;
+  s.persistent_rice_adaptation_enabled = cfg.rext_persistent_rice;
+  if (cfg.rext_implicit_rdpcm) cfg_.sign_hiding = false;
   s.compute_derived();
 
   pps_ = std::make_shared<Pps>();
@@ -141,7 +149,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   p.sps = sps_;
   p.init_qp = 26;
   p.cu_qp_delta_enabled = cfg.adaptive_qp;
-  p.sign_data_hiding = cfg.sign_hiding;
+  p.sign_data_hiding = cfg_.sign_hiding;
   p.transform_skip_enabled = cfg.transform_skip;
   p.constrained_intra_pred = cfg.constrained_intra;
   p.log2_max_transform_skip_block_size = 2;
@@ -265,7 +273,25 @@ void Encoder::write_headers(std::vector<u8>* out) {
   sp.write_flag(s.temporal_mvp_enabled);
   sp.write_flag(true);   // strong_intra_smoothing
   sp.write_flag(false);  // vui_present
-  sp.write_flag(false);  // extension
+  if (s.range_extension) {
+    sp.write_flag(true);   // sps_extension_present
+    sp.write_flag(true);   // sps_range_extension
+    sp.write_flag(false);  // sps_multilayer_extension
+    sp.write_flag(false);  // sps_3d_extension
+    sp.write_bits(0, 5);   // sps_extension_5bits
+    // sps_range_extension() — order mirrors params.cc:552-561
+    sp.write_flag(s.transform_skip_rotation_enabled);
+    sp.write_flag(false);  // transform_skip_context
+    sp.write_flag(s.implicit_rdpcm_enabled);
+    sp.write_flag(s.explicit_rdpcm_enabled);
+    sp.write_flag(false);  // extended_precision_processing
+    sp.write_flag(false);  // intra_smoothing_disabled
+    sp.write_flag(false);  // high_precision_offsets
+    sp.write_flag(s.persistent_rice_adaptation_enabled);
+    sp.write_flag(false);  // cabac_bypass_alignment
+  } else {
+    sp.write_flag(false);  // extension
+  }
   sp.trailing_bits();
   append_nal(out, NAL_SPS, 0, sp.rbsp());
 
@@ -491,6 +517,7 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
       (cfg_.ctbs_per_slice > 0) ? cfg_.ctbs_per_slice : n_ctbs;
 
   ContextTable wpp_saved;
+  u8 wpp_saved_stat[4] = {0, 0, 0, 0};
   bool wpp_saved_valid = false;
   u16 slice_no = 0;
 
@@ -502,6 +529,7 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
     BitWriter data_bw;
     cabac_ = std::make_unique<CabacEncoder>(&data_bw);
     ctx_.init(cur_is_intra_pic_ ? 0 : (cur_is_b_ ? 2 : 1), pic_qp());
+    memset(stat_coeff_enc_, 0, 4);  // persistent-Rice stats reset per slice
     qg_first_ = true;
     qg_prev_qp_ = last_cu_qp_ = pic_qp();
 
@@ -515,6 +543,7 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
       encode_ctb(cx, cy);
       if (p.entropy_coding_sync_enabled && cx == 1) {
         wpp_saved = ctx_;
+        memcpy(wpp_saved_stat, stat_coeff_enc_, 4);
         wpp_saved_valid = true;
       }
       if (ts == slice_end - 1) {
@@ -537,10 +566,13 @@ void Encoder::encode_slice_substreams(std::vector<u8>* out) {
                        wpp_saved_valid && pw >= 2 &&
                        recon_->slice_addr_rs[above_rs] == slice_addr &&
                        p.same_tile(next_rs, above_rs);
-        if (inherit)
+        if (inherit) {
           ctx_ = wpp_saved;
-        else
+          memcpy(stat_coeff_enc_, wpp_saved_stat, 4);
+        } else {
           ctx_.init(cur_is_intra_pic_ ? 0 : (cur_is_b_ ? 2 : 1), pic_qp());
+          memset(stat_coeff_enc_, 0, 4);
+        }
         // per-substream QP-prediction reset (syntax.cc:1086-1140)
         qg_first_ = true;
         qg_prev_qp_ = last_cu_qp_ = pic_qp();
@@ -834,6 +866,7 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
     int indep_start = 0;
     u16 slice_no = 0;
     ContextTable dep_saved;
+    u8 dep_saved_stat[4] = {0, 0, 0, 0};
     const bool dep = pps_->dependent_slice_segments_enabled;
     for (int rs = 0; rs < n_ctbs; rs++) {
       if (rs == slice_start) {
@@ -845,7 +878,9 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
         if (dependent) {
           // CABAC contexts continue across dependent segments (9.3.1)
           ctx_ = dep_saved;
+          memcpy(stat_coeff_enc_, dep_saved_stat, 4);
         } else {
+          memset(stat_coeff_enc_, 0, 4);
           ctx_.init(cur_is_intra_pic_ ? 0 : (cur_is_b_ ? 2 : 1),
                     pic_qp());
         }
@@ -863,6 +898,7 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
       cabac_->encode_terminate(last_in_slice ? 1 : 0);
       if (last_in_slice) {
         dep_saved = ctx_;
+        memcpy(dep_saved_stat, stat_coeff_enc_, 4);
         append_nal(outp,
                    nal_type_override_ >= 0
                        ? nal_type_override_
@@ -3292,18 +3328,26 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
   };
   // residual syntax + reconstruction, decoder channel order (Y, Cb, Cr);
   // inter residual scan is always diagonal (scan_idx 0)
-  if (ch[0].cbf) write_residual(x0, y0, log2_size, 0, ch[0].levels.data(), 0);
+  if (ch[0].cbf)
+    write_residual(x0, y0, log2_size, 0, ch[0].levels.data(), 0, false,
+                   false);
   emit(ch[0]);
-  if (ch[1].cbf) write_residual(x0, y0, log2ci, 1, ch[1].levels.data(), 0);
+  if (ch[1].cbf)
+    write_residual(x0, y0, log2ci, 1, ch[1].levels.data(), 0, false, false);
   emit(ch[1]);
   if (c422i) {
-    if (ch[3].cbf) write_residual(x0, y0, log2ci, 1, ch[3].levels.data(), 0);
+    if (ch[3].cbf)
+      write_residual(x0, y0, log2ci, 1, ch[3].levels.data(), 0, false,
+                     false);
     emit(ch[3]);
   }
-  if (ch[2].cbf) write_residual(x0, y0, log2ci, 2, ch[2].levels.data(), 0);
+  if (ch[2].cbf)
+    write_residual(x0, y0, log2ci, 2, ch[2].levels.data(), 0, false, false);
   emit(ch[2]);
   if (c422i) {
-    if (ch[4].cbf) write_residual(x0, y0, log2ci, 2, ch[4].levels.data(), 0);
+    if (ch[4].cbf)
+      write_residual(x0, y0, log2ci, 2, ch[4].levels.data(), 0, false,
+                     false);
     emit(ch[4]);
   }
   set_cu_qp_grid(x0, y0, log2_size);
@@ -3313,7 +3357,8 @@ void Encoder::encode_cu_inter(int x0, int y0, int log2_size) {
 // residual_coding writer (inverse of residual.cc; spec 7.3.8.11)
 // ---------------------------------------------------------------------------
 void Encoder::write_residual(int x0c, int y0c, int log2, int cidx,
-                             const i32* levels, int scan_idx, bool tskip) {
+                             const i32* levels, int scan_idx, bool tskip,
+                             bool cu_intra) {
   CabacEncoder& c = *cabac_;
   static const bool trace = getenv("TDE_RES_TRACE") != nullptr;
   int n = 1 << log2;
@@ -3326,6 +3371,14 @@ void Encoder::write_residual(int x0c, int y0c, int log2, int cidx,
     c.encode_bin(&ctx_[cidx == 0 ? CTX_TRANSFORM_SKIP_LUMA
                                  : CTX_TRANSFORM_SKIP_CHROMA],
                  tskip ? 1 : 0);
+  }
+
+  // explicit RDPCM (RExt): the decoder parses this flag for inter TUs with
+  // transform-skip or transquant bypass (residual.cc:89-97); always signal
+  // "off" — the SPS flag exists for decoder-differential coverage only
+  if (!cu_intra && sps_->explicit_rdpcm_enabled &&
+      (tskip || pps_->transquant_bypass_enabled)) {
+    c.encode_bin(&ctx_[CTX_RDPCM_FLAG + (cidx ? 1 : 0)], 0);
   }
 
   // --- locate last significant coefficient in scan order ---
@@ -3520,6 +3573,11 @@ void Encoder::write_residual(int x0c, int y0c, int log2, int cidx,
     // remaining levels (mirrors the decoder: coded only where the base level
     // reached its maximum; decoder base = 1 + gt1 + gt2-as-coded)
     int rice = 0;
+    int sb_type = (cidx == 0 ? 2 : 0) +
+                  ((tskip || pps_->transquant_bypass_enabled) ? 1 : 0);
+    if (sps_->persistent_rice_adaptation_enabled)
+      rice = stat_coeff_enc_[sb_type] / 4;  // residual.cc:327
+    bool first_rem = true;
     for (int k = 0; k < n_coeffs; k++) {
       int coded_base = 1;
       if (k < n_gt1) {
@@ -3545,7 +3603,20 @@ void Encoder::write_residual(int x0c, int y0c, int log2, int cidx,
         c.encode_bypass(0);
         c.encode_bypass_bits((u32)suffix, pfx - 3 + rice);
       }
-      if (coded_base + remaining > 3 * (1 << rice)) rice = min_i(rice + 1, 4);
+      if (coded_base + remaining > 3 * (1 << rice))
+        rice = min_i(rice + 1,
+                     sps_->persistent_rice_adaptation_enabled ? 29 : 4);
+      if (sps_->persistent_rice_adaptation_enabled && first_rem) {
+        // adapt on the first coded remaining of the sub-block
+        // (residual.cc:339-350)
+        u8& sc = stat_coeff_enc_[sb_type];
+        if (remaining >= (3 << (sc / 4))) {
+          if (sc < 119) sc++;
+        } else if (2 * remaining < (1 << (sc / 4)) && sc > 0) {
+          sc--;
+        }
+      }
+      first_rem = false;
     }
   }
 }

@@ -335,11 +335,15 @@ bool SliceParser::residual_coding(int x0, int y0, int log2_size, int cidx) {
         // bypass-coded TR/EGk hybrid (spec 9.3.3.9), batched decode
         remaining = cabac_.decode_coeff_remaining(rice);
         if (remaining < 0) return false;
-        if (base + remaining > 3 * (1 << rice)) rice = min_i(rice + 1, 4);
+        // in-block rice growth caps at 4 normally, 29 under persistent
+        // rice adaptation (spec 9.3.3.9; reference slice.cc:3380-3393)
+        if (base + remaining > 3 * (1 << rice))
+          rice = min_i(rice + 1,
+                       sps_->persistent_rice_adaptation_enabled ? 29 : 4);
         if (sps_->persistent_rice_adaptation_enabled && first_remaining) {
           u8& sc = stat_coeff_[sb_type];
           if (remaining >= (3 << (sc / 4))) {
-            if (sc < 23) sc++;
+            if (sc < 119) sc++;  // 119: largest with sc/4 <= 29
           } else if (2 * remaining < (1 << (sc / 4)) && sc > 0) {
             sc--;
           }

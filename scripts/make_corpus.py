@@ -40,10 +40,16 @@ def _content(W, H, t, depth=8):
 
 
 def _encode(params=None, bools=None, frames=6, W=96, H=64, qp=30,
-            depth=8, chroma="420", **enc_kw):
+            depth=8, chroma="420", sei_hash=True, **enc_kw):
+    # sei_hash=False for the decoder-differential RExt streams: their
+    # reconstruction-only effects (ts rotation, RDPCM recon, rice-driven
+    # level decode) are intentionally NOT mirrored by the encoder recon,
+    # so an emitted hash would be wrong; the sweep's byte-diff of our
+    # decoder vs the reference decoder on identical bits is the check.
     enc = Encoder(qp=qp, ctb_size=32, bit_depth=depth,
                   chroma_format=chroma, **enc_kw)
-    enc.set_parameter("sei-hash", True)
+    if sei_hash:
+        enc.set_parameter("sei-hash", True)
     for k, v in (params or {}).items():
         enc.set_parameter(k, v)
     for k in (bools or []):
@@ -237,6 +243,52 @@ MATRIX = {
     "tiles_8x1_onectb": (dict(params={"tile-cols": 8, "ctb-size": 32,
                                       "intra-period": 4}, W=256, H=64),
                          "exact"),
+    # --- decoder-only RExt corners (VERDICT r4 ask #7): streams whose
+    # RECONSTRUCTION paths our encoder cannot exercise through its own
+    # recon (rice-param growth past 4, coefficient rotation, RDPCM
+    # reconstruction).  Encoded without hash SEI; the differential sweep
+    # byte-diffs both decoders on identical bits.  These caught a real
+    # bug: our rice clamp was 4 under persistent-rice (spec: 29).
+    "rext_price": (dict(bools=["rext-persistent-rice"],
+                        params={"intra-period": 4}, sei_hash=False),
+                   "exact"),
+    "rext_price_444_loqp": (dict(bools=["rext-persistent-rice"],
+                                 chroma="444", qp=10, sei_hash=False),
+                            "exact"),
+    "rext_tsrot": (dict(bools=["rext-ts-rotation", "transform-skip"],
+                        qp=34, sei_hash=False), "exact"),
+    "rext_irdpcm_ts": (dict(bools=["rext-implicit-rdpcm",
+                                   "transform-skip"],
+                            params={"intra-period": 4}, sei_hash=False),
+                       "exact"),
+    "rext_erdpcm": (dict(bools=["rext-explicit-rdpcm"],
+                         params={"intra-period": 4}, sei_hash=False),
+                    "exact"),
+    "rext_erdpcm_lossless": (dict(bools=["rext-explicit-rdpcm",
+                                         "lossless"],
+                                  frames=3, sei_hash=False), "exact"),
+    "rext_all4_cross": (dict(bools=["rext-persistent-rice",
+                                    "rext-ts-rotation",
+                                    "rext-implicit-rdpcm",
+                                    "rext-explicit-rdpcm",
+                                    "transform-skip"],
+                             params={"intra-period": 4},
+                             sei_hash=False), "exact"),
+    "rext_price_ccp_444": (dict(bools=["rext-persistent-rice", "ccp"],
+                                chroma="444", sei_hash=False), "exact"),
+    "rext_price_main10_422": (dict(bools=["rext-persistent-rice",
+                                          "scaling-lists"],
+                                   depth=10, chroma="422", qp=14,
+                                   sei_hash=False), "exact"),
+    "rext_tsrot_price_aqp": (dict(bools=["rext-ts-rotation",
+                                         "rext-persistent-rice",
+                                         "transform-skip",
+                                         "adaptive-qp"],
+                                  qp=38, sei_hash=False), "exact"),
+    # level-limit-edge geometry (Annex A): 8192-wide strip needs
+    # level >= 5 by the sqrt(8*MaxLumaPs) dimension rule
+    "level_edge_8192x64": (dict(W=8192, H=64, frames=2,
+                                params={"intra-period": 2}), "exact"),
 }
 
 
