@@ -125,8 +125,9 @@ struct EncoderConfig {
   // deblocking chroma tc derivation (8.7.2.5.5)
   int cb_qp_offset = 0;
   int cr_qp_offset = 0;
-  int num_refs = 1;  // reference pictures in L0 (1 or 2; 2 exercises
-                     // ref_idx signalling and cross-distance MV scaling)
+  int num_refs = 1;  // reference pictures in L0 (1..15; >=2 exercises
+                     // ref_idx signalling and cross-distance MV scaling;
+                     // large values exercise deep-DPB ref-list builds)
   // RExt SPS flags for decoder-differential corpus streams.  The writer
   // mirrors every SYNTAX impact (persistent-Rice binarization state,
   // explicit_rdpcm_flag emission, sign-hiding interactions); the
@@ -287,6 +288,8 @@ class Encoder {
   // inter coding state
   std::unique_ptr<Frame> ref_frame_;       // previous reconstructed picture
   std::unique_ptr<Frame> ref_frame2_;      // picture before that (num_refs=2)
+  std::vector<std::unique_ptr<Frame>> ref_hist_;  // refs [2..num_refs)
+                                                  // (low-delay deep-DPB)
   std::unique_ptr<Frame> lt_frame_;        // last IDR recon (lt_ref mode)
   // --- per-picture coding state (filled by the GOP drivers; consumed by
   // the slice-header writer and the shared encode body) ---

@@ -88,7 +88,8 @@ de265_error en265_set_parameter_int(en265_encoder_context* ctx,
   } else if (p == "pcm-threshold") {
     c->cfg.pcm_sad_threshold = value;
   } else if (p == "num-refs") {
-    if (value < 1 || value > 2) return DE265_ERROR_PARAMETER_PARSING;
+    // up to 15 active refs per list (num_ref_idx_lX_active_minus1 <= 14)
+    if (value < 1 || value > 15) return DE265_ERROR_PARAMETER_PARSING;
     c->cfg.num_refs = value;
   } else if (p == "me-range") {
     if (value < 1 || value > 64) return DE265_ERROR_PARAMETER_PARSING;

@@ -105,7 +105,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   const bool pyr2 = cfg.b_pyramid && cfg.pyramid_levels >= 2 &&
                     !cfg.open_gop && cfg.intra_period >= 4;
   for (int i = 0; i < kMaxSubLayers; i++) {
-    s.max_dec_pic_buffering[i] = pyr2 ? 6 : 4;
+    s.max_dec_pic_buffering[i] = max_i(pyr2 ? 6 : 4, cfg.num_refs + 1);
     s.max_num_reorder_pics[i] = pyr2 ? 2 : (cfg.b_pyramid ? 1 : 0);
     s.max_latency_increase[i] = 0;
   }
@@ -140,6 +140,7 @@ Encoder::Encoder(const EncoderConfig& cfg) : cfg_(cfg) {
   s.explicit_rdpcm_enabled = cfg.rext_explicit_rdpcm;
   s.persistent_rice_adaptation_enabled = cfg.rext_persistent_rice;
   if (cfg.rext_implicit_rdpcm) cfg_.sign_hiding = false;
+  cfg_.num_refs = clip3(1, cfg.lt_ref ? 14 : 15, cfg.num_refs);
   s.compute_derived();
 
   pps_ = std::make_shared<Pps>();
@@ -681,9 +682,20 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
     l1_dpb_map_[1] = 1;
     l1_dpb_map_[2] = 2;
     if (gop && frame_count_ > 0) {
-      // rotate: recon -> ref1 -> ref2
+      // rotate: recon -> ref1 -> ref2 -> hist[0] -> ... (deep DPB);
+      // the expired frame's buffer is recycled as the new recon scratch
       if (!ref_frame_) ref_frame_ = std::make_unique<Frame>();
       if (!ref_frame2_) ref_frame2_ = std::make_unique<Frame>();
+      if (cfg_.num_refs > 2) {
+        ref_hist_.insert(ref_hist_.begin(), std::move(ref_frame2_));
+        const size_t keep = (size_t)cfg_.num_refs - 2;
+        if (ref_hist_.size() > keep) {
+          ref_frame2_ = std::move(ref_hist_.back());
+          ref_hist_.pop_back();
+        } else {
+          ref_frame2_ = std::make_unique<Frame>();
+        }
+      }
       std::swap(ref_frame2_, ref_frame_);
       std::swap(ref_frame_, recon_);
       if (!recon_) recon_ = std::make_unique<Frame>();
@@ -752,7 +764,9 @@ std::vector<u8> Encoder::encode_frame_common(const void* y, int stride_y,
     }
   } else if (!cur_is_intra_pic_) {
     int nrefs = min_i(cfg_.num_refs, since_irap_());
-    Frame* refs[2] = {ref_frame_.get(), ref_frame2_.get()};
+    Frame* refs[16] = {ref_frame_.get(), ref_frame2_.get()};
+    for (size_t i = 0; i + 2 < 16 && i < ref_hist_.size(); i++)
+      refs[i + 2] = ref_hist_[i].get();
     sh_->num_ref_idx[0] = nrefs;
     for (int i = 0; i < nrefs; i++) {
       sh_->ref_list[0][i] = refs[i];

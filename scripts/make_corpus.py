@@ -289,6 +289,19 @@ MATRIX = {
     # level >= 5 by the sqrt(8*MaxLumaPs) dimension rule
     "level_edge_8192x64": (dict(W=8192, H=64, frames=2,
                                 params={"intra-period": 2}), "exact"),
+    "level_edge_64x8192": (dict(W=64, H=8192, frames=2,
+                                params={"intra-period": 2}), "exact"),
+    # deep-DPB ref lists: 15 active L0 refs (num_ref_idx_l0_active_minus1
+    # = 14, the spec max) exercises the decoder's 8.3.4 list build and
+    # ref_idx binarization depth our 1-2 ref streams never reach
+    "refs15_lowdelay": (dict(params={"num-refs": 15}, frames=20), "exact"),
+    "refs15_wpred_tmvp": (dict(bools=["weighted-pred", "tmvp"],
+                               params={"num-refs": 15}, frames=20),
+                          "exact"),
+    # persistent-Rice stats under transquant bypass (odd sb_type class)
+    "rext_price_lossless": (dict(bools=["rext-persistent-rice",
+                                        "lossless"],
+                                 frames=3, sei_hash=False), "exact"),
 }
 
 
