@@ -1258,12 +1258,12 @@ def _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st, pb_h, pb_w,
         interp = jax.default_backend() not in ("tpu", "axon")
 
         def seg_args(l):
-            return [feed[f"sg{l}n"], feed[f"sg{l}i"], feed["pu_wire"]]
+            return [feed[f"sg{l}n"], feed[f"sg{l}i"], feed[f"pu_mc{l}"]]
 
         for l in (0, 1) if use_l1 else (0,):
             sy = mcp.mc_stripes(refs_y, *seg_args(l), OR=4, T=8,
                                 Hpad=hp, Wout=wout_l, n_bands=pb_h,
-                                KMAX=kk, bd=bd, l=l, chroma=False,
+                                KMAX=kk, bd=bd, chroma=False,
                                 Hdim=H, Wdim=W, sub_x=sub_x, sub_y=sub_y,
                                 interpret=interp)
             blk = sy[:, :, :W].reshape(pb_h, 4, pb_w, 4).transpose(
@@ -1275,7 +1275,7 @@ def _mc_section(refs_y, refs_cb, refs_cr, cell, wg, st, pb_h, pb_w,
                     sc = mcp.mc_stripes(refs_c, *seg_args(l), OR=csv,
                                         T=4, Hpad=hpc, Wout=wout_c,
                                         n_bands=pb_h, KMAX=kk, bd=bdc,
-                                        l=l, chroma=True, Hdim=Hc, Wdim=Wc,
+                                        chroma=True, Hdim=Hc, Wdim=Wc,
                                         sub_x=sub_x, sub_y=sub_y,
                                         interpret=interp)
                     acc.append(sc[:, :, :Wc].reshape(
@@ -1466,9 +1466,13 @@ def _expand_feed(feed, keep_csr=False, std=None):
     pu = feed.get("pu")
     if pu is not None and pu.shape[1] in (4, 5):
         if pu.shape[1] == 5:
-            # keep the raw 5-word SoA for the segment-MC kernel (it
-            # re-derives windows from mv/meta/geo via scalar prefetch)
-            feed["pu_wire"] = pu
+            # fold per-list kernel tables for the segment-MC / paint
+            # kernels (they re-derive windows from mv/meta/geo via scalar
+            # prefetch; the folds keep Mosaic's SMEM padding exact — see
+            # mcp.pack_pu_mc).  Unused tables die in jit DCE.
+            feed["pu_mc0"] = mcp.pack_pu_mc(pu, 0)
+            feed["pu_mc1"] = mcp.pack_pu_mc(pu, 1)
+            feed["pu_geo"] = mcp.pack_pu_geo(pu)
         mv0, mv1, meta, sl = pu[:, 0], pu[:, 1], pu[:, 2], pu[:, 3]
         feed["pu"] = jnp.stack(
             [(mv0 << 16) >> 16, mv0 >> 16, (mv1 << 16) >> 16, mv1 >> 16,
@@ -1492,7 +1496,7 @@ def _expand_feed(feed, keep_csr=False, std=None):
             nseg2 = jnp.stack([feed[f"sg{l}n"] for l in range(L)])
             sidx2 = jnp.stack([feed[f"sg{l}i"] for l in range(L)], axis=1)
             feed["pu_idx"] = mcp.paint_pu_idx(
-                nseg2, sidx2, feed["pu_wire"], n_bands=pb_h, W4=W4, L=L,
+                nseg2, sidx2, feed["pu_geo"], n_bands=pb_h, W4=W4, L=L,
                 interpret=bool(std.get("pallas_interp", False)))
         else:  # intra-only stream: no inter coverage
             feed["pu_idx"] = jnp.full((pb_h, W4), -1, jnp.int32)

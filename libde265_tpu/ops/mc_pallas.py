@@ -137,6 +137,40 @@ def pus_to_wire(pus: np.ndarray, slot_map=None):
     return pu
 
 
+def _pad8(col):
+    """Pad a [Pcap] column to a multiple of 8 entries (fold granularity)."""
+    n = col.shape[0]
+    return jnp.pad(col, (0, (-n) % 8)) if n % 8 else col
+
+
+def pack_pu_mc(pu, l: int):
+    """Per-list kernel view of the wire PU SoA [Pcap, 5] -> [8, Pcap'/4]
+    int32: PU idx's (mv, meta2) pair at rows (idx&3)*2 / (idx&3)*2+1, col
+    idx>>2, with meta2 = slot(6) | x4(11)<<6 | (w4-1)(5)<<17.
+
+    Runs on device (cheap XLA ops, the wire is unchanged).  The 8-sublane
+    fold exists because Mosaic pads SMEM operands to (8, 128) granularity:
+    a [Pcap, 5] table lane-pads 5 -> 128 (25x, 8 MB at 1080p — over the
+    1 MB SMEM budget) and [5, Pcap] still sublane-pads 5 -> 8; this layout
+    is exact at 8 bytes/PU, so a 64k-PU 4K frame costs 512 KB."""
+    mv = _pad8(pu[:, l])
+    meta = _pad8(pu[:, 2])
+    geo = _pad8(pu[:, 4])
+    slot = (meta >> (2 + 6 * l)) & 63
+    m2 = slot | ((geo & 0x7FF) << 6) | (((geo >> 22) & 0x1F) << 17)
+    x = jnp.stack([mv, m2])                       # [2, P]
+    return x.reshape(2, -1, 4).transpose(2, 0, 1).reshape(8, -1)
+
+
+def pack_pu_geo(pu):
+    """Geometry-only kernel view for the pu_idx paint: [Pcap, 5] ->
+    [8, Pcap'/8] int32 with g16 = x4(11) | (w4-1)(5)<<11 at
+    [idx & 7, idx >> 3] (geometry is list-independent)."""
+    geo = _pad8(pu[:, 4])
+    g16 = (geo & 0x7FF) | (((geo >> 22) & 0x1F) << 11)
+    return g16.reshape(-1, 8).T
+
+
 def _scalar_coef(frac, table, k):
     """Select filter tap k by the traced fraction via a where-chain."""
     c = table[0][k]
@@ -156,7 +190,7 @@ def _roll_ladder(win, rem, nbits, axis, size):
 
 def _mc_kernel(nseg, pu, sidx, refs, out, scratch, sem,
                *, OR, T, FH, Hpad, Wout, bd, KMAX, table, G,
-               l, chroma, Hdim, Wdim, sub_x, sub_y):
+               chroma, Hdim, Wdim, sub_x, sub_y):
     # nseg and the 5-word PU SoA are scalar-prefetched (SMEM-resident); the
     # per-band segment PU indices arrive as SMEM blocks (1, ceil(KMAX/2))
     # with two 16-bit indices per word.  Everything else about a segment —
@@ -187,13 +221,20 @@ def _mc_kernel(nseg, pu, sidx, refs, out, scratch, sem,
         window origins in padded coords; spec 8.5.4.2.2/8.5.4.2.3)."""
         word = sidx[0, 0, k >> 1]
         idx = (word >> ((k & 1) * 16)) & 0xFFFF
-        mvw = pu[idx, l]
+        # per-list packed table [8, Pcap/4] (pack_pu_mc): PU idx's (mv,
+        # meta2) pair lives at rows (idx&3)*2 / (idx&3)*2+1, col idx>>2 —
+        # the 8-sublane fold keeps Mosaic's SMEM padding exact (a [Pcap,
+        # 5] layout lane-pads 5 -> 128 and blows the 1 MB SMEM budget at
+        # 1080p; [5, Pcap] still sublane-pads 5 -> 8)
+        col = idx >> 2
+        r2 = (idx & 3) * 2
+        mvw = pu[r2, col]
+        m2 = pu[r2 + 1, col]
         mvx = (mvw << 16) >> 16
         mvy = mvw >> 16
-        slot = (pu[idx, 2] >> (2 + 6 * l)) & 63
-        geo = pu[idx, 4]
-        x = (geo & 0x7FF) * 4
-        w = (((geo >> 22) & 0x1F) + 1) * 4
+        slot = m2 & 63
+        x = ((m2 >> 6) & 0x7FF) * 4
+        w = (((m2 >> 17) & 0x1F) + 1) * 4
         if not chroma:
             oy = jnp.clip(4 * band + (mvy >> 2) - 3,
                           -(4 + T - 2), Hdim - 1) + PADT
@@ -333,19 +374,20 @@ def _wrap16(x):
 
 @functools.partial(jax.jit, static_argnames=("OR", "T", "Hpad", "Wout",
                                              "n_bands", "KMAX", "bd",
-                                             "interpret", "G", "l",
+                                             "interpret", "G",
                                              "chroma", "Hdim", "Wdim",
                                              "sub_x", "sub_y"))
 def mc_stripes(refs2d, nseg, sidx, pu, *, OR: int,
                T: int, Hpad: int, Wout: int, n_bands: int, KMAX: int,
-               bd: int, l: int = 0, chroma: bool = False, Hdim: int = 0,
+               bd: int, chroma: bool = False, Hdim: int = 0,
                Wdim: int = 0, sub_x: int = 2, sub_y: int = 2,
                interpret: bool = False, G: int = 8):
     """Run the segment MC kernel; returns [n_bands, OR, Wout] stripes at
     intermediate scale.  G segments are processed per loop iteration.
 
     sidx: [n_bands, ceil(KMAX/2)] packed per-band PU indices (two 16-bit
-    indices per word); pu: the [Pcap, 5] wire PU SoA (pus_to_wire);
+    indices per word); pu: this list's [8, Pcap'/4] folded kernel table
+    (pack_pu_mc — exact SMEM sizing at 8 bytes/PU);
     Hdim/Wdim are THIS plane class's picture dims.
     """
     FH = 24 if T == 8 else 16
@@ -353,7 +395,7 @@ def mc_stripes(refs2d, nseg, sidx, pu, *, OR: int,
                   for row in (QPEL_FILTERS if T == 8 else EPEL_FILTERS))
     kern = functools.partial(_mc_kernel, OR=OR, T=T, FH=FH, Hpad=Hpad,
                              Wout=Wout, bd=bd, KMAX=KMAX, table=table, G=G,
-                             l=l, chroma=chroma, Hdim=Hdim, Wdim=Wdim,
+                             chroma=chroma, Hdim=Hdim, Wdim=Wdim,
                              sub_x=sub_x, sub_y=sub_y)
     KP = (KMAX + 1) // 2
     # SMEM blocks must keep their last two dims whole: ship the index table
@@ -398,9 +440,9 @@ def _paint_kernel(nseg, pu, sidx, out, *, L, W4P, BB):
             def body(k, row, l=l, b8=b8):
                 word = sidx[b8, l, k >> 1]
                 idx = (word >> ((k & 1) * 16)) & 0xFFFF
-                geo = pu[idx, 4]
-                x4 = geo & 0x7FF
-                w4 = ((geo >> 22) & 0x1F) + 1
+                g16 = pu[idx & 7, idx >> 3]
+                x4 = g16 & 0x7FF
+                w4 = ((g16 >> 11) & 0x1F) + 1
                 m = (lane >= x4) & (lane < x4 + w4)
                 return jnp.where(m, idx, row)
             row = jax.lax.fori_loop(0, nseg[l, band], body, row)
@@ -413,7 +455,8 @@ def paint_pu_idx(nseg2, sidx2, pu, *, n_bands: int, W4: int, L: int,
                  interpret: bool = False):
     """[n_bands, W4] per-cell PU index (-1 = not inter-covered) from the
     per-list segment index feed.  nseg2: [L, n_bands]; sidx2:
-    [n_bands, L, KP]; pu: the [Pcap, 5] wire PU SoA.
+    [n_bands, L, KP]; pu: the [8, Pcap/8] folded geometry table
+    (pack_pu_geo).
 
     Replaces shipping pu_idx per cell over the wire (0.26 MB/frame at
     1080p); bit-identical to the native parse-time paint because PUs

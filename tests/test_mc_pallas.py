@@ -115,9 +115,10 @@ def test_mc_pallas_matches_xla(seed, chroma):
     n_bands = H // 4
     Wout = max(256, (Wp + 127) & ~127)
     stripes = mp.mc_stripes(
-        refs2d, jnp.asarray(counts), jnp.asarray(sidx), jnp.asarray(puw),
+        refs2d, jnp.asarray(counts), jnp.asarray(sidx),
+        mp.pack_pu_mc(jnp.asarray(puw), 0),
         OR=OR, T=T, Hpad=hp, Wout=Wout, n_bands=n_bands, KMAX=K, bd=bd,
-        l=0, chroma=chroma, Hdim=Hp, Wdim=Wp, sub_x=sub, sub_y=sub,
+        chroma=chroma, Hdim=Hp, Wdim=Wp, sub_x=sub, sub_y=sub,
         interpret=True)
     got_plane = np.asarray(stripes).reshape(n_bands * OR, Wout)[:Hp, :Wp]
 
@@ -180,7 +181,8 @@ def test_paint_pu_idx_matches_raster(seed, use_l1):
         sidx2[:, l, :sidxs[l].shape[1]] = sidxs[l]
     got = np.asarray(mp.paint_pu_idx(
         jnp.asarray(np.stack(counts)), jnp.asarray(sidx2),
-        jnp.asarray(mp.pus_to_wire(pus)), n_bands=pb_h, W4=pb_w, L=L,
+        mp.pack_pu_geo(jnp.asarray(mp.pus_to_wire(pus))),
+        n_bands=pb_h, W4=pb_w, L=L,
         interpret=True))
     assert np.array_equal(got, exp), np.argwhere(got != exp)[:5]
 
