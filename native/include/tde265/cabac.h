@@ -30,6 +30,12 @@ extern const u8 kCabacTransIdxLps[64];
 extern const u8 kCabacNextState[128];
 // merged-byte transition: index (is_lps << 7) | sm -> next sm
 extern const u8 kCabacNextSm[256];
+// One-load decode_bin table: index (sm << 2) | qRangeIdx ->
+//   lps | (next_sm_mps << 8) | (next_sm_lps << 16).  Folding both possible
+// next states into the SAME load as the LPS range keeps the context-model
+// update off the load path: the late is_lps result only picks a shift
+// amount instead of indexing a second table (2 KB, L1-resident).
+extern u32 kCabacPacked[512];
 
 // Context table layout: one enum of offsets, sized kNumContexts total.
 // Grouping mirrors HEVC Table 9-4 syntax elements.
@@ -116,9 +122,9 @@ class CabacDecoder {
   // /root/reference/libde265/cabac.cc:186-257); state advances through the
   // merged kCabacNextState table with no data-dependent branch.
   inline int decode_bin(ContextModel* m) {
-    u32 q = (range_ >> 6) & 3;
     u32 sm = m->sm;
-    u32 lps = kCabacRangeTabLps[sm >> 1][q];
+    u32 pk = kCabacPacked[(sm << 2) | ((range_ >> 6) & 3)];
+    u32 lps = pk & 0xff;
     u32 rmps = range_ - lps;
     // rmps <= 510 and navail_ <= 55 so rmps << navail_ < 2^64.
     u64 big = (u64)rmps << navail_;
@@ -127,15 +133,17 @@ class CabacDecoder {
     int bin = (int)((sm ^ is_lps) & 1);
     ov_ -= big & is_lps64;
     range_ = rmps ^ ((rmps ^ lps) & is_lps);
-    m->sm = kCabacNextSm[(is_lps & 128) | sm];
-    // RenormD, all shifts at once: range_ is in [2,255] when renorm is
-    // needed, and "shifting the offset left" is just consuming lookahead.
-    if (range_ < 256) {
-      int n = 8 - ilog2_of(range_);
-      range_ <<= n;
-      navail_ -= n;
-      if (navail_ < 16) refill();
-    }
+    // next state rides in the pk word already loaded: is_lps only selects
+    // a shift (ALU) instead of indexing a second table (load latency on the
+    // repeated-context store->load chain, common in sig-flag runs)
+    m->sm = (u8)(pk >> (8 + (is_lps & 8)));
+    // RenormD, all shifts at once and UNconditionally: range_ >= 256 gives
+    // n = 0, so the inherently entropy-correlated "renorm needed" branch
+    // disappears (the MPS/LPS branch is already branchless above).
+    int n = 8 - ilog2_of(range_);
+    range_ <<= n;
+    navail_ -= n;
+    if (navail_ < 16) refill();
     if (__builtin_expect(g_bin_trace, 0)) bin_trace("ctx", bin, m);
     return bin;
   }

@@ -97,6 +97,21 @@ const u8 kCabacNextSm[256] = {
      72,  73,  72,  73,  74,  75,  74,  75,  74,  75,  76,  77,  76,  77, 126, 127,
 };
 
+// One-load decode_bin table, generated from the two spec tables above at
+// startup: lps | (next_sm_mps << 8) | (next_sm_lps << 16), indexed
+// (sm << 2) | qRangeIdx.
+u32 kCabacPacked[512];
+static struct PackedTabInit {
+  PackedTabInit() {
+    for (int sm = 0; sm < 128; sm++)
+      for (int q = 0; q < 4; q++)
+        kCabacPacked[(sm << 2) | q] =
+            (u32)kCabacRangeTabLps[sm >> 1][q] |
+            ((u32)kCabacNextSm[sm] << 8) |
+            ((u32)kCabacNextSm[128 | sm] << 16);
+  }
+} g_packed_tab_init;
+
 // ---------------------------------------------------------------------------
 // Context initialization (spec 9.3.2.2).
 // ---------------------------------------------------------------------------
